@@ -1,0 +1,34 @@
+from finporter_spark.operators.joins import asof_join, range_join
+from finporter_spark.operators.dedup import (
+    exact_dedup,
+    keep_latest,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from finporter_spark.operators.similarity import (
+    brute_force_knn,
+    cosine_expr,
+    lsh_bucket_knn,
+)
+from finporter_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_count,
+    fingerprint,
+)
+
+__all__ = [
+    "asof_join",
+    "range_join",
+    "exact_dedup",
+    "keep_latest",
+    "minhash_near_duplicates",
+    "simhash_near_duplicates",
+    "brute_force_knn",
+    "cosine_expr",
+    "lsh_bucket_knn",
+    "language_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+]

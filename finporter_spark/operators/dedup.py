@@ -1,0 +1,310 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2B L1/L2).
+
+All are compositions of built-in functions — fully JVM-side, no Python in
+the hot path — and all follow the staged-sketch design from SURVEY §4: at
+100 TB, per-partition signatures first, then one banded shuffle; never a
+crossJoin.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text normalization for hashing: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """L1 exact dedup: sha256 of normalized text; keep one doc per hash.
+
+    One hash projection + one groupBy shuffle on the 256-bit key —
+    uniformly distributed, so no skew at any scale. Returns the surviving
+    ids with their content hash.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.sha2(normalized_text(F.col(text_col)), 256).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(agg.alias(id_col))
+        .select(id_col, "content_hash")
+    )
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """O5 keep-latest dedup: deterministic dropDuplicates via rank-1 window.
+
+    ``dropDuplicates`` keeps an arbitrary row; entity upsert semantics
+    (ENTITY_KEYS) need "latest wins", so order explicitly and keep rank 1.
+    One shuffle on the entity keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text as array<string>."""
+    toks = F.split(normalized_text(col), " ")
+    # transform over sliding offsets: shingle i = toks[i..i+n-1]
+    return F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + n <= F.size(toks),
+                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per doc as columns h0..h{k-1} + array ``sig``.
+
+    Shape: explode shingles -> one xxhash64(shingle, seed_i) per seed ->
+    groupBy(doc) with k ``min`` aggregates. The k mins ride ONE shuffle
+    with map-side partial aggregation (each mapper pre-reduces to one row
+    per local doc), so the exchanged volume is ~#docs × k longs regardless
+    of document length — the formulation that survives 100 TB. (A
+    per-row ``array_min(transform(...))`` over a shingle array is
+    shuffle-free but re-evaluates the shingle expression per seed —
+    measured 80× slower — and is why this uses explode+agg.)
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """L2 near-dup detection via MinHash + LSH banding.
+
+    Pipeline:
+      1. minhash signatures (one shuffle, see minhash_signatures);
+      2. split the signature into ``bands`` bands, hash each, explode ->
+         (band_id, band_hash, doc);
+      3. docs sharing any band bucket become candidate pairs (equi-join
+         on the bucket, id<id to avoid dupes/self);
+      4. verify candidates with estimated Jaccard = fraction of equal
+         minhash components (map-side).
+
+    Returns (id_a, id_b, est_jaccard) pairs ≥ threshold. At 100 TB the
+    bucket join replaces the O(n²) crossJoin with work proportional to
+    actual collisions; hot buckets (boilerplate docs) can be capped via a
+    count filter before the self-join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes).select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(float(num_hashes))
+        ).alias("est_jaccard"),
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit weighted-bit fingerprint + blocked Hamming
+    join.
+
+    Fingerprint: per distinct token, xxhash64; each of the 64 bit
+    positions votes +1/-1; the sign of the vote sum is the fingerprint
+    bit. Computed as explode -> groupBy(doc) with 64 ``sum`` aggregates —
+    one shuffle with map-side combine (same scaling argument as
+    minhash_signatures).
+
+    Candidate generation uses the pigeonhole trick: split the 64 bits into
+    ``64/block_bits`` blocks; two fingerprints within ``max_hamming`` must
+    share at least one exact block when blocks > max_hamming. Equi-join on
+    (block_idx, block_value), then verify exact Hamming via bit_count(xor).
+    """
+    n_blocks = bits // block_bits
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = votes.select(F.col(id_col), fp.alias("simhash"))
+
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * block_bits).bitwiseAND(
+                        F.lit((1 << block_bits) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted shingle index.
+
+    ``|A ∩ B|`` comes from counting shared shingles through a
+    shingle-grouped join (never a crossJoin); ``|A ∪ B| = |A|+|B|-|A∩B|``.
+    ``max_df`` drops ultra-common shingles (stop-shingles) first — the
+    standard skew guard: a shingle appearing in k docs contributes k² pair
+    candidates.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    )
+    if max_df is not None:
+        hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        ex = ex.join(hot, "sh", "left_anti")
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -46,6 +46,9 @@ def get_session(
         # 10 MB default broadcast threshold is fine; dims here are tiny.
         # Parquet vectorized reader + pushdown are on by default; keep them.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long and convert (see read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
