@@ -1,0 +1,76 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": secs, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into the `noop` sink (full plan runs, no
+driver collect), which is what a cluster deployment would measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finporter_spark.queries.catalog import catalog_queries
+from finporter_spark.session import get_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "p10_surrogate_id",
+    "j1_join_agg",
+    "j4_broadcast_dim",
+    "j6_asof_join",
+    "a4_rollup",
+    "w3_running_sum",
+    "o5_dedup_latest",
+    "x2_tumbling_window",
+    "x3_session_window",
+    "l1_exact_dedup",
+    "l2_minhash_near_dup",
+    "l3_knn_cosine",
+    "l8_tfidf_top_terms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_session("finporter-bench")
+    qs = catalog_queries()
+    timings: dict[str, float] = {}
+
+    # one warm-up pass on a cheap query to absorb JVM/codegen warmup
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

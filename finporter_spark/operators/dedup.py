@@ -63,19 +63,27 @@ def keep_latest(
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of normalized text as array<string>."""
+    """Word n-gram shingles of normalized text as array<string>.
+
+    Built from n shifted copies of the token array zipped together —
+    linear in document length. (The tempting per-element formulation
+    ``transform(toks, (_, i) -> concat(element_at(toks, i+1), ...))``
+    re-evaluates the split per element because higher-order lambdas defeat
+    codegen common-subexpression elimination: O(tokens²) per doc, measured
+    ~20x slower on 300-word docs.)
+    """
     toks = F.split(normalized_text(col), " ")
-    # transform over sliding offsets: shingle i = toks[i..i+n-1]
-    return F.filter(
-        F.transform(
-            toks,
-            lambda _, i: F.when(
-                i + n <= F.size(toks),
-                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-            ),
-        ),
-        lambda s: s.isNotNull(),
+    # NOT Integer.MAX_VALUE: slice computes start+length in int, which
+    # would overflow to an empty slice. 1e8 tokens/doc is a safe cap.
+    maxlen = 100_000_000
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, maxlen).alias(f"t{j}") for j in range(n)]
     )
+    joined = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)])
+    )
+    # drop the n-1 tail entries built from padded nulls
+    return F.slice(joined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
 
 
 def minhash_signatures(

@@ -110,19 +110,8 @@ def fingerprint(col: Column) -> Column:
 def rolling_hashes(col: Column, window: int = 8) -> Column:
     """Rolling (Rabin-Karp-style) window hashes over the token stream as
     array<bigint> — the building block for content-defined chunking.
-    Expressed with transform over token offsets; map-only."""
-    toks = tokens(col)
-    return F.filter(
-        F.transform(
-            toks,
-            lambda _, i: F.when(
-                i + window <= F.size(toks),
-                F.xxhash64(
-                    F.concat_ws(
-                        " ", *[F.element_at(toks, i + j + 1) for j in range(window)]
-                    )
-                ),
-            ),
-        ),
-        lambda h: h.isNotNull(),
-    )
+    Linear: hashes the n-gram shingle array (see dedup.shingles for why
+    not a per-element transform); map-only."""
+    from finporter_spark.operators.dedup import shingles
+
+    return F.transform(shingles(col, window), lambda s: F.xxhash64(s))
