@@ -112,26 +112,47 @@ def lsh_bucket_knn(
     q_vec: str = "embedding",
     c_vec: str = "embedding",
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket.
+    """Approximate top-k: score only candidates in the query's LSH
+    bucket(s).
 
     2^n_planes buckets shrink the scored set ~2^n_planes-fold; the join is
-    a hash equi-join on bucket id (shuffle ∝ data, not data²). Recall is
-    checked vs brute force in tests (BASELINE.md: ≥0.9 target at
-    sf0.001 with multi-probe disabled it's lower per-bucket — we use
-    fewer planes to keep recall high; production would multi-probe).
+    a hash equi-join on bucket id (shuffle ∝ data, not data²). With
+    ``multi_probe`` each query also probes the n_planes buckets at Hamming
+    distance 1 from its own code (sign flips are the likeliest source of
+    missed neighbors) — only the tiny query side fans out, candidates are
+    hashed once. Recall vs brute force is threshold-tested at sf0.001.
     """
     planes = [_hyperplane(dim, i, seed) for i in range(n_planes)]
     qb = queries.select(
         F.col(q_id), F.col(q_vec).alias("_qv"),
         sign_lsh_bucket(F.col(q_vec), planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            q_id, "_qv", F.explode(probes).alias("bucket")
+        )
     cb = candidates.select(
         F.col(c_id), F.col(c_vec).alias("_cv"),
         sign_lsh_bucket(F.col(c_vec), planes).alias("bucket"),
     )
-    scored = F.broadcast(qb).join(cb, "bucket").select(
-        q_id, c_id, F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+        .dropDuplicates([q_id, c_id])
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

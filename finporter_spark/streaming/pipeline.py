@@ -1,0 +1,119 @@
+"""Structured Streaming surface (SURVEY §2B X1-X5).
+
+The reference is batch-only; its real-world deployment pattern — brokers
+drop export files, each gets transformed — is exactly Spark's file-source
+micro-batch model, so X1 reuses the SAME column expressions as the batch
+decode path (one definition, two execution modes). Windowed aggregations
+(X2/X3), watermarks (X4) and stateful dedup (X5) extend the engine for the
+events/telemetry shape of the testdata.
+
+Design for scale: file streams checkpoint per-batch; aggregations carry
+watermarks so state is bounded; dedup uses dropDuplicatesWithinWatermark so
+the key set ages out instead of growing forever.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_decode_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "csv",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """X1: file-source stream of incoming delimited exports.
+
+    Same permissive-read semantics as the batch path (S1): corrupt rows
+    survive to a quarantine filter downstream.
+    """
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", 16)
+    )
+    return reader.load(path)
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """X2: tumbling (or sliding, when ``slide`` given) window aggregation
+    with a watermark bounding state. Mirrors the batch x2 catalog query."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "total")
+    )
+
+
+def stream_session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """X3: session windows per key; watermark closes sessions."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *keys, F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """X5: stateful exact dedup over a stream; state bounded by the
+    watermark (keys older than the watermark age out)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drive a stream to completion (availableNow) into an in-memory sink
+    and return the materialized result — the batch-equivalence harness."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = sdf.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,124 @@
+"""Multimodal binary plumbing (L5) + UDF surface (U1-U4)."""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.operators.multimodal import (
+    attach_image_meta,
+    decode_image_meta_bytes,
+    resize_image,
+    sample_frames,
+)
+from finporter_spark.sources import read_binary
+from finporter_spark.udf import flatten_map, grouped_transform, vectorized
+
+
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x00" * 32
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 16
+
+
+def test_header_parsers():
+    assert decode_image_meta_bytes(_png(640, 480)) == ("png", 640, 480)
+    assert decode_image_meta_bytes(_gif(32, 16)) == ("gif", 32, 16)
+    assert decode_image_meta_bytes(b"garbage!!") == (None, None, None)
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    (tmp_path / "a.png").write_bytes(_png(640, 480))
+    (tmp_path / "b.gif").write_bytes(_gif(32, 16))
+    (tmp_path / "c.bin").write_bytes(b"\x00" * 100)
+    return str(tmp_path)
+
+
+def test_binary_source_and_meta(spark, media_dir):
+    df = read_binary(spark, media_dir)
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    out = attach_image_meta(df)
+    got = {r.path.split("/")[-1]: (r.format, r.width, r.height) for r in out.collect()}
+    assert got["a.png"] == ("png", 640, 480)
+    assert got["b.gif"] == ("gif", 32, 16)
+    assert got["c.bin"] == (None, None, None)
+
+
+def test_resize_stub_raises_without_fake(spark, media_dir):
+    df = read_binary(spark, media_dir)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_image(df).collect()
+
+
+def test_resize_fake_shape(spark, media_dir):
+    df = read_binary(spark, media_dir)
+    out = resize_image(df, size=(8, 8), fake=True)
+    rows = out.collect()
+    assert all(len(r.resized) == 64 for r in rows)
+    assert "content" not in out.columns
+
+
+def test_sample_frames_fake(spark, media_dir):
+    df = read_binary(spark, media_dir).filter(F.col("path").endswith("c.bin"))
+    out = sample_frames(df, every_n_bytes=30, fake=True)
+    assert out.count() == 3  # 100 bytes // 30
+
+
+# --- UDF surface ---
+
+def test_u1_vectorized_scalar(spark):
+    @vectorized("double")
+    def plus_tax(price: pd.Series) -> pd.Series:
+        return price * 1.08
+
+    df = spark.createDataFrame([(100.0,), (200.0,)], "price double")
+    got = sorted(r.t for r in df.select(plus_tax("price").alias("t")).collect())
+    assert got == [108.0, 216.0]
+
+
+def test_u2_grouped_normalize(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)], "k string, v double"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(v=pdf.v - pdf.v.mean())
+
+    out = grouped_transform(df, ["k"], center, "k string, v double")
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", -1.0), ("a", 1.0), ("b", -10.0), ("b", 10.0)]
+
+
+def test_u3_grouped_agg(spark):
+    from finporter_spark.udf import grouped_agg
+
+    @grouped_agg("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    df = spark.createDataFrame(
+        [("a", 2.0, 1.0), ("a", 4.0, 3.0)], "k string, v double, w double"
+    )
+    got = df.groupBy("k").agg(wmean("v", "w").alias("m")).first()
+    assert got.m == pytest.approx(3.5)
+
+
+def test_u4_flatten(spark):
+    df = spark.createDataFrame([("a,b,c",)], "csv string")
+
+    def split_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {"tok": t} for s in pdf.csv for t in s.split(",")
+        ]
+        return pd.DataFrame(rows, columns=["tok"])
+
+    out = flatten_map(df, split_rows, "tok string")
+    assert sorted(r.tok for r in out.collect()) == ["a", "b", "c"]

@@ -1,0 +1,148 @@
+"""Unit tests for custom operators: as-of join, dedup family, similarity,
+text analysis. Recall thresholds per BASELINE.md (≥0.9 vs brute force)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.operators import (
+    asof_join,
+    brute_force_knn,
+    exact_dedup,
+    keep_latest,
+    lsh_bucket_knn,
+    minhash_near_duplicates,
+)
+from finporter_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", ts("2021-01-01 10:00:00")),
+            (2, "A", ts("2021-01-01 12:00:00")),
+            (3, "B", ts("2021-01-01 10:30:00")),
+            (4, "C", ts("2021-01-01 09:00:00")),  # no quote before
+        ],
+        "trade_id int, sym string, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", ts("2021-01-01 09:59:00"), 10.0),
+            ("A", ts("2021-01-01 11:00:00"), 11.0),
+            ("B", ts("2021-01-01 10:30:00"), 20.0),  # exact tie with trade ts
+            ("C", ts("2021-01-01 10:00:00"), 30.0),  # only after
+        ],
+        "sym string, qt timestamp, price double",
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+        right_cols=["qt", "price"], left_id=["trade_id"],
+    )
+    got = {r.trade_id: r.price for r in out.collect()}
+    assert got == {1: 10.0, 2: 11.0, 3: 20.0, 4: None}
+    assert out.count() == 4  # left-preserving
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "A", ts("2021-01-01 10:00:00"))], "id int, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", ts("2021-01-01 10:05:00"), "near"),
+            ("A", ts("2021-01-01 12:00:00"), "far"),
+        ],
+        "k string, rt timestamp, tag string",
+    )
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        right_cols=["tag"], direction="forward", left_id=["id"],
+    )
+    assert fwd.first().tag == "near"
+    tol = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt", right_cols=["tag"],
+        direction="forward", tolerance=F.expr("INTERVAL 1 MINUTE"),
+        left_id=["id"],
+    )
+    assert tol.first().tag is None  # nothing within 1 minute
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unrelated")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_keep_latest_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)],
+        "k string, v int, x double",
+    )
+    out = keep_latest(df, ["k"], [F.col("v").desc()])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs, jaccard_threshold=0.4
+        ).collect()
+    }
+    assert truth, "synthetic corpus should contain near-duplicates"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall} < 0.9 (|truth|={len(truth)})"
+
+
+def test_lsh_knn_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_knn(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in lsh_bucket_knn(q, emb, dim=64, k=5, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"lsh knn recall {recall} too low"
+
+
+def test_brute_force_knn_self_is_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top1 = brute_force_knn(q, emb, k=1).collect()
+    assert all(r.q_id == r.vec_id for r in top1)
+    assert all(abs(r.cosine - 1.0) < 1e-6 for r in top1)
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("a b",), ("a b c",), ("",)], "text string"
+    )
+    rows = df.select(shingles(F.col("text"), 3).alias("sh")).collect()
+    assert rows[0].sh == []          # shorter than n
+    assert rows[1].sh == ["a b c"]   # exactly n
+    assert rows[2].sh == []          # empty

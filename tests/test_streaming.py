@@ -1,0 +1,126 @@
+"""Streaming X1-X5: batch-equivalence on the events table (SURVEY §5d).
+
+Each streaming result must equal the same aggregation computed in batch
+mode over the same data (delivered via a file-drop source)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.streaming import (
+    run_stream_to_memory,
+    stream_decode_files,
+    stream_dedup,
+    stream_session_agg,
+    stream_tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from finporter_spark.queries.catalog import _t
+
+    return _t(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def drop_dir(spark, events, tmp_path_factory):
+    """events table re-materialized as a multi-file parquet drop folder."""
+    d = str(tmp_path_factory.mktemp("drop"))
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(cols).collect())
+
+
+def test_x1_file_stream_equals_batch(spark, events, drop_dir):
+    schema = spark.read.parquet(drop_dir).schema
+    stream = spark.readStream.schema(schema).parquet(drop_dir)
+    got = run_stream_to_memory(stream, "x1_raw")
+    assert _rows(got, ["event_id"]) == _rows(events, ["event_id"])
+
+
+def test_x2_tumbling_equals_batch(spark, events, drop_dir):
+    schema = spark.read.parquet(drop_dir).schema
+    stream = spark.readStream.schema(schema).parquet(drop_dir)
+    got = run_stream_to_memory(
+        stream_tumbling_agg(stream), "x2_stream", output_mode="append"
+    )
+    want = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    cols = ["window_start", "event_type", "n", "total"]
+    got_rows, want_rows = _rows(got, cols), _rows(want, cols)
+    # append mode never flushes windows still open at end-of-stream: the
+    # watermark stops at max(ts) - 30min, so windows past it stay in state.
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    cutoff = max_ts - dt.timedelta(minutes=40)  # 30min watermark + 10min window
+    missing = [r for r in want_rows if r not in set(got_rows)]
+    assert all(r[0] >= cutoff for r in missing), missing[:5]
+    assert set(got_rows) <= set(want_rows)
+    assert len(want_rows) - len(got_rows) <= 12  # only the tail is withheld
+
+
+def test_x3_session_equals_batch(spark, events, drop_dir):
+    schema = spark.read.parquet(drop_dir).schema
+    stream = spark.readStream.schema(schema).parquet(drop_dir)
+    got = run_stream_to_memory(
+        stream_session_agg(stream), "x3_stream", output_mode="append"
+    )
+    want = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    got_rows, want_rows = _rows(got, cols), _rows(want, cols)
+    # sessions still open at end-of-stream are withheld in append mode
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    missing = [r for r in want_rows if r not in set(got_rows)]
+    assert all(r[1] >= cutoff for r in missing), missing[:5]
+    assert set(got_rows) <= set(want_rows)
+    assert len(want_rows) - len(got_rows) <= 30
+
+
+def test_x5_stream_dedup(spark, events, drop_dir, tmp_path):
+    # duplicate the drop dir to create exact duplicate events
+    dup_dir = str(tmp_path / "dup")
+    shutil.copytree(drop_dir, dup_dir)
+    for f in os.listdir(drop_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(drop_dir, f), os.path.join(dup_dir, "c_" + f))
+    schema = spark.read.parquet(drop_dir).schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    got = run_stream_to_memory(
+        stream_dedup(stream, keys=["event_id"]), "x5_stream"
+    )
+    # every event exactly once despite duplicated input files
+    assert got.count() == events.count()
+
+
+def test_x1_csv_decode_stream(spark, events, tmp_path):
+    csv_dir = str(tmp_path / "csv_drop")
+    events.select(
+        "event_id", "user_id", F.col("ts").cast("string").alias("ts"), "value"
+    ).coalesce(2).write.option("header", True).mode("overwrite").csv(csv_dir)
+    stream = stream_decode_files(
+        spark, csv_dir, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = run_stream_to_memory(stream, "x1_csv")
+    assert got.count() == events.count()
