@@ -87,6 +87,13 @@ def handle_transform(
     """
     prefix = read_prefix(path)
     imp, schema = get_pair(prospector, prefix, importer_id, output_schema)
+    # In the reference, decode sees the whole file and captures per-file
+    # context (e.g. the account banner) itself; here decode is a lazy plan
+    # over the data rows, so driver-side prefix capture feeds it instead.
+    if "account_id" not in decode_kw and hasattr(imp, "account_id"):
+        captured = imp.account_id(prefix)
+        if captured is not None:
+            decode_kw["account_id"] = captured
     good, _bad = imp.decode(
         spark,
         path,

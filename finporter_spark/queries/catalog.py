@@ -1151,3 +1151,7 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def catalog_oracles() -> dict[str, str]:
     return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
+
+
+# Extension entries (S/U/X/L9-L10/M) register themselves on import.
+from finporter_spark.queries import catalog_ext  # noqa: E402,F401

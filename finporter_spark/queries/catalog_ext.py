@@ -1,0 +1,530 @@
+"""Catalog extension: source/sink roundtrips (S1-S3, S6-S7), the UDF
+surface (U1-U4), streaming-mode entries with batch oracles (X1, X5),
+exact n-gram-Jaccard and embedding-cosine near-dup (L9-L10), and the
+multimodal pipeline (M1-M3).
+
+Registered into the same CATALOG as ``catalog.py`` (imported from its
+module bottom). Same cross-engine exactness rules apply (see
+``catalog.py`` module docstring): exact-type results wherever possible,
+identical IEEE expression trees where not, DECIMAL(28,6) routing for
+order-dependent double sums.
+
+The S/X entries intentionally have side effects (they write a dataset
+under ``/tmp/finporter_spark_io`` and read it back): the *roundtrip* is
+the operator under test — sink format fidelity (S), or the Structured
+Streaming file-source path (X) — and the oracle checks the read-back
+against the original table, which only holds if write+read are lossless.
+
+Reference parity notes: S7 mirrors FINporter's rejected-row side channel
+(``FINporter.swift:41``, ``TransformHandler.swift:27,113``); U1-U4
+generalize the importer plugin protocol (``FINporter.swift:39-49``); the
+streaming file-source mirrors its file-drop deployment model.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from finporter_spark.operators.dedup import shingles
+from finporter_spark.operators.multimodal import (
+    attach_image_meta,
+    resize_image,
+    sample_frames,
+)
+from finporter_spark.queries.catalog import _t, _TOKS, DSUM, query
+from finporter_spark.streaming.pipeline import (
+    run_stream_to_memory,
+    stream_decode_files,
+)
+from finporter_spark.udf import flatten_map, grouped_transform
+
+IO_ROOT = "/tmp/finporter_spark_io"
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    """Deterministic scratch dir per (query, scale factor)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(IO_ROOT, f"{name}_{tag}")
+
+
+# =====================================================================
+# S — source/sink roundtrips. The oracle is the identity SELECT on the
+# original table: it passes only if sink encoding + source decoding are
+# lossless (quoting, header order, null handling, double shortest-repr).
+# =====================================================================
+
+@query(
+    "s1_csv_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s1_csv_roundtrip(spark, sf_dir):
+    path = _io_dir(sf_dir, "s1")
+    _t(spark, sf_dir, "nation").write.mode("overwrite").csv(path, header=True)
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        mode="PERMISSIVE",
+    )
+
+
+@query("s2_tsv_roundtrip", "SELECT r_regionkey, r_name FROM region")
+def s2_tsv_roundtrip(spark, sf_dir):
+    path = _io_dir(sf_dir, "s2")
+    _t(spark, sf_dir, "region").write.mode("overwrite").csv(
+        path, header=True, sep="\t"
+    )
+    return spark.read.csv(
+        path, header=True, sep="\t", schema="r_regionkey bigint, r_name string"
+    )
+
+
+@query(
+    "s3_json_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def s3_json_roundtrip(spark, sf_dir):
+    path = _io_dir(sf_dir, "s3")
+    _t(spark, sf_dir, "supplier").write.mode("overwrite").json(path)
+    return spark.read.json(
+        path,
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint, "
+        "s_acctbal double",
+    )
+
+
+@query(
+    "s7_quarantine_split",
+    "SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0",
+)
+def s7_quarantine_split(spark, sf_dir):
+    """Rejected-row side channel (R5/S7): rows whose typed decode fails
+    land in a quarantine DataFrame instead of aborting the read.
+
+    A CSV copy of ``customer`` is written with a deliberately corrupted
+    numeric field on a known key set; the PERMISSIVE read surfaces those
+    rows via ``columnNameOfCorruptRecord`` and the query returns the
+    quarantined keys — which the oracle predicts exactly.
+    """
+    path = _io_dir(sf_dir, "s7")
+    c = _t(spark, sf_dir, "customer")
+    corrupted = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    corrupted.write.mode("overwrite").csv(path, header=True)
+    decoded = spark.read.csv(
+        path,
+        header=True,
+        schema="c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string, _corrupt string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    # Spark disallows querying only the corrupt-record column straight off
+    # a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materialize the
+    # parse first — at scale this is the persisted quarantine sink write.
+    decoded = decoded.cache()
+    return decoded.filter(F.col("_corrupt").isNotNull()).select("c_custkey")
+
+
+# =====================================================================
+# U — UDF surface (Arrow-vectorized; generalizes the importer plugin
+# protocol). Each oracle recomputes the same IEEE expression in SQL.
+# =====================================================================
+
+@query(
+    "u1_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def u1_pandas_scalar(spark, sf_dir):
+    """U1: Arrow-batched scalar pandas UDF; per-row double arithmetic is
+    bit-equal to the SQL oracle (same IEEE ops, same parquet bits)."""
+
+    @pandas_udf("double")
+    def disc_price(ep: pd.Series, disc: pd.Series) -> pd.Series:
+        return ep * (1.0 - disc)
+
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "u2_grouped_minmax",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           (l_quantity - min(l_quantity) OVER w)
+             / (max(l_quantity) OVER w - min(l_quantity) OVER w) AS qnorm
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def u2_grouped_minmax(spark, sf_dir):
+    """U2: per-group pandas transform (applyInPandas). Min-max
+    normalization uses only exact extrema + one per-row IEEE op, so it
+    hash-matches the window-function oracle."""
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        lo, hi = q.min(), q.max()
+        return pdf.assign(qnorm=(q - lo) / (hi - lo))[
+            ["l_orderkey", "l_linenumber", "l_returnflag", "qnorm"]
+        ]
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return grouped_transform(
+        l,
+        ["l_returnflag"],
+        minmax,
+        "l_orderkey bigint, l_linenumber bigint, l_returnflag string, "
+        "qnorm double",
+    )
+
+
+@query(
+    "u3_grouped_agg_median",
+    """
+    SELECT l_returnflag, l_linestatus, median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def u3_grouped_agg_median(spark, sf_dir):
+    """U3: grouped-agg pandas UDAF. Median interpolates the two middle
+    values with the same linear formula in pandas and DuckDB
+    (quantile_cont 0.5), exact on these integer-valued doubles."""
+
+    @pandas_udf("double")
+    def med(v: pd.Series) -> float:
+        return float(v.median())
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(med("l_quantity").alias("med_qty"))
+    )
+
+
+@query(
+    "u4_flatten_tokens",
+    f"SELECT doc_id, unnest({_TOKS}) AS token FROM documents",
+)
+def u4_flatten_tokens(spark, sf_dir):
+    """U4: UDTF-style 1-row -> n-rows flatten via mapInPandas. Python
+    tokenization mirrors the engine's ``normalized_text`` + split (ASCII
+    \\s classes made explicit so all three engines agree)."""
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def toks(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_toks = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for t in ws.sub(" ", text.lower()).strip().split(" "):
+                out_ids.append(doc_id)
+                out_toks.append(t)
+        return pd.DataFrame({"doc_id": out_ids, "token": out_toks})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return flatten_map(d, toks, "doc_id bigint, token string")
+
+
+# =====================================================================
+# X — streaming execution against batch oracles. The stream entries run
+# a real Structured Streaming query (file source -> memory sink,
+# availableNow) and the oracle is the equivalent batch SQL: results must
+# be identical because availableNow drains the full input.
+# =====================================================================
+
+@query(
+    "x1_stream_file_source",
+    f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT)
+             * 600 * 1000000) AS window_start,
+           event_type, COUNT(*) AS n, {DSUM('value')} AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x1_stream_file_source(spark, sf_dir):
+    """X1: CSV file-source stream of the events table -> tumbling-window
+    aggregation -> memory sink. Complete output mode (no watermark) so a
+    full drain is exactly the batch answer at any micro-batch split."""
+    path = _io_dir(sf_dir, "x1")
+    _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    ).write.mode("overwrite").csv(path, header=True)
+    sdf = stream_decode_files(
+        spark,
+        path,
+        schema="event_id bigint, ts timestamp, event_type string, "
+        "value double",
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+    )
+    return run_stream_to_memory(agg, "x1_mem", output_mode="complete")
+
+
+@query("x5_stream_dedup", "SELECT DISTINCT event_id FROM events")
+def x5_stream_dedup(spark, sf_dir):
+    """X5: stateful streaming dedup (dropDuplicatesWithinWatermark) over
+    a stream carrying every event twice; exactly one row per key comes
+    out. Single input file => single micro-batch => deterministic."""
+    path = _io_dir(sf_dir, "x5")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    e.unionAll(e).coalesce(1).write.mode("overwrite").csv(path, header=True)
+    sdf = stream_decode_files(spark, path, schema="event_id bigint, ts timestamp")
+    deduped = sdf.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_stream_to_memory(
+        deduped.select("event_id"), "x5_mem", output_mode="append"
+    )
+
+
+# =====================================================================
+# L9/L10 — exact near-dup pair generation (the brute-force oracles the
+# ≈-marked MinHash/SimHash/LSH operators are validated against).
+# =====================================================================
+
+@query(
+    "l9_ngram_jaccard",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ), idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t
+    ), sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx
+    ), s AS (
+      SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+    )
+    SELECT id_l, id_r, round(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+             CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shs, b.shs))) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def l9_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise word-3-gram Jaccard near-dup pairs on a bounded id
+    range. This is the brute-force baseline L2's MinHash approximates;
+    at scale the id bound becomes LSH-band blocking (see dedup.py)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("text"), 3)).alias("shs"),
+        )
+        # materialize the shingle arrays: without a barrier Catalyst
+        # inlines the shingle expression into the join output projection
+        # and recomputes it per PAIR (measured 15s -> <2s at sf0.01)
+        .cache()
+    )
+    # parallelize the streamed side of the broadcast NLJ: the source is a
+    # single small parquet partition, which would serialize the O(n^2)
+    # pair scoring onto one core
+    a, b = d.alias("a"), d.repartition(32, "doc_id").alias("b")
+    jac = F.size(
+        F.array_intersect(F.col("a.shs"), F.col("b.shs"))
+    ).cast("double") / F.size(F.array_union(F.col("a.shs"), F.col("b.shs")))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_l"),
+            F.col("b.doc_id").alias("id_r"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+@query(
+    "l10_embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT id_l, id_r, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def l10_embedding_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-dup candidate pairs (threshold 0.4 on
+    this corpus). Brute-force pair scoring is the correctness baseline;
+    the LSH-bucketed path (l3_lsh_knn) is the 100 TB strategy."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    # precompute per-vector norms once (vs per-pair: 2/3 fewer lambda
+    # evaluations in the O(n^2) scoring loop)
+    emb = emb.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("e", "e", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    ).cache()
+    a = emb.select(
+        F.col("vec_id").alias("id_l"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.repartition(32, "vec_id").select(
+        F.col("vec_id").alias("id_r"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
+# =====================================================================
+# M — multimodal pipeline (L5): binary media columns + metadata. The
+# media bytes are deterministic fake PNGs built from table columns, so
+# the decode/resize/frame-sample outputs are SQL-predictable and the
+# oracle checks the whole encode->Spark-pipeline->decode path.
+# =====================================================================
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _fake_png_frame(scale: int, mod: int):
+    """mapInPandas stage building a deterministic fake PNG binary column
+    (real header bytes; payload length ``24 + (n_chars*scale) % mod``)."""
+    import struct
+
+    def _map(batches):
+        for pdf in batches:
+            content = [
+                (
+                    _PNG_SIG
+                    + b"\x00\x00\x00\x0dIHDR"
+                    + struct.pack(
+                        ">II", int(i) % 512 + 16, int(i) % 384 + 16
+                    )
+                ).ljust(24 + (int(n) * scale) % mod, b"\x00")
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    return _map
+
+
+def _media(spark, sf_dir, scale: int, mod: int):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(
+        _fake_png_frame(scale, mod), "doc_id bigint, content binary"
+    )
+
+
+@query(
+    "m1_image_metadata",
+    """
+    SELECT doc_id, 'png' AS format,
+           CAST(doc_id % 512 + 16 AS INT) AS width,
+           CAST(doc_id % 384 + 16 AS INT) AS height,
+           CAST(24 + n_chars % 100 AS BIGINT) AS content_len
+    FROM documents
+    """,
+)
+def m1_image_metadata(spark, sf_dir):
+    """M1: binary image column -> header decode (real PNG IHDR parse,
+    pure Python, Arrow-batched). Oracle predicts the metadata from the
+    deterministic encoder, so encode+decode must both be right."""
+    media = _media(spark, sf_dir, scale=1, mod=100)
+    return attach_image_meta(media, "content").select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.length("content").cast("bigint").alias("content_len"),
+    )
+
+
+@query(
+    "m2_image_resize",
+    "SELECT doc_id, CAST(4096 AS BIGINT) AS resized_len FROM documents",
+)
+def m2_image_resize(spark, sf_dir):
+    """M2: resize stage (deterministic test double; real codec stubbed
+    behind NotImplementedError — see operators/multimodal.py)."""
+    media = _media(spark, sf_dir, scale=1, mod=100)
+    resized = resize_image(media, "content", size=(64, 64), fake=True)
+    return resized.select(
+        "doc_id", F.length("resized").cast("bigint").alias("resized_len")
+    )
+
+
+@query(
+    "m3_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(unnest(generate_series(0,
+                greatest((24 + (n_chars * 2) % 8000) // 256, 1) - 1)) AS INT)
+             AS frame_idx
+    FROM documents
+    """,
+)
+def m3_frame_sample(spark, sf_dir):
+    """M3: video frame-sampling shape (1 row in -> k frames out via
+    mapInPandas); byte-slicing test double, count predicted by oracle."""
+    media = _media(spark, sf_dir, scale=2, mod=8000)
+    frames = sample_frames(media, "content", every_n_bytes=256, fake=True)
+    return frames.select("doc_id", "frame_idx")

@@ -1,0 +1,123 @@
+"""Semantic tests for the catalog extension (S/U/X/L9-L10/M entries).
+
+The DuckDB hash-match itself runs in tools/oracle_check.py (and the
+driver's t2 gate); these tests pin the semantics that the hash can't see
+— quarantine routing, stream-vs-batch equality, UDF batch shapes — at
+sf0.001 so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import CATALOG, _t, catalog_oracles, catalog_queries
+
+
+def q(name):
+    return CATALOG[name][0]
+
+
+def test_catalog_covers_declared_surface():
+    names = set(catalog_queries())
+    for prefix in (
+        "s1", "s2", "s3", "s7", "u1", "u2", "u3", "u4",
+        "x1", "x5", "l9", "l10", "m1", "m2", "m3",
+    ):
+        assert any(n.startswith(prefix + "_") for n in names), prefix
+    # every exact entry has an oracle with it
+    oracles = catalog_oracles()
+    approx_only = {n for n in names if n not in oracles}
+    assert approx_only == {
+        "a3_approx_count_distinct",
+        "l2_minhash_near_dup",
+        "l2_simhash_near_dup",
+        "l3_lsh_knn",
+    }
+
+
+def test_s7_quarantine_routes_only_corrupted_keys(spark, sf_dir):
+    out = q("s7_quarantine_split")(spark, sf_dir).collect()
+    keys = sorted(r.c_custkey for r in out)
+    assert keys == sorted(
+        r.c_custkey
+        for r in _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .collect()
+    )
+    assert keys  # the corruption pattern must actually hit rows
+
+
+def test_u2_minmax_bounds(spark, sf_dir):
+    row = (
+        q("u2_grouped_minmax")(spark, sf_dir)
+        .agg(F.min("qnorm"), F.max("qnorm"))
+        .first()
+    )
+    assert row[0] == 0.0 and row[1] == 1.0
+
+
+def test_u4_flatten_matches_builtin_split(spark, sf_dir):
+    got = q("u4_flatten_tokens")(spark, sf_dir).groupBy().count().first()[0]
+    want = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.size(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+                )
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert got == want
+
+
+def test_x1_stream_equals_batch(spark, sf_dir):
+    stream = q("x1_stream_file_source")(spark, sf_dir)
+    batch = q("x2_tumbling_window")(spark, sf_dir)
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.select("window_start", "event_type", "n", "total").collect()}
+    assert s == b
+
+
+def test_x5_stream_dedup_is_exact_distinct(spark, sf_dir):
+    out = q("x5_stream_dedup")(spark, sf_dir)
+    ids = [r.event_id for r in out.collect()]
+    assert len(ids) == len(set(ids))
+    want = {
+        r.event_id for r in _t(spark, sf_dir, "events").select("event_id").collect()
+    }
+    assert set(ids) == want
+
+
+def test_l9_jaccard_pairs_are_symmetric_free_and_thresholded(spark, sf_dir):
+    rows = q("l9_ngram_jaccard")(spark, sf_dir).collect()
+    for r in rows:
+        assert r.id_l < r.id_r
+        assert r.jaccard >= 0.5
+
+
+def test_l10_threshold_and_ordering(spark, sf_dir):
+    rows = q("l10_embedding_near_dup")(spark, sf_dir).collect()
+    for r in rows:
+        assert r.id_l < r.id_r
+        assert r.cosine >= 0.4
+
+
+def test_m1_metadata_roundtrip(spark, sf_dir):
+    rows = q("m1_image_metadata")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.format == "png"
+        assert r.width == r.doc_id % 512 + 16
+        assert r.height == r.doc_id % 384 + 16
+
+
+def test_m3_frame_fanout_shape(spark, sf_dir):
+    df = q("m3_frame_sample")(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("frame_idx").alias("mx")
+    )
+    bad = per_doc.filter(F.col("mx") != F.col("n") - 1).count()
+    assert bad == 0
