@@ -61,3 +61,17 @@ class Prospector:
                 if detected:
                     out[imp] = detected
         return out
+
+
+def default_prospector() -> Prospector:
+    """Registry with every built-in importer (the engine's out-of-box
+    surface; users append their own Importer subclasses)."""
+    from finporter_spark.importers.allocdata import (
+        AllocDataImporter,
+        BrokerTransactionsImporter,
+    )
+    from finporter_spark.importers.tabular import PositionsImporter
+
+    return Prospector(
+        [AllocDataImporter(), BrokerTransactionsImporter(), PositionsImporter()]
+    )

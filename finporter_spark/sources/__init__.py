@@ -108,12 +108,17 @@ def quarantine_split(
 
     A row is rejected when the parser flagged it corrupt OR any required
     key column is null (the ``T(from: row)`` validation step,
-    TransformHandler.swift:125). Two filters over the same scan; callers
-    that consume both sides should ``.cache()`` upstream when the input is
-    expensive to re-read.
+    TransformHandler.swift:125). Two filters over the same scan.
+
+    When the corrupt-record channel is present the parse is cached first:
+    Spark refuses queries that reference only the corrupt column of a raw
+    scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the rejected side is
+    exactly such a query after column pruning. At ingest scale the cache
+    is per-file-decode sized; persist via ``write_quarantine`` for audit.
     """
     cond = F.lit(False)
     if CORRUPT_COL in df.columns:
+        df = df.cache()
         cond = cond | F.col(CORRUPT_COL).isNotNull()
     for k in required_keys:
         cond = cond | F.col(k).isNull()
