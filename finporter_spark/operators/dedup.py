@@ -150,7 +150,12 @@ def minhash_near_duplicates(
             ).alias(f"b{b}")
             for b in range(bands)
         ],
-    )
+        # the LSH self-join consumes this twice; without materialization the
+        # whole tokenize->shingle->minhash pipeline runs once PER SIDE
+        # (measured 2.5s -> 1.5s at sf0.1). Signatures are ~(k+bands)
+        # longs/doc — tiny next to the corpus at any scale; swap for a
+        # persisted signature table in a multi-job pipeline.
+    ).cache()
     banded = sig.select(
         id_col,
         "sig",
@@ -233,7 +238,9 @@ def simhash_near_duplicates(
                 F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         )
-    sigs = votes.select(F.col(id_col), fp.alias("simhash"))
+    # one long per doc; materialized because the blocked self-join below
+    # reads it twice (same argument as the minhash signature cache)
+    sigs = votes.select(F.col(id_col), fp.alias("simhash")).cache()
 
     blocks = sigs.select(
         id_col,

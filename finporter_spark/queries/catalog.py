@@ -1127,20 +1127,18 @@ def l8_tfidf_top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency as a window over tf — (doc,term) is unique there,
+    # so count(*) == count(distinct doc). One pass; the groupBy+self-join
+    # formulation computes the explode->agg subplan twice.
+    df_ = F.count("*").over(Window.partitionBy("term"))
     n_docs = d.count()  # tiny scalar; at scale use a broadcast count subquery
-    tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    tfidf = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / df_), 6)
+    scored = tf.select("doc_id", "term", tfidf.alias("tfidf"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
     )
-    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term"))
     return (
-        tf.join(df_, "term")
-        .select(
-            "doc_id",
-            "term",
-            tfidf.alias("tfidf"),
-            F.row_number().over(w).alias("rank"),
-        )
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
 
