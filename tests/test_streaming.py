@@ -124,3 +124,73 @@ def test_x1_csv_decode_stream(spark, events, tmp_path):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = run_stream_to_memory(stream, "x1_csv")
     assert got.count() == events.count()
+
+
+def test_x4_watermark_drops_late_rows(spark, tmp_path):
+    """X4: a row older than the watermark is dropped, not aggregated.
+
+    Three availableNow runs over a growing CSV drop dir sharing one
+    checkpoint (watermark state persists across runs):
+      run 1 seeds a 10:00 window and advances the watermark past it;
+      run 2 delivers a late 10:02 row (window already finalized -> must
+      emit nothing); run 3 advances the watermark again and must emit
+      only the fresh 12:30 window, with no late contribution.
+    """
+    drop = tmp_path / "drop"
+    cp = str(tmp_path / "cp")
+    drop.mkdir()
+
+    out = str(tmp_path / "out")
+
+    def run(name):
+        sdf = (
+            spark.readStream.schema("event_id bigint, ts timestamp")
+            .option("header", True)
+            .csv(str(drop))
+        )
+        agg = (
+            sdf.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        # file sink, not memory: only file/kafka/foreachBatch sinks support
+        # resuming from a checkpoint, and the watermark lives in it
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.ws.isoformat(), r.n) for r in spark.read.parquet(out).collect()
+        }
+
+    (drop / "f1.csv").write_text(
+        "event_id,ts\n"
+        "1,2024-01-01 10:00:00\n"
+        "2,2024-01-01 10:05:00\n"
+        "3,2024-01-01 12:00:00\n"  # watermark -> 11:30
+    )
+    emitted1 = run("x4_r1")
+    assert emitted1 == {("2024-01-01T10:00:00", 2)}
+
+    (drop / "f2.csv").write_text(
+        "event_id,ts\n"
+        "4,2024-01-01 10:02:00\n"  # late: before the 11:30 watermark
+        "5,2024-01-01 12:30:00\n"  # watermark -> 12:00 (12:00 win open)
+    )
+    emitted2 = run("x4_r2")
+    assert emitted2 == emitted1  # late row dropped; no window finalized
+
+    (drop / "f3.csv").write_text(
+        "event_id,ts\n6,2024-01-01 14:00:00\n"  # watermark -> 13:30
+    )
+    emitted3 = run("x4_r3")
+    assert emitted3 == emitted1 | {
+        ("2024-01-01T12:00:00", 1),
+        ("2024-01-01T12:30:00", 1),
+    }  # both 12:xx windows finalize; the late 10:02 row never appears
