@@ -60,10 +60,13 @@ def _typed_column(
         # non-optional String, e.g. MHolding.lotID), never to null
         return F.coalesce(c, F.lit("")).alias(name)
     if isinstance(dtype, TimestampType):
-        # accept the encoder's ISO-Z first, then bare date with default
+        # accept the encoder's ISO-Z first, then zoneless ISO (what a
+        # TIMESTAMP_NTZ source serializes to), then bare date with default
         # time-of-day/zone (decode params, FINporter.swift:45-47)
+        trimmed = F.nullif(F.trim(c), F.lit(""))
         return F.coalesce(
-            F.try_to_timestamp(F.nullif(F.trim(c), F.lit("")), F.lit(_ISO_FMT)),
+            F.try_to_timestamp(trimmed, F.lit(_ISO_FMT)),
+            F.try_to_timestamp(trimmed, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
             parse_timestamp(c, "yyyy-MM-dd", def_time_of_day, time_zone),
         ).alias(name)
     if isinstance(dtype, DoubleType):

@@ -1,0 +1,104 @@
+"""Scale-path operators: skew-tolerant aggregation and co-located joins.
+
+These are the SURVEY §4 "100 TB design notes" made concrete:
+
+- :func:`salted_agg` — two-phase aggregation for skewed keys. AQE's
+  skew-join splitting doesn't help a *hash aggregation* whose reduce
+  partition is dominated by one hot key; salting does: phase 1 spreads
+  each key over ``buckets`` sub-groups (map-side combine still applies),
+  phase 2 merges the per-salt partials. Cost: one extra (tiny) shuffle
+  over #distinct-keys × buckets rows.
+- :func:`write_bucketed` / :func:`bucketed_join_ready` — persist a table
+  bucketed by its join key so repeated joins on that key skip the
+  exchange entirely (Spark reads co-located buckets; the plan contains
+  no Exchange on the bucketed sides).
+
+Both compose plain DataFrame ops — Catalyst/Tungsten execute them; no
+custom physical nodes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# partial/merge expression pairs per algebraic aggregate
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    buckets: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-tolerant groupBy: ``aggs`` maps output name -> (fn, column)
+    with fn in {sum, count, min, max} (the algebraic aggregates — avg is
+    sum/count composed by the caller so the merge stays exact).
+
+    ``salt_source`` defaults to a deterministic spread over all non-key
+    columns (NOT rand(): reruns and retries must land rows in the same
+    sub-group for exactly-once semantics under task retry).
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"{name}: non-algebraic aggregate {fn!r}")
+    if salt_source is None:
+        spread_cols = [c for c in df.columns if c not in keys] or list(keys)
+        salt_source = F.xxhash64(*[F.col(c) for c in spread_cols])
+    salted = df.withColumn("_salt", F.pmod(salt_source, F.lit(buckets)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _ALGEBRAIC[fn][0](F.col(col)).alias(f"_p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[fn][1](F.col(f"_p_{name}")).alias(name)
+            for name, (fn, _col) in aggs.items()
+        ]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: Sequence[str],
+    n_buckets: int = 32,
+    sort_keys: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by its join key.
+
+    Joins between tables bucketed the same way on the same key read
+    co-located buckets — no exchange at query time. This is the "pay the
+    shuffle once at ingest" strategy for fact tables queried repeatedly.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a table dir orphaned by a previous session (fresh in-memory catalog,
+    # surviving warehouse dir) blocks saveAsTable even in overwrite mode
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[5:]
+    if warehouse:
+        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with bucket metadata intact."""
+    return spark.table(table)

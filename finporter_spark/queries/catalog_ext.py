@@ -528,3 +528,65 @@ def m3_frame_sample(spark, sf_dir):
     media = _media(spark, sf_dir, scale=2, mod=8000)
     frames = sample_frames(media, "content", every_n_bytes=256, fake=True)
     return frames.select("doc_id", "frame_idx")
+
+
+# =====================================================================
+# W/A additions — range frames and cube (completing W3/A4 coverage)
+# =====================================================================
+
+@query(
+    "w4_range_frame",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30m,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4_range_frame(spark, sf_dir):
+    """W3 range frame: trailing 30-minute window keyed on event time, not
+    row position. The sum routes through DECIMAL(28,6) because a RANGE
+    frame's addend order is engine-internal (Spark running-frame vs
+    DuckDB segment tree) — decimal makes it order-independent."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_30m"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30m"),
+    )
+
+
+@query(
+    "a4_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a4_cube(spark, sf_dir):
+    """A4 cube: all 4 grouping-set combinations in one pass (Spark expands
+    to a single shuffle with grouping-id, no per-set rescan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("rev"),
+    )

@@ -52,6 +52,13 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # managed tables (bucketed ingest) live outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/finporter_spark_warehouse"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,84 @@
+"""Scale-path operators: salted aggregation correctness + bucketed joins
+actually eliminating the exchange (plan-level, like tests/test_plans.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.operators.scale import (
+    salted_agg,
+    write_bucketed,
+)
+from finporter_spark.queries.catalog import _t
+from tests.test_plans import plan
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    got = salted_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_quantity"),
+            "qty": ("sum", "l_quantity"),
+            "qmin": ("min", "l_quantity"),
+            "qmax": ("max", "l_quantity"),
+        },
+        buckets=8,
+    )
+    want = l.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        F.sum("l_quantity").alias("qty"),
+        F.min("l_quantity").alias("qmin"),
+        F.max("l_quantity").alias("qmax"),
+    )
+    g = {r.l_returnflag: r for r in got.collect()}
+    w = {r.l_returnflag: r for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k].n == w[k].n
+        assert g[k].qty == pytest.approx(w[k].qty, abs=1e-6)
+        assert (g[k].qmin, g[k].qmax) == (w[k].qmin, w[k].qmax)
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        salted_agg(l, ["l_returnflag"], {"bad": ("avg", "l_quantity")})
+
+
+def test_salted_agg_is_deterministic_not_random(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").limit(1000)
+    a = salted_agg(l, ["l_returnflag"], {"qty": ("sum", "l_quantity")})
+    b = salted_agg(l, ["l_returnflag"], {"qty": ("sum", "l_quantity")})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key => SortMergeJoin with zero
+    Exchange nodes: the 'pay the shuffle once at ingest' contract."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(l, "t_lineitem_b", ["l_orderkey"], n_buckets=8)
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], n_buckets=8)
+    lb = spark.table("t_lineitem_b")
+    ob = spark.table("t_orders_b")
+    joined = lb.join(
+        ob.hint("merge"), lb.l_orderkey == ob.o_orderkey
+    ).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    p = plan(joined)
+    assert "SortMergeJoin" in p
+    join_section = p.split("AdaptiveSparkPlan")[0]
+    assert "Exchange" not in join_section.split("HashAggregate")[0]
+    # and it computes the same thing as the unbucketed join
+    want = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, want.collect())
+    )
