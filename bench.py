@@ -22,18 +22,24 @@ from finporter_spark.session import get_session
 HEADLINE = [
     "q1_pricing_summary",
     "p10_surrogate_id",
+    "s7_quarantine_split",
     "j1_join_agg",
     "j4_broadcast_dim",
     "j6_asof_join",
     "a4_rollup",
+    "a4_cube",
     "w3_running_sum",
+    "w4_range_frame",
     "o5_dedup_latest",
+    "u1_pandas_scalar",
+    "u2_grouped_minmax",
     "x2_tumbling_window",
     "x3_session_window",
     "l1_exact_dedup",
     "l2_minhash_near_dup",
     "l3_knn_cosine",
     "l8_tfidf_top_terms",
+    "l9_ngram_jaccard",
 ]
 
 

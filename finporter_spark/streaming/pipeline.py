@@ -117,3 +117,68 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_s)
     spark = sdf.sparkSession
     return spark.table(query_name)
+
+
+def stream_transform(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema,
+    def_time_of_day: str | None = None,
+    time_zone: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming mirror of the AllocData transform pipeline (the
+    reference's real deployment shape: brokers drop export files, each
+    gets decoded + re-exported).
+
+    Exactly the batch decode expressions (importers.allocdata) over a
+    file-source stream, golden-encoded to a text sink: one definition,
+    two execution modes. Returns the StreamingQuery; availableNow drains
+    the current drop folder and stops.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from finporter_spark.encoder import to_delimited_lines
+    from finporter_spark.importers.allocdata import _typed_column
+    from finporter_spark.model import ENTITY_SCHEMAS
+
+    struct = ENTITY_SCHEMAS[schema]
+    raw_schema = StructType(
+        [StructField(n, StringType(), True) for n in struct.names]
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(in_dir)
+    )
+    typed = raw.select(
+        *[
+            _typed_column(
+                f.name, f.dataType, def_time_of_day, time_zone, f.nullable
+            )
+            for f in struct.fields
+        ],
+        "_corrupt_record",
+    )
+    import pyspark.sql.functions as F
+
+    reject = F.col("_corrupt_record").isNotNull()
+    for f in struct.fields:
+        if not f.nullable:
+            reject = reject | F.col(f.name).isNull()
+    good = typed.filter(~reject).drop("_corrupt_record")
+    lines = to_delimited_lines(good, ",", struct.names)
+    writer = (
+        lines.writeStream.format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -72,3 +72,33 @@ def test_catalog_queries_avoid_python_udfs(spark, sf_dir):
             continue
         p = plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in p, f"{name} uses row-wise Python"
+
+
+def test_q1_wholestage_codegen_covers_hot_path(spark, sf_dir):
+    """Post-execution: scan->filter->project->partial agg and final agg
+    both run inside WholeStageCodegen spans (AQE hides them pre-run)."""
+    df = CATALOG["q1_pricing_summary"][0](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans print as "*(n)" stage markers in the executed plan
+    assert "*(1)" in executed and "*(2)" in executed
+    assert "HashAggregate" in executed
+    # the whole pre-shuffle pipeline (filter/project/partial agg) is one span
+    assert "*(1) HashAggregate" in executed and "*(1) Filter" in executed
+
+
+def test_broadcast_self_join_in_knn(spark, sf_dir):
+    """Brute-force kNN: the query side must be broadcast (map-only scoring
+    pass over candidates, no shuffle of the big side)."""
+    df = CATALOG["l3_knn_cosine"][0](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_minhash_band_join_is_hash_equijoin(spark, sf_dir):
+    """LSH banding must turn near-dup search into an equi-join (hash or
+    sort-merge), never a cartesian product."""
+    df = CATALOG["l2_minhash_near_dup"][0](spark, sf_dir)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

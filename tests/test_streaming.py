@@ -194,3 +194,38 @@ def test_x4_watermark_drops_late_rows(spark, tmp_path):
         ("2024-01-01T12:00:00", 1),
         ("2024-01-01T12:30:00", 1),
     }  # both 12:xx windows finalize; the late 10:02 row never appears
+
+
+def test_stream_transform_matches_batch_decode(spark, tmp_path):
+    """X1 over the real importer pipeline: a file-drop stream decoded with
+    the SAME expressions as batch produces the same golden export lines,
+    and rejects are filtered identically."""
+    from finporter_spark.encoder import to_delimited_lines
+    from finporter_spark.importers.allocdata import AllocDataImporter
+    from finporter_spark.model import AllocSchema, ENTITY_SCHEMAS
+    from finporter_spark.streaming.pipeline import stream_transform
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "f1.csv").write_text(
+        "strategyID,title\nstrat1,60/40\nstrat2,All Weather\n"
+    )
+    (drop / "f2.csv").write_text("strategyID,title\nstrat3,Golden Butterfly\n")
+
+    out = str(tmp_path / "out")
+    q = stream_transform(
+        spark, str(drop), out, str(tmp_path / "cp"), AllocSchema.STRATEGY
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.value for r in spark.read.text(out).collect())
+    good, _ = AllocDataImporter().decode(
+        spark, str(drop), output_schema=AllocSchema.STRATEGY
+    )
+    want = sorted(
+        r.line
+        for r in to_delimited_lines(
+            good, ",", ENTITY_SCHEMAS[AllocSchema.STRATEGY].names
+        ).collect()
+    )
+    assert got == want and len(got) == 3
