@@ -590,3 +590,17 @@ def a4_cube(spark, sf_dir):
         .cast("double")
         .alias("rev"),
     )
+
+
+@query("l3_ivf_knn", None)  # ≈ operator: recall checked in tests
+def l3_ivf_knn(spark, sf_dir):
+    """L3 scale path #2: IVF (inverted-file) approximate kNN — coarse
+    k-means quantizer + probe-nearest-lists (see operators/similarity.py).
+    """
+    from finporter_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_knn(q, emb, dim=64, k=5, n_centroids=16, n_probe=4)

@@ -23,7 +23,18 @@ CORRUPT_COL = "_corrupt_record"
 def read_prefix(path: str, n_bytes: int = 4096) -> bytes:
     """Driver-side prefix read for detect (DetectHandler.swift:25-26 reads
     the whole file; we read only the sniffing prefix — same contract as
-    ``detect(dataPrefix:)``, FINporter.swift:33-35)."""
+    ``detect(dataPrefix:)``, FINporter.swift:33-35). A directory (file-drop
+    folder) sniffs its first visible file."""
+    if os.path.isdir(path):
+        names = sorted(
+            n
+            for n in os.listdir(path)
+            if not n.startswith(("_", "."))
+            and os.path.isfile(os.path.join(path, n))
+        )
+        if not names:
+            raise FileNotFoundError(f"no files to sniff in {path}")
+        path = os.path.join(path, names[0])
     with open(path, "rb") as f:
         return f.read(n_bytes)
 

@@ -146,3 +146,34 @@ def test_shingles_edge_cases(spark):
     assert rows[0].sh == []          # shorter than n
     assert rows[1].sh == ["a b c"]   # exactly n
     assert rows[2].sh == []          # empty
+
+
+def test_ivf_knn_recall_vs_brute_force(spark, sf_dir):
+    """IVF with n_probe=4/16 lists must recover most exact neighbors."""
+    from finporter_spark.operators.similarity import brute_force_knn, ivf_knn
+    from finporter_spark.queries.catalog import _t
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_knn(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_knn(q, emb, dim=64, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from finporter_spark.operators.similarity import train_ivf_centroids
+    from finporter_spark.queries.catalog import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = train_ivf_centroids(emb, 64, n_centroids=4, iters=2)
+    b = train_ivf_centroids(emb, 64, n_centroids=4, iters=2)
+    assert a == b
