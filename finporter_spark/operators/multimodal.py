@@ -175,3 +175,47 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(_map, out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    frame_bytes: int = 1024,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio feature extraction stub (codec unavailable in this container).
+
+    Real implementation would decode PCM and emit per-frame features;
+    the deterministic fake computes byte-level energy/mean per
+    ``frame_bytes`` window — same output shape (one feature row per
+    frame) and the same Arrow-batched ``mapInPandas`` plumbing.
+    """
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [
+            StructField("frame_idx", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("byte_mean", LongType()),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio codec not available; pass fake=True for the "
+                    "deterministic test double"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                b = bytes(row[content_col]) if row[content_col] is not None else b""
+                for i in range(max(1, len(b) // frame_bytes)):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    r = row.drop(labels=[content_col]).to_dict()
+                    r["frame_idx"] = i
+                    r["energy"] = sum(x * x for x in fr)
+                    r["byte_mean"] = sum(fr) // max(len(fr), 1)
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_map, out_schema)

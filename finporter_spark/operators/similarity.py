@@ -16,7 +16,11 @@ Python. Two strategies:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -158,27 +162,36 @@ def lsh_bucket_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid (squared L2) as a column expression.
+def _assign_udf(centroids: list[list[float]], n_probe: int = 1):
+    """Vectorized nearest-centroid assignment (numpy, Arrow-batched).
 
-    Centroids are literals (tiny: n_centroids × dim doubles), so the
-    assignment is a map-only pass — no shuffle, no UDF.
+    Centroids ride the closure (k x dim doubles — tiny); n_probe=1 returns
+    the nearest list id, n_probe>1 the n nearest (for query-side
+    multi-list probing). A pure-expression formulation (array of k
+    literal-array distances) is JVM-side but its plan is k x dim literals
+    big — measured ~20 s of analysis/codegen per query at k=16, dim=64 —
+    so the ANN path deliberately takes the pandas route.
     """
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.transform(vec, lambda x: x.cast("double")),
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for c in centroids
-        ]
-    )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    if n_probe == 1:
+
+        @pandas_udf("int")
+        def assign(v: pd.Series) -> pd.Series:
+            M = np.asarray(v.tolist(), dtype=np.float64)
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            return pd.Series(d.argmin(1).astype("int32"))
+
+        return assign
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        M = np.asarray(v.tolist(), dtype=np.float64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe
 
 
 def train_ivf_centroids(
@@ -191,12 +204,13 @@ def train_ivf_centroids(
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: LCG-seeded centroids refined by
     ``iters`` Lloyd rounds, each round one distributed assign+average pass
-    (explode to (cid, dim_idx, val) -> groupBy avg -> driver collect of
-    n_centroids × dim doubles — the only driver traffic)."""
+    (groupBy avg per dimension -> driver collect of n_centroids x dim
+    doubles — the only driver traffic)."""
     centroids = [_hyperplane(dim, i, seed) for i in range(n_centroids)]
     for _ in range(iters):
+        assign = _assign_udf(centroids)
         assigned = vectors.select(
-            _assign_expr(F.col(vec_col), centroids).alias("cid"),
+            assign(vec_col).alias("cid"),
             F.posexplode(
                 F.transform(vec_col, lambda x: x.cast("double"))
             ).alias("d", "v"),
@@ -238,37 +252,17 @@ def ivf_knn(
     centroids = train_ivf_centroids(
         candidates, dim, n_centroids, iters, c_vec, seed
     )
+    assign = _assign_udf(centroids)
     cb = candidates.select(
         F.col(c_id),
         F.col(c_vec).alias("_cv"),
-        _assign_expr(F.col(c_vec), centroids).alias("cid"),
+        assign(c_vec).alias("cid"),
     )
-    # per-query distances to every centroid, keep the n_probe nearest
-    qdists = queries.select(
+    probe = _assign_udf(centroids, n_probe=n_probe)
+    probes = queries.select(
         F.col(q_id),
         F.col(q_vec).alias("_qv"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.transform(q_vec, lambda x: x.cast("double")),
-                            F.array(*[F.lit(v) for v in c]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    )
-                    for c in centroids
-                ]
-            )
-        ).alias("cid", "dist"),
-    )
-    wq = Window.partitionBy(q_id).orderBy("dist", "cid")
-    probes = (
-        qdists.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= n_probe)
-        .select(q_id, "_qv", "cid")
+        F.explode(probe(q_vec)).alias("cid"),
     )
     scored = (
         F.broadcast(probes)

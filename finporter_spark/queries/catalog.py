@@ -72,6 +72,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # oracle comparisons are naive-UTC; pin the session zone even when
+        # the driver supplies its own SparkSession (runtime-settable)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -143,3 +143,19 @@ def quarantine_split(
 def write_quarantine(bad: DataFrame, path: str) -> None:
     """Quarantine sink: rejected rows persisted for audit (S7)."""
     bad.write.mode("overwrite").parquet(path)
+
+
+def write_partitioned_by_day(
+    df: DataFrame, path: str, ts_col: str, fmt: str = "parquet"
+) -> None:
+    """Date-partitioned sink: the ingest layout that makes time-ranged
+    scans prune at the directory level (PartitionFilters in the scan, no
+    footer reads outside the range) — the default layout for any
+    append-only 100 TB event/transaction table."""
+    (
+        df.withColumn("_day", F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy("_day")
+        .format(fmt)
+        .save(path)
+    )

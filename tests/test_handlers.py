@@ -120,3 +120,62 @@ def test_handle_transform_golden(spark, fixture_path):
     assert body[0].startswith("abcd-1234,BND,,5.0,")
     assert "abcd-1234,VTI,,10.25," in body[1]
     assert body[1].endswith("2021-03-01T00:00:00Z")
+
+
+def test_error_taxonomy_complete_and_raised(spark, tmp_path):
+    """All 11 reference error cases exist (FINporterError.swift:22-34) and
+    the resolution paths raise the right ones."""
+    from finporter_spark import errors as E
+    from finporter_spark.handlers import get_pair
+    from finporter_spark.importers.allocdata import AllocDataImporter
+    from finporter_spark.importers.base import Importer
+    from finporter_spark.importers.prospector import Prospector
+    from finporter_spark.model import AllocSchema
+
+    taxonomy = [
+        E.NotImplementedError_, E.EncodingError, E.DecodingError,
+        E.DecodingKeyError, E.NeedExplicitOutputSchema,
+        E.TargetSchemaNotSupported, E.MultipleImportersMatch,
+        E.MultipleDetectedSchemasMatch, E.MultipleOutputSchemasMatch,
+        E.SourceFormatNotRecognized, E.ImporterNotRecognized,
+    ]
+    assert len(taxonomy) == 11
+    for cls in taxonomy:
+        assert issubclass(cls, E.FINporterError)
+        try:
+            inst = cls("x")
+        except TypeError:
+            inst = cls()  # no-arg cases carry a fixed message
+        assert str(inst)  # every case renders a message
+
+    pros = Prospector([AllocDataImporter()])
+    header = b"strategyID,title\ns1,A\n"
+
+    with pytest.raises(E.ImporterNotRecognized):
+        get_pair(pros, header, importer_id="nope")
+    with pytest.raises(E.SourceFormatNotRecognized):
+        get_pair(pros, b"not,a,known,header\n1,2,3,4\n")
+    with pytest.raises(E.TargetSchemaNotSupported):
+        # positions importer only emits holdings; ask for accounts
+        get_pair(
+            Prospector([PositionsImporter()]),
+            FIXTURE.encode(),
+            output_schema=AllocSchema.ACCOUNT,
+        )
+    # explicit importer with multi-schema surface and no detected winner
+    with pytest.raises(E.MultipleOutputSchemasMatch):
+        get_pair(pros, header, importer_id="allocdata")
+    # abstract importer contract (FINporter.swift:35-37)
+    with pytest.raises(E.NotImplementedError_):
+        Imp = Importer()
+        Imp.detect(b"")
+
+    class NoSchemas(AllocDataImporter):
+        id_ = "empty"
+        output_schemas = ()
+
+        def detect(self, p):
+            return {}
+
+    with pytest.raises(E.NeedExplicitOutputSchema):
+        get_pair(Prospector([NoSchemas()]), header, importer_id="empty")

@@ -122,3 +122,29 @@ def test_u4_flatten(spark):
 
     out = flatten_map(df, split_rows, "tok string")
     assert sorted(r.tok for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_audio_features_fake_shape(spark):
+    from finporter_spark.operators.multimodal import extract_audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 8), (2, b"\x01" * 100)],
+        "id long, content binary",
+    )
+    out = extract_audio_features(df, fake=True, frame_bytes=1024).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 2  # 2048 bytes -> 2 frames
+    assert len(by_id[2]) == 1  # short clip -> 1 frame
+    assert by_id[2][0].byte_mean == 1
+    assert by_id[2][0].energy == 100
+
+
+def test_audio_features_real_path_raises(spark):
+    import pytest
+    from finporter_spark.operators.multimodal import extract_audio_features
+
+    df = spark.createDataFrame([(1, b"x")], "id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
+        extract_audio_features(df, fake=False).collect()

@@ -102,3 +102,22 @@ def test_minhash_band_join_is_hash_equijoin(spark, sf_dir):
     p = plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partitioned_sink_prunes_by_day(spark, sf_dir, tmp_path):
+    """Date-partitioned layout must prune at the directory level: the
+    filtered scan carries PartitionFilters and reads a subset of
+    partitions."""
+    from finporter_spark.sources import write_partitioned_by_day
+
+    e = _t(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(e, path, "ts")
+    n_days = e.select(F.to_date("ts")).distinct().count()
+    assert n_days > 1
+
+    one_day = e.select(F.to_date("ts").alias("d")).first().d
+    scan = spark.read.parquet(path).filter(F.col("_day") == F.lit(one_day))
+    p = plan(scan)
+    assert "PartitionFilters: [isnotnull(_day" in p
+    assert scan.count() == e.filter(F.to_date("ts") == F.lit(one_day)).count()
