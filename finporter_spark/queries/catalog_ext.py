@@ -604,3 +604,37 @@ def l3_ivf_knn(spark, sf_dir):
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return ivf_knn(q, emb, dim=64, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "l6_rolling_hash",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(
+                 string_split_regex(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+    FROM documents
+    """,
+)
+def l6_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp shape):
+    fold (acc*31 + charcode) mod p over the normalized text. Map-only,
+    integer-exact in both engines; complements the set-based sha256
+    fingerprint (l6_fingerprint) with an order-sensitive one."""
+    from finporter_spark.operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split(normalized_text(F.col("text")), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    rhash = F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", rhash.alias("rhash"))
