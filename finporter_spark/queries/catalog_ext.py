@@ -638,3 +638,40 @@ def l6_rolling_hash(spark, sf_dir):
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return d.select("doc_id", rhash.alias("rhash"))
+
+
+@query(
+    "x2_sliding_window",
+    f"""
+    WITH g AS (
+      SELECT e.*, make_timestamp(
+               (CAST(floor(epoch(ts) / 300) AS BIGINT) - o.o) * 300 * 1000000)
+               AS window_start
+      FROM events e, (SELECT unnest([0, 1]) AS o) o
+    )
+    SELECT window_start, event_type, COUNT(*) AS n, {DSUM('value')} AS total
+    FROM g
+    WHERE epoch(ts) >= epoch(window_start)
+      AND epoch(ts) < epoch(window_start) + 600
+    GROUP BY window_start, event_type
+    """,
+)
+def x2_sliding_window(spark, sf_dir):
+    """X2 sliding variant: 10-minute windows every 5 minutes — each event
+    lands in 2 overlapping windows (Spark expands this map-side; the
+    oracle reproduces the expansion with an explicit 2-way unnest)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+    )
