@@ -21,6 +21,8 @@ from finporter_spark.session import get_session
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "p10_surrogate_id",
     "s7_quarantine_split",
     "j1_join_agg",

@@ -675,3 +675,91 @@ def x2_sliding_window(spark, sf_dir):
             F.col("w.start").alias("window_start"), "event_type", "n", "total"
         )
     )
+
+
+# =====================================================================
+# Q — additional flagship query shapes (multi-join, SQL-API path)
+# =====================================================================
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape through the spark.sql path: the engine's SQL parser
+    IS Spark SQL (SURVEY §7 non-goals) — register the entity views and
+    hand Catalyst the same text a user would write."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join — Catalyst reorders, broadcasts the
+    dimension chain (nation/region/supplier at this SF), and the fact
+    table shuffles at most twice (customer and order keys)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"))
+    )
