@@ -763,3 +763,36 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(rev.cast("decimal(28,6)")).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "x6_stateful_running_totals",
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id",
+)
+def x6_stateful_running_totals(spark, sf_dir):
+    """X6: custom stateful streaming operator (applyInPandasWithState) —
+    per-user state carried across micro-batches. Single-file input =>
+    one batch => the final state equals the batch aggregate; the oracle
+    checks the exact per-key counts (float totals are threshold-tested in
+    tests/, not hashed — pandas partial sums aren't decimal-routable).
+    """
+    from finporter_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        stream_running_totals,
+    )
+
+    path = _io_dir(sf_dir, "x6")
+    _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    ).coalesce(1).write.mode("overwrite").csv(path, header=True)
+    sdf = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("header", True)
+        .csv(path)
+    )
+    out = run_stream_to_memory(
+        stream_running_totals(sdf), "x6_mem", output_mode="update"
+    )
+    return out.select("user_id", "n")

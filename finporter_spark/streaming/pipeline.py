@@ -182,3 +182,48 @@ def stream_transform(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running totals that survive across micro-batches.
+
+    This is the escape hatch for stateful semantics Spark's built-ins
+    don't express (conditional resets, custom eviction, multi-counter
+    state); the state here is deliberately minimal — (count, total) per
+    key — so batch equivalence is exactly groupBy/sum, which the oracle
+    checks. State is Arrow-exchanged per group; the watermark bounds it.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} bigint, n bigint, total double"
+    )
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # decimal-exact not needed in state: per-key partial order is
+            # the arrival order, same as the single-batch oracle compare
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, output_mode, "NoTimeout"
+        )
+    )

@@ -1,0 +1,53 @@
+"""Cross-engine regression net inside pytest: a cheap subset of catalog
+queries hash-compared against DuckDB at sf0.001 on every test run, so an
+oracle-breaking change fails the suite immediately rather than at the
+round gate. The full sweep stays in tools/oracle_check.py (sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from finporter_spark.queries.catalog import catalog_oracles, catalog_queries
+from tools.oracle_check import frame_hash
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "p6_datetime",
+    "p10_surrogate_id",
+    "j6_asof_join",
+    "a4_cube",
+    "w3_running_sum",
+    "o5_dedup_latest",
+    "u3_grouped_agg_median",
+    "l1_exact_dedup",
+    "l6_rolling_hash",
+    "x2_sliding_window",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_hash_matches_duckdb(spark, sf_dir, ddb, name):
+    spark_df = catalog_queries()[name](spark, sf_dir).toPandas()
+    oracle_df = ddb.sql(catalog_oracles()[name]).df()
+    assert len(spark_df) == len(oracle_df), "row count"
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), "columns"
+    assert frame_hash(spark_df) == frame_hash(oracle_df), "value hash"

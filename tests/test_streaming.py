@@ -229,3 +229,66 @@ def test_stream_transform_matches_batch_decode(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_x6_stateful_totals_equal_batch(spark, sf_dir):
+    from finporter_spark.queries.catalog import CATALOG, _t
+
+    out = CATALOG["x6_stateful_running_totals"][0](spark, sf_dir)
+    got_n = {r.user_id: r.n for r in out.collect()}
+    e = _t(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got_n == {u: n for u, (n, _) in want.items()}
+    # totals cross-checked with tolerance (pandas partial-sum order)
+    totals = {
+        r.user_id: r.total
+        for r in spark.table("x6_mem").select("user_id", "total").collect()
+    }
+    for u, (_, t) in want.items():
+        assert abs(totals[u] - t) < 1e-6
+
+
+def test_x6_state_survives_across_batches(spark, tmp_path):
+    """Two micro-batches (two availableNow runs, shared checkpoint): the
+    second run's emitted state must include the first run's counts."""
+    from finporter_spark.streaming.pipeline import stream_running_totals
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def run():
+        sdf = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("header", True)
+            .csv(str(drop))
+        )
+        q = (
+            stream_running_totals(sdf, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (drop / "f1.csv").write_text(
+        "user_id,ts,value\n1,2024-01-01 10:00:00,5.0\n1,2024-01-01 10:01:00,7.0\n"
+    )
+    run()
+    (drop / "f2.csv").write_text(
+        "user_id,ts,value\n1,2024-01-01 10:02:00,1.0\n"
+    )
+    run()
+    rows = sorted(
+        (r.n, r.total) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(2, 12.0), (3, 13.0)]  # state carried 2 -> 3
