@@ -323,3 +323,23 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Entity upsert (merge): updates win over existing rows on the
+    entity key (ENTITY_KEYS drive this for the 7 standardized tables).
+
+    Shape: union + keep-latest — one shuffle on the key, no join. The
+    ``order_by`` must rank update rows first (e.g. a source-priority or
+    timestamp column, descending). At warehouse scale this is the
+    re-partition-once merge pattern; storage-level MERGE INTO belongs to
+    the table format, not the engine.
+    """
+    return keep_latest(
+        existing.unionByName(updates), keys=list(keys), order_by=order_by
+    )

@@ -796,3 +796,48 @@ def x6_stateful_running_totals(spark, sf_dir):
         stream_running_totals(sdf), "x6_mem", output_mode="update"
     )
     return out.select("user_id", "n")
+
+
+@query(
+    "o6_upsert_merge",
+    f"""
+    WITH unioned AS (
+      SELECT event_id, user_id, ts, value, 0 AS src FROM events
+      UNION ALL
+      SELECT event_id, user_id, ts, value * 2 AS value, 1 AS src
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_id, user_id, ts, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY src DESC, ts DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def o6_upsert_merge(spark, sf_dir):
+    """O6 upsert: a 10% update batch merged into events — update rows win
+    on the key via source-priority ordering; union + one keyed shuffle,
+    no join (operators/dedup.upsert_by_key)."""
+    from finporter_spark.operators.dedup import upsert_by_key
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("src")
+    )
+    updates = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("value") * 2).alias("value"),
+            F.lit(1).alias("src"),
+        )
+    )
+    merged = upsert_by_key(
+        e,
+        updates,
+        keys=["event_id"],
+        order_by=[F.col("src").desc(), F.col("ts").desc()],
+    )
+    return merged.select("event_id", "user_id", "ts", "value")
