@@ -42,7 +42,7 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # 10 MB default broadcast threshold is fine; dims here are tiny.
         # Parquet vectorized reader + pushdown are on by default; keep them.
         .config("spark.sql.parquet.filterPushdown", "true")
