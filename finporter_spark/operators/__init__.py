@@ -4,10 +4,13 @@ from finporter_spark.operators.dedup import (
     keep_latest,
     minhash_near_duplicates,
     simhash_near_duplicates,
+    upsert_by_key,
 )
+from finporter_spark.operators.scale import salted_agg, write_bucketed
 from finporter_spark.operators.similarity import (
     brute_force_knn,
     cosine_expr,
+    ivf_knn,
     lsh_bucket_knn,
 )
 from finporter_spark.operators.text import (
@@ -24,8 +27,12 @@ __all__ = [
     "keep_latest",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
+    "upsert_by_key",
+    "salted_agg",
+    "write_bucketed",
     "brute_force_knn",
     "cosine_expr",
+    "ivf_knn",
     "lsh_bucket_knn",
     "language_id",
     "quality_score",

@@ -3,6 +3,8 @@ from finporter_spark.streaming.pipeline import (
     stream_tumbling_agg,
     stream_session_agg,
     stream_dedup,
+    stream_running_totals,
+    stream_transform,
     run_stream_to_memory,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_session_agg",
     "stream_dedup",
+    "stream_running_totals",
+    "stream_transform",
     "run_stream_to_memory",
 ]
