@@ -121,3 +121,60 @@ def test_allocdata_roundtrip_adversarial_titles(spark, tmp_path_factory, titles)
     p.write_text(src)
     out = handle_transform(spark, Prospector([AllocDataImporter()]), str(p))
     assert out == src
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    corrupt=st.lists(st.booleans(), min_size=1, max_size=8),
+)
+def test_quarantine_invariants_under_corruption(spark, tmp_path_factory, corrupt):
+    """Decode invariants for any corruption pattern: good+bad partitions
+    the input, good rows carry no nulls in required keys, bad rows are
+    exactly the corrupted ones."""
+    from finporter_spark.importers.allocdata import AllocDataImporter
+    from finporter_spark.model import AllocSchema
+
+    lines = ["strategyID,title"]
+    n_bad = 0
+    for i, is_bad in enumerate(corrupt):
+        if is_bad:
+            lines.append(f"s{i}")  # wrong arity -> corrupt record
+            n_bad += 1
+        else:
+            lines.append(f"s{i},title {i}")
+    p = tmp_path_factory.mktemp("q") / "s.csv"
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = AllocDataImporter().decode(
+        spark, str(p), output_schema=AllocSchema.STRATEGY
+    )
+    n_good, n_rej = good.count(), bad.count()
+    assert n_good + n_rej == len(corrupt)
+    assert n_rej == n_bad
+    assert good.filter("strategyID IS NULL").count() == 0
+
+
+def test_results_invariant_under_partitioning(spark, sf_dir):
+    """Same results at different shuffle-partition counts — catches
+    partition-layout-dependent operators (the row_number hazard p10 is
+    designed to avoid via explicit total ordering)."""
+    from finporter_spark.queries.catalog import CATALOG
+
+    outs = []
+    for parts in ("3", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            rows = {
+                tuple(r)
+                for r in CATALOG["p10_surrogate_id"][0](spark, sf_dir).collect()
+            }
+            topk = [
+                tuple(r) for r in CATALOG["o2_topk"][0](spark, sf_dir).collect()
+            ]
+            outs.append((rows, topk))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert outs[0] == outs[1]
