@@ -841,3 +841,46 @@ def o6_upsert_merge(spark, sf_dir):
         order_by=[F.col("src").desc(), F.col("ts").desc()],
     )
     return merged.select("event_id", "user_id", "ts", "value")
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "a8_pivot",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS urgent,
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+             AS high,
+           CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+             AS medium,
+           CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+             AS not_specified,
+           CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+             AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a8_pivot(spark, sf_dir):
+    """A8 pivot: long->wide reshape. The pivot value list is EXPLICIT —
+    with it Spark pivots in a single pass (one shuffle, like any grouped
+    agg); without it a separate distinct-collect job must run first, and
+    the output schema becomes data-dependent (a non-starter for a 100 TB
+    production plan)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+    out = wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p])
+            for p in _PRIORITIES
+        ],
+    )
+    return out
