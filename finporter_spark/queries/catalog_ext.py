@@ -884,3 +884,30 @@ def a8_pivot(spark, sf_dir):
         ],
     )
     return out
+
+
+@query(
+    "a9_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def a9_having(spark, sf_dir):
+    """A-family HAVING: post-aggregation filter (big-spender cohort).
+    Catalyst evaluates it after the single grouped pass — no second scan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )

@@ -177,3 +177,14 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     a = train_ivf_centroids(emb, 64, n_centroids=4, iters=2)
     b = train_ivf_centroids(emb, 64, n_centroids=4, iters=2)
     assert a == b
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """a3 (≈ operator): HLL estimate within 5% of exact."""
+    from pyspark.sql import functions as F
+    from finporter_spark.queries.catalog import _t
+
+    e = _t(spark, sf_dir, "events")
+    approx = e.agg(F.approx_count_distinct("user_id", 0.02)).first()[0]
+    exact = e.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(approx - exact) / exact < 0.05
