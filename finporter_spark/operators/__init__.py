@@ -5,6 +5,7 @@ from finporter_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
     upsert_by_key,
+    connected_components,
 )
 from finporter_spark.operators.scale import salted_agg, write_bucketed
 from finporter_spark.operators.similarity import (
@@ -28,6 +29,7 @@ __all__ = [
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "upsert_by_key",
+    "connected_components",
     "salted_agg",
     "write_bucketed",
     "brute_force_knn",

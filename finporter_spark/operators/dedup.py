@@ -366,3 +366,60 @@ def upsert_by_key(
     return keep_latest(
         existing.unionByName(updates), keys=list(keys), order_by=order_by
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_l",
+    id_b: str = "id_r",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs: connected components by iterative min-label
+    propagation -> (node, cluster) with cluster = min id reachable.
+
+    This is the step that turns pairwise near-dup output (L2/L9/L10) into
+    "keep one doc per duplicate group". Each round is one join + one
+    groupBy (label flows along edges); rounds needed = graph diameter,
+    which for near-dup clusters is tiny (dup groups are dense). The
+    convergence check collects a single count per round. GraphX/GraphFrames
+    would provide this wholesale, but a few DataFrame rounds keep it
+    dependency-free and the shuffle pattern explicit.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))

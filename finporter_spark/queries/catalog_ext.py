@@ -37,7 +37,7 @@ from finporter_spark.operators.multimodal import (
     resize_image,
     sample_frames,
 )
-from finporter_spark.queries.catalog import _t, _TOKS, DSUM, query
+from finporter_spark.queries.catalog import _t, _TOKS, CATALOG, DSUM, query
 from finporter_spark.streaming.pipeline import (
     run_stream_to_memory,
     stream_decode_files,
@@ -911,3 +911,46 @@ def a9_having(spark, sf_dir):
         )
         .filter(F.col("n_orders") >= 8)
     )
+
+
+@query(
+    "l11_dedup_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ), idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t
+    ), sh AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM idx
+    ), s AS (
+      SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+    ), p AS (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shs, b.shs))) >= 0.5
+    ), e AS (
+      SELECT id_l AS src, id_r AS dst FROM p
+      UNION SELECT id_r, id_l FROM p
+    ), reach AS (
+      SELECT src AS id, src AS lab FROM e
+      UNION
+      SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+    )
+    SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM reach GROUP BY id
+    """,
+)
+def l11_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate GROUPS: connected components by
+    min-label propagation over the exact Jaccard pairs (l9). The oracle
+    recomputes the same closure with a recursive CTE. Downstream dedup
+    keeps one doc per cluster (min id = the canonical survivor)."""
+    from finporter_spark.operators.dedup import connected_components
+
+    pairs = CATALOG["l9_ngram_jaccard"][0](spark, sf_dir)
+    return connected_components(pairs, "id_l", "id_r")

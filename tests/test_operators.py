@@ -188,3 +188,19 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     approx = e.agg(F.approx_count_distinct("user_id", 0.02)).first()[0]
     exact = e.agg(F.countDistinct("user_id")).first()[0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3 collapses to one cluster even though (1,3) was never a
+    pair; isolated pair forms its own; diameter > 1 needs iterations."""
+    from finporter_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_l long, id_r long",
+    )
+    got = {
+        r.id: r.cluster for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
