@@ -954,3 +954,25 @@ def l11_dedup_clusters(spark, sf_dir):
 
     pairs = CATALOG["l9_ngram_jaccard"][0](spark, sf_dir)
     return connected_components(pairs, "id_l", "id_r")
+
+
+@query(
+    "s1_csv_gzip_roundtrip",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer",
+)
+def s1_csv_gzip_roundtrip(spark, sf_dir):
+    """S1 with transparent compression: gzip-coded CSV write + read
+    (splittability note: gzip parts are one task each — fine for many
+    medium files, use zstd/bzip2 or uncompressed for giant single files).
+    """
+    path = _io_dir(sf_dir, "s1gz")
+    _t(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).csv(path, header=True)
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    )

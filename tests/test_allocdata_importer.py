@@ -144,3 +144,10 @@ def test_detect_report_and_disambiguation(spark, tmp_path):
         handle_transform(
             spark, Prospector([AllocDataImporter(), Clone()]), str(p2)
         )
+
+
+def test_header_only_file_decodes_empty(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("strategyID,title\n")
+    good, bad = AllocDataImporter().decode(spark, str(p))
+    assert good.count() == 0 and bad.count() == 0
