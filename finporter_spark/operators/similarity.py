@@ -61,12 +61,22 @@ def brute_force_knn(
     on candidate id so results are deterministic across engines and
     partitionings.
     """
-    q = queries.select(F.col(q_id), F.col(q_vec).alias("_qv"))
-    c = candidates.select(F.col(c_id), F.col(c_vec).alias("_cv"))
+    # norms are precomputed per vector, not per pair: the O(|Q|*|N|)
+    # scoring loop then does one dot product per pair instead of three
+    q = queries.select(
+        F.col(q_id),
+        F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    c = candidates.select(
+        F.col(c_id),
+        F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
     scored = F.broadcast(q).crossJoin(c).select(
         q_id,
         c_id,
-        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine"
+        ),
     )
     if round_dp is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_dp))
@@ -130,9 +140,10 @@ def lsh_bucket_knn(
     """
     planes = [_hyperplane(dim, i, seed) for i in range(n_planes)]
     qb = queries.select(
-        F.col(q_id), F.col(q_vec).alias("_qv"),
+        F.col(q_id),
+        F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
         sign_lsh_bucket(F.col(q_vec), planes).alias("bucket"),
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
@@ -142,19 +153,24 @@ def lsh_bucket_knn(
             ],
         )
         qb = qb.select(
-            q_id, "_qv", F.explode(probes).alias("bucket")
+            q_id, "_qv", "_qn", F.explode(probes).alias("bucket")
         )
     cb = candidates.select(
-        F.col(c_id), F.col(c_vec).alias("_cv"),
+        F.col(c_id),
+        F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
         sign_lsh_bucket(F.col(c_vec), planes).alias("bucket"),
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     scored = (
         F.broadcast(qb)
         .join(cb, "bucket")
         .select(
             q_id,
             c_id,
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
         )
         .dropDuplicates([q_id, c_id])
     )
@@ -255,22 +271,26 @@ def ivf_knn(
     assign = _assign_udf(centroids)
     cb = candidates.select(
         F.col(c_id),
-        F.col(c_vec).alias("_cv"),
+        F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
         assign(c_vec).alias("cid"),
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     probe = _assign_udf(centroids, n_probe=n_probe)
     probes = queries.select(
         F.col(q_id),
-        F.col(q_vec).alias("_qv"),
+        F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
         F.explode(probe(q_vec)).alias("cid"),
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     scored = (
         F.broadcast(probes)
         .join(cb, "cid")
         .select(
             q_id,
             c_id,
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
         )
         .dropDuplicates([q_id, c_id])
     )
