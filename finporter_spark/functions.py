@@ -179,3 +179,26 @@ def parse_timestamp(
     if tz:
         ts = F.to_utc_timestamp(ts, tz)
     return ts
+
+
+def split_by_standard_assets(
+    df: DataFrame, col: str = "assetID"
+) -> tuple[DataFrame, DataFrame]:
+    """R16 domain validation: split rows whose asset class is in the
+    36-value standard vocabulary (MAsset+StandardID.swift:23-59) from
+    those that are not.
+
+    The vocabulary rides a broadcast semi/anti join rather than a
+    36-literal ``isin``: same plan at this size, but the join formulation
+    is the one that still works when the domain table is thousands of
+    rows or comes from another DataFrame.
+    """
+    from finporter_spark.model import STANDARD_ASSET_IDS
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(a,) for a in STANDARD_ASSET_IDS], f"{col} string"
+    )
+    valid = df.join(F.broadcast(dim), col, "left_semi")
+    invalid = df.join(F.broadcast(dim), col, "left_anti")
+    return valid, invalid

@@ -128,9 +128,33 @@ class AllocDataImporter(Importer):
             raise TargetSchemaNotSupported(self.output_schemas)
         fmt = input_format or AllocFormat.CSV
         struct = ENTITY_SCHEMAS[schema]
-        raw = read_delimited(
-            spark, path, delimiter=fmt.delimiter or ",", all_string=True
-        )
+        if fmt is AllocFormat.JSON:
+            # JSON lines (what FINporter.export(.JSON) array elements and
+            # Spark's json sink both carry): read every field as string,
+            # then the SAME typed projection as the delimited path —
+            # one decode definition across formats
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            raw_schema = StructType(
+                [StructField(n, StringType(), True) for n in struct.names]
+                + [StructField("_corrupt_record", StringType(), True)]
+            )
+            from finporter_spark.sources import read_prefix
+
+            # FINporter.export(.JSON) writes one array (needs multiLine);
+            # Spark's json sink writes JSON lines — sniff the first byte
+            is_array = read_prefix(path, 64).lstrip()[:1] == b"["
+            raw = (
+                spark.read.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt_record")
+                .option("multiLine", is_array)
+                .schema(raw_schema)
+                .json(path)
+            )
+        else:
+            raw = read_delimited(
+                spark, path, delimiter=fmt.delimiter or ",", all_string=True
+            )
         typed = raw.select(
             *[
                 _typed_column(

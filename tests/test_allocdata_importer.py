@@ -151,3 +151,40 @@ def test_header_only_file_decodes_empty(spark, tmp_path):
     p.write_text("strategyID,title\n")
     good, bad = AllocDataImporter().decode(spark, str(p))
     assert good.count() == 0 and bad.count() == 0
+
+
+def test_json_decode_roundtrip_both_shapes(spark, tmp_path):
+    """AllocFormat.JSON as input: both the reference's array export and
+    Spark's JSON-lines sink decode through the same typed projection."""
+    imp = AllocDataImporter()
+    # reference-style array export
+    src = FIXTURES[AllocSchema.ALLOCATION]
+    pc = tmp_path / "a.csv"
+    pc.write_text(src)
+    good, _ = imp.decode(spark, str(pc), output_schema=AllocSchema.ALLOCATION)
+    exported = imp.export(good, AllocFormat.JSON, AllocSchema.ALLOCATION)
+    pj = tmp_path / "a.json"
+    pj.write_text(exported)
+    good2, bad2 = imp.decode(
+        spark,
+        str(pj),
+        input_format=AllocFormat.JSON,
+        output_schema=AllocSchema.ALLOCATION,
+    )
+    assert bad2.count() == 0
+    assert sorted(map(tuple, good2.collect())) == sorted(
+        map(tuple, good.collect())
+    )
+    # JSON-lines (Spark sink shape)
+    pl = tmp_path / "lines"
+    good.write.mode("overwrite").json(str(pl))
+    good3, bad3 = imp.decode(
+        spark,
+        str(pl),
+        input_format=AllocFormat.JSON,
+        output_schema=AllocSchema.ALLOCATION,
+    )
+    assert bad3.count() == 0
+    assert sorted(map(tuple, good3.collect())) == sorted(
+        map(tuple, good.collect())
+    )

@@ -106,3 +106,16 @@ def test_normalize_column(spark):
     df = spark.createDataFrame([(POSITIONS_SNIPPET,)], "s string")
     row = df.select(normalize_lines(F.col("s")).alias("n")).first()
     assert row.n == '"Positions"\n\n"Individual  XXXX-1234"\n'
+
+
+def test_split_by_standard_assets(spark):
+    from finporter_spark.functions import split_by_standard_assets
+
+    df = spark.createDataFrame(
+        [("Bond",), ("LC",), ("NotAClass",), ("Total",), ("bond",)],
+        "assetID string",
+    )
+    valid, invalid = split_by_standard_assets(df)
+    assert sorted(r.assetID for r in valid.collect()) == ["Bond", "LC", "Total"]
+    # case-sensitive closed vocabulary: 'bond' is NOT standard
+    assert sorted(r.assetID for r in invalid.collect()) == ["NotAClass", "bond"]
