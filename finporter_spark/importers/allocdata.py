@@ -60,13 +60,21 @@ def _typed_column(
         # non-optional String, e.g. MHolding.lotID), never to null
         return F.coalesce(c, F.lit("")).alias(name)
     if isinstance(dtype, TimestampType):
-        # accept the encoder's ISO-Z first, then zoneless ISO (what a
-        # TIMESTAMP_NTZ source serializes to), then bare date with default
-        # time-of-day/zone (decode params, FINporter.swift:45-47)
+        # accept the encoder's ISO-Z first, then fractional-seconds ISO
+        # (Spark's own JSON sink and export(.JSON) emit
+        # 2021-03-01T00:00:00.000Z — without this pattern a JSON
+        # roundtrip silently nulls every timestamp), then zoneless ISO
+        # (what a TIMESTAMP_NTZ source serializes to), then bare date
+        # with default time-of-day/zone (decode params,
+        # FINporter.swift:45-47)
         trimmed = F.nullif(F.trim(c), F.lit(""))
         return F.coalesce(
             F.try_to_timestamp(trimmed, F.lit(_ISO_FMT)),
+            F.try_to_timestamp(
+                trimmed, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+            ),
             F.try_to_timestamp(trimmed, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+            F.try_to_timestamp(trimmed, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
             parse_timestamp(c, "yyyy-MM-dd", def_time_of_day, time_zone),
         ).alias(name)
     if isinstance(dtype, DoubleType):

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from finporter_spark.errors import MultipleImportersMatch
 from finporter_spark.handlers import handle_detect, handle_transform
@@ -188,3 +189,44 @@ def test_json_decode_roundtrip_both_shapes(spark, tmp_path):
     assert sorted(map(tuple, good3.collect())) == sorted(
         map(tuple, good.collect())
     )
+
+
+def test_json_decode_roundtrip_timestamps(spark, tmp_path):
+    """Timestamp-bearing entities survive a JSON roundtrip: both the
+    array export (export(.JSON)) and Spark's own JSON-lines sink emit
+    fractional seconds (2021-03-01T00:00:00.000Z), which the decode
+    patterns must accept — silently nulling acquiredAt/transactedAt is
+    data loss, and for TRANSACTION (required transactedAt) would
+    quarantine every row."""
+    imp = AllocDataImporter()
+    for schema in (AllocSchema.HOLDING, AllocSchema.TRANSACTION):
+        src = FIXTURES[schema]
+        pc = tmp_path / f"{schema.value}.csv"
+        pc.write_text(src)
+        good, _ = imp.decode(spark, str(pc), output_schema=schema)
+        ts_col = "acquiredAt" if schema is AllocSchema.HOLDING else (
+            "transactedAt"
+        )
+        # array-export shape
+        pj = tmp_path / f"{schema.value}.json"
+        pj.write_text(imp.export(good, AllocFormat.JSON, schema))
+        good2, bad2 = imp.decode(
+            spark, str(pj), input_format=AllocFormat.JSON,
+            output_schema=schema,
+        )
+        assert bad2.count() == 0
+        assert sorted(map(tuple, good2.collect())) == sorted(
+            map(tuple, good.collect())
+        )
+        # Spark JSON-lines sink shape (fractional seconds + Z)
+        pl = tmp_path / f"{schema.value}_lines"
+        good.write.mode("overwrite").json(str(pl))
+        good3, bad3 = imp.decode(
+            spark, str(pl), input_format=AllocFormat.JSON,
+            output_schema=schema,
+        )
+        assert bad3.count() == 0
+        assert good3.where(F.col(ts_col).isNull()).count() == 0
+        assert sorted(map(tuple, good3.collect())) == sorted(
+            map(tuple, good.collect())
+        )
