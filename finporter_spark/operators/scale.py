@@ -76,24 +76,32 @@ def write_bucketed(
     bucket_keys: Sequence[str],
     n_buckets: int = 32,
     sort_keys: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by its join key.
 
     Joins between tables bucketed the same way on the same key read
     co-located buckets — no exchange at query time. This is the "pay the
     shuffle once at ingest" strategy for fact tables queried repeatedly.
+
+    ``path`` makes it an external table at that location (scratch runs
+    whose data shouldn't land in the session warehouse dir).
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a table dir orphaned by a previous session (fresh in-memory catalog,
     # surviving warehouse dir) blocks saveAsTable even in overwrite mode
 
+    if path:
+        shutil.rmtree(path, ignore_errors=True)
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[5:]
     if warehouse:
         shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_keys)
+    if path:
+        w = w.option("path", path)
     if sort_keys:
         w = w.sortBy(*sort_keys)
     w.saveAsTable(table)

@@ -361,13 +361,24 @@ def p9_case_coalesce(spark, sf_dir):
            (CASE WHEN length(CAST(rn AS VARCHAR)) > 5 THEN CAST(rn AS VARCHAR)
                  ELSE lpad(CAST(rn AS VARCHAR), 5, '0') END) AS txnID
     FROM (SELECT o_orderkey, o_orderdate,
-                 row_number() OVER (ORDER BY o_orderkey) AS rn
+                 row_number() OVER (PARTITION BY strftime(o_orderdate, '%Y%m')
+                                    ORDER BY o_orderkey) AS rn
           FROM orders)
     """,
 )
 def p10_surrogate_id(spark, sf_dir):
+    # Surrogate-ID numbering restarts per order month: the window is
+    # PARTITIONED, so rows fan out across tasks instead of funnelling
+    # through one unbounded global-sort task (the reference's analogue
+    # is per-file numbering, TxnIDGenerator.swift:28-33 +
+    # TransformHandler.swift:113 — see with_transaction_ids_per_file).
+    # IDs remain unique because the yyyyMMdd segment embeds the month.
     o = _t(spark, sf_dir, "orders")
-    rn = F.row_number().over(Window.orderBy("o_orderkey"))
+    rn = F.row_number().over(
+        Window.partitionBy(F.date_format("o_orderdate", "yyyyMM")).orderBy(
+            "o_orderkey"
+        )
+    )
     o = o.withColumn("rn", rn)
     rs = F.col("rn").cast("string")
     padded = F.when(F.length(rs) > 5, rs).otherwise(F.lpad(rs, 5, "0"))
@@ -1134,9 +1145,13 @@ def l8_tfidf_top_terms(spark, sf_dir):
     # so count(*) == count(distinct doc). One pass; the groupBy+self-join
     # formulation computes the explode->agg subplan twice.
     df_ = F.count("*").over(Window.partitionBy("term"))
-    n_docs = d.count()  # tiny scalar; at scale use a broadcast count subquery
-    tfidf = F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / df_), 6)
-    scored = tf.select("doc_id", "term", tfidf.alias("tfidf"))
+    # corpus size as a broadcast 1-row aggregate crossJoined in — keeps
+    # the whole query lazy (no driver-side action in the query body)
+    n = d.agg(F.count("*").cast("double").alias("_n_docs"))
+    tfidf = F.round(F.col("tf") * F.log(F.col("_n_docs") / df_), 6)
+    scored = tf.crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", tfidf.alias("tfidf")
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term")
     )

@@ -976,3 +976,94 @@ def s1_csv_gzip_roundtrip(spark, sf_dir):
         schema="c_custkey bigint, c_name string, c_nationkey bigint, "
         "c_acctbal double, c_mktsegment string",
     )
+
+
+# =====================================================================
+# Z — scale-path operators surfaced as catalog entries (SURVEY §4):
+# the driver verifies the *answers* here; the zero-exchange / two-phase
+# plan shapes are asserted in tests/test_scale.py.
+# =====================================================================
+
+@query(
+    "z1_bucketed_join",
+    f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+           {DSUM('l_extendedprice')} AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def z1_bucketed_join(spark, sf_dir):
+    """Zero-exchange fact join: both sides persisted bucketed+sorted on
+    the join key (operators/scale.write_bucketed), then joined — Spark
+    reads co-located buckets, so the join itself needs no Exchange (the
+    "pay the shuffle once at ingest" strategy for tables joined
+    repeatedly; plan-asserted in tests/test_scale.py). The oracle is the
+    plain join on the original parquet: it matches only if the bucketed
+    write+read is lossless AND the exchange-free join is correct."""
+    from finporter_spark.operators.scale import (
+        bucketed_join_ready,
+        write_bucketed,
+    )
+
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    ot, lt = f"z1_orders_{tag}", f"z1_lineitem_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot, ["o_orderkey"], n_buckets=8, sort_keys=["o_orderkey"],
+        path=_io_dir(sf_dir, "z1_orders"),
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        lt, ["l_orderkey"], n_buckets=8, sort_keys=["l_orderkey"],
+        path=_io_dir(sf_dir, "z1_lineitem"),
+    )
+    o = bucketed_join_ready(spark, ot)
+    l = bucketed_join_ready(spark, lt)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "z2_salted_agg",
+    f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def z2_salted_agg(spark, sf_dir):
+    """Skew-tolerant two-phase aggregation (operators/scale.salted_agg):
+    3 distinct group keys over the whole fact table is exactly the shape
+    where one reduce partition would otherwise absorb ~a third of the
+    table; salting spreads each key over 16 sub-groups first, then
+    merges the tiny partials. Decimal routing keeps the double sum
+    bit-equal to the oracle across both phases."""
+    from finporter_spark.operators.scale import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(28,6)").alias("qty_dec"),
+    )
+    out = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        aggs={"n": ("count", "qty_dec"), "sum_dec": ("sum", "qty_dec")},
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_qty"),
+    )

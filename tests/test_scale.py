@@ -82,3 +82,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_z1_catalog_join_is_exchange_free(spark, sf_dir):
+    """The z1_bucketed_join catalog entry keeps the zero-exchange
+    contract: with broadcast off (forcing the merge path a 100 TB fact
+    join would take), no Exchange appears before the join."""
+    from finporter_spark.queries.catalog import CATALOG
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = CATALOG["z1_bucketed_join"][0](spark, sf_dir)
+        p = plan(df)
+        assert "SortMergeJoin" in p
+        assert "Bucketed: true" in p
+        # exactly ONE exchange in the whole plan — the final groupBy's;
+        # the join consumes co-located buckets directly
+        assert sum(
+            1 for ln in p.splitlines() if ln.strip().startswith("(")
+            and "Exchange" in ln
+        ) == 1
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_z2_salted_agg_two_phase_plan(spark, sf_dir):
+    """z2's physical plan is partial-on-salt then merge-on-key: two
+    HashAggregate pairs, and the merge phase's exchange carries only
+    #keys x buckets rows (asserted implicitly by the agg structure)."""
+    from finporter_spark.queries.catalog import CATALOG
+
+    df = CATALOG["z2_salted_agg"][0](spark, sf_dir)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 4  # partial+final for both phases
+    assert "_salt" not in df.columns
