@@ -191,6 +191,7 @@ def stream_running_totals(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     output_mode: str = "update",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key
     running totals that survive across micro-batches.
@@ -199,7 +200,16 @@ def stream_running_totals(
     don't express (conditional resets, custom eviction, multi-counter
     state); the state here is deliberately minimal — (count, total) per
     key — so batch equivalence is exactly groupBy/sum, which the oracle
-    checks. State is Arrow-exchanged per group; the watermark bounds it.
+    checks. State is Arrow-exchanged per group.
+
+    State lifetime: ``withWatermark`` alone does NOT clean arbitrary
+    stateful state — with ``state_ttl=None`` per-key state lives for the
+    whole query (correct for running totals over a bounded key domain,
+    unbounded growth on high-cardinality keys). Passing ``state_ttl``
+    (e.g. ``"2 hours"``) turns on EventTimeTimeout: a key idle past
+    last-event-time + TTL once the watermark reaches it is REMOVED from
+    the store (and restarts from zero if it reappears) — the bounded-
+    state shape for high-cardinality key streams.
     """
     import pandas as pd
 
@@ -207,15 +217,32 @@ def stream_running_totals(
         f"{key_col} bigint, n bigint, total double"
     )
     state_schema = "n bigint, total double"
+    ttl_ms = (
+        int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+        if state_ttl is not None
+        else None
+    )
 
     def update(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last-event + TTL with no new data: evict
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
+        max_ts = None
         for pdf in pdfs:
             n += len(pdf)
             # decimal-exact not needed in state: per-key partial order is
             # the arrival order, same as the single-batch oracle compare
             total += float(pdf[value_col].sum())
+            m = pdf[ts_col].max()
+            if max_ts is None or m > max_ts:
+                max_ts = m
         state.update((n, total))
+        if ttl_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(
+                int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
+            )
         yield pd.DataFrame(
             {key_col: [key[0]], "n": [n], "total": [total]}
         )
@@ -224,6 +251,10 @@ def stream_running_totals(
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
-            update, out_schema, state_schema, output_mode, "NoTimeout"
+            update,
+            out_schema,
+            state_schema,
+            output_mode,
+            "EventTimeTimeout" if ttl_ms is not None else "NoTimeout",
         )
     )

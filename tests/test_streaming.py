@@ -292,3 +292,76 @@ def test_x6_state_survives_across_batches(spark, tmp_path):
         (r.n, r.total) for r in spark.read.parquet(out).collect()
     )
     assert rows == [(2, 12.0), (3, 13.0)]  # state carried 2 -> 3
+
+
+def test_x6_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """stream_running_totals(state_ttl=...): a key idle past
+    last-event-time + TTL is REMOVED from the state store once the
+    watermark passes that point, and restarts from zero if it reappears.
+    (With state_ttl=None state is documented-unbounded: running totals.)
+
+    Four availableNow runs over a growing drop dir, one checkpoint:
+      r1: user 1 seeds state (n=2, total=3), timeout set to 10:05+1h;
+      r2: clock key advances the watermark to 12:30 (past 11:05);
+      r3: clock-only run -> the timeout batch fires, user 1 evicted;
+      r4: user 1 reappears at 13:30 -> fresh state (n=1, total=5),
+          NOT the unbounded continuation (n=3, total=8).
+    """
+    from finporter_spark.streaming.pipeline import stream_running_totals
+
+    drop = tmp_path / "drop"
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    drop.mkdir()
+
+    def run():
+        sdf = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, value double"
+            )
+            .option("header", True)
+            .csv(str(drop))
+        )
+        totals = stream_running_totals(
+            sdf,
+            watermark="30 minutes",
+            output_mode="append",
+            state_ttl="1 hour",
+        )
+        q = (
+            totals.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.n, r.total)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    (drop / "f1.csv").write_text(
+        "user_id,ts,value\n"
+        "1,2024-01-01 10:00:00,1.0\n"
+        "1,2024-01-01 10:05:00,2.0\n"
+    )
+    got1 = run()
+    assert (1, 2, 3.0) in got1
+
+    (drop / "f2.csv").write_text(
+        "user_id,ts,value\n9,2024-01-01 13:00:00,0.5\n"
+    )
+    run()
+    (drop / "f3.csv").write_text(
+        "user_id,ts,value\n9,2024-01-01 13:10:00,0.5\n"
+    )
+    run()
+
+    (drop / "f4.csv").write_text(
+        "user_id,ts,value\n1,2024-01-01 13:30:00,5.0\n"
+    )
+    got4 = run()
+    assert (1, 1, 5.0) in got4, sorted(got4)
+    assert (1, 3, 8.0) not in got4
