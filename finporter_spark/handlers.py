@@ -1,8 +1,9 @@
 """Entry-point handlers: transform, detect, and (importer, schema) resolution.
 
 Reference: /root/reference/Sources/Handlers/TransformHandler.swift:25-128 and
-DetectHandler.swift:24-36. The error taxonomy and disambiguation semantics
-are preserved exactly (SURVEY §2C-5: ambiguity raises, never "pick first"):
+DetectHandler.swift:24-36. The error taxonomy is preserved exactly, and the
+disambiguation principle (SURVEY §2C-5: ambiguity raises, never "pick
+first") likewise:
 
 - explicit importer id not found        -> ImporterNotRecognized
 - auto-detect with 0 matches            -> SourceFormatNotRecognized
@@ -41,7 +42,19 @@ def get_pair(
     importer_id: str | None = None,
     output_schema: AllocSchema | None = None,
 ) -> tuple[Importer, AllocSchema]:
-    """Resolve (importer, schema) — TransformHandler.swift:57-108."""
+    """Resolve (importer, schema) — TransformHandler.swift:57-108.
+
+    DELIBERATE divergence from the reference's getPair: when no explicit
+    schema is given, the implicit schema resolves from the DETECTED set,
+    not from ``importer.outputSchemas`` (the reference raises
+    multipleOutputSchemasMatch whenever the importer merely *declares*
+    >=2 schemas, even if detect narrowed to exactly one — under that rule
+    AllocDataImporter's 7 declared schemas would always force an explicit
+    ``output_schema`` although the header identifies the entity
+    unambiguously). The 0-detected case raises NeedExplicitOutputSchema
+    (reference: targetSchemaNotSupported([])) for the same reason: the
+    caller's fix is to pass a schema, and the error should say so.
+    """
     if importer_id is not None:
         imp = prospector.get(importer_id)
         if imp is None:
@@ -102,7 +115,14 @@ def handle_transform(
         time_zone=time_zone,
         **decode_kw,
     )
-    return imp.export(good, output_format, schema)
+    try:
+        return imp.export(good, output_format, schema)
+    finally:
+        # export materialized the decode; drop its corrupt-channel cache
+        # so repeated transforms don't accumulate storage (caching.py)
+        from finporter_spark.caching import release_caches
+
+        release_caches(good, _bad)
 
 
 def handle_detect(

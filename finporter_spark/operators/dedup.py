@@ -193,7 +193,11 @@ def minhash_near_duplicates(
             / F.lit(float(num_hashes))
         ).alias("est_jaccard"),
     )
-    return est.filter(F.col("est_jaccard") >= jaccard_threshold)
+    from finporter_spark.caching import owns_cache
+
+    return owns_cache(
+        est.filter(F.col("est_jaccard") >= jaccard_threshold), sig
+    )
 
 
 def simhash_near_duplicates(
@@ -295,11 +299,18 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    from finporter_spark.caching import owns_cache
+
+    return owns_cache(
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias(
+                "hamming"
+            ),
+        ).filter(F.col("hamming") <= max_hamming),
+        sigs,
+    )
 
 
 def ngram_jaccard_pairs(
@@ -419,7 +430,16 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count above materialized new_labels; the previous round's
+        # cache is now dead weight — free it instead of accumulating one
+        # cached table per iteration
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+    edges.unpersist()
+    from finporter_spark.caching import owns_cache
+
+    return owns_cache(
+        labels.select(F.col("id"), F.col("label").alias("cluster")), labels
+    )

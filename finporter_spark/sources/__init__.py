@@ -126,10 +126,17 @@ def quarantine_split(
     scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the rejected side is
     exactly such a query after column pruning. At ingest scale the cache
     is per-file-decode sized; persist via ``write_quarantine`` for audit.
+
+    Both returned frames are tagged with the cache (caching.owns_cache);
+    call ``caching.release_caches(good, bad)`` once materialized —
+    handle_transform does, so CLI-shaped use never accumulates caches.
     """
+    from finporter_spark.caching import owns_cache
+
     cond = F.lit(False)
+    cached = None
     if CORRUPT_COL in df.columns:
-        df = df.cache()
+        df = cached = df.cache()
         cond = cond | F.col(CORRUPT_COL).isNotNull()
     for k in required_keys:
         cond = cond | F.col(k).isNull()
@@ -137,6 +144,9 @@ def quarantine_split(
     bad = df.filter(cond)
     if CORRUPT_COL in df.columns:
         good = good.drop(CORRUPT_COL)
+    if cached is not None:
+        owns_cache(good, cached)
+        owns_cache(bad, cached)
     return good, bad
 
 

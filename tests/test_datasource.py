@@ -65,3 +65,25 @@ def test_matches_expression_importer(registered, tmp_path):
     assert sorted(map(tuple, via_ds.collect())) == sorted(
         map(tuple, via_exprs.collect())
     )
+
+
+def test_quarantine_cache_released_after_transform(spark, tmp_path):
+    """quarantine_split caches the corrupt-channel parse; handle_transform
+    must release it after export so repeated CLI transforms don't
+    accumulate executor storage (caching.owns_cache/release_caches)."""
+    from finporter_spark.caching import _ATTR, release_caches
+    from finporter_spark.sources import quarantine_split, read_delimited
+
+    p = tmp_path / "a.csv"
+    p.write_text("strategyID,title\ns1,Sixty Forty\ns2,All Weather\n")
+    raw = read_delimited(spark, str(p), all_string=True)
+    good, bad = quarantine_split(raw, required_keys=["strategyID"])
+    cached = getattr(good, _ATTR)
+    assert cached, "corrupt-channel decode should tag its cache"
+    good.count()
+    assert cached[0].storageLevel.useMemory  # materialized + cached
+    release_caches(good, bad, blocking=True)
+    assert not cached[0].storageLevel.useMemory  # freed
+    assert getattr(good, _ATTR) == []
+    # released frames still compute correctly (recompute, uncached)
+    assert good.count() == 2
