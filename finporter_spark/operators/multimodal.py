@@ -7,19 +7,26 @@ functions via ``mapInPandas`` — constant Python overhead per batch, media
 bytes never round-trip through the driver, and partitioning is by file so
 a 100 TB corpus fans out across executors.
 
-The actual codec calls are STUBBED (this container has no image/audio
-libraries): ``decode_image_meta`` parses real header bytes for PNG/JPEG/GIF
-(pure Python, deterministic), while ``resize_image`` / ``sample_frames`` /
-``extract_audio_features`` raise NotImplementedError unless a deterministic
-fake is requested. The Spark-side plumbing — schemas, batch iteration,
-UDF signatures — is real and tested.
+Codec status: PNG is REAL — a stdlib-only codec (zlib inflate ->
+unfilter -> numpy nearest-neighbor resample -> refilter -> deflate)
+backs ``resize_image`` for 8-bit gray/RGB/alpha PNGs, so the resize
+pipeline decodes and re-encodes actual pixels. JPEG/video/audio codecs
+are unavailable in this container: ``decode_image_meta`` parses their
+real header bytes (pure Python, deterministic), while ``resize_image``
+(non-PNG) / ``sample_frames`` / ``extract_audio_features`` raise
+NotImplementedError unless a deterministic fake is requested. The
+Spark-side plumbing — schemas, batch iteration, UDF signatures — is
+real and tested either way. (Production swap-in: Pillow/libpng in the
+same mapInPandas slots; per-image cost is embarrassingly parallel.)
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -72,6 +79,162 @@ def decode_image_meta_bytes(content: bytes) -> tuple[str | None, int | None, int
     return None, None, None
 
 
+# ---------------------------------------------------------------------
+# Real PNG codec (stdlib zlib + numpy). Supports bit depth 8, color
+# types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+# the shapes Spark's own ImageSchema handles. Palette/16-bit/interlaced
+# raise (would need tables this container's fake corpus never uses).
+# ---------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_decode(content: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 pixel array (h, w, channels).
+
+    Full filter support (None/Sub/Up/Average/Paeth, RFC 2083 §6). Rows
+    with filter 0/2 unfilter vectorized; 1/3/4 need the sequential
+    left-neighbor scan the spec imposes (our own encoder emits filter 0,
+    so the fast path covers re-decodes).
+    """
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            row = line
+        elif ftype == 2:  # Up
+            row = line + prev
+        elif ftype == 1:  # Sub
+            row = line
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif ftype == 3:  # Average
+            row = line
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = line
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, channels) -> PNG bytes (non-interlaced, 8-bit).
+
+    Deterministic: fixed zlib level, one filter for every row
+    (``filter_type`` 0 by default; 1-4 exist mainly so tests can push
+    filtered files through the decoder).
+    """
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = pixels[y].reshape(-1)
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row.tobytes()
+        elif filter_type == 2:
+            raw += (row - prev).tobytes()
+        elif filter_type == 1:
+            line = row.copy()
+            line[ch:] = row[ch:] - row[:-ch]
+            raw += line.tobytes()
+        elif filter_type == 3:
+            line = np.empty_like(row)
+            for x in range(w * ch):
+                left = int(row[x - ch]) if x >= ch else 0
+                line[x] = (int(row[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+            raw += line.tobytes()
+        elif filter_type == 4:
+            line = np.empty_like(row)
+            for x in range(w * ch):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (int(row[x]) - pred) & 0xFF
+            raw += line.tobytes()
+        else:
+            raise ValueError(f"bad PNG filter {filter_type}")
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def nearest_resize(pixels: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resample to (width, height): pure numpy index
+    sampling, src index = (dst * src_extent) // dst_extent."""
+    w_out, h_out = size
+    h_in, w_in = pixels.shape[:2]
+    ys = (np.arange(h_out) * h_in) // h_out
+    xs = (np.arange(w_out) * w_in) // w_out
+    return pixels[np.ix_(ys, xs)]
+
+
 def attach_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas pass adding (format,width,height) metadata columns.
 
@@ -109,12 +272,15 @@ def resize_image(
     size: tuple[int, int] = (224, 224),
     fake: bool = False,
 ) -> DataFrame:
-    """Resize stub: real codec unavailable in this container.
+    """Image resize over a binary column (Arrow-batched mapInPandas).
 
-    With ``fake=True`` produces a deterministic pseudo-resize (truncated /
-    zero-padded byte buffer of w*h length) so downstream plumbing and batch
-    shapes are testable; otherwise raises NotImplementedError inside the
-    executor at evaluation time.
+    PNG inputs take the REAL path: stdlib decode -> numpy
+    nearest-neighbor resample -> re-encode (``png_decode`` /
+    ``nearest_resize`` / ``png_encode``); the output column holds valid
+    PNG bytes of the target dimensions. Non-PNG inputs raise
+    NotImplementedError (no JPEG codec in this container) unless
+    ``fake=True``, which instead produces the deterministic pseudo-resize
+    byte buffer (w*h bytes) for every row — the plumbing test double.
     """
     w, h = size
     out_schema = StructType(
@@ -122,17 +288,23 @@ def resize_image(
         + [StructField("resized", BinaryType())]
     )
 
+    def _resize_one(b) -> bytes | None:
+        if b is None:
+            return None
+        data = bytes(b)
+        if fake:
+            n = w * h
+            return data[:n].ljust(n, b"\x00")
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "only the PNG codec is available in this environment; "
+                "pass fake=True for the deterministic test double"
+            )
+        return png_encode(nearest_resize(png_decode(data), (w, h)))
+
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "pass fake=True for the deterministic test double"
-                )
-            n = w * h
-            resized = pdf[content_col].map(
-                lambda b: (bytes(b)[:n]).ljust(n, b"\x00") if b is not None else None
-            )
+            resized = pdf[content_col].map(_resize_one)
             yield pdf.drop(columns=[content_col]).assign(resized=resized)
 
     return df.mapInPandas(_map, out_schema)
@@ -164,15 +336,28 @@ def sample_frames(
                 raise NotImplementedError(
                     "video codec not available; pass fake=True for the test double"
                 )
-            rows = []
-            for _, row in pdf.iterrows():
-                b = bytes(row[content_col]) if row[content_col] is not None else b""
-                for i in range(max(1, len(b) // every_n_bytes)):
-                    r = row.drop(labels=[content_col]).to_dict()
-                    r["frame_idx"] = i
-                    r["frame"] = b[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            # vectorized fan-out: one np.repeat of the carry-through
+            # columns + a flat slice list — no per-row Python objects
+            # beyond the frame bytes themselves
+            blobs = [
+                bytes(b) if b is not None else b"" for b in pdf[content_col]
+            ]
+            counts = np.array(
+                [max(1, len(b) // every_n_bytes) for b in blobs], dtype=np.int64
+            )
+            idx = np.repeat(np.arange(len(blobs)), counts)
+            frame_idx = np.concatenate(
+                [np.arange(c) for c in counts]
+            ) if len(counts) else np.array([], dtype=np.int64)
+            out = pdf.drop(columns=[content_col]).iloc[idx].reset_index(
+                drop=True
+            )
+            out["frame_idx"] = frame_idx.astype("int32")
+            out["frame"] = [
+                blobs[r][i * every_n_bytes : (i + 1) * every_n_bytes]
+                for r, i in zip(idx, frame_idx)
+            ]
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(_map, out_schema)
 
@@ -206,16 +391,32 @@ def extract_audio_features(
                     "audio codec not available; pass fake=True for the "
                     "deterministic test double"
                 )
-            rows = []
-            for _, row in pdf.iterrows():
-                b = bytes(row[content_col]) if row[content_col] is not None else b""
-                for i in range(max(1, len(b) // frame_bytes)):
-                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
-                    r = row.drop(labels=[content_col]).to_dict()
-                    r["frame_idx"] = i
-                    r["energy"] = sum(x * x for x in fr)
-                    r["byte_mean"] = sum(fr) // max(len(fr), 1)
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            # vectorized: per-frame energy/mean come from numpy reductions
+            # over a flat byte buffer, not per-byte Python arithmetic
+            blobs = [
+                bytes(b) if b is not None else b"" for b in pdf[content_col]
+            ]
+            counts = np.array(
+                [max(1, len(b) // frame_bytes) for b in blobs], dtype=np.int64
+            )
+            idx = np.repeat(np.arange(len(blobs)), counts)
+            frame_idx = np.concatenate(
+                [np.arange(c) for c in counts]
+            ) if len(counts) else np.array([], dtype=np.int64)
+            energies = np.empty(len(idx), dtype=np.int64)
+            means = np.empty(len(idx), dtype=np.int64)
+            for j, (r, i) in enumerate(zip(idx, frame_idx)):
+                fr = np.frombuffer(
+                    blobs[r], np.uint8, offset=0
+                )[i * frame_bytes : (i + 1) * frame_bytes].astype(np.int64)
+                energies[j] = (fr * fr).sum()
+                means[j] = fr.sum() // max(len(fr), 1)
+            out = pdf.drop(columns=[content_col]).iloc[idx].reset_index(
+                drop=True
+            )
+            out["frame_idx"] = frame_idx.astype("int32")
+            out["energy"] = energies
+            out["byte_mean"] = means
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(_map, out_schema)

@@ -500,15 +500,73 @@ def m1_image_metadata(spark, sf_dir):
 
 @query(
     "m2_image_resize",
-    "SELECT doc_id, CAST(4096 AS BIGINT) AS resized_len FROM documents",
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 24 + 8 AS w_in, doc_id % 16 + 8 AS h_in
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w_in, h_in, y.g AS y, x.g AS x
+      FROM dims,
+           (SELECT unnest(generate_series(0, 15)) AS g) y,
+           (SELECT unnest(generate_series(0, 15)) AS g) x
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM(((y * h_in) // 16 * w_in + (x * w_in) // 16 + doc_id)
+                    % 256) AS BIGINT) AS pixel_sum
+    FROM grid GROUP BY doc_id
+    """,
 )
 def m2_image_resize(spark, sf_dir):
-    """M2: resize stage (deterministic test double; real codec stubbed
-    behind NotImplementedError — see operators/multimodal.py)."""
-    media = _media(spark, sf_dir, scale=1, mod=100)
-    resized = resize_image(media, "content", size=(64, 64), fake=True)
-    return resized.select(
-        "doc_id", F.length("resized").cast("bigint").alias("resized_len")
+    """M2: REAL image resize. Each doc becomes a genuine gray PNG
+    (w = id%24+8, h = id%16+8, pixel(y,x) = (y*w + x + id) % 256),
+    resized to 16x16 through the stdlib codec (png_decode ->
+    nearest_resize -> png_encode), then the resized PNG is decoded
+    AGAIN and summed. The oracle predicts the exact pixel sum from the
+    nearest-neighbor index map (src = (dst*extent_in)//16), so encode,
+    decode, resample, and re-encode must all be pixel-correct."""
+    import numpy as np
+
+    from finporter_spark.operators.multimodal import png_decode, png_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 24 + 8, i % 16 + 8
+                px = (
+                    (np.arange(h)[:, None] * w + np.arange(w)[None, :] + i)
+                    % 256
+                ).astype(np.uint8)
+                content.append(png_encode(px[:, :, None]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_make, "doc_id bigint, content binary")
+    )
+    resized = resize_image(media, "content", size=(16, 16))
+
+    def _verify(batches):
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf["resized"]:
+                arr = png_decode(bytes(b))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                sums.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return resized.mapInPandas(
+        _verify, "doc_id bigint, width int, height int, pixel_sum bigint"
     )
 
 

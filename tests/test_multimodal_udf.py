@@ -52,10 +52,49 @@ def test_binary_source_and_meta(spark, media_dir):
     assert got["c.bin"] == (None, None, None)
 
 
-def test_resize_stub_raises_without_fake(spark, media_dir):
-    df = read_binary(spark, media_dir)
+def test_resize_non_png_raises_without_fake(spark, media_dir):
+    """No JPEG/GIF codec in this container: the real path refuses
+    non-PNG inputs instead of silently faking them."""
+    df = read_binary(spark, media_dir).filter(F.col("path").endswith("b.gif"))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_image(df).collect()
+
+
+def test_resize_png_real_pixels(spark, tmp_path):
+    """The PNG path is REAL: decode -> nearest-neighbor -> re-encode.
+    The resized bytes are a valid PNG of the target dims whose pixels
+    equal numpy's index-sampled original."""
+    import numpy as np
+
+    from finporter_spark.operators.multimodal import (
+        nearest_resize,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (12, 10, 3), dtype=np.uint8)
+    (tmp_path / "real.png").write_bytes(png_encode(px))
+    df = read_binary(spark, str(tmp_path))
+    out = resize_image(df, size=(5, 6)).collect()
+    assert len(out) == 1
+    arr = png_decode(bytes(out[0].resized))
+    assert arr.shape == (6, 5, 3)
+    assert (arr == nearest_resize(px, (5, 6))).all()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) and channel
+    count (gray/GA/RGB/RGBA) survives encode -> decode bit-exact."""
+    import numpy as np
+
+    from finporter_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, (13, 9, ch), dtype=np.uint8)
+        for ft in range(5):
+            assert (png_decode(png_encode(px, filter_type=ft)) == px).all()
 
 
 def test_resize_fake_shape(spark, media_dir):
