@@ -3,6 +3,7 @@ from finporter_spark.operators.dedup import (
     exact_dedup,
     keep_latest,
     minhash_near_duplicates,
+    simhash_fingerprints,
     simhash_near_duplicates,
     upsert_by_key,
     connected_components,
@@ -27,6 +28,7 @@ __all__ = [
     "exact_dedup",
     "keep_latest",
     "minhash_near_duplicates",
+    "simhash_fingerprints",
     "simhash_near_duplicates",
     "upsert_by_key",
     "connected_components",

@@ -200,29 +200,23 @@ def minhash_near_duplicates(
     )
 
 
-def simhash_near_duplicates(
+def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    max_hamming: int = 3,
-    block_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit weighted-bit fingerprint + blocked Hamming
-    join.
+    """(id, simhash) — the 64-bit weighted-bit fingerprint per doc.
 
-    Fingerprint: per distinct token, xxhash64; each of the 64 bit
-    positions votes +1/-1; the sign of the vote sum is the fingerprint
-    bit. Computed as explode -> groupBy(doc) with 64 ``sum`` aggregates —
-    one shuffle with map-side combine (same scaling argument as
-    minhash_signatures).
-
-    Candidate generation uses the pigeonhole trick: split the 64 bits into
-    ``64/block_bits`` blocks; two fingerprints within ``max_hamming`` must
-    share at least one exact block when blocks > max_hamming. Equi-join on
-    (block_idx, block_value), then verify exact Hamming via bit_count(xor).
+    Per distinct token, xxhash64; each of the 64 bit positions votes
+    +1/-1; the sign of the vote sum is the fingerprint bit. Computed as
+    explode -> groupBy(doc) with packed ``sum`` aggregates — one shuffle
+    with map-side combine (same scaling argument as minhash_signatures).
+    Deterministic (no approximation lives here — the ≈ part of SimHash
+    is the fingerprint's relationship to true similarity, and candidate
+    blocking is pigeonhole-exact); exposed separately so tests can
+    brute-force-verify the blocked join against these values.
     """
-    n_blocks = bits // block_bits
     ex = df.select(
         F.col(id_col),
         F.explode(
@@ -265,9 +259,29 @@ def simhash_near_duplicates(
                 c_i * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         )
+    return packed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: fingerprints (simhash_fingerprints) + blocked
+    Hamming join.
+
+    Candidate generation uses the pigeonhole trick: split the 64 bits into
+    ``64/block_bits`` blocks; two fingerprints within ``max_hamming`` must
+    share at least one exact block when blocks > max_hamming. Equi-join on
+    (block_idx, block_value), then verify exact Hamming via bit_count(xor).
+    """
+    n_blocks = bits // block_bits
     # one long per doc; materialized because the blocked self-join below
     # reads it twice (same argument as the minhash signature cache)
-    sigs = packed.select(F.col(id_col), fp.alias("simhash")).cache()
+    sigs = simhash_fingerprints(df, text_col, id_col, bits).cache()
 
     blocks = sigs.select(
         id_col,

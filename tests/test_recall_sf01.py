@@ -1,0 +1,143 @@
+"""≈-operator recall measured at the BENCH scale factor (sf0.1), not just
+the unit SF (SURVEY §5c: every ≈ operator carries a threshold check; the
+bench runs at sf0.1, so recall must be known there too).
+
+Ground truths are scalable exact baselines, not quadratic scans:
+- minhash: ngram_jaccard_pairs — exact Jaccard via the inverted shingle
+  index (any pair with J >= threshold shares shingles, so the index is a
+  complete baseline).
+- simhash: the pigeonhole guarantee is testable — with 4 blocks and
+  max_hamming 3, the blocked join must find EVERY pair within the
+  Hamming radius, so a bounded brute-force Hamming scan is compared for
+  equality, not recall.
+- lsh/ivf kNN: brute-force cosine over the full sf0.1 candidate set for
+  a query subset.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.1 testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def docs01(spark):
+    return spark.read.parquet(f"{SF01}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb01(spark):
+    return spark.read.parquet(f"{SF01}/embeddings.parquet").cache()
+
+
+def test_minhash_recall_at_sf01(spark, docs01):
+    from finporter_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs01, threshold=0.6).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs01, jaccard_threshold=0.4
+        ).collect()
+    }
+    assert truth, "sf0.1 corpus should contain near-duplicates"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash sf0.1 recall {recall} (|truth|={len(truth)})"
+
+
+def test_simhash_blocked_join_is_exhaustive_at_sf01(spark, docs01):
+    """Pigeonhole exactness at scale: with 4 blocks and radius 3 the
+    blocked candidate join must find EVERY pair within Hamming <= 3 —
+    equality against an independent all-pairs bit_count(xor) scan over
+    the same fingerprints (bounded id range keeps the quadratic
+    REFERENCE side at ~1M pairs; the operator output is filtered to the
+    same range)."""
+    from finporter_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    bound = 1500
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(docs01, max_hamming=3)
+        .filter((F.col("id_a") < bound) & (F.col("id_b") < bound))
+        .collect()
+    }
+    fps = simhash_fingerprints(
+        docs01.filter(F.col("doc_id") < bound)
+    ).cache()
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= 3
+        )
+        .collect()
+    }
+    fps.unpersist()
+    assert brute, "sf0.1 corpus should contain simhash near-duplicates"
+    assert blocked == brute
+
+
+def test_lsh_knn_recall_at_sf01(spark, emb01):
+    from finporter_spark.operators.similarity import (
+        brute_force_knn,
+        lsh_bucket_knn,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_knn(q, emb01, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in lsh_bucket_knn(q, emb01, dim=64, k=5, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"lsh knn sf0.1 recall {recall}"
+
+
+def test_ivf_knn_recall_at_sf01(spark, emb01, tmp_path):
+    from finporter_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        load_or_train_centroids,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_knn(q, emb01, k=5).collect()
+    }
+    cents = load_or_train_centroids(
+        emb01, 64, n_centroids=16, iters=3, cache_path=str(tmp_path / "c")
+    )
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_knn(
+            q, emb01, dim=64, k=5, n_centroids=16, n_probe=4, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ivf knn sf0.1 recall {recall}"
