@@ -127,6 +127,7 @@ def lsh_bucket_knn(
     c_vec: str = "embedding",
     seed: int = 42,
     multi_probe: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket(s).
@@ -135,8 +136,18 @@ def lsh_bucket_knn(
     a hash equi-join on bucket id (shuffle ∝ data, not data²). With
     ``multi_probe`` each query also probes the n_planes buckets at Hamming
     distance 1 from its own code (sign flips are the likeliest source of
-    missed neighbors) — only the tiny query side fans out, candidates are
-    hashed once. Recall vs brute force is threshold-tested at sf0.001.
+    missed neighbors) — only the query side fans out, candidates are
+    hashed once. Recall vs brute force is threshold-tested at sf0.001 and
+    sf0.1.
+
+    Contract on the query side: with ``broadcast_queries=True`` (default)
+    Q × (1 + n_planes) probe rows must fit in a broadcast — the
+    interactive-search shape (thousands of queries, map-only over
+    candidates). For batch-against-batch workloads (Q ~ corpus-sized,
+    e.g. full-corpus near-dup by embedding), pass
+    ``broadcast_queries=False``: the SAME bucket equi-join executes as a
+    symmetric shuffled join, both sides partitioned by bucket id —
+    shuffle ∝ |Q| + |N|, never |Q|·|N|.
     """
     planes = [_hyperplane(dim, i, seed) for i in range(n_planes)]
     qb = queries.select(
@@ -160,8 +171,9 @@ def lsh_bucket_knn(
         F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
         sign_lsh_bucket(F.col(c_vec), planes).alias("bucket"),
     ).withColumn("_cn", _norm(F.col("_cv")))
+    probe_side = F.broadcast(qb) if broadcast_queries else qb
     scored = (
-        F.broadcast(qb)
+        probe_side
         .join(cb, "bucket")
         .select(
             q_id,

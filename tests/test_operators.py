@@ -229,3 +229,21 @@ def test_connected_components_chain_and_islands(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_lsh_knn_symmetric_join_matches_broadcast(spark, sf_dir):
+    """broadcast_queries=False (batch-against-batch contract) takes the
+    symmetric shuffled bucket join and returns identical results."""
+    from finporter_spark.operators.similarity import lsh_bucket_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    bc = lsh_bucket_knn(q, emb, dim=64, k=5, n_planes=4)
+    sym = lsh_bucket_knn(
+        q, emb, dim=64, k=5, n_planes=4, broadcast_queries=False
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(
+        map(tuple, sym.collect())
+    )
