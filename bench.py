@@ -45,6 +45,7 @@ HEADLINE = [
     "l9_ngram_jaccard",
     "z1_bucketed_join",
     "z2_salted_agg",
+    "pipe1_training_prep",
 ]
 
 

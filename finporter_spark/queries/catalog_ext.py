@@ -1139,3 +1139,85 @@ def z2_salted_agg(spark, sf_dir):
         "n",
         F.col("sum_dec").cast("double").alias("sum_qty"),
     )
+
+
+# =====================================================================
+# PIPE — composite training-data prep pipeline: the L-operators chained
+# the way a real corpus-prep job runs them, as ONE lazy Catalyst plan.
+# =====================================================================
+
+def _pipe1_lang_case() -> str:
+    from finporter_spark.queries.catalog import _lang_hits_sql
+
+    return f"""
+      SELECT doc_id, n_tokens,
+             CASE WHEN de_h > 0 AND de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+                  WHEN en_h > 0 AND en_h >= es_h AND en_h >= fr_h THEN 'en'
+                  WHEN es_h > 0 AND es_h >= fr_h THEN 'es'
+                  WHEN fr_h > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM (
+        SELECT doc_id, n_tokens,
+               {_lang_hits_sql(_PIPE_LANGS['en'])} AS en_h,
+               {_lang_hits_sql(_PIPE_LANGS['fr'])} AS fr_h,
+               {_lang_hits_sql(_PIPE_LANGS['es'])} AS es_h,
+               {_lang_hits_sql(_PIPE_LANGS['de'])} AS de_h
+        FROM q
+      )
+    """
+
+
+from finporter_spark.operators.text import LANG_MARKERS as _PIPE_LANGS  # noqa: E402
+
+
+def _pipe1_sql() -> str:
+    return f"""
+    WITH q AS (
+      SELECT doc_id, text, CAST(len({_TOKS}) AS INT) AS n_tokens
+      FROM documents WHERE len({_TOKS}) >= 10
+    ), k AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                 AS fp
+        FROM q
+      ) GROUP BY fp
+    ), h AS ({_pipe1_lang_case()})
+    SELECT k.doc_id, h.n_tokens, h.lang_pred
+    FROM k JOIN h ON k.doc_id = h.doc_id
+    """
+
+
+@query("pipe1_training_prep", None)  # oracle attached below (f-string)
+def pipe1_training_prep(spark, sf_dir):
+    """Composite corpus-prep pipeline: quality gate (token count) ->
+    content dedup (bag-of-tokens fingerprint, keep min id) -> language
+    annotation — one lazy plan, ONE shuffle (the fingerprint groupBy;
+    min_by carries the annotated payload through the dedup so no join
+    back is needed). This is the composition shape of a 100 TB
+    training-data run: every stage map-only except the single dedup
+    exchange on a uniformly distributed 256-bit key."""
+    from finporter_spark.operators.text import fingerprint, language_id, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    enriched = language_id(q, "text").select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return (
+        enriched.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "n_tokens", "lang_pred"), F.col("doc_id")
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.n_tokens", "s.lang_pred")
+    )
+
+
+CATALOG["pipe1_training_prep"] = (pipe1_training_prep, _pipe1_sql())
