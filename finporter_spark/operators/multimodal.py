@@ -7,17 +7,18 @@ functions via ``mapInPandas`` — constant Python overhead per batch, media
 bytes never round-trip through the driver, and partitioning is by file so
 a 100 TB corpus fans out across executors.
 
-Codec status: PNG is REAL — a stdlib-only codec (zlib inflate ->
-unfilter -> numpy nearest-neighbor resample -> refilter -> deflate)
-backs ``resize_image`` for 8-bit gray/RGB/alpha PNGs, so the resize
-pipeline decodes and re-encodes actual pixels. JPEG/video/audio codecs
-are unavailable in this container: ``decode_image_meta`` parses their
-real header bytes (pure Python, deterministic), while ``resize_image``
-(non-PNG) / ``sample_frames`` / ``extract_audio_features`` raise
-NotImplementedError unless a deterministic fake is requested. The
-Spark-side plumbing — schemas, batch iteration, UDF signatures — is
-real and tested either way. (Production swap-in: Pillow/libpng in the
-same mapInPandas slots; per-image cost is embarrassingly parallel.)
+Codec status: PNG and baseline JPEG are REAL. PNG: stdlib zlib codec
+(all five filters, gray/GA/RGB/RGBA). JPEG: Annex-K baseline
+Huffman+DCT codec in numpy (``operators/jpeg.py`` — SOF0, 8-bit,
+gray/4:4:4). ``resize_image`` decodes either, resamples with numpy
+nearest-neighbor, and re-encodes actual pixels. Video/audio codecs are
+unavailable in this container: ``sample_frames`` /
+``extract_audio_features`` raise NotImplementedError unless a
+deterministic fake is requested, and ``decode_image_meta`` parses real
+header bytes for everything (pure Python). The Spark-side plumbing —
+schemas, batch iteration, UDF signatures — is real and tested either
+way. (Production swap-in: Pillow/libjpeg-turbo in the same mapInPandas
+slots; per-image cost is embarrassingly parallel.)
 """
 
 from __future__ import annotations
@@ -274,13 +275,15 @@ def resize_image(
 ) -> DataFrame:
     """Image resize over a binary column (Arrow-batched mapInPandas).
 
-    PNG inputs take the REAL path: stdlib decode -> numpy
-    nearest-neighbor resample -> re-encode (``png_decode`` /
-    ``nearest_resize`` / ``png_encode``); the output column holds valid
-    PNG bytes of the target dimensions. Non-PNG inputs raise
-    NotImplementedError (no JPEG codec in this container) unless
-    ``fake=True``, which instead produces the deterministic pseudo-resize
-    byte buffer (w*h bytes) for every row — the plumbing test double.
+    PNG and baseline JPEG inputs take the REAL path: stdlib/numpy decode
+    (``png_decode`` / ``jpeg.jpeg_decode``) -> nearest-neighbor resample
+    -> PNG re-encode (PNG out for both: the resized bytes are lossless
+    and deterministic, so downstream checks can verify exact pixels;
+    callers wanting JPEG out re-encode with ``jpeg.jpeg_encode``).
+    Other formats (GIF, progressive/subsampled JPEG, video stills)
+    raise NotImplementedError unless ``fake=True``, which instead
+    produces the deterministic pseudo-resize byte buffer (w*h bytes)
+    for every row — the plumbing test double.
     """
     w, h = size
     out_schema = StructType(
@@ -295,12 +298,19 @@ def resize_image(
         if fake:
             n = w * h
             return data[:n].ljust(n, b"\x00")
-        if data[:8] != b"\x89PNG\r\n\x1a\n":
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            px = png_decode(data)
+        elif data[:2] == b"\xff\xd8":
+            from finporter_spark.operators.jpeg import jpeg_decode
+
+            px = jpeg_decode(data)
+        else:
             raise NotImplementedError(
-                "only the PNG codec is available in this environment; "
-                "pass fake=True for the deterministic test double"
+                "only PNG and baseline JPEG codecs are available in this "
+                "environment; pass fake=True for the deterministic test "
+                "double"
             )
-        return png_encode(nearest_resize(png_decode(data), (w, h)))
+        return png_encode(nearest_resize(px, (w, h)))
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1221,3 +1221,82 @@ def pipe1_training_prep(spark, sf_dir):
 
 
 CATALOG["pipe1_training_prep"] = (pipe1_training_prep, _pipe1_sql())
+
+
+@query(
+    "m4_jpeg_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 3 + 2) * 8 AS w_in, (doc_id % 2 + 2) * 8 AS h_in
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w_in, h_in, y.g AS y, x.g AS x
+      FROM dims,
+           (SELECT unnest(generate_series(0, 15)) AS g) y,
+           (SELECT unnest(generate_series(0, 15)) AS g) x
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM(
+             (((((y * h_in) // 16) // 8) * (w_in // 8)
+                + ((x * w_in) // 16) // 8 + doc_id) * 2) % 256
+           ) AS BIGINT) AS pixel_sum
+    FROM grid GROUP BY doc_id
+    """,
+)
+def m4_jpeg_resize(spark, sf_dir):
+    """M4: REAL baseline-JPEG decode inside the resize pipeline
+    (operators/jpeg.py — Annex-K Huffman + DCT, numpy). Each doc becomes
+    a genuine gray JPEG that is CONSTANT per 8x8 block with even values
+    (bv = ((by*nbx + bx + id) * 2) % 256): such blocks quantize to a
+    DC-only coefficient that dequantizes exactly (see jpeg.py module
+    docstring), so the lossy pipeline is losslessly SQL-predictable.
+    The JPEG is Huffman-decoded + IDCT'd by resize_image, resampled to
+    16x16, PNG-encoded, decoded AGAIN, and pixel-summed — the oracle
+    predicts the exact sum, so entropy coding, DCT/IDCT, resampling,
+    and both codecs must all be bit-correct."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_encode
+    from finporter_spark.operators.multimodal import png_decode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nbx, nby = i % 3 + 2, i % 2 + 2
+                bv = (
+                    (np.arange(nby)[:, None] * nbx + np.arange(nbx)[None, :]
+                     + i) * 2
+                ) % 256
+                px = np.kron(bv.astype(np.uint8), np.ones((8, 8), np.uint8))
+                content.append(jpeg_encode(px[:, :, None]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_make, "doc_id bigint, content binary")
+    )
+    resized = resize_image(media, "content", size=(16, 16))
+
+    def _verify(batches):
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf["resized"]:
+                arr = png_decode(bytes(b))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                sums.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return resized.mapInPandas(
+        _verify, "doc_id bigint, width int, height int, pixel_sum bigint"
+    )

@@ -53,8 +53,8 @@ def test_binary_source_and_meta(spark, media_dir):
 
 
 def test_resize_non_png_raises_without_fake(spark, media_dir):
-    """No JPEG/GIF codec in this container: the real path refuses
-    non-PNG inputs instead of silently faking them."""
+    """No GIF codec in this container: the real path refuses formats it
+    cannot actually decode instead of silently faking them."""
     df = read_binary(spark, media_dir).filter(F.col("path").endswith("b.gif"))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_image(df).collect()
@@ -187,3 +187,64 @@ def test_audio_features_real_path_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|audio codec"):
         extract_audio_features(df, fake=False).collect()
+
+
+def test_jpeg_codec_block_constant_exact():
+    """The oracle property: block-constant EVEN pixel values survive the
+    lossy pipeline exactly (DC-only blocks dequantize losslessly)."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        bv = (rng.randint(0, 128, (3, 4)) * 2).astype(np.uint8)
+        px = np.kron(bv, np.ones((8, 8), dtype=np.uint8))[:, :, None]
+        assert (jpeg_decode(jpeg_encode(px)) == px).all()
+
+
+def test_jpeg_codec_lossy_bounds_and_meta():
+    """General inputs roundtrip within quantization error; SOF0 headers
+    parse through the shared metadata sniffer."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+    from finporter_spark.operators.multimodal import decode_image_meta_bytes
+
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.rint(np.add.outer(x, x) / 2), 0, 255).astype(
+        np.uint8
+    )[:, :, None]
+    err = np.abs(
+        jpeg_decode(jpeg_encode(grad)).astype(int) - grad.astype(int)
+    ).max()
+    assert err <= 12, err
+
+    rgb = np.zeros((16, 24, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 100, 50
+    err = np.abs(
+        jpeg_decode(jpeg_encode(rgb)).astype(int) - rgb.astype(int)
+    ).max()
+    assert err <= 6, err
+
+    assert decode_image_meta_bytes(jpeg_encode(rgb)) == ("jpeg", 24, 16)
+
+
+def test_resize_jpeg_real(spark, tmp_path):
+    """resize_image decodes baseline JPEG for real and emits lossless
+    PNG bytes of the target dims."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_encode
+    from finporter_spark.operators.multimodal import png_decode
+
+    bv = np.array([[100, 200], [50, 150]], dtype=np.uint8)
+    px = np.kron(bv, np.ones((8, 8), np.uint8))[:, :, None]
+    (tmp_path / "a.jpg").write_bytes(jpeg_encode(px))
+    df = read_binary(spark, str(tmp_path))
+    out = resize_image(df, size=(4, 4)).collect()
+    arr = png_decode(bytes(out[0].resized))
+    assert arr.shape == (4, 4, 1)
+    # nearest map: src = (dst*16)//4 -> rows 0,4,8,12 -> blocks 0,0,1,1
+    want = np.kron(bv, np.ones((2, 2), np.uint8))[:, :, None]
+    assert (arr == want).all()
