@@ -298,13 +298,16 @@ def x1_stream_file_source(spark, sf_dir):
 def x5_stream_dedup(spark, sf_dir):
     """X5: stateful streaming dedup (dropDuplicatesWithinWatermark) over
     a stream carrying every event twice; exactly one row per key comes
-    out. Single input file => single micro-batch => deterministic."""
+    out. 8 staged files stay within one maxFilesPerTrigger batch =>
+    deterministic, and the staging write + ingest run parallel."""
     path = _io_dir(sf_dir, "x5")
     e = _t(spark, sf_dir, "events").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
     )
-    e.unionAll(e).coalesce(1).write.mode("overwrite").csv(path, header=True)
+    e.unionAll(e).repartition(8).write.mode("overwrite").csv(
+        path, header=True
+    )
     sdf = stream_decode_files(spark, path, schema="event_id bigint, ts timestamp")
     deduped = sdf.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -843,10 +846,13 @@ def q5_local_supplier_volume(spark, sf_dir):
 )
 def x6_stateful_running_totals(spark, sf_dir):
     """X6: custom stateful streaming operator (applyInPandasWithState) —
-    per-user state carried across micro-batches. Single-file input =>
-    one batch => the final state equals the batch aggregate; the oracle
-    checks the exact per-key counts (float totals are threshold-tested in
-    tests/, not hashed — pandas partial sums aren't decimal-routable).
+    per-user state carried across micro-batches. 8 staged files (under
+    availableNow's single drain, all land in ONE batch) => update mode
+    emits exactly one row per key, equal to the batch aggregate; the
+    oracle checks the exact per-key counts (float totals are
+    threshold-tested in tests/, not hashed — pandas partial sums aren't
+    decimal-routable). 8-way staging keeps the write AND the stream
+    ingest parallel (a coalesce(1) here serialized both).
     """
     from finporter_spark.streaming.pipeline import (
         run_stream_to_memory,
@@ -858,7 +864,7 @@ def x6_stateful_running_totals(spark, sf_dir):
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value",
-    ).coalesce(1).write.mode("overwrite").csv(path, header=True)
+    ).repartition(8).write.mode("overwrite").csv(path, header=True)
     sdf = (
         spark.readStream.schema("user_id bigint, ts timestamp, value double")
         .option("header", True)
