@@ -8,6 +8,8 @@ from finporter_spark.operators.dedup import (
     upsert_by_key,
     connected_components,
 )
+from finporter_spark.operators.audio import extract_wav_features, wav_decode, wav_encode
+from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode, split_mjpeg
 from finporter_spark.operators.scale import salted_agg, write_bucketed
 from finporter_spark.operators.similarity import (
     brute_force_knn,
@@ -32,6 +34,12 @@ __all__ = [
     "simhash_near_duplicates",
     "upsert_by_key",
     "connected_components",
+    "extract_wav_features",
+    "wav_decode",
+    "wav_encode",
+    "jpeg_decode",
+    "jpeg_encode",
+    "split_mjpeg",
     "salted_agg",
     "write_bucketed",
     "brute_force_knn",

@@ -1,0 +1,138 @@
+"""WAV (RIFF PCM) codec + real audio feature extraction — stdlib + numpy.
+
+WAV is a container, not a codec: 8/16-bit PCM parses with struct/numpy
+alone, so unlike MP3/AAC (which stay stubbed behind
+``extract_audio_features(fake=...)``) the engine can genuinely decode
+it. ``extract_wav_features`` is the REAL per-frame feature extractor:
+RIFF parse -> int samples -> vectorized numpy reductions per window
+(energy, amplitude sum, zero crossings), Arrow-batched via mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """int array (n,) or (n, channels) -> RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if bits == 16:
+        payload = samples.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (samples.astype(np.int64) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("wav_encode supports 8 or 16 bits")
+    block = ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits
+    )
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+    out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(payload)) + payload
+    return out
+
+
+def wav_decode(content: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM bytes -> (sample_rate, int32 samples (n, channels)).
+
+    8-bit unsigned and 16-bit signed PCM (format tag 1). Compressed WAV
+    (IEEE float, ADPCM, ...) raises NotImplementedError.
+    """
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = ch = bits = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1:
+                raise NotImplementedError(f"non-PCM WAV (format tag {tag})")
+            if bits not in (8, 16):
+                raise NotImplementedError(f"{bits}-bit PCM")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        arr = np.frombuffer(data, "<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(data, np.uint8).astype(np.int32) - 128
+    return rate, arr.reshape(-1, ch)
+
+
+def extract_wav_features(
+    df: DataFrame,
+    content_col: str = "content",
+    frame_samples: int = 256,
+) -> DataFrame:
+    """REAL audio features over a WAV binary column: one row per
+    ``frame_samples`` window of channel 0 — (frame_idx, n_samples,
+    energy = sum(x²), amp_sum = sum(x), zero_crossings). All reductions
+    are exact integer numpy ops, so results are oracle-predictable.
+    Trailing partial windows are dropped (frames are fixed-size by
+    contract, like training windows)."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [
+            StructField("frame_idx", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("amp_sum", LongType()),
+            StructField("zero_crossings", IntegerType()),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            carried = pdf.drop(columns=[content_col])
+            idx_list, feats = [], []
+            for row_i, b in enumerate(pdf[content_col]):
+                if b is None:
+                    continue
+                _rate, samples = wav_decode(bytes(b))
+                x = samples[:, 0].astype(np.int64)
+                nfr = len(x) // frame_samples
+                if nfr == 0:
+                    continue
+                fr = x[: nfr * frame_samples].reshape(nfr, frame_samples)
+                energy = (fr * fr).sum(axis=1)
+                amp = fr.sum(axis=1)
+                sign = fr >= 0
+                zc = (sign[:, 1:] != sign[:, :-1]).sum(axis=1)
+                for k in range(nfr):
+                    idx_list.append(row_i)
+                    feats.append(
+                        (k, frame_samples, int(energy[k]), int(amp[k]),
+                         int(zc[k]))
+                    )
+            out = carried.iloc[idx_list].reset_index(drop=True)
+            cols = list(zip(*feats)) if feats else [[], [], [], [], []]
+            out["frame_idx"] = pd.array(cols[0], dtype="int32")
+            out["n_samples"] = pd.array(cols[1], dtype="int32")
+            out["energy"] = pd.array(cols[2], dtype="int64")
+            out["amp_sum"] = pd.array(cols[3], dtype="int64")
+            out["zero_crossings"] = pd.array(cols[4], dtype="int32")
+            yield out[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(_map, out_schema)

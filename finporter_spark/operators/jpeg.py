@@ -516,3 +516,51 @@ def jpeg_decode(content: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG (MJPEG-style) byte stream into frames.
+
+    Walks the real marker structure — segment lengths for headers,
+    stuffed-byte/RST rules inside entropy data — so a 0xFFD9 byte pair
+    inside a segment can never be mistaken for end-of-image. Raises on
+    malformed streams rather than guessing.
+    """
+    frames: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"expected SOI at offset {pos}")
+        start = pos
+        pos += 2
+        in_entropy = False
+        while pos < n:
+            if not in_entropy:
+                if data[pos] != 0xFF:
+                    raise ValueError(f"bad marker alignment at {pos}")
+                m = data[pos + 1]
+                if m == 0xD9:  # EOI
+                    pos += 2
+                    frames.append(data[start:pos])
+                    break
+                if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
+                    pos += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                was_sos = m == 0xDA
+                pos += 2 + seg_len
+                in_entropy = was_sos
+            else:
+                b = data[pos]
+                if b != 0xFF:
+                    pos += 1
+                    continue
+                m = data[pos + 1] if pos + 1 < n else 0xD9
+                if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffed / RST
+                    pos += 2
+                    continue
+                in_entropy = False  # real marker ends the scan
+        else:
+            raise ValueError("stream ended inside a frame")
+    return frames

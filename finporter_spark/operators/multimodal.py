@@ -325,12 +325,17 @@ def sample_frames(
     content_col: str = "content",
     every_n_bytes: int = 1024,
     fake: bool = False,
+    every_n_frames: int = 1,
 ) -> DataFrame:
-    """Frame-sampling stub (video): emits one row per sampled 'frame'.
+    """Frame sampling over a video-style binary column (1 row in ->
+    k frame rows out via mapInPandas).
 
-    Real implementation would demux with a codec; the fake slices the byte
-    stream every ``every_n_bytes`` — same fan-out shape (1 row in, k rows
-    out via mapInPandas) as real frame extraction.
+    MJPEG streams (concatenated JPEGs — the classic frame-dump format)
+    take the REAL path: ``jpeg.split_mjpeg`` walks the actual marker
+    structure and emits every ``every_n_frames``-th frame as its own
+    JPEG bytes. Container formats needing a demuxer (MP4/MKV) raise
+    NotImplementedError unless ``fake=True``, which slices the byte
+    stream every ``every_n_bytes`` — same fan-out shape, test double.
     """
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != content_col]
@@ -340,12 +345,38 @@ def sample_frames(
         ]
     )
 
+    def _map_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from finporter_spark.operators.jpeg import split_mjpeg
+
+        for pdf in batches:
+            carried = pdf.drop(columns=[content_col])
+            idx_list, fidx, frames = [], [], []
+            for row_i, b in enumerate(pdf[content_col]):
+                if b is None:
+                    continue
+                data = bytes(b)
+                if data[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "only MJPEG (concatenated JPEG) streams are "
+                        "demuxable in this environment; pass fake=True "
+                        "for the byte-slicing test double"
+                    )
+                for k, fr in enumerate(split_mjpeg(data)):
+                    if k % every_n_frames:
+                        continue
+                    idx_list.append(row_i)
+                    fidx.append(k)
+                    frames.append(fr)
+            out = carried.iloc[idx_list].reset_index(drop=True)
+            out["frame_idx"] = pd.array(fidx, dtype="int32")
+            out["frame"] = frames
+            yield out[[f.name for f in out_schema.fields]]
+
+    if not fake:
+        return df.mapInPandas(_map_real, out_schema)
+
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codec not available; pass fake=True for the test double"
-                )
             # vectorized fan-out: one np.repeat of the carry-through
             # columns + a flat slice list — no per-row Python objects
             # beyond the frame bytes themselves

@@ -1306,3 +1306,121 @@ def m4_jpeg_resize(spark, sf_dir):
     return resized.mapInPandas(
         _verify, "doc_id bigint, width int, height int, pixel_sum bigint"
     )
+
+
+@query(
+    "m5_wav_features",
+    """
+    WITH d AS (
+      SELECT doc_id, 512 + (doc_id % 3) * 256 AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n, unnest(generate_series(0, n // 256 - 1)) AS frame_idx
+      FROM d
+    ), s AS (
+      SELECT doc_id, frame_idx, unnest(generate_series(0, 255)) AS j FROM f
+    ), v AS (
+      SELECT doc_id, frame_idx,
+             ((frame_idx * 256 + j + doc_id) % 201) - 100 AS x
+      FROM s
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(256 AS INT) AS n_samples,
+           CAST(SUM(x * x) AS BIGINT) AS energy,
+           CAST(SUM(x) AS BIGINT) AS amp_sum
+    FROM v GROUP BY doc_id, frame_idx
+    """,
+)
+def m5_wav_features(spark, sf_dir):
+    """M5: REAL audio decode — WAV/PCM is a container stdlib can parse,
+    so the feature extractor is genuine (operators/audio.py: RIFF parse
+    -> int16 samples -> exact integer numpy reductions per 256-sample
+    window). Each doc becomes a 16-bit PCM WAV whose samples are
+    s(i) = ((i + doc_id) % 201) - 100; the oracle recomputes per-frame
+    energy and amplitude sums exactly."""
+    import numpy as np
+
+    from finporter_spark.operators.audio import (
+        extract_wav_features,
+        wav_encode,
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 512 + (i % 3) * 256
+                s = ((np.arange(n) + i) % 201) - 100
+                content.append(wav_encode(s, 16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_make, "doc_id bigint, content binary")
+    )
+    return extract_wav_features(media, "content", frame_samples=256).select(
+        "doc_id", "frame_idx", "n_samples", "energy", "amp_sum"
+    )
+
+
+@query(
+    "m6_mjpeg_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(((doc_id + frame_idx) * 2) % 256 AS BIGINT) AS frame_mean
+    FROM f
+    """,
+)
+def m6_mjpeg_frames(spark, sf_dir):
+    """M6: REAL video-style frame extraction — an MJPEG stream (doc_id%3
+    + 1 concatenated JPEGs per doc) is demuxed by walking the actual
+    marker structure (jpeg.split_mjpeg), then each extracted frame is
+    Huffman-decoded and averaged. Frames are block-constant at even
+    value ((doc_id + f) * 2) % 256, so decode is exact and the oracle
+    predicts every frame mean."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                stream = b"".join(
+                    jpeg_encode(
+                        np.full((16, 16, 1), ((i + f) * 2) % 256, np.uint8)
+                    )
+                    for f in range(i % 3 + 1)
+                )
+                content.append(stream)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_make, "doc_id bigint, content binary")
+    )
+    frames = sample_frames(media, "content")  # REAL MJPEG demux
+
+    def _mean(batches):
+        for pdf in batches:
+            means = [
+                int(jpeg_decode(bytes(b)).mean()) for b in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_mean": pd.array(means, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
+    )

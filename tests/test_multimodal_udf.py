@@ -248,3 +248,80 @@ def test_resize_jpeg_real(spark, tmp_path):
     # nearest map: src = (dst*16)//4 -> rows 0,4,8,12 -> blocks 0,0,1,1
     want = np.kron(bv, np.ones((2, 2), np.uint8))[:, :, None]
     assert (arr == want).all()
+
+
+def test_wav_codec_and_features(spark):
+    """WAV PCM roundtrips bit-exact; the real feature extractor's
+    energy/amp/zero-crossings match hand-computed numpy values."""
+    import numpy as np
+
+    from finporter_spark.operators.audio import (
+        extract_wav_features,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(-32768, 32768, (1000, 2), dtype=np.int64)
+    rate, dec = wav_decode(wav_encode(s, 44100))
+    assert rate == 44100 and (dec == s).all()
+    s8 = rng.randint(-128, 128, (64,), dtype=np.int64)
+    _, dec8 = wav_decode(wav_encode(s8, 8000, bits=8))
+    assert (dec8[:, 0] == s8).all()
+
+    mono = rng.randint(-1000, 1000, (600,), dtype=np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_encode(mono, 16000)))], "id long, content binary"
+    )
+    rows = extract_wav_features(df, frame_samples=256).collect()
+    assert [r.frame_idx for r in rows] == [0, 1]  # 600 // 256
+    fr = mono[:512].reshape(2, 256)
+    assert [r.energy for r in rows] == [int((f * f).sum()) for f in fr]
+    assert [r.amp_sum for r in rows] == [int(f.sum()) for f in fr]
+    sign = fr >= 0
+    assert [r.zero_crossings for r in rows] == [
+        int((sign[k, 1:] != sign[k, :-1]).sum()) for k in range(2)
+    ]
+
+
+def test_wav_rejects_compressed(spark):
+    import struct as st
+
+    from finporter_spark.operators.audio import wav_decode
+
+    fmt = st.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)  # IEEE float tag
+    bad = (
+        b"RIFF" + st.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    )
+    import pytest as pt
+
+    with pt.raises(NotImplementedError, match="format tag"):
+        wav_decode(bad)
+
+
+def test_sample_frames_real_mjpeg(spark):
+    """The real path demuxes concatenated JPEGs by marker structure and
+    each extracted frame decodes to its source pixels."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    vals = (40, 120, 250)
+    stream = b"".join(
+        jpeg_encode(np.full((16, 16, 1), v - (v % 2), np.uint8)) for v in vals
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "id long, content binary"
+    )
+    rows = sorted(
+        sample_frames(df).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for r, v in zip(rows, vals):
+        assert (jpeg_decode(bytes(r.frame)) == v - (v % 2)).all()
+    # every_n_frames subsampling
+    assert sorted(
+        r.frame_idx
+        for r in sample_frames(df, every_n_frames=2).collect()
+    ) == [0, 2]
