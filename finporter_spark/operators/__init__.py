@@ -9,6 +9,7 @@ from finporter_spark.operators.dedup import (
     connected_components,
 )
 from finporter_spark.operators.audio import extract_wav_features, wav_decode, wav_encode
+from finporter_spark.operators.gif import gif_decode, gif_encode
 from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode, split_mjpeg
 from finporter_spark.operators.scale import salted_agg, write_bucketed
 from finporter_spark.operators.similarity import (
@@ -37,6 +38,8 @@ __all__ = [
     "extract_wav_features",
     "wav_decode",
     "wav_encode",
+    "gif_decode",
+    "gif_encode",
     "jpeg_decode",
     "jpeg_encode",
     "split_mjpeg",

@@ -304,11 +304,15 @@ def resize_image(
             from finporter_spark.operators.jpeg import jpeg_decode
 
             px = jpeg_decode(data)
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            from finporter_spark.operators.gif import gif_decode
+
+            px = gif_decode(data)
         else:
             raise NotImplementedError(
-                "only PNG and baseline JPEG codecs are available in this "
-                "environment; pass fake=True for the deterministic test "
-                "double"
+                "only PNG, baseline JPEG, and GIF codecs are available in "
+                "this environment; pass fake=True for the deterministic "
+                "test double"
             )
         return png_encode(nearest_resize(px, (w, h)))
 

@@ -1424,3 +1424,75 @@ def m6_mjpeg_frames(spark, sf_dir):
     return frames.mapInPandas(
         _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
     )
+
+
+@query(
+    "m7_gif_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 17 + 8 AS w_in, doc_id % 13 + 8 AS h_in
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w_in, h_in, y.g AS y, x.g AS x
+      FROM dims,
+           (SELECT unnest(generate_series(0, 15)) AS g) y,
+           (SELECT unnest(generate_series(0, 15)) AS g) x
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(SUM(3 * ((((y * h_in) // 16) + ((x * w_in) // 16) + doc_id)
+                         % 16) * 17) AS BIGINT) AS pixel_sum
+    FROM grid GROUP BY doc_id
+    """,
+)
+def m7_gif_resize(spark, sf_dir):
+    """M7: REAL GIF decode in the resize pipeline (operators/gif.py —
+    variable-width LSB-first LZW, palette mapping). GIF is lossless, so
+    no quantization trick is needed: indices idx(y,x) = (x+y+id) % 16
+    over a 16-gray palette (c -> c*17 per channel) make every decoded
+    pixel SQL-predictable; the oracle sums the nearest-neighbor-sampled
+    values across all three identical channels."""
+    import numpy as np
+
+    from finporter_spark.operators.gif import gif_encode
+    from finporter_spark.operators.multimodal import png_decode
+
+    def _make(batches):
+        pal = (np.arange(16, dtype=np.uint8)[:, None] * 17).repeat(3, axis=1)
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 17 + 8, i % 13 + 8
+                idx = (
+                    np.arange(h)[:, None] + np.arange(w)[None, :] + i
+                ) % 16
+                content.append(gif_encode(idx.astype(np.int64), pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_make, "doc_id bigint, content binary")
+    )
+    resized = resize_image(media, "content", size=(16, 16))
+
+    def _verify(batches):
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for b in pdf["resized"]:
+                arr = png_decode(bytes(b))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                sums.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return resized.mapInPandas(
+        _verify, "doc_id bigint, width int, height int, pixel_sum bigint"
+    )

@@ -52,12 +52,46 @@ def test_binary_source_and_meta(spark, media_dir):
     assert got["c.bin"] == (None, None, None)
 
 
-def test_resize_non_png_raises_without_fake(spark, media_dir):
-    """No GIF codec in this container: the real path refuses formats it
-    cannot actually decode instead of silently faking them."""
-    df = read_binary(spark, media_dir).filter(F.col("path").endswith("b.gif"))
+def test_resize_unknown_format_raises_without_fake(spark, media_dir):
+    """The real path refuses formats it cannot actually decode instead
+    of silently faking them."""
+    df = read_binary(spark, media_dir).filter(F.col("path").endswith("c.bin"))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_image(df).collect()
+
+
+def test_resize_gif_real_pixels(spark, tmp_path):
+    """GIF is lossless: resize decodes real LZW index data and the
+    output PNG pixels equal the palette-mapped, index-sampled source."""
+    import numpy as np
+
+    from finporter_spark.operators.gif import gif_encode
+    from finporter_spark.operators.multimodal import (
+        nearest_resize,
+        png_decode,
+    )
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (12, 10)).astype(np.int64)
+    (tmp_path / "x.gif").write_bytes(gif_encode(idx, pal))
+    df = read_binary(spark, str(tmp_path))
+    out = resize_image(df, size=(5, 6)).collect()
+    arr = png_decode(bytes(out[0].resized))
+    assert arr.shape == (6, 5, 3)
+    assert (arr == nearest_resize(pal[idx].astype(np.uint8), (5, 6))).all()
+
+
+def test_gif_codec_roundtrip():
+    import numpy as np
+
+    from finporter_spark.operators.gif import gif_decode, gif_encode
+
+    rng = np.random.RandomState(9)
+    for ncol, shape in ((4, (10, 7)), (256, (80, 90))):
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        idx = rng.randint(0, ncol, shape).astype(np.int64)
+        assert (gif_decode(gif_encode(idx, pal)) == pal[idx]).all()
 
 
 def test_resize_png_real_pixels(spark, tmp_path):
