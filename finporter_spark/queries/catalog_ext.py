@@ -1078,10 +1078,17 @@ def z1_bucketed_join(spark, sf_dir):
     "pay the shuffle once at ingest" strategy for tables joined
     repeatedly; plan-asserted in tests/test_scale.py). The oracle is the
     plain join on the original parquet: it matches only if the bucketed
-    write+read is lossless AND the exchange-free join is correct."""
+    write+read is lossless AND the exchange-free join is correct.
+
+    Staging is dataset state (like l3_ivf's centroids): the bucketed
+    tables are written once per (sf_dir, source mtimes) and reused via
+    DDL-only registration after that — so the steady-state cost is the
+    zero-exchange join, not the one-off ingest shuffle. A changed source
+    fingerprint forces a restage (no stale buckets)."""
     from finporter_spark.operators.scale import (
         bucketed_join_ready,
-        write_bucketed,
+        ensure_bucketed,
+        source_fingerprint,
     )
 
     tag = re.sub(
@@ -1089,15 +1096,19 @@ def z1_bucketed_join(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
     )
     ot, lt = f"z1_orders_{tag}", f"z1_lineitem_{tag}"
-    write_bucketed(
+    ensure_bucketed(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         ot, ["o_orderkey"], n_buckets=8, sort_keys=["o_orderkey"],
         path=_io_dir(sf_dir, "z1_orders"),
+        fingerprint=source_fingerprint(
+            os.path.join(sf_dir, "orders.parquet")),
     )
-    write_bucketed(
+    ensure_bucketed(
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         lt, ["l_orderkey"], n_buckets=8, sort_keys=["l_orderkey"],
         path=_io_dir(sf_dir, "z1_lineitem"),
+        fingerprint=source_fingerprint(
+            os.path.join(sf_dir, "lineitem.parquet")),
     )
     o = bucketed_join_ready(spark, ot)
     l = bucketed_join_ready(spark, lt)

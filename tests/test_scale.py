@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from finporter_spark.operators.scale import (
+    ensure_bucketed,
     salted_agg,
+    source_fingerprint,
     write_bucketed,
 )
 from finporter_spark.queries.catalog import _t
@@ -106,6 +108,57 @@ def test_z1_catalog_join_is_exchange_free(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ensure_bucketed_stages_once_and_invalidates(spark, sf_dir, tmp_path):
+    """Second call with the same fingerprint must NOT rewrite the data
+    (bucketing is pay-once); a changed fingerprint must restage (stale
+    buckets would silently desync from regenerated sources)."""
+    import os
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "b_orders")
+    fp = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+
+    ensure_bucketed(o, "t_eb_orders", ["o_orderkey"], n_buckets=4, path=path)
+    # no fingerprint recorded -> conservative restage on reuse attempts
+    ensure_bucketed(
+        o, "t_eb_orders", ["o_orderkey"], n_buckets=4, path=path,
+        fingerprint=fp,
+    )
+    mtimes = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert mtimes
+
+    # same fingerprint: pure DDL reuse, data files untouched — even from
+    # a catalog that has forgotten the table
+    spark.sql("DROP TABLE IF EXISTS t_eb_orders")
+    ensure_bucketed(
+        o, "t_eb_orders", ["o_orderkey"], n_buckets=4, path=path,
+        fingerprint=fp,
+    )
+    after = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert after == mtimes
+    got = sorted(map(tuple, spark.table("t_eb_orders").collect()))
+    want = sorted(map(tuple, o.collect()))
+    assert got == want
+
+    # changed fingerprint: restage (files rewritten)
+    spark.sql("DROP TABLE IF EXISTS t_eb_orders")
+    ensure_bucketed(
+        o, "t_eb_orders", ["o_orderkey"], n_buckets=4, path=path,
+        fingerprint="different",
+    )
+    rewritten = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert rewritten != mtimes
 
 
 def test_z2_salted_agg_two_phase_plan(spark, sf_dir):
