@@ -11,7 +11,19 @@ from finporter_spark.operators.dedup import (
 from finporter_spark.operators.audio import extract_wav_features, wav_decode, wav_encode
 from finporter_spark.operators.gif import gif_decode, gif_encode
 from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode, split_mjpeg
-from finporter_spark.operators.scale import salted_agg, write_bucketed
+from finporter_spark.operators.prep import (
+    chunk_documents,
+    decontaminate,
+    redact,
+    sample_bucket,
+    stratified_sample,
+)
+from finporter_spark.operators.scale import (
+    ensure_bucketed,
+    salted_agg,
+    source_fingerprint,
+    write_bucketed,
+)
 from finporter_spark.operators.similarity import (
     brute_force_knn,
     cosine_expr,
@@ -43,7 +55,14 @@ __all__ = [
     "jpeg_decode",
     "jpeg_encode",
     "split_mjpeg",
+    "chunk_documents",
+    "decontaminate",
+    "redact",
+    "sample_bucket",
+    "stratified_sample",
+    "ensure_bucketed",
     "salted_agg",
+    "source_fingerprint",
     "write_bucketed",
     "brute_force_knn",
     "cosine_expr",

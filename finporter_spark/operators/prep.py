@@ -1,0 +1,175 @@
+"""Training-data preparation operators: chunking, decontamination,
+deterministic sampling, and pattern redaction.
+
+These close the gap between "a clean corpus exists" and "batches are
+ready to tokenize": split documents to context-window-sized pieces,
+remove documents that overlap a held-out evaluation set, draw
+reproducible stratified subsets, and scrub identifier patterns. All four
+are pure DataFrame compositions — map-only where possible, one keyed
+shuffle where semantics require it — so they inherit Catalyst pushdown
+and whole-stage codegen and hold their shape at corpus scale.
+
+Cross-engine determinism notes (the catalog oracles depend on these):
+- sampling buckets come from ``md5`` of the key's decimal string — both
+  Spark and DuckDB produce identical md5 hex, unlike their (different)
+  native ``hash``/``xxhash64`` builtins;
+- decontamination joins on the n-gram *string*; a production pipeline
+  would join on an 8-byte hash of it (same plan shape, smaller
+  exchange) — the string form is kept here so the semi-join is exactly
+  reproducible in the oracle engine.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from finporter_spark.operators.dedup import shingles
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``overlap`` characters of context carried between neighbors.
+
+    Output: (id, chunk_id, chunk_text, chunk_chars) — one row per chunk,
+    ``chunk_id`` 0-based in document order. Map-only: the chunk starts
+    are a generated arithmetic sequence (``F.sequence``), exploded and
+    sliced with ``substring`` — no shuffle, no UDF, and the explode
+    fan-out is bounded by len/stride per row so input splits stay
+    balanced. Empty documents yield one empty chunk (the row is kept:
+    losing documents silently would corrupt downstream joins).
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)),
+        F.lit(stride),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.substring(F.col(text_col), F.col("_start"), chunk_chars).alias(
+            "chunk_text"
+        ),
+        F.length(
+            F.substring(F.col(text_col), F.col("_start"), chunk_chars)
+        ).alias("chunk_chars"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Drop training documents that share ANY word ``ngram_n``-gram with
+    a held-out benchmark set (eval-set contamination removal).
+
+    Shape: explode distinct n-grams on both sides, ``left_anti`` join the
+    training grams against the benchmark grams, keep documents none of
+    whose grams survived on the contaminated side — expressed as an
+    anti-join of doc ids against the ids of contaminated docs. Work is
+    proportional to (corpus grams + benchmark grams); the benchmark side
+    is typically small enough that Spark broadcasts it, making the gram
+    probe map-only. Tokenization reuses :func:`~.dedup.shingles` so the
+    overlap definition matches the near-dup operators'.
+    """
+    grams = lambda d: d.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), ngram_n))
+        ).alias("gram"),
+    )
+    bench_grams = grams(benchmark).select("gram").distinct()
+    contaminated = (
+        grams(df)
+        .join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+def sample_bucket(key: Column, buckets: int = 10000) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets) for a key:
+    first 8 hex chars of ``md5(key as string)``. Reruns, retries, and
+    other engines (the DuckDB oracle) place every row identically —
+    which ``rand()`` and engine-native hashes do not guarantee."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    default_fraction: float = 0.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Reproducible per-stratum subsample: keep a row iff its md5 bucket
+    falls under its stratum's fraction. Map-only (a filter — no shuffle,
+    no state), so it runs at corpus scale as a scan; and because the
+    bucket depends only on the key, samples are stable across runs and
+    composable (a 0.5 sample contains every 0.25 sample)."""
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        t = F.when(cond, F.lit(int(frac * buckets)))
+        thr = t if thr is None else thr.when(cond, F.lit(int(frac * buckets)))
+    thr = (
+        thr.otherwise(F.lit(int(default_fraction * buckets)))
+        if thr is not None
+        else F.lit(int(default_fraction * buckets))
+    )
+    return df.filter(sample_bucket(F.col(key_col), buckets) < thr)
+
+
+def redact(
+    df: DataFrame,
+    col: str,
+    patterns: Sequence[str | tuple[str, str]],
+    replacement: str = "[REDACTED]",
+    out_col: str | None = None,
+    count_col: str = "n_redactions",
+) -> DataFrame:
+    """Scrub every match of ``patterns`` (applied in order) from ``col``
+    and count how many redactions were made per row. Each pattern is a
+    regex string (replaced with ``replacement``) or an explicit
+    ``(regex, replacement)`` pair.
+
+    Map-only regex work inside codegen (``regexp_replace`` /
+    ``regexp_count`` — no UDF). Patterns must stay within the common
+    Java/RE2 subset (no backreferences/lookaround) so the behavior is
+    portable across engines; counting happens on the ORIGINAL text per
+    pattern, then text is rewritten in sequence.
+    """
+    out_col = out_col or col
+    n = F.lit(0)
+    red = F.col(col)
+    for p in patterns:
+        pat, repl = p if isinstance(p, tuple) else (p, replacement)
+        n = n + F.regexp_count(F.col(col), F.lit(pat))
+        red = F.regexp_replace(red, pat, repl)
+    keep = [c for c in df.columns if c != col or out_col != col]
+    return df.select(
+        *keep, red.alias(out_col), n.cast("bigint").alias(count_col)
+    )

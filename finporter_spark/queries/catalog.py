@@ -1178,3 +1178,5 @@ def catalog_oracles() -> dict[str, str]:
 
 # Extension entries (S/U/X/L9-L10/M) register themselves on import.
 from finporter_spark.queries import catalog_ext  # noqa: E402,F401
+# Training-data prep entries (L12-L14/O7/S4) likewise.
+from finporter_spark.queries import catalog_prep  # noqa: E402,F401

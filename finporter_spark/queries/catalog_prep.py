@@ -1,0 +1,164 @@
+"""Catalog extension #2: training-data preparation entries.
+
+L12 chunking, L13 decontamination, O7 deterministic stratified sampling,
+L14 pattern redaction (operators/prep.py), plus the S4 ORC roundtrip.
+Registered into the same CATALOG on import (from queries/__init__.py).
+
+Cross-engine notes specific to these entries:
+- sampling buckets use md5 (identical hex in Spark and DuckDB); the
+  oracle re-derives the bucket with DuckDB's ``CAST('0x…' AS BIGINT)``;
+- chunk ids are ``(start-1)/stride`` on the oracle side to match
+  ``posexplode``'s 0-based position;
+- decontamination tokenizes exactly like l9's oracle (same ``_TOKS``
+  normalization), so the two operators agree on what an n-gram is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finporter_spark.operators.prep import (
+    chunk_documents,
+    decontaminate,
+    redact,
+    stratified_sample,
+)
+from finporter_spark.queries.catalog import _t, _TOKS, query
+from finporter_spark.queries.catalog_ext import _io_dir
+
+
+@query(
+    "l12_chunk_documents",
+    """
+    SELECT doc_id,
+           CAST((start - 1) // 64 AS BIGINT) AS chunk_id,
+           substr(text, CAST(start AS BIGINT), 80) AS chunk_text,
+           CAST(length(substr(text, CAST(start AS BIGINT), 80)) AS INT)
+             AS chunk_chars
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 64))
+               AS start
+      FROM documents
+    )
+    """,
+)
+def l12_chunk_documents(spark, sf_dir):
+    """Context-window packing: 80-char chunks, 16-char overlap (stride
+    64). Map-only sequence+posexplode+substring — the pre-tokenization
+    splitter a training pipeline runs over every document."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_chars=80,
+        overlap=16,
+    ).withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+
+
+@query(
+    "l13_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM toks
+      )
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 37 <> 0
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 37 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def l13_decontaminate(spark, sf_dir):
+    """Eval-set contamination removal: the held-out set is every 37th
+    document; a training document is dropped iff it shares any word
+    5-gram with that set. Gram probe is a semi-join against the (small,
+    broadcastable) benchmark gram set; survivors anti-join back."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(train, bench, ngram_n=5).select("doc_id", "lang")
+
+
+@query(
+    "o7_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                      WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+)
+def o7_stratified_sample(spark, sf_dir):
+    """Reproducible stratified subsample: 50% of English, 25% of German,
+    10% of Chinese, 5% otherwise — md5-bucketed on doc_id so the draw is
+    identical across engines, runs, and retries (operators/prep.py
+    sample_bucket). A filter, not a shuffle: corpus-scale safe."""
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        fractions={"en": 0.5, "de": 0.25, "zh": 0.1},
+        strata_col="lang",
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
+@query(
+    "l14_redact_ids",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(c_name || ' seg:' || c_mktsegment,
+                            'Customer#\d+', '[ID]', 'g'),
+             'seg:[A-Z]+', 'seg:[SEG]', 'g') AS contact,
+           CAST(len(regexp_extract_all(c_name || ' seg:' || c_mktsegment,
+                                       'Customer#\d+'))
+                + len(regexp_extract_all(c_name || ' seg:' || c_mktsegment,
+                                         'seg:[A-Z]+')) AS BIGINT)
+             AS n_redactions
+    FROM customer
+    """,
+)
+def l14_redact_ids(spark, sf_dir):
+    """Identifier scrubbing: ordered regex redaction with per-row match
+    counts (operators/prep.redact) — the PII-removal shape (emails,
+    phone numbers, SSNs are the same operator with different patterns,
+    kept to the portable Java∩RE2 regex subset). Pure codegen regex,
+    map-only."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" seg:"), F.col("c_mktsegment")
+        ).alias("contact"),
+    )
+    return redact(
+        c,
+        "contact",
+        [(r"Customer#\d+", "[ID]"), (r"seg:[A-Z]+", "seg:[SEG]")],
+    ).select("c_custkey", "contact", "n_redactions")
+
+
+@query(
+    "s4_orc_roundtrip",
+    "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders",
+)
+def s4_orc_roundtrip(spark, sf_dir):
+    """ORC sink+source roundtrip (columnar sibling of the parquet path;
+    Spark's native ORC reader is vectorized and supports the same
+    pushdown surface). Oracle = identity on the original table: passes
+    only if the ORC write+read is lossless."""
+    path = _io_dir(sf_dir, "s4")
+    _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

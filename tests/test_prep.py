@@ -1,0 +1,136 @@
+"""Training-data prep operators (operators/prep.py): chunking is
+lossless, decontamination drops exactly the overlapping docs, sampling
+is deterministic/nested/engine-portable, redaction counts are right."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from finporter_spark.operators.prep import (
+    chunk_documents,
+    decontaminate,
+    redact,
+    sample_bucket,
+    stratified_sample,
+)
+from finporter_spark.queries.catalog import _t
+
+
+def test_chunks_reassemble_to_original(spark, sf_dir):
+    """Dropping each chunk's leading overlap and concatenating in
+    chunk_id order must reproduce the document exactly — no byte lost
+    or duplicated."""
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(docs, chunk_chars=80, overlap=16)
+    rebuilt = (
+        chunks.withColumn(
+            "piece",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.substring(F.col("chunk_text"), 17, 80)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_id", "piece")))
+                .getField("piece")
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id").select("text", "rebuilt").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r.rebuilt == r.text
+
+
+def test_chunk_empty_doc_kept(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="")])
+    out = chunk_documents(df, chunk_chars=10, overlap=2).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "" and out[0].chunk_id == 0
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=5, overlap=5)
+
+
+def test_decontaminate_drops_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 5-gram "quick brown fox jumps over"
+            Row(doc_id=1, text="a quick brown fox jumps over everything"),
+            Row(doc_id=2, text="completely unrelated words appear in here now"),
+            Row(doc_id=3, text="too short"),  # <5 tokens -> no grams -> kept
+        ]
+    )
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(train, bench, ngram_n=5).select("doc_id").collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    small = stratified_sample(
+        docs, "doc_id", {"en": 0.2}, "lang", default_fraction=0.1
+    )
+    big = stratified_sample(
+        docs, "doc_id", {"en": 0.5}, "lang", default_fraction=0.3
+    )
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    again = {r.doc_id for r in small.select("doc_id").collect()}
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert small_ids == again  # rerun-stable
+    assert small_ids <= big_ids  # nested: bigger fraction is a superset
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_en_sampled = (
+        big.filter(F.col("lang") == "en").count()
+    )
+    assert abs(n_en_sampled / n_en - 0.5) < 0.15  # unbiased-ish rate
+
+
+def test_sample_bucket_matches_duckdb(spark):
+    """The md5 bucket must be bit-identical in DuckDB — that is the whole
+    point of using md5 over engine-native hashes."""
+    df = spark.range(0, 500).select(
+        F.col("id"), sample_bucket(F.col("id")).alias("b")
+    )
+    got = {r.id: r.b for r in df.collect()}
+    want = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)"
+            "            AS BIGINT) % 10000"
+            " FROM range(500) t(i)"
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_redact_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, t="mail a@b.com and c@d.org, ssn 12-34"),
+            Row(k=2, t="nothing to hide"),
+        ]
+    )
+    out = {
+        r.k: r
+        for r in redact(
+            df,
+            "t",
+            [(r"[\w.]+@[\w.]+", "[EMAIL]"), (r"\d{2}-\d{2}", "[NUM]")],
+        ).collect()
+    }
+    assert out[1].t == "mail [EMAIL] and [EMAIL], ssn [NUM]"
+    assert out[1].n_redactions == 3
+    assert out[2].t == "nothing to hide" and out[2].n_redactions == 0
