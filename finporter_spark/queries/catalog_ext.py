@@ -877,6 +877,66 @@ def x6_stateful_running_totals(spark, sf_dir):
 
 
 @query(
+    "x7_stream_stream_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS view_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def x7_stream_stream_join(spark, sf_dir):
+    """X7: stream-stream interval join — views attributed to purchases by
+    the same user within 6 hours (streaming/pipeline.stream_interval_join).
+    Two file-source streams over the same staged CSV drop, inner-joined
+    with watermarks + the interval bound (what lets Spark evict join
+    state at scale). The drain retention exceeds the 30-day data span, so
+    the availableNow output is exactly the batch join the oracle runs."""
+    from finporter_spark.streaming.pipeline import stream_interval_join
+
+    path = _io_dir(sf_dir, "x7")
+    _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+    ).repartition(8).write.mode("overwrite").csv(path, header=True)
+
+    def side(kind, prefix):
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string"
+            )
+            .option("header", True)
+            .option("maxFilesPerTrigger", 4)  # force multi-batch buffering
+            .csv(path)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                "user_id",
+            )
+        )
+
+    joined = stream_interval_join(
+        side("view", "view"),
+        side("purchase", "purchase"),
+        key="user_id",
+        ts_left="view_ts",
+        ts_right="purchase_ts",
+        within="6 hours",
+        watermark="365 days",
+    )
+    out = run_stream_to_memory(joined, "x7_mem", output_mode="append")
+    return out.select(
+        "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"
+    )
+
+
+@query(
     "o6_upsert_merge",
     f"""
     WITH unioned AS (

@@ -15,6 +15,8 @@ Cross-engine notes specific to these entries:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from finporter_spark.operators.prep import (
@@ -25,6 +27,65 @@ from finporter_spark.operators.prep import (
 )
 from finporter_spark.queries.catalog import _t, _TOKS, query
 from finporter_spark.queries.catalog_ext import _io_dir
+
+
+@query(
+    "p13_exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def p13_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through the spark.sql path —
+    Catalyst rewrites them to left-semi / left-anti joins (the
+    decorrelation a user would otherwise hand-write)."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "p14_scalar_subquery",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST((SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM orders) AS DOUBLE)
+             AS corpus_avg
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM orders)
+    """,
+)
+def p14_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subqueries (threshold derived from the data
+    itself): Catalyst executes the subquery once and broadcasts the
+    scalar — no per-row re-evaluation, no driver-side action."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST((SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM orders) AS DOUBLE)
+                 AS corpus_avg
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) FROM orders)
+        """
+    )
 
 
 @query(
@@ -146,6 +207,60 @@ def l14_redact_ids(spark, sf_dir):
         "contact",
         [(r"Customer#\d+", "[ID]"), (r"seg:[A-Z]+", "seg:[SEG]")],
     ).select("c_custkey", "contact", "n_redactions")
+
+
+@query(
+    "s8_partitioned_prune",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-01', '1995-02', '1995-03')
+    GROUP BY 1
+    """,
+)
+def s8_partitioned_prune(spark, sf_dir):
+    """Hive-style partitioned layout + partition pruning: orders written
+    once per dataset partitioned by order month
+    (``partitionBy("order_month")``), then read back filtered to three
+    months — the scan touches only those directories (PartitionFilters;
+    plan-asserted in tests/test_plans.py). At 100 TB this is the
+    difference between reading 3 months and reading 7 years. Staging
+    reuses the z1 pattern: written once per (sf_dir, source mtimes)."""
+    from finporter_spark.operators.scale import source_fingerprint
+
+    path = _io_dir(sf_dir, "s8")
+    fp = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    marker = os.path.join(path, "_staged_fingerprint")
+    staged = False
+    try:
+        with open(marker) as fh:
+            staged = fh.read() == fp
+    except OSError:
+        pass
+    if not staged:
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        ).write.mode("overwrite").partitionBy("order_month").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(fp)
+    months = ["1995-01", "1995-02", "1995-03"]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("order_month").isin(months))
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .withColumn("order_month", F.col("order_month").cast("string"))
+    )
 
 
 @query(

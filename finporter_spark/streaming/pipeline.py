@@ -184,6 +184,37 @@ def stream_transform(
     return writer.start()
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_left: str,
+    ts_right: str,
+    within: str = "6 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """X7: stream-stream inner join on ``key`` where the right event lands
+    in ``[ts_left, ts_left + within]`` (view→purchase attribution shape).
+
+    Both sides carry watermarks + the interval condition, which is what
+    lets Spark BOUND the join state: a buffered left row is evictable
+    once the right watermark passes ``ts_left + within``, instead of
+    retaining the whole stream forever. The watermark is a
+    latency/completeness dial — rows arriving later than it drop out of
+    the result; a drain-style run (availableNow over a bounded backlog,
+    as the x7 catalog entry does) passes a retention larger than the data
+    span so the drained output is exactly the batch join.
+    """
+    lw = left.withWatermark(ts_left, watermark)
+    rw = right.withWatermark(ts_right, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[ts_right] >= lw[ts_left])
+        & (rw[ts_right] <= lw[ts_left] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])
+
+
 def stream_running_totals(
     events: DataFrame,
     key_col: str = "user_id",

@@ -121,3 +121,13 @@ def test_partitioned_sink_prunes_by_day(spark, sf_dir, tmp_path):
     p = plan(scan)
     assert "PartitionFilters: [isnotnull(_day" in p
     assert scan.count() == e.filter(F.to_date("ts") == F.lit(one_day)).count()
+
+
+def test_s8_catalog_scan_prunes_partitions(spark, sf_dir):
+    """The s8 catalog entry's scan must prune to the three filtered
+    month directories (PartitionFilters present, no pushed data filter
+    needed — the predicate is satisfied entirely by layout)."""
+    df = CATALOG["s8_partitioned_prune"][0](spark, sf_dir)
+    p = plan(df)
+    assert "PartitionFilters: [" in p
+    assert "order_month" in p.split("PartitionFilters: [", 1)[1].split("]")[0]
