@@ -43,6 +43,10 @@ HEADLINE = [
     "l3_ivf_knn",
     "l8_tfidf_top_terms",
     "l9_ngram_jaccard",
+    "l12_chunk_documents",
+    "l13_decontaminate",
+    "o7_stratified_sample",
+    "s8_partitioned_prune",
     "z1_bucketed_join",
     "z2_salted_agg",
     "pipe1_training_prep",
