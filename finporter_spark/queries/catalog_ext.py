@@ -53,6 +53,35 @@ def _io_dir(sf_dir: str, name: str) -> str:
     return os.path.join(IO_ROOT, f"{name}_{tag}")
 
 
+def _stage_once(sf_dir, name, write_fn, *source_tables):
+    """Write a staging dataset once per (query, sf, source mtimes).
+
+    Staging drops (the CSV backlog a stream drains, the partitioned or
+    bucketed layout a query reads) are INPUT fixtures, not the operator
+    under test — rewriting them per call just re-times the ingest. A
+    stat-based fingerprint of the source parquet files is recorded after
+    the write; a mismatch (regenerated testdata) forces a restage, so
+    reuse can never serve stale data. Returns the staged path.
+    """
+    from finporter_spark.operators.scale import source_fingerprint
+
+    path = _io_dir(sf_dir, name)
+    fp = source_fingerprint(
+        *[os.path.join(sf_dir, f"{t}.parquet") for t in source_tables]
+    )
+    marker = os.path.join(path, "_staged_fingerprint")
+    try:
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return path
+    except OSError:
+        pass
+    write_fn(path)
+    with open(marker, "w") as fh:
+        fh.write(fp)
+    return path
+
+
 # =====================================================================
 # S — source/sink roundtrips. The oracle is the identity SELECT on the
 # original table: it passes only if sink encoding + source decoding are
@@ -266,13 +295,20 @@ def x1_stream_file_source(spark, sf_dir):
     """X1: CSV file-source stream of the events table -> tumbling-window
     aggregation -> memory sink. Complete output mode (no watermark) so a
     full drain is exactly the batch answer at any micro-batch split."""
-    path = _io_dir(sf_dir, "x1")
-    _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "event_type",
-        "value",
-    ).write.mode("overwrite").csv(path, header=True)
+    path = _stage_once(
+        sf_dir,
+        "x1",
+        lambda p: _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .csv(p, header=True),
+        "events",
+    )
     sdf = stream_decode_files(
         spark,
         path,
@@ -300,13 +336,18 @@ def x5_stream_dedup(spark, sf_dir):
     a stream carrying every event twice; exactly one row per key comes
     out. 8 staged files stay within one maxFilesPerTrigger batch =>
     deterministic, and the staging write + ingest run parallel."""
-    path = _io_dir(sf_dir, "x5")
     e = _t(spark, sf_dir, "events").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
     )
-    e.unionAll(e).repartition(8).write.mode("overwrite").csv(
-        path, header=True
+    path = _stage_once(
+        sf_dir,
+        "x5",
+        lambda p: e.unionAll(e)
+        .repartition(8)
+        .write.mode("overwrite")
+        .csv(p, header=True),
+        "events",
     )
     sdf = stream_decode_files(spark, path, schema="event_id bigint, ts timestamp")
     deduped = sdf.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
