@@ -900,12 +900,20 @@ def x6_stateful_running_totals(spark, sf_dir):
         stream_running_totals,
     )
 
-    path = _io_dir(sf_dir, "x6")
-    _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "value",
-    ).repartition(8).write.mode("overwrite").csv(path, header=True)
+    path = _stage_once(
+        sf_dir,
+        "x6",
+        lambda p: _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .csv(p, header=True),
+        "events",
+    )
     sdf = (
         spark.readStream.schema("user_id bigint, ts timestamp, value double")
         .option("header", True)
@@ -937,13 +945,21 @@ def x7_stream_stream_join(spark, sf_dir):
     the availableNow output is exactly the batch join the oracle runs."""
     from finporter_spark.streaming.pipeline import stream_interval_join
 
-    path = _io_dir(sf_dir, "x7")
-    _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id",
-        "event_type",
-    ).repartition(8).write.mode("overwrite").csv(path, header=True)
+    path = _stage_once(
+        sf_dir,
+        "x7",
+        lambda p: _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .csv(p, header=True),
+        "events",
+    )
 
     def side(kind, prefix):
         return (
