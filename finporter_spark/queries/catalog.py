@@ -1180,3 +1180,5 @@ def catalog_oracles() -> dict[str, str]:
 from finporter_spark.queries import catalog_ext  # noqa: E402,F401
 # Training-data prep entries (L12-L14/O7/S4) likewise.
 from finporter_spark.queries import catalog_prep  # noqa: E402,F401
+# TPC-H-shaped analytical suite (q2-q22 adaptations).
+from finporter_spark.queries import catalog_tpch  # noqa: E402,F401
