@@ -334,12 +334,18 @@ def sample_frames(
     """Frame sampling over a video-style binary column (1 row in ->
     k frame rows out via mapInPandas).
 
-    MJPEG streams (concatenated JPEGs — the classic frame-dump format)
-    take the REAL path: ``jpeg.split_mjpeg`` walks the actual marker
-    structure and emits every ``every_n_frames``-th frame as its own
-    JPEG bytes. Container formats needing a demuxer (MP4/MKV) raise
-    NotImplementedError unless ``fake=True``, which slices the byte
-    stream every ``every_n_bytes`` — same fan-out shape, test double.
+    Two REAL demux paths:
+
+    - MJPEG streams (concatenated JPEGs — the classic frame-dump
+      format): ``jpeg.split_mjpeg`` walks the actual marker structure;
+    - ISO BMFF (MP4): ``mp4.mp4_demux`` walks the box tree to the
+      sample tables (stsc/stsz/stco) and slices mdat at absolute
+      offsets — a genuine container demux.
+
+    Every ``every_n_frames``-th frame is emitted as its own bytes.
+    Other containers (MKV/AVI) raise NotImplementedError unless
+    ``fake=True``, which slices the byte stream every
+    ``every_n_bytes`` — same fan-out shape, test double.
     """
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != content_col]
@@ -351,6 +357,7 @@ def sample_frames(
 
     def _map_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from finporter_spark.operators.jpeg import split_mjpeg
+        from finporter_spark.operators.mp4 import is_mp4, mp4_demux
 
         for pdf in batches:
             carried = pdf.drop(columns=[content_col])
@@ -359,13 +366,17 @@ def sample_frames(
                 if b is None:
                     continue
                 data = bytes(b)
-                if data[:2] != b"\xff\xd8":
+                if is_mp4(data):
+                    demuxed = mp4_demux(data)
+                elif data[:2] == b"\xff\xd8":
+                    demuxed = split_mjpeg(data)
+                else:
                     raise NotImplementedError(
-                        "only MJPEG (concatenated JPEG) streams are "
+                        "only MJPEG and ISO BMFF (MP4) streams are "
                         "demuxable in this environment; pass fake=True "
                         "for the byte-slicing test double"
                     )
-                for k, fr in enumerate(split_mjpeg(data)):
+                for k, fr in enumerate(demuxed):
                     if k % every_n_frames:
                         continue
                     idx_list.append(row_i)

@@ -1624,3 +1624,72 @@ def m7_gif_resize(spark, sf_dir):
     return resized.mapInPandas(
         _verify, "doc_id bigint, width int, height int, pixel_sum bigint"
     )
+
+
+@query(
+    "m8_mp4_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 4 + 1)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(((doc_id * 3 + frame_idx * 5) % 128) * 2 AS BIGINT)
+             AS frame_mean
+    FROM f
+    """,
+)
+def m8_mp4_frames(spark, sf_dir):
+    """M8: REAL MP4 container demux — each doc becomes an ISO BMFF file
+    (operators/mp4.mp4_mux: ftyp + mdat + moov with stsc/stsz/stco
+    sample tables) holding doc_id%4+2 JPEG frames packed 2-per-chunk
+    (odd counts leave a remainder chunk => the stsc table has two runs,
+    so demux exercises the run mapping, not just fixed chunking).
+    sample_frames walks the box tree and slices mdat at the table
+    offsets; each frame then Huffman-decodes to a block-constant image
+    whose mean the oracle predicts exactly (even values survive the
+    DCT quantizer round-trip)."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+    from finporter_spark.operators.mp4 import mp4_mux
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [
+                    jpeg_encode(
+                        np.full(
+                            (16, 16, 1),
+                            ((i * 3 + f * 5) % 128) * 2,
+                            np.uint8,
+                        )
+                    )
+                    for f in range(i % 4 + 2)
+                ]
+                content.append(mp4_mux(frames, samples_per_chunk=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(_make, "doc_id bigint, content binary")
+    )
+    frames = sample_frames(media, "content")  # REAL ISO BMFF demux
+
+    def _mean(batches):
+        for pdf in batches:
+            means = [int(jpeg_decode(bytes(b)).mean()) for b in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_mean": pd.array(means, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
+    )
