@@ -23,6 +23,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q6_revenue_change",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q21_waiting_supplier",
     "p10_surrogate_id",
     "s7_quarantine_split",
     "j1_join_agg",

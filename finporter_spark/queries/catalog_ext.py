@@ -275,6 +275,45 @@ def u4_flatten_tokens(spark, sf_dir):
     return flatten_map(d, toks, "doc_id bigint, token string")
 
 
+@query(
+    "u5_udtf_bigrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           t[i] || ' ' || t[i + 1] AS bigram
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks)
+    """,
+)
+def u5_udtf_bigrams(spark, sf_dir):
+    """U5: a real Python UDTF (Spark 4 table function) under a LATERAL
+    join — the declarative form of 1-row -> n-rows expansion (u4 is the
+    mapInPandas form). The UDTF yields (pos, bigram) per document; the
+    lateral correlation carries doc_id through. Tokenization mirrors
+    ``normalized_text`` with ASCII \\s so all three engines agree;
+    single-token and empty documents yield no bigrams on both sides
+    (generate_series(1, 0) is empty, as is the Python loop)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            ws = re.compile(r"\s+", re.ASCII)
+            toks = ws.sub(" ", text.lower()).strip().split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("u5_bigrams", Bigrams)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("u5_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.pos, f.bigram
+        FROM u5_documents d, LATERAL u5_bigrams(d.text) f
+        """
+    )
+
+
 # =====================================================================
 # X — streaming execution against batch oracles. The stream entries run
 # a real Structured Streaming query (file source -> memory sink,
