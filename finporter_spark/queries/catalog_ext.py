@@ -296,7 +296,7 @@ def u5_udtf_bigrams(spark, sf_dir):
     (generate_series(1, 0) is empty, as is the Python loop)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, bigram string")
+    @udtf(returnType="pos int, bigram string", useArrow=True)
     class Bigrams:
         def eval(self, text: str):
             ws = re.compile(r"\s+", re.ASCII)
@@ -321,20 +321,9 @@ def u5_udtf_bigrams(spark, sf_dir):
 # be identical because availableNow drains the full input.
 # =====================================================================
 
-@query(
-    "x1_stream_file_source",
-    f"""
-    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT)
-             * 600 * 1000000) AS window_start,
-           event_type, COUNT(*) AS n, {DSUM('value')} AS total
-    FROM events GROUP BY 1, 2
-    """,
-)
-def x1_stream_file_source(spark, sf_dir):
-    """X1: CSV file-source stream of the events table -> tumbling-window
-    aggregation -> memory sink. Complete output mode (no watermark) so a
-    full drain is exactly the batch answer at any micro-batch split."""
-    path = _stage_once(
+def _stage_events_csv(spark, sf_dir):
+    """The canonical events-as-CSV drop folder (shared by x1/x8)."""
+    return _stage_once(
         sf_dir,
         "x1",
         lambda p: _t(spark, sf_dir, "events")
@@ -348,6 +337,22 @@ def x1_stream_file_source(spark, sf_dir):
         .csv(p, header=True),
         "events",
     )
+
+
+@query(
+    "x1_stream_file_source",
+    f"""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT)
+             * 600 * 1000000) AS window_start,
+           event_type, COUNT(*) AS n, {DSUM('value')} AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x1_stream_file_source(spark, sf_dir):
+    """X1: CSV file-source stream of the events table -> tumbling-window
+    aggregation -> memory sink. Complete output mode (no watermark) so a
+    full drain is exactly the batch answer at any micro-batch split."""
+    path = _stage_events_csv(spark, sf_dir)
     sdf = stream_decode_files(
         spark,
         path,
@@ -1033,6 +1038,59 @@ def x7_stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "x8_foreach_batch_sink",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {DSUM('value')} AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def x8_foreach_batch_sink(spark, sf_dir):
+    """X8: foreachBatch custom sink — the extension point for sinks
+    Spark lacks natively (JDBC upsert, merge-into, multi-table fan-out).
+    The events CSV drop drains through a file stream in multiple
+    micro-batches (maxFilesPerTrigger=1); each batch lands in a parquet
+    'table' stamped with its batch_id (the idempotence key a real sink
+    would MERGE on). The returned aggregate reads the SINK's output, so
+    the oracle match proves the custom sink received exactly the full
+    input across batches — no loss, no duplication."""
+    import shutil
+
+    from finporter_spark.streaming.pipeline import run_stream_foreach_batch
+
+    path = _stage_events_csv(spark, sf_dir)
+    out = _io_dir(sf_dir, "x8_out")
+    ckpt = _io_dir(sf_dir, "x8_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)  # force a multi-batch drain
+        .csv(path)
+    )
+
+    def sink(bdf, batch_id):
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    run_stream_foreach_batch(sdf, sink, ckpt)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "o6_upsert_merge",
     f"""
     WITH unioned AS (
@@ -1144,6 +1202,43 @@ def a9_having(spark, sf_dir):
             .alias("spend"),
         )
         .filter(F.col("n_orders") >= 8)
+    )
+
+
+@query("a10_hll_sketch", None)  # ≈ operator: error bound in tests
+def a10_hll_sketch(spark, sf_dir):
+    """A10: mergeable distinct-count sketches (Apache DataSketches HLL,
+    JVM-side `hll_sketch_agg`). Unlike a3's one-shot approx_count_distinct,
+    the sketch itself is the aggregation state — the per-group partial
+    sketches merge associatively across partitions, which is what a
+    1000-executor rollup or an incremental (streaming) distinct count
+    needs. lgConfigK=14 => ~1% relative standard error
+    (tests/test_operators.py asserts <5% vs the exact count at sf0.001
+    and sf0.1)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("approx_users")
+        )
+    )
+
+
+@query("a11_kll_quantiles", None)  # ≈ operator: error bound in tests
+def a11_kll_quantiles(spark, sf_dir):
+    """A11: streaming-mergeable quantile sketches (KLL). a7 computes
+    exact percentiles with a full sort per group; the KLL sketch gives
+    rank-error-bounded quantiles from one pass of mergeable state — the
+    scale path for percentiles over 100 TB (and the only viable one
+    under streaming). k=400 => ~1% rank error (threshold-tested vs a7's
+    exact values)."""
+    e = _t(spark, sf_dir, "events")
+    sk = F.kll_sketch_agg_double("value", F.lit(400))
+    return e.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.95)).alias("p95"),
     )
 
 

@@ -119,6 +119,31 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
+def run_stream_foreach_batch(
+    sdf: DataFrame,
+    sink_fn,
+    checkpoint: str,
+    timeout_s: float = 120.0,
+) -> None:
+    """Drive a stream through a foreachBatch custom sink (availableNow).
+
+    foreachBatch is THE extension point for sinks Spark lacks natively
+    (JDBC upserts, multi-table fan-out, merge-into): each micro-batch
+    arrives as a normal batch DataFrame plus a monotonically increasing
+    batch_id. Exactly-once then rests on two legs: the checkpoint WAL
+    (a batch re-delivers after failure with the SAME id) and the sink
+    function being idempotent per batch_id — callers key their writes
+    on it.
+    """
+    q = (
+        sdf.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def stream_transform(
     spark: SparkSession,
     in_dir: str,

@@ -29,6 +29,8 @@ def test_catalog_covers_declared_surface():
     approx_only = {n for n in names if n not in oracles}
     assert approx_only == {
         "a3_approx_count_distinct",
+        "a10_hll_sketch",
+        "a11_kll_quantiles",
         "l2_minhash_near_dup",
         "l2_simhash_near_dup",
         "l3_lsh_knn",

@@ -247,3 +247,57 @@ def test_lsh_knn_symmetric_join_matches_broadcast(spark, sf_dir):
     assert sorted(map(tuple, bc.collect())) == sorted(
         map(tuple, sym.collect())
     )
+
+
+def test_hll_sketch_within_tolerance(spark, sf_dir):
+    """a10 (≈ operator): mergeable HLL sketch estimate within 5% of the
+    exact per-group distinct count."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_ext import a10_hll_sketch
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in a10_hll_sketch(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+
+
+def test_kll_quantiles_within_rank_tolerance(spark, sf_dir):
+    """a11 (≈ operator): KLL p50/p95 fall within the exact value at
+    rank±2% (rank error is the sketch's contract, not value error)."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_ext import a11_kll_quantiles
+
+    got = {
+        r.event_type: (r.p50, r.p95)
+        for r in a11_kll_quantiles(spark, sf_dir).collect()
+    }
+    bounds = {
+        r.event_type: r.qs
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.48, 0.52, 0.93, 0.97))"
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert set(got) == set(bounds)
+    for k, (p50, p95) in got.items():
+        lo50, hi50, lo95, hi95 = bounds[k]
+        assert lo50 <= p50 <= hi50, (k, p50, (lo50, hi50))
+        assert lo95 <= p95 <= hi95, (k, p95, (lo95, hi95))

@@ -131,3 +131,63 @@ def test_s8_catalog_scan_prunes_partitions(spark, sf_dir):
     p = plan(df)
     assert "PartitionFilters: [" in p
     assert "order_month" in p.split("PartitionFilters: [", 1)[1].split("]")[0]
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst injects a runtime bloom filter on the big (application)
+    side of a shuffle join when the other side carries a selective
+    filter — at 100 TB this prunes most of the fact scan's shuffle
+    input before it ever shuffles. The thresholds are sized for real
+    clusters (10MB creation side / 10GB scan side), so this forces
+    them down to demonstrate the machinery at test SF, and checks the
+    filtered result still matches the unfiltered join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1995-02-01 00:00:00").cast("timestamp")
+        )
+        l = _t(spark, sf_dir, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in optimized or "might_contain" in optimized, (
+            optimized[:2000]
+        )
+        with_filter = {(r.o_orderstatus, r.n) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = {
+        (r.o_orderstatus, r.n)
+        for r in _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(
+                F.col("o_orderdate")
+                < F.lit("1995-02-01 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert with_filter == plain
