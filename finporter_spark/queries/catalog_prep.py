@@ -277,3 +277,72 @@ def s4_orc_roundtrip(spark, sf_dir):
         "o_orderkey", "o_orderpriority", "o_totalprice"
     ).write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "l15_bigram_lm_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), b AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM t WHERE len(t) >= 2)
+    ), cb AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+    ), cl AS (
+      SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(cb.c12 / cl.c1)), 6) AS avg_logprob
+    FROM b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+           JOIN cl ON b.w1 = cl.w1
+    GROUP BY b.doc_id
+    """,
+)
+def l15_bigram_lm_score(spark, sf_dir):
+    """L15: corpus bigram-LM fluency scoring — the classic LM-based
+    quality filter for pretraining data (score = mean log P(w2|w1)
+    under the corpus's own MLE bigram model; low scorers are
+    boilerplate/garbled text). Three grouped passes, all JVM-side:
+    bigram counts, left-context totals, then a per-doc average over
+    the model join. Scale: the model join shuffles on the bigram key
+    (uniform by construction); at 100 TB you'd prune the model to a
+    top-V vocabulary and broadcast it — the join shape is unchanged.
+    ln() is libm-dependent in the last ulp, so the per-doc average is
+    rounded to 6 dp (the l8 tfidf convention) — summation error is
+    ~1e-14, eight orders below the rounding quantum. Docs with <2
+    tokens have no bigrams and drop out on both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    )
+    b = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    cb = b.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cl = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = cb.join(cl, "w1")
+    return (
+        b.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c12") / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
