@@ -1806,11 +1806,17 @@ def m8_mp4_frames(spark, sf_dir):
                 content.append(mp4_mux(frames, samples_per_chunk=2))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media = (
-        _t(spark, sf_dir, "documents")
+    media_path = _stage_once(
+        sf_dir,
+        "m8_media",
+        lambda p: _t(spark, sf_dir, "documents")
         .select("doc_id")
         .mapInPandas(_make, "doc_id bigint, content binary")
+        .write.mode("overwrite")
+        .parquet(p),
+        "documents",
     )
+    media = spark.read.parquet(media_path)
     frames = sample_frames(media, "content")  # REAL ISO BMFF demux
 
     def _mean(batches):

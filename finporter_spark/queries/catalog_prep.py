@@ -280,6 +280,39 @@ def s4_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s9_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             AS o_orderpriority
+    FROM orders
+    """,
+)
+def s9_schema_evolution(spark, sf_dir):
+    """S9: schema evolution on read — a dataset written in two
+    generations (the second adds a column) is read back as ONE table
+    with mergeSchema: old files surface the new column as NULL. This is
+    the append-only evolution contract a long-lived 100 TB table needs
+    (no rewrite of historical files). Even keys are written first
+    (2-col schema), odd keys after (3-col); the oracle reproduces the
+    NULL pattern with a CASE."""
+    o = _t(spark, sf_dir, "orders")
+    path = _io_dir(sf_dir, "s9")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("append").parquet(path)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
     "l15_bigram_lm_score",
     f"""
     WITH t AS (

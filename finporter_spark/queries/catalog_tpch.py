@@ -715,6 +715,72 @@ def q19_disjunctive_revenue(spark, sf_dir):
 
 
 # =====================================================================
+# q20 — concentrated suppliers of promoted parts (the partsupp
+# availability gate adapted to observed shipment share: a supplier
+# qualifies if, for some name-filtered part, it shipped more than 65%
+# of that part's 1996 volume).
+# =====================================================================
+
+@query(
+    "q20_promo_suppliers",
+    f"""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, {DSUM('l_quantity')} AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), pt AS (
+      SELECT l_partkey, {DSUM('l_quantity')} AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey
+      FROM sp
+      JOIN pt ON sp.l_partkey = pt.l_partkey
+      JOIN part p ON p.p_partkey = sp.l_partkey
+      WHERE p.p_name LIKE 'red%' AND sp.qty > 0.65 * pt.total
+    )
+    """,
+)
+def q20_promo_suppliers(spark, sf_dir):
+    """Q20 shape: a two-level aggregate feeds an IN-subquery gate —
+    per-(supplier, part) volume against per-part totals (both decimal-
+    routed so the 65% threshold is exact), name-filtered parts
+    broadcast, and the qualifying supplier set applied as a left-semi
+    join to the supplier dimension."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(F.col("l_quantity")).alias("qty")
+    )
+    pt = l.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        dsum(F.col("l_quantity")).alias("total")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    qualifying = (
+        sp.join(pt, sp.l_partkey == pt.pt_partkey)
+        .join(F.broadcast(p), sp.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 0.65 * F.col("total"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# =====================================================================
 # q21 — suppliers who kept orders waiting (existence logic over
 # sibling lines, adapted to ship dates: the supplier whose lines
 # shipped strictly latest in a multi-supplier finished order, more

@@ -93,6 +93,48 @@ SHOWCASE = {
         "grams probe map-side (BroadcastHashJoin LeftSemi), then one "
         "anti-join on doc ids — corpus is never shuffled by gram."
     ),
+    "q2_min_cost_supplier": (
+        "Argmin-per-group at scale: WindowGroupLimit prunes each "
+        "partition to rank<=1 BEFORE the full window sort; the window "
+        "partitions on p_partkey (parallel across parts, never a global "
+        "window); every dimension broadcast."
+    ),
+    "q6_revenue_change": (
+        "The canonical predicate-pushdown proof: every filter reaches "
+        "PushedFilters on the parquet scan, then a map-side partial sum "
+        "into a 1-row final aggregate — zero joins, one exchange of one "
+        "row per partition."
+    ),
+    "q13_customer_distribution": (
+        "Left-outer join preserving order-less customers, then two "
+        "cascaded aggregations; the second groups a tiny count domain "
+        "so its exchange moves ~20 rows."
+    ),
+    "q18_large_volume": (
+        "HAVING-gated IN-subquery as left-semi join: the order filter "
+        "aggregates lineitem once (decimal-routed >250 gate), semi-joins "
+        "orders, and only the surviving ~1% re-aggregate."
+    ),
+    "q21_waiting_supplier": (
+        "Existence logic over sibling rows via per-order windows "
+        "(partitioned by l_orderkey — parallel across orders): "
+        "max-ship-date uniqueness without any self-join of lineitem."
+    ),
+    "l15_bigram_lm_score": (
+        "Corpus LM scoring: bigram counts, left-context totals, and the "
+        "per-doc average are three grouped passes over one exploded "
+        "bigram stream — all JVM-side (no Python), shuffles keyed on "
+        "uniform hash-like bigram keys."
+    ),
+    "u5_udtf_bigrams": (
+        "Python UDTF under LATERAL join, Arrow-vectorized "
+        "(ArrowEvalPythonUDTF, not row-wise BatchEvalPython)."
+    ),
+    "x8_foreach_batch_sink": (
+        "foreachBatch custom sink output read back: the aggregate over "
+        "the sink's parquet proves the multi-batch drain delivered "
+        "exactly the full input."
+    ),
     "p13_exists_subquery": (
         "Catalyst decorrelation: EXISTS/NOT EXISTS rewritten to left-semi "
         "and left-anti hash joins, no per-row subquery execution."
