@@ -184,3 +184,44 @@ def source_fingerprint(*paths: str) -> str:
 def bucketed_join_ready(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with bucket metadata intact."""
     return spark.table(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    ~``target_file_bytes`` files. Returns the output file count.
+
+    The long-lived-table maintenance op every streaming/incremental
+    sink eventually needs (a file-source sink writes one file per
+    micro-batch per partition; a year of 5-minute batches is 100k tiny
+    files, and open-file overhead then dominates scans). Sizing comes
+    from the INPUT's actual on-disk bytes, so the result lands near the
+    target regardless of row width. ``repartition`` (shuffle) rather
+    than ``coalesce``: coalesce merges neighbors without rebalancing,
+    so one dense input file yields one oversized output file; the
+    shuffle buys evenly-sized output — the standard compaction
+    trade-off, paid once per maintenance run.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(in_path)
+        .repartition(n)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return sum(
+        1
+        for f in os.listdir(out_path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )

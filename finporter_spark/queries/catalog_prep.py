@@ -379,3 +379,69 @@ def l15_bigram_lm_score(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "o8_compact_small_files",
+    "SELECT event_id, user_id, value FROM events",
+)
+def o8_compact_small_files(spark, sf_dir):
+    """O8: small-file compaction (operators/scale.compact_files) — a
+    64-way fragmented parquet drop (the shape a micro-batch sink
+    leaves behind) is rewritten to byte-targeted evenly-sized files.
+    The oracle is the identity SELECT: compaction must preserve every
+    row exactly. tests/test_scale.py asserts the file count actually
+    shrinks and sizes stay within the target."""
+    import shutil
+
+    from finporter_spark.operators.scale import compact_files
+
+    small = _io_dir(sf_dir, "o8_small")
+    compact = _io_dir(sf_dir, "o8_compact")
+    shutil.rmtree(small, ignore_errors=True)
+    _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).repartition(64).write.parquet(small)
+    compact_files(spark, small, compact, target_file_bytes=4 << 20)
+    return spark.read.parquet(compact)
+
+
+@query(
+    "p15_higher_order_funcs",
+    """
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+             AS max_abs
+    FROM embeddings
+    """,
+)
+def p15_higher_order_funcs(spark, sf_dir):
+    """P15: higher-order array functions — the JVM-side way to compute
+    over array<float> columns without ever leaving codegen (transform /
+    filter / aggregate lambdas; this is how the kNN operators compute
+    dot products too). norm2 rounds to 6 dp: the float->double products
+    are exact, but the two engines fold the 64-element sum in different
+    orders (~1e-13 drift)."""
+    e = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: xd(x) * xd(x)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("norm2"),
+        F.size(F.filter("embedding", lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.array_max(F.transform("embedding", F.abs))
+        .cast("double")
+        .alias("max_abs"),
+    )

@@ -178,3 +178,18 @@ def test_results_invariant_under_partitioning(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert outs[0] == outs[1]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                   max_size=24),
+    spc=st.integers(min_value=1, max_value=8),
+)
+def test_mp4_roundtrip_property(sizes, spc):
+    """Any frame-size multiset and chunking factor round-trips through
+    the ISO BMFF mux/demux byte-exactly (zero-length frames included)."""
+    from finporter_spark.operators.mp4 import mp4_demux, mp4_mux
+
+    frames = [bytes([i % 251]) * n for i, n in enumerate(sizes)]
+    assert mp4_demux(mp4_mux(frames, samples_per_chunk=spc)) == frames

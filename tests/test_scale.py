@@ -171,3 +171,22 @@ def test_z2_salted_agg_two_phase_plan(spark, sf_dir):
     p = plan(df)
     assert p.count("HashAggregate") >= 4  # partial+final for both phases
     assert "_salt" not in df.columns
+
+
+def test_compact_files_shrinks_and_preserves(spark, sf_dir, tmp_path):
+    """o8: compaction cuts the file count to the byte-targeted number
+    and loses/duplicates nothing."""
+    from finporter_spark.operators.scale import compact_files
+
+    small = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e.repartition(32).write.parquet(small)
+    import os
+
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(small))
+    n_out = compact_files(spark, small, out, target_file_bytes=1 << 30)
+    assert n_in == 32 and n_out == 1  # everything fits one 1GiB target
+    a = e.orderBy("event_id").collect()
+    b = spark.read.parquet(out).orderBy("event_id").collect()
+    assert a == b
