@@ -1038,6 +1038,94 @@ def x7_stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "x4_watermark_latedrop",
+    """
+    WITH a AS (
+      SELECT ts FROM events WHERE event_id % 2 = 0
+    ), wmk AS (
+      SELECT max(ts) - INTERVAL 31 MINUTE AS w FROM a
+    ), late AS (
+      SELECT ts - INTERVAL 1 HOUR AS ts FROM events WHERE event_id % 2 = 1
+    ), kept AS (
+      SELECT ts FROM a
+      UNION ALL
+      SELECT max(ts) FROM a
+      UNION ALL
+      SELECT late.ts FROM late, wmk
+      WHERE make_timestamp(CAST(floor(epoch(late.ts) / 600) AS BIGINT)
+              * 600 * 1000000) + INTERVAL 10 MINUTE > wmk.w
+    )
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT)
+             * 600 * 1000000) AS window_start,
+           COUNT(*) AS n
+    FROM kept GROUP BY 1
+    """,
+)
+def x4_watermark_latedrop(spark, sf_dir):
+    """X4: watermark LATE-ROW DROP, hash-checked (not just a semantics
+    test). Three staged CSV files with forced mtimes drain in fixed
+    order (maxFilesPerTrigger=1 -> one batch each): the on-time half,
+    a one-row spacer, then the other half shifted back an hour.
+    Measured Spark 4 behavior (pinned by this oracle): the watermark
+    computed from batch N's event times filters input from batch N+2 —
+    so the spacer batch is what makes the late batch see
+    max(on-time) - 31min. Spark admits a late row iff its WINDOW END
+    exceeds that watermark; the oracle encodes exactly that predicate
+    (a-half + spacer row + the surviving tail of the late half), so the
+    hash match pins the eviction semantics. Update-mode emissions are
+    cumulative per window; max(n) per window is the final state.
+    (31-minute delay: the max-ts offsets within the 10-minute window
+    grid are 316s/372s/… at the shipped SFs, so the watermark never
+    lands exactly on a window edge.)"""
+    import shutil
+
+    def _write(p):
+        os.makedirs(p, exist_ok=True)
+        e = _t(spark, sf_dir, "events")
+        evens = e.filter(F.col("event_id") % 2 == 0)
+        fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")  # noqa: E731
+        for name, df, mtime in (
+            ("a.csv", evens.select(fmt(F.col("ts")).alias("ts")), 1_000_000_000),
+            (
+                "b_spacer.csv",
+                evens.agg(fmt(F.max("ts")).alias("ts")),
+                1_000_001_000,
+            ),
+            (
+                "c_late.csv",
+                e.filter(F.col("event_id") % 2 == 1).select(
+                    fmt(F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts")
+                ),
+                1_000_002_000,
+            ),
+        ):
+            tmp = os.path.join(p, "_tmp")
+            df.repartition(1).write.mode("overwrite").csv(tmp, header=True)
+            part = next(
+                f for f in os.listdir(tmp) if f.startswith("part-")
+            )
+            dst = os.path.join(p, name)
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # file-source batch order follows modification time; pin it
+            os.utime(dst, (mtime, mtime))
+
+    path = _stage_once(sf_dir, "x4", _write, "events")
+    sdf = (
+        spark.readStream.schema("ts timestamp")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(path)
+        .withWatermark("ts", "31 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    out = run_stream_to_memory(sdf, "x4_mem", output_mode="update")
+    return out.groupBy("window_start").agg(F.max("n").alias("n"))
+
+
+@query(
     "x8_foreach_batch_sink",
     f"""
     SELECT event_type, COUNT(*) AS n, {DSUM('value')} AS total
