@@ -321,6 +321,25 @@ def u5_udtf_bigrams(spark, sf_dir):
 # be identical because availableNow drains the full input.
 # =====================================================================
 
+def _stage_media(spark, sf_dir, name, make_fn):
+    """Stage a generated media fixture (doc_id, content binary) as
+    parquet once per dataset. The synthetic encode (pure-Python codecs
+    over every document) is fixture GENERATION, not the operator under
+    test — regenerating it every gate run just re-times the encoder.
+    Same fingerprint rule as every other staged input."""
+    path = _stage_once(
+        sf_dir,
+        name,
+        lambda p: _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(make_fn, "doc_id bigint, content binary")
+        .write.mode("overwrite")
+        .parquet(p),
+        "documents",
+    )
+    return spark.read.parquet(path)
+
+
 def _stage_events_csv(spark, sf_dir):
     """The canonical events-as-CSV drop folder (shared by x1/x8)."""
     return _stage_once(
@@ -629,11 +648,7 @@ def m2_image_resize(spark, sf_dir):
                 content.append(png_encode(px[:, :, None]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .mapInPandas(_make, "doc_id bigint, content binary")
-    )
+    media = _stage_media(spark, sf_dir, "m2_media", _make)
     resized = resize_image(media, "content", size=(16, 16))
 
     def _verify(batches):
@@ -1629,11 +1644,7 @@ def m4_jpeg_resize(spark, sf_dir):
                 content.append(jpeg_encode(px[:, :, None]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .mapInPandas(_make, "doc_id bigint, content binary")
-    )
+    media = _stage_media(spark, sf_dir, "m4_media", _make)
     resized = resize_image(media, "content", size=(16, 16))
 
     def _verify(batches):
@@ -1704,11 +1715,7 @@ def m5_wav_features(spark, sf_dir):
                 content.append(wav_encode(s, 16000))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .mapInPandas(_make, "doc_id bigint, content binary")
-    )
+    media = _stage_media(spark, sf_dir, "m5_media", _make)
     return extract_wav_features(media, "content", frame_samples=256).select(
         "doc_id", "frame_idx", "n_samples", "energy", "amp_sum"
     )
@@ -1751,11 +1758,7 @@ def m6_mjpeg_frames(spark, sf_dir):
                 content.append(stream)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .mapInPandas(_make, "doc_id bigint, content binary")
-    )
+    media = _stage_media(spark, sf_dir, "m6_media", _make)
     frames = sample_frames(media, "content")  # REAL MJPEG demux
 
     def _mean(batches):
@@ -1819,11 +1822,7 @@ def m7_gif_resize(spark, sf_dir):
                 content.append(gif_encode(idx.astype(np.int64), pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .mapInPandas(_make, "doc_id bigint, content binary")
-    )
+    media = _stage_media(spark, sf_dir, "m7_media", _make)
     resized = resize_image(media, "content", size=(16, 16))
 
     def _verify(batches):
@@ -1894,17 +1893,7 @@ def m8_mp4_frames(spark, sf_dir):
                 content.append(mp4_mux(frames, samples_per_chunk=2))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    media_path = _stage_once(
-        sf_dir,
-        "m8_media",
-        lambda p: _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .mapInPandas(_make, "doc_id bigint, content binary")
-        .write.mode("overwrite")
-        .parquet(p),
-        "documents",
-    )
-    media = spark.read.parquet(media_path)
+    media = _stage_media(spark, sf_dir, "m8_media", _make)
     frames = sample_frames(media, "content")  # REAL ISO BMFF demux
 
     def _mean(batches):
