@@ -51,6 +51,8 @@ HEADLINE = [
     "l9_ngram_jaccard",
     "l12_chunk_documents",
     "l13_decontaminate",
+    "l15_bigram_lm_score",
+    "p15_higher_order_funcs",
     "o7_stratified_sample",
     "s8_partitioned_prune",
     "z1_bucketed_join",
