@@ -190,3 +190,69 @@ def test_compact_files_shrinks_and_preserves(spark, sf_dir, tmp_path):
     a = e.orderBy("event_id").collect()
     b = spark.read.parquet(out).orderBy("event_id").collect()
     assert a == b
+
+
+def test_aqe_skew_join_split(spark, sf_dir):
+    """AQE splits a skewed shuffle-join partition at runtime (the
+    complement of z2's manual salting: salting is for aggregations,
+    skew-join handling is what a 1000-executor shuffle join gets for
+    free when one key holds 90% of the rows). Thresholds are sized for
+    real clusters, so this forces them down; the split granularity is
+    map-output chunks, so the skewed side must come from >1 map task
+    (here repartition(16) — a single small parquet file is one mapper
+    and cannot be split). The split must not change the join result."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+
+    def sides():
+        l = (
+            _t(spark, sf_dir, "lineitem")
+            .repartition(16)
+            .select(
+                F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+                .otherwise(F.col("l_orderkey"))
+                .alias("k"),
+                "l_quantity",
+            )
+        )
+        r = (
+            _t(spark, sf_dir, "orders")
+            .repartition(8)
+            .select(F.col("o_orderkey").alias("k"), "o_totalprice")
+        )
+        return l, r
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l, r = sides()
+        j = l.join(r, "k").select("k", "l_quantity")
+        got = sorted((row.k, row.l_quantity) for row in j.collect())
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:3000]
+        assert "AQEShuffleRead skewed" in executed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    l, r = sides()
+    base = sorted(
+        (row.k, row.l_quantity)
+        for row in l.join(F.broadcast(r), "k").select("k", "l_quantity").collect()
+    )
+    assert got == base
