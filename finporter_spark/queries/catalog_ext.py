@@ -37,7 +37,14 @@ from finporter_spark.operators.multimodal import (
     resize_image,
     sample_frames,
 )
-from finporter_spark.queries.catalog import _t, _TOKS, CATALOG, DSUM, query
+from finporter_spark.queries.catalog import (
+    _t,
+    _TOKS,
+    CATALOG,
+    DSUM,
+    dsum,
+    query,
+)
 from finporter_spark.streaming.pipeline import (
     run_stream_to_memory,
     stream_decode_files,
@@ -728,6 +735,71 @@ def w4_range_frame(spark, sf_dir):
         .over(w)
         .cast("double")
         .alias("sum_30m"),
+    )
+
+
+@query(
+    "w5_gap_fill",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {DSUM('value')} AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily
+      GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+               AS day
+      FROM bounds
+    )
+    SELECT g.event_type, CAST(g.day AS TIMESTAMP) AS day,
+           d.v IS NOT NULL AS observed,
+           last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day = d.day
+    """,
+)
+def w5_gap_fill(spark, sf_dir):
+    """W5: time-series gap fill — regularize each key's series onto a
+    daily grid and forward-fill missing points (last observation
+    carried forward). The resample/ffill primitive every downstream
+    time-series consumer wants, built from three scalable pieces: a
+    grouped daily rollup, a per-key `sequence()` grid (explode is
+    map-only; grid length bounded by the date span), and a partitioned
+    ignore-nulls `last` window. No driver-side date math, no Python."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum(F.col("value")).alias("v"))
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
     )
 
 
