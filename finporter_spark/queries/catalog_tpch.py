@@ -11,8 +11,9 @@ optimizer/execution pattern the engine must get right at 100 TB —
 EXISTS→semi-join (q4), single-pass scan-agg (q6), multi-way join with
 two dimension copies (q7), conditional-aggregate market share (q8),
 left-outer + double aggregation (q13), scalar-subquery gates
-(q11/q15/q17/q22), disjunctive join predicates (q19), argmin-per-group
-(q2), and window-based existence logic (q21).
+(q11/q15/q17/q22), disjunctive join predicates (q19), double-aggregate
+IN gates (q18/q20), argmin-per-group (q2), and window-based existence
+logic (q21). 19 queries total, all hash-checked at sf0.01 and sf0.001.
 
 Cross-engine determinism follows catalog.py's rules: money aggregates
 through DECIMAL(28,6), computed integers as BIGINT, every top-k with a
