@@ -26,6 +26,16 @@ SUBSET = [
     "l1_exact_dedup",
     "l6_rolling_hash",
     "x2_sliding_window",
+    # round-3 additions: one per new operator family
+    "q6_revenue_change",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
+    "u5_udtf_bigrams",
+    "s9_schema_evolution",
+    "o8_compact_small_files",
+    "p15_higher_order_funcs",
+    "l15_bigram_lm_score",
+    "w5_gap_fill",
 ]
 
 
