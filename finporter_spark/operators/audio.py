@@ -65,6 +65,8 @@ def wav_decode(content: bytes) -> tuple[int, np.ndarray]:
         body = content[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated stream at offset {pos} (fmt)")
             tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1:
                 raise NotImplementedError(f"non-PCM WAV (format tag {tag})")

@@ -109,6 +109,8 @@ def gif_decode(content: bytes) -> np.ndarray:
     """GIF bytes -> uint8 RGB array (h, w, 3) of the first image."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("truncated stream at offset 6 (header)")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
     pos = 13
     gct = None
@@ -120,10 +122,16 @@ def gif_decode(content: bytes) -> np.ndarray:
         b = content[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while content[pos]:
+            while True:
+                if pos >= len(content):
+                    raise ValueError(f"truncated stream at offset {pos}")
+                if not content[pos]:
+                    break
                 pos += 1 + content[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise ValueError(f"truncated stream at offset {pos}")
             ix, iy, iw, ih, iflags = struct.unpack(
                 "<HHHHB", content[pos + 1 : pos + 10]
             )
@@ -137,10 +145,16 @@ def gif_decode(content: bytes) -> np.ndarray:
                 pos += n * 3
             if pal is None:
                 raise ValueError("GIF image without a color table")
+            if pos >= len(content):
+                raise ValueError(f"truncated stream at offset {pos}")
             mcs = content[pos]
             pos += 1
             lzw = bytearray()
-            while content[pos]:
+            while True:
+                if pos >= len(content):
+                    raise ValueError(f"truncated stream at offset {pos}")
+                if not content[pos]:
+                    break
                 ln = content[pos]
                 lzw += content[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln

@@ -396,7 +396,7 @@ def jpeg_decode(content: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (id, qid)
     h = w = None
     scan: bytes | None = None
-    scan_map: list[tuple[int, int]] = []  # (dc_table, ac_table) per comp
+    sos_comps: list[tuple[int, int, int]] = []  # (cs, dc_table, ac_table)
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -448,12 +448,22 @@ def jpeg_decode(content: bytes) -> np.ndarray:
             ns = seg[0]
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
-                scan_map.append((tabs >> 4, tabs & 0xF))
+                sos_comps.append((cs, tabs >> 4, tabs & 0xF))
             scan = content[pos + 2 + seg_len :]
             break
         pos += 2 + seg_len
     if h is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
+    # Map each SOS component selector back to its SOF component. The MCU
+    # interleave below walks components in SOF order, so a scan whose
+    # component order (or id set) differs from SOF would need a reordered
+    # walk — spec-valid but unsupported here: fail loudly, never decode
+    # with the wrong Huffman tables.
+    if [c[0] for c in sos_comps] != [c[0] for c in comps]:
+        raise NotImplementedError(
+            "SOS component order/ids differ from SOF (unsupported scan layout)"
+        )
+    scan_map = [(dc, ac) for _, dc, ac in sos_comps]
     ncomp = len(comps)
     if ncomp not in (1, 3):
         raise NotImplementedError("component count %d" % ncomp)
@@ -537,6 +547,8 @@ def split_mjpeg(data: bytes) -> list[bytes]:
         in_entropy = False
         while pos < n:
             if not in_entropy:
+                if pos + 2 > n:
+                    raise ValueError(f"truncated stream at offset {pos}")
                 if data[pos] != 0xFF:
                     raise ValueError(f"bad marker alignment at {pos}")
                 m = data[pos + 1]
@@ -547,6 +559,8 @@ def split_mjpeg(data: bytes) -> list[bytes]:
                 if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone
                     pos += 2
                     continue
+                if pos + 4 > n:
+                    raise ValueError(f"truncated stream at offset {pos}")
                 (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
                 was_sos = m == 0xDA
                 pos += 2 + seg_len
@@ -556,7 +570,9 @@ def split_mjpeg(data: bytes) -> list[bytes]:
                 if b != 0xFF:
                     pos += 1
                     continue
-                m = data[pos + 1] if pos + 1 < n else 0xD9
+                if pos + 1 >= n:
+                    raise ValueError(f"truncated stream at offset {pos}")
+                m = data[pos + 1]
                 if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffed / RST
                     pos += 2
                     continue

@@ -275,15 +275,16 @@ def resize_image(
 ) -> DataFrame:
     """Image resize over a binary column (Arrow-batched mapInPandas).
 
-    PNG and baseline JPEG inputs take the REAL path: stdlib/numpy decode
-    (``png_decode`` / ``jpeg.jpeg_decode``) -> nearest-neighbor resample
-    -> PNG re-encode (PNG out for both: the resized bytes are lossless
-    and deterministic, so downstream checks can verify exact pixels;
-    callers wanting JPEG out re-encode with ``jpeg.jpeg_encode``).
-    Other formats (GIF, progressive/subsampled JPEG, video stills)
-    raise NotImplementedError unless ``fake=True``, which instead
-    produces the deterministic pseudo-resize byte buffer (w*h bytes)
-    for every row — the plumbing test double.
+    PNG, baseline JPEG, and GIF inputs take the REAL path: stdlib/numpy
+    decode (``png_decode`` / ``jpeg.jpeg_decode`` / ``gif.gif_decode``)
+    -> nearest-neighbor resample -> PNG re-encode (PNG out for all: the
+    resized bytes are lossless and deterministic, so downstream checks
+    can verify exact pixels; callers wanting JPEG out re-encode with
+    ``jpeg.jpeg_encode``). Formats with no codec here
+    (progressive/subsampled JPEG, video stills, WebP, ...) raise
+    NotImplementedError unless ``fake=True``, which instead produces
+    the deterministic pseudo-resize byte buffer (w*h bytes) for every
+    row — the plumbing test double.
     """
     w, h = size
     out_schema = StructType(

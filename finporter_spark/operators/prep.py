@@ -169,7 +169,10 @@ def redact(
         pat, repl = p if isinstance(p, tuple) else (p, replacement)
         n = n + F.regexp_count(F.col(col), F.lit(pat))
         red = F.regexp_replace(red, pat, repl)
-    keep = [c for c in df.columns if c != col or out_col != col]
+    # drop any pre-existing out_col/count_col too — the select re-appends
+    # them, and keeping the originals would yield ambiguous duplicates
+    drop = {out_col, count_col} | ({col} if out_col == col else set())
+    keep = [c for c in df.columns if c not in drop]
     return df.select(
         *keep, red.alias(out_col), n.cast("bigint").alias(count_col)
     )

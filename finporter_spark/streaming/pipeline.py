@@ -114,7 +114,12 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_s}s; "
+            "stopped to avoid reading a partially-filled memory sink"
+        )
     spark = sdf.sparkSession
     return spark.table(query_name)
 
@@ -141,7 +146,13 @@ def run_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"foreachBatch stream did not drain within {timeout_s}s; "
+            "stopped — the sink may hold a partial batch (checkpoint "
+            f"{checkpoint} will re-deliver it on restart)"
+        )
 
 
 def stream_transform(

@@ -409,3 +409,49 @@ def test_sample_frames_real_mp4(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2]
     for r, v in zip(rows, vals):
         assert (jpeg_decode(bytes(r.frame)) == v - (v % 2)).all()
+
+
+def test_truncated_streams_raise_value_error():
+    """Malformed-input contract: every codec raises ValueError (never a
+    bare IndexError/struct.error) when the stream is cut mid-structure."""
+    import numpy as np
+
+    from finporter_spark.operators.audio import wav_decode, wav_encode
+    from finporter_spark.operators.gif import gif_decode, gif_encode
+    from finporter_spark.operators.jpeg import jpeg_encode, split_mjpeg
+
+    jpg = jpeg_encode(np.full((16, 16, 1), 100, np.uint8))
+    # cut inside entropy data, right before EOI, and mid-segment-header
+    for cut in (len(jpg) - 1, len(jpg) - 2, 30, 3):
+        with pytest.raises(ValueError):
+            split_mjpeg(jpg[:cut])
+
+    gif = gif_encode(
+        np.arange(64, dtype=np.int64).reshape(8, 8) % 4,
+        np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]),
+    )
+    for cut in (10, 14, len(gif) - 2):
+        with pytest.raises(ValueError):
+            gif_decode(gif[:cut])
+
+    wav = wav_encode(np.arange(-50, 50, dtype=np.int64), 8000)
+    with pytest.raises(ValueError):
+        wav_decode(wav[:20])  # fmt chunk body cut short
+
+
+def test_jpeg_sos_order_mismatch_raises():
+    """A scan whose component order differs from SOF must fail loudly,
+    not decode with swapped Huffman tables."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    jpg = bytearray(jpeg_encode(np.full((8, 8, 3), 90, np.uint8)))
+    sos = jpg.index(b"\xff\xda")
+    ns = jpg[sos + 4]
+    assert ns == 3
+    # swap the first two scan-component entries (id + table byte pairs)
+    a = sos + 5
+    jpg[a : a + 2], jpg[a + 2 : a + 4] = jpg[a + 2 : a + 4], jpg[a : a + 2]
+    with pytest.raises(NotImplementedError, match="SOS component"):
+        jpeg_decode(bytes(jpg))

@@ -134,3 +134,13 @@ def test_redact_counts_and_order(spark):
     assert out[1].t == "mail [EMAIL] and [EMAIL], ssn [NUM]"
     assert out[1].n_redactions == 3
     assert out[2].t == "nothing to hide" and out[2].n_redactions == 0
+
+
+def test_redact_out_col_overwrites_existing(spark):
+    """out_col naming a pre-existing column replaces it instead of
+    emitting an ambiguous duplicate."""
+    df = spark.createDataFrame([Row(k=1, t="a@b.com", clean="stale")])
+    out = redact(df, "t", [r"[\w.]+@[\w.]+"], out_col="clean")
+    assert out.columns.count("clean") == 1
+    row = out.collect()[0]
+    assert row.clean == "[REDACTED]" and row.t == "a@b.com"
