@@ -78,8 +78,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # us-precision NTZ parquet layout; session tz is pinned UTC above,
+            # so the cast is value-preserving and yields the TIMESTAMP type
+            # event-time operators (withWatermark) require.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -141,12 +141,15 @@ def s3_json_roundtrip(spark, sf_dir):
 )
 def s7_quarantine_split(spark, sf_dir):
     """Rejected-row side channel (R5/S7): rows whose typed decode fails
-    land in a quarantine DataFrame instead of aborting the read.
+    land in a persisted quarantine sink instead of aborting the read.
 
     A CSV copy of ``customer`` is written with a deliberately corrupted
     numeric field on a known key set; the PERMISSIVE read surfaces those
-    rows via ``columnNameOfCorruptRecord`` and the query returns the
-    quarantined keys — which the oracle predicts exactly.
+    rows via ``columnNameOfCorruptRecord``. Both channels are written to
+    parquet sinks (``quarantine/`` and ``clean/``) — the dead-letter
+    layout a 100 TB ingest needs for replay/audit — and the query returns
+    the quarantined keys read back from the sink, which the oracle
+    predicts exactly.
     """
     path = _io_dir(sf_dir, "s7")
     c = _t(spark, sf_dir, "customer")
@@ -169,10 +172,19 @@ def s7_quarantine_split(spark, sf_dir):
         columnNameOfCorruptRecord="_corrupt",
     )
     # Spark disallows querying only the corrupt-record column straight off
-    # a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materialize the
-    # parse first — at scale this is the persisted quarantine sink write.
-    decoded = decoded.cache()
-    return decoded.filter(F.col("_corrupt").isNotNull()).select("c_custkey")
+    # a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the corrupt
+    # column may not survive a bare select anyway — persist both channels
+    # as parquet sinks in one pass over the scan, then read the
+    # quarantine back. Single extra job vs .cache(), durable, replayable.
+    quarantine_path = os.path.join(path, "quarantine")
+    clean_path = os.path.join(path, "clean")
+    decoded.filter(F.col("_corrupt").isNotNull()).write.mode(
+        "overwrite"
+    ).parquet(quarantine_path)
+    decoded.filter(F.col("_corrupt").isNull()).drop("_corrupt").write.mode(
+        "overwrite"
+    ).parquet(clean_path)
+    return spark.read.parquet(quarantine_path).select("c_custkey")
 
 
 # =====================================================================

@@ -8,6 +8,8 @@ sf0.001 so the suite stays fast.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from finporter_spark.queries.catalog import CATALOG, _t, catalog_oracles, catalog_queries
@@ -48,6 +50,16 @@ def test_s7_quarantine_routes_only_corrupted_keys(spark, sf_dir):
         .collect()
     )
     assert keys  # the corruption pattern must actually hit rows
+    # both channels are persisted parquet sinks, not an in-memory cache
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    for channel in ("quarantine", "clean"):
+        sink = os.path.join(_io_dir(sf_dir, "s7"), channel)
+        files = [f for f in os.listdir(sink) if f.endswith(".parquet")]
+        assert files, f"{channel} sink has no parquet files"
+    clean = spark.read.parquet(os.path.join(_io_dir(sf_dir, "s7"), "clean"))
+    assert "_corrupt" not in clean.columns
+    assert clean.count() + len(keys) == _t(spark, sf_dir, "customer").count()
 
 
 def test_u2_minmax_bounds(spark, sf_dir):

@@ -5,12 +5,18 @@ exists, the same-named SQL on DuckDB over the same parquet tables; compares
 row count, column names/types, and an order-insensitive value hash with
 doubles rounded to 9 dp (FIXTURES.md §5).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the per-query results are also written in the driver's
+CORRECTNESS_r{N}.json shape (``{name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}``) so a full-catalog sweep can
+be committed as a round artifact.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -56,8 +62,14 @@ def spark_pdf(sdf) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from finporter_spark.session import get_session
@@ -76,6 +88,7 @@ def main():
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,11 +100,21 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}"[:500],
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spdf)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spdf),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             opdf = con.execute(oracles[name]).fetchdf()
@@ -99,6 +122,11 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(spdf),
+                "oracle_rows": None, "err": f"duckdb error: {e}"[:500],
+            }
             continue
         problems = []
         if len(spdf) != len(opdf):
@@ -125,6 +153,15 @@ def main():
                     problems.append(f"  spark-only: {r[:200]}")
                 for r in only_o:
                     problems.append(f"  oracle-only: {r[:200]}")
+        rows_match = len(spdf) == len(opdf)
+        schema_match = sorted(spdf.columns) == sorted(opdf.columns)
+        hash_match = rows_match and schema_match and not problems
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(spdf),
+            "oracle_rows": len(opdf),
+            "err": "; ".join(problems)[:500] if problems else None,
+        }
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
@@ -137,6 +174,10 @@ def main():
         f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL"
         + (f": {failures}" if failures else "")
     )
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
