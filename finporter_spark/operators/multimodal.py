@@ -335,16 +335,19 @@ def sample_frames(
     """Frame sampling over a video-style binary column (1 row in ->
     k frame rows out via mapInPandas).
 
-    Two REAL demux paths:
+    Three REAL demux paths:
 
     - MJPEG streams (concatenated JPEGs — the classic frame-dump
       format): ``jpeg.split_mjpeg`` walks the actual marker structure;
     - ISO BMFF (MP4): ``mp4.mp4_demux`` walks the box tree to the
       sample tables (stsc/stsz/stco) and slices mdat at absolute
-      offsets — a genuine container demux.
+      offsets — a genuine container demux;
+    - Matroska (MKV/WebM): ``mkv.mkv_demux`` parses the EBML element
+      tree to the video TrackEntry and un-laces the Clusters'
+      SimpleBlocks (all four lace modes).
 
     Every ``every_n_frames``-th frame is emitted as its own bytes.
-    Other containers (MKV/AVI) raise NotImplementedError unless
+    Other containers (AVI) raise NotImplementedError unless
     ``fake=True``, which slices the byte stream every
     ``every_n_bytes`` — same fan-out shape, test double.
     """
@@ -358,6 +361,7 @@ def sample_frames(
 
     def _map_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from finporter_spark.operators.jpeg import split_mjpeg
+        from finporter_spark.operators.mkv import is_mkv, mkv_demux
         from finporter_spark.operators.mp4 import is_mp4, mp4_demux
 
         for pdf in batches:
@@ -369,13 +373,15 @@ def sample_frames(
                 data = bytes(b)
                 if is_mp4(data):
                     demuxed = mp4_demux(data)
+                elif is_mkv(data):
+                    demuxed = mkv_demux(data)
                 elif data[:2] == b"\xff\xd8":
                     demuxed = split_mjpeg(data)
                 else:
                     raise NotImplementedError(
-                        "only MJPEG and ISO BMFF (MP4) streams are "
-                        "demuxable in this environment; pass fake=True "
-                        "for the byte-slicing test double"
+                        "only MJPEG, ISO BMFF (MP4), and Matroska (MKV) "
+                        "streams are demuxable in this environment; pass "
+                        "fake=True for the byte-slicing test double"
                     )
                 for k, fr in enumerate(demuxed):
                     if k % every_n_frames:

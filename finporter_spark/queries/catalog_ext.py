@@ -1994,3 +1994,69 @@ def m8_mp4_frames(spark, sf_dir):
     return frames.mapInPandas(
         _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
     )
+
+
+@query(
+    "m9_mkv_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 5 + 1)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(((doc_id * 7 + frame_idx * 11) % 128) * 2 AS BIGINT)
+             AS frame_mean
+    FROM f
+    """,
+)
+def m9_mkv_frames(spark, sf_dir):
+    """M9: REAL Matroska (EBML) container demux — each doc becomes an
+    MKV file (operators/mkv.mkv_mux: EBML header + Segment{Info, Tracks,
+    Cluster*}) holding doc_id%5+2 JPEG frames packed 2-per-SimpleBlock
+    under Xiph lacing (odd counts leave an un-laced remainder block, so
+    demux exercises both lace paths — the stsc two-run trick from m8
+    transplanted to EBML). sample_frames parses the element tree to the
+    video TrackEntry and un-laces the Clusters' blocks; each frame then
+    Huffman-decodes to a block-constant image whose mean the oracle
+    predicts exactly (even values survive the DCT quantizer
+    round-trip)."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+    from finporter_spark.operators.mkv import mkv_mux
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [
+                    jpeg_encode(
+                        np.full(
+                            (16, 16, 1),
+                            ((i * 7 + f * 11) % 128) * 2,
+                            np.uint8,
+                        )
+                    )
+                    for f in range(i % 5 + 2)
+                ]
+                content.append(mkv_mux(frames, frames_per_block=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = _stage_media(spark, sf_dir, "m9_media", _make)
+    frames = sample_frames(media, "content")  # REAL EBML demux
+
+    def _mean(batches):
+        for pdf in batches:
+            means = [int(jpeg_decode(bytes(b)).mean()) for b in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_mean": pd.array(means, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
+    )

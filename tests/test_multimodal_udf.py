@@ -455,3 +455,84 @@ def test_jpeg_sos_order_mismatch_raises():
     jpg[a : a + 2], jpg[a + 2 : a + 4] = jpg[a + 2 : a + 4], jpg[a : a + 2]
     with pytest.raises(NotImplementedError, match="SOS component"):
         jpeg_decode(bytes(jpg))
+
+
+def test_mkv_mux_demux_roundtrip():
+    """Spec-correct EBML write must demux byte-exactly through the
+    independent element-tree walk — all frame counts (even/odd lace
+    remainders) and sizes spanning the Xiph 255-continuation."""
+    from finporter_spark.operators.mkv import is_mkv, mkv_demux, mkv_mux
+
+    for n in (1, 2, 3, 5):
+        for fpb in (1, 2, 3):
+            frames = [bytes([i]) * (100 + 200 * i) for i in range(n)]
+            data = mkv_mux(frames, frames_per_block=fpb)
+            assert is_mkv(data)
+            assert mkv_demux(data) == frames
+
+
+def test_mkv_all_lace_modes_decode():
+    """The demuxer must handle every Matroska lace mode, not just the
+    ones our muxer emits: fixed-size and EBML-delta laced blocks are
+    hand-assembled per the public spec and decoded."""
+    import struct
+
+    from finporter_spark.operators.mkv import (
+        SIMPLE_BLOCK,
+        _block_frames,
+        _elem,
+        _encode_vint,
+    )
+
+    def block(payload):
+        e = _elem(SIMPLE_BLOCK, payload)
+        return _block_frames(e, len(e) - len(payload), len(e))
+
+    head = _encode_vint(1) + struct.pack(">h", 0)
+    # fixed-size lacing: 3 equal frames
+    t, fs = block(head + bytes([0x80 | 0x04, 2]) + b"abcXYZ")
+    assert (t, fs) == (1, [b"ab", b"cX", b"YZ"])
+    # EBML lacing: sizes 3, 3+1, remainder
+    sv = _encode_vint(1 + ((1 << 6) - 1))  # signed-VINT delta +1
+    t, fs = block(
+        head + bytes([0x80 | 0x06, 2]) + _encode_vint(3) + sv + b"AAABBBBCC"
+    )
+    assert (t, fs) == (1, [b"AAA", b"BBBB", b"CC"])
+
+
+def test_mkv_demux_malformed_raises():
+    from finporter_spark.operators.mkv import mkv_demux, mkv_mux
+
+    with pytest.raises(ValueError):
+        mkv_demux(b"\x00\x00\x00\x00")  # not EBML
+    good = mkv_mux([b"x" * 64, b"y" * 64, b"z" * 64])
+    with pytest.raises(ValueError):
+        mkv_demux(good[:-10])  # element overruns parent
+    # doctype guard: an EBML stream that isn't matroska/webm
+    bad = bytearray(good)
+    bad[bad.index(b"matroska") : bad.index(b"matroska") + 8] = b"whatever"
+    with pytest.raises(ValueError, match="doctype"):
+        mkv_demux(bytes(bad))
+
+
+def test_sample_frames_real_mkv(spark):
+    """The real EBML path end-to-end in Spark: element-tree walk to the
+    video track, cluster SimpleBlocks un-laced (2-per-block Xiph + odd
+    remainder un-laced)."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+    from finporter_spark.operators.mkv import mkv_mux
+
+    vals = (40, 120, 250)
+    frames = [
+        jpeg_encode(np.full((16, 16, 1), v - (v % 2), np.uint8)) for v in vals
+    ]
+    data = mkv_mux(frames, frames_per_block=2)  # laced pair + bare block
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "id long, content binary"
+    )
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for r, v in zip(rows, vals):
+        assert (jpeg_decode(bytes(r.frame)) == v - (v % 2)).all()
