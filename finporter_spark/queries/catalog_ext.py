@@ -2060,3 +2060,69 @@ def m9_mkv_frames(spark, sf_dir):
     return frames.mapInPandas(
         _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
     )
+
+
+@query(
+    "m5b_mp3_metadata",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ([44100, 48000, 32000])[(doc_id % 3) + 1] AS sr,
+             doc_id % 4 + 2 AS nf
+      FROM documents
+    ), f AS (
+      SELECT doc_id, sr, nf, unnest(generate_series(0, nf - 1)) AS fi FROM d
+    ), b AS (
+      SELECT doc_id, sr, nf,
+             ([32, 40, 48, 56, 64])[((doc_id + fi * (doc_id % 2)) % 5) + 1]
+               AS kbps
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(SUM(kbps) // nf AS BIGINT) AS avg_bitrate_kbps,
+           CAST(nf * 1152 AS BIGINT) AS total_samples,
+           CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           (doc_id % 2 = 1) AS vbr
+    FROM b GROUP BY doc_id, nf, sr
+    """,
+)
+def m5b_mp3_metadata(spark, sf_dir):
+    """M5b: compressed-audio METADATA walk — real corpora ship MP3/AAC,
+    and what ingest needs from them is duration/rate/frame metadata,
+    which the MPEG frame-header structure yields with ~4 bytes read per
+    frame and no entropy decode (operators/audio.mp3_metadata; tables
+    from the public ISO 11172-3 spec). Each doc becomes a structurally
+    real MP3 (ID3v2 tag to skip, doc_id%4+2 Layer III frames, padding
+    bits alternating, CBR for even docs / VBR for odd, ID3v1 trailer on
+    even docs); the oracle recomputes every field exactly — including
+    the floor-division duration and average-bitrate math the walk uses."""
+    from finporter_spark.operators.audio import (
+        _MP3_SAMPLE_RATES,
+        extract_mp3_metadata,
+        mp3_mux,
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = i % 4 + 2
+                brs = [
+                    (32, 40, 48, 56, 64)[(i + f * (i % 2)) % 5]
+                    for f in range(n)
+                ]
+                content.append(
+                    mp3_mux(
+                        brs,
+                        _MP3_SAMPLE_RATES[i % 3],
+                        id3v2_size=i % 50 + 10,
+                        id3v1=(i % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = _stage_media(spark, sf_dir, "m5b_media", _make)
+    return extract_mp3_metadata(media, "content")

@@ -536,3 +536,48 @@ def test_sample_frames_real_mkv(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2]
     for r, v in zip(rows, vals):
         assert (jpeg_decode(bytes(r.frame)) == v - (v % 2)).all()
+
+
+def test_mp3_metadata_walk():
+    """Frame-header walk: ID3v2 skip, padding-bit frame lengths, VBR
+    averaging, ID3v1 trailer stop — and fail-loud on damage."""
+    from finporter_spark.operators.audio import mp3_metadata, mp3_mux
+
+    m = mp3_metadata(mp3_mux([32, 40, 48], 44100, id3v2_size=33, id3v1=True))
+    assert m == {
+        "n_frames": 3, "sample_rate": 44100, "avg_bitrate_kbps": 40,
+        "total_samples": 3456, "duration_ms": 78, "vbr": True,
+    }
+    m = mp3_metadata(mp3_mux([64] * 4, 48000))
+    assert (m["avg_bitrate_kbps"], m["vbr"]) == (64, False)
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 48000
+
+    good = mp3_mux([32, 32], 44100)
+    with pytest.raises(ValueError):
+        mp3_metadata(good[:-10])  # truncated final frame
+    with pytest.raises(ValueError):
+        mp3_metadata(b"\x00" * 64)  # no sync
+    with pytest.raises(ValueError):
+        mp3_metadata(good[:3])  # truncated header
+    # a Layer I header must refuse, not mis-walk
+    bad = bytearray(good)
+    bad[1] = (bad[1] & ~0x06) | 0x06  # layer bits -> Layer I
+    with pytest.raises(NotImplementedError):
+        mp3_metadata(bytes(bad))
+
+
+def test_extract_mp3_metadata_spark(spark):
+    from finporter_spark.operators.audio import extract_mp3_metadata, mp3_mux
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mp3_mux([32, 48], 44100, id3v2_size=11))),
+            (2, bytearray(mp3_mux([128] * 3, 32000, id3v1=True))),
+        ],
+        "id long, content binary",
+    )
+    rows = {r.id: r for r in extract_mp3_metadata(df).collect()}
+    assert rows[1].n_frames == 2 and rows[1].vbr
+    assert rows[1].avg_bitrate_kbps == 40
+    assert rows[2].sample_rate == 32000 and not rows[2].vbr
+    assert rows[2].duration_ms == 3 * 1152 * 1000 // 32000
