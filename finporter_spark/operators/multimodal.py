@@ -335,7 +335,7 @@ def sample_frames(
     """Frame sampling over a video-style binary column (1 row in ->
     k frame rows out via mapInPandas).
 
-    Three REAL demux paths:
+    Four REAL demux paths:
 
     - MJPEG streams (concatenated JPEGs — the classic frame-dump
       format): ``jpeg.split_mjpeg`` walks the actual marker structure;
@@ -344,10 +344,12 @@ def sample_frames(
       offsets — a genuine container demux;
     - Matroska (MKV/WebM): ``mkv.mkv_demux`` parses the EBML element
       tree to the video TrackEntry and un-laces the Clusters'
-      SimpleBlocks (all four lace modes).
+      SimpleBlocks (all four lace modes);
+    - AVI (RIFF): ``avi.avi_demux`` walks the chunk tree to the video
+      stream's ``##dc`` chunks, idx1-validated.
 
     Every ``every_n_frames``-th frame is emitted as its own bytes.
-    Other containers (AVI) raise NotImplementedError unless
+    Unrecognized containers raise NotImplementedError unless
     ``fake=True``, which slices the byte stream every
     ``every_n_bytes`` — same fan-out shape, test double.
     """
@@ -360,6 +362,7 @@ def sample_frames(
     )
 
     def _map_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from finporter_spark.operators.avi import is_avi, avi_demux
         from finporter_spark.operators.jpeg import split_mjpeg
         from finporter_spark.operators.mkv import is_mkv, mkv_demux
         from finporter_spark.operators.mp4 import is_mp4, mp4_demux
@@ -375,13 +378,16 @@ def sample_frames(
                     demuxed = mp4_demux(data)
                 elif is_mkv(data):
                     demuxed = mkv_demux(data)
+                elif is_avi(data):
+                    demuxed = avi_demux(data)
                 elif data[:2] == b"\xff\xd8":
                     demuxed = split_mjpeg(data)
                 else:
                     raise NotImplementedError(
-                        "only MJPEG, ISO BMFF (MP4), and Matroska (MKV) "
-                        "streams are demuxable in this environment; pass "
-                        "fake=True for the byte-slicing test double"
+                        "only MJPEG, ISO BMFF (MP4), Matroska (MKV), and "
+                        "AVI (RIFF) streams are demuxable in this "
+                        "environment; pass fake=True for the byte-slicing "
+                        "test double"
                     )
                 for k, fr in enumerate(demuxed):
                     if k % every_n_frames:

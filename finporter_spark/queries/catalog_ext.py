@@ -2126,3 +2126,66 @@ def m5b_mp3_metadata(spark, sf_dir):
 
     media = _stage_media(spark, sf_dir, "m5b_media", _make)
     return extract_mp3_metadata(media, "content")
+
+
+@query(
+    "m10_avi_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 3 + 1)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(((doc_id * 5 + frame_idx * 3) % 128) * 2 AS BIGINT)
+             AS frame_mean
+    FROM f
+    """,
+)
+def m10_avi_frames(spark, sf_dir):
+    """M10: REAL AVI (RIFF) container demux — each doc becomes an AVI
+    (operators/avi.avi_mux: hdrl stream headers + movi 00dc chunks +
+    idx1) holding doc_id%3+2 JPEG frames; odd-length frames exercise
+    RIFF word alignment, and the walked chunk offsets are validated
+    against idx1. sample_frames emits the video stream's chunks; each
+    frame Huffman-decodes to a block-constant image whose mean the
+    oracle predicts exactly."""
+    import numpy as np
+
+    from finporter_spark.operators.avi import avi_mux
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [
+                    jpeg_encode(
+                        np.full(
+                            (16, 16, 1),
+                            ((i * 5 + f * 3) % 128) * 2,
+                            np.uint8,
+                        )
+                    )
+                    for f in range(i % 3 + 2)
+                ]
+                content.append(avi_mux(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = _stage_media(spark, sf_dir, "m10_media", _make)
+    frames = sample_frames(media, "content")  # REAL RIFF demux
+
+    def _mean(batches):
+        for pdf in batches:
+            means = [int(jpeg_decode(bytes(b)).mean()) for b in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_mean": pd.array(means, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
+    )

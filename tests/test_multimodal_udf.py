@@ -581,3 +581,49 @@ def test_extract_mp3_metadata_spark(spark):
     assert rows[1].avg_bitrate_kbps == 40
     assert rows[2].sample_rate == 32000 and not rows[2].vbr
     assert rows[2].duration_ms == 3 * 1152 * 1000 // 32000
+
+
+def test_avi_mux_demux_roundtrip():
+    """RIFF chunk walk incl. odd-size word alignment and idx1 validation."""
+    from finporter_spark.operators.avi import avi_demux, avi_mux, is_avi
+
+    for sizes in ((9,), (10, 11), (255, 256, 701)):
+        frames = [bytes([i]) * s for i, s in enumerate(sizes)]
+        data = avi_mux(frames)
+        assert is_avi(data)
+        assert avi_demux(data) == frames
+
+
+def test_avi_demux_malformed_raises():
+    import struct
+
+    from finporter_spark.operators.avi import avi_demux, avi_mux
+
+    with pytest.raises(ValueError):
+        avi_demux(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    good = avi_mux([b"x" * 64, b"y" * 65])
+    with pytest.raises(ValueError):
+        avi_demux(good[:-20])  # truncated
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, bad.rindex(b"00dc") + 8, 9999)
+    with pytest.raises(ValueError, match="idx1"):
+        avi_demux(bytes(bad))
+
+
+def test_sample_frames_real_avi(spark):
+    import numpy as np
+
+    from finporter_spark.operators.avi import avi_mux
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    vals = (40, 120, 250)
+    frames = [
+        jpeg_encode(np.full((16, 16, 1), v - (v % 2), np.uint8)) for v in vals
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(avi_mux(frames)))], "id long, content binary"
+    )
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    for r, v in zip(rows, vals):
+        assert (jpeg_decode(bytes(r.frame)) == v - (v % 2)).all()

@@ -365,3 +365,76 @@ def test_x6_state_ttl_evicts_idle_keys(spark, tmp_path):
     got4 = run()
     assert (1, 1, 5.0) in got4, sorted(got4)
     assert (1, 3, 8.0) not in got4
+
+
+def test_x8_crash_restart_exactly_once(spark, tmp_path):
+    """foreachBatch exactly-once contract under failure: the sink tears
+    mid-batch (partial files written, then the query dies), and a
+    restart from the same checkpoint re-delivers the SAME batch_id; an
+    idempotent per-batch_id overwrite sink therefore converges to
+    exactly the input — no loss, no duplication, the torn write gone."""
+    import glob
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    for i in range(3):
+        (drop / f"f{i}.csv").write_text(
+            "k,v\n" + "".join(f"{i},{i * 10 + j}\n" for j in range(4))
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema("k bigint, v bigint")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(drop))
+        )
+
+    seen: list[int] = []
+
+    def sink(crash_on: int | None):
+        def _sink(bdf, batch_id):
+            seen.append(batch_id)
+            target = os.path.join(out, f"batch_id={batch_id}")
+            if batch_id == crash_on:
+                # torn write: half the rows land, then the "process" dies
+                bdf.limit(2).write.mode("overwrite").parquet(target)
+                raise RuntimeError("simulated sink crash mid-batch")
+            bdf.write.mode("overwrite").parquet(target)
+
+        return _sink
+
+    def run(crash_on=None):
+        q = (
+            make_stream()
+            .writeStream.foreachBatch(sink(crash_on))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(StreamingQueryException, match="simulated sink crash"):
+        run(crash_on=1)
+    crashed_batch = seen[-1]
+    assert crashed_batch == 1
+    # the torn write is visible before restart — the failure is real
+    torn = spark.read.parquet(os.path.join(out, "batch_id=1")).count()
+    assert torn == 2
+
+    run(crash_on=None)
+    # the WAL re-delivered the failed batch under the SAME id
+    assert seen.count(crashed_batch) == 2
+    # and the idempotent sink converged to exactly the input
+    got = sorted(
+        (r.k, r.v)
+        for d in glob.glob(os.path.join(out, "batch_id=*"))
+        for r in spark.read.parquet(d).collect()
+    )
+    want = sorted((i, i * 10 + j) for i in range(3) for j in range(4))
+    assert got == want
