@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from finporter_spark.operators.dedup import shingles
 
@@ -175,4 +175,118 @@ def redact(
     keep = [c for c in df.columns if c not in drop]
     return df.select(
         *keep, red.alias(out_col), n.cast("bigint").alias(count_col)
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText rule
+    family: docs dominated by repeated n-grams are boilerplate or
+    degenerate generations and get filtered before training).
+
+    Output per doc: ``n_ngrams`` (total word n-grams), ``dup_frac``
+    (fraction of n-gram OCCURRENCES whose n-gram appears more than
+    once) and ``top_frac`` (fraction taken by the single most frequent
+    n-gram). Docs shorter than ``ngram_n`` words emit 0 counts and 0.0
+    fractions — short docs are length-filtered elsewhere, not here.
+
+    Shape: explode n-grams -> count per (doc, gram) -> re-aggregate per
+    doc. Two shuffles both keyed on the doc (the second input is
+    already ~distinct grams), map-side combined, fully codegen — the
+    same scaling envelope as minhash_signatures.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(F.col(text_col), ngram_n)).alias("g"),
+    )
+    per_gram = ex.groupBy(id_col, "g").agg(F.count("g").alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.when(F.sum("c") > 0, F.sum("c")),
+            F.lit(0.0),
+        ).alias("dup_frac"),
+        F.coalesce(
+            F.max("c") / F.when(F.sum("c") > 0, F.sum("c")), F.lit(0.0)
+        ).alias("top_frac"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_tokens: int = 512,
+    shards: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in id order)
+    and cut the token stream every ``seq_tokens`` — documents span
+    sequence boundaries, no padding waste. The output maps each doc to
+    the sequences it lands in: (shard, seq_id, doc_id, doc_tok_start,
+    n_toks), from which a loader can assemble every packed sequence.
+
+    Scale shape: a GLOBAL concatenation order would serialize on one
+    unbounded window, so the corpus is sharded by a hash of the id
+    (``shards`` independent streams — exactly how a multi-worker loader
+    shards anyway) and the running token offset is a window cumsum
+    PARTITIONED by shard: ``shards``-way parallel, one shuffle. The
+    boundary-crossing explode is ``F.sequence`` over the chunk range —
+    no UDF anywhere.
+
+    Deterministic given (corpus, seq_tokens, shards): whitespace token
+    counts, md5-derived shard (cross-engine reproducible, see module
+    docstring), id-ordered cumsum.
+    """
+    from finporter_spark.operators.text import token_count
+
+    n_tok = token_count(F.col(text_col), mode="ws")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    staged = (
+        df.select(
+            F.col(id_col),
+            sample_bucket(F.col(id_col), shards).alias("shard"),
+            n_tok.alias("n_toks_doc"),
+        )
+        .withColumn(
+            "tok_off",
+            F.coalesce(
+                F.sum("n_toks_doc").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    first = F.floor(F.col("tok_off") / seq_tokens)
+    last = F.floor(
+        (F.col("tok_off") + F.greatest(F.col("n_toks_doc"), F.lit(1)) - 1)
+        / seq_tokens
+    )
+    return staged.select(
+        "shard",
+        F.col(id_col),
+        "tok_off",
+        "n_toks_doc",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    ).select(
+        "shard",
+        F.col("seq_id").cast("long"),
+        F.col(id_col),
+        F.greatest(
+            F.col("seq_id") * seq_tokens - F.col("tok_off"), F.lit(0)
+        ).cast("long").alias("doc_tok_start"),
+        (
+            F.least(
+                (F.col("seq_id") + 1) * seq_tokens - F.col("tok_off"),
+                F.col("n_toks_doc"),
+            )
+            - F.greatest(
+                F.col("seq_id") * seq_tokens - F.col("tok_off"), F.lit(0)
+            )
+        ).cast("long").alias("n_toks"),
     )

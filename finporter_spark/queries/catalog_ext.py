@@ -2189,3 +2189,89 @@ def m10_avi_frames(spark, sf_dir):
     return frames.mapInPandas(
         _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
     )
+
+
+@query(
+    "l16_repetition_profile",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM idx
+    ), pg AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g
+    ), agg AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, MAX(c) AS mx
+      FROM pg GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_ngrams,
+           COALESCE(CAST(dup AS DOUBLE) / n, 0.0) AS dup_frac,
+           COALESCE(CAST(mx AS DOUBLE) / n, 0.0) AS top_frac
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def l16_repetition_profile(spark, sf_dir):
+    """L16: intra-document repetition signals (Gopher/MassiveText rule
+    family — repeated-n-gram mass marks boilerplate and degenerate
+    generations). Exact: duplicate-occurrence and top-gram fractions
+    over word 3-grams; the oracle recomputes both, including the
+    no-gram short-doc zeros."""
+    from finporter_spark.operators.prep import repetition_profile
+
+    return repetition_profile(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", ngram_n=3
+    )
+
+
+@query(
+    "l17_pack_sequences",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 64 AS shard,
+             len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                  'g')), ' ')) AS n_toks_doc
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_toks_doc,
+             CAST(COALESCE(SUM(n_toks_doc) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_off
+      FROM d
+    ), e AS (
+      SELECT doc_id, shard, n_toks_doc, tok_off,
+             unnest(generate_series(tok_off // 512,
+                    (tok_off + greatest(n_toks_doc, 1) - 1) // 512)) AS seq_id
+      FROM o
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(seq_id * 512 - tok_off, 0) AS BIGINT)
+             AS doc_tok_start,
+           CAST(least((seq_id + 1) * 512 - tok_off, n_toks_doc)
+                - greatest(seq_id * 512 - tok_off, 0) AS BIGINT) AS n_toks
+    FROM e
+    """,
+)
+def l17_pack_sequences(spark, sf_dir):
+    """L17: GPT-style sequence packing — concatenate docs in id order
+    and cut every 512 tokens, docs spanning boundaries (no padding
+    waste). Sharded by md5 bucket so the running-offset window cumsum
+    is 64-way parallel instead of one global serial window (the same
+    sharding a multi-worker loader applies); the oracle reproduces the
+    shard hash, the cumsum, and the boundary-crossing splits exactly."""
+    from finporter_spark.operators.prep import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        seq_tokens=512, shards=64,
+    )

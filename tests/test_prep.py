@@ -144,3 +144,76 @@ def test_redact_out_col_overwrites_existing(spark):
     assert out.columns.count("clean") == 1
     row = out.collect()[0]
     assert row.clean == "[REDACTED]" and row.t == "a@b.com"
+
+
+def test_repetition_profile_exact_values(spark):
+    from finporter_spark.operators.prep import repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z w v u"), (3, ""), (4, "q r")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_profile(df).collect()}
+    # 9 tokens -> 7 3-grams: 'a b c'x3, 'b c a'x2, 'c a b'x2 -> all dup
+    assert got[1].n_ngrams == 7
+    assert got[1].dup_frac == 1.0
+    assert abs(got[1].top_frac - 3 / 7) < 1e-12
+    assert (got[2].n_ngrams, got[2].dup_frac, got[2].top_frac) == (4, 0.0, 0.25)
+    # short/empty docs emit zero-rows, not dropped rows
+    assert (got[3].n_ngrams, got[4].n_ngrams) == (0, 0)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from finporter_spark.operators.prep import pack_sequences
+    from finporter_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = pack_sequences(docs, seq_tokens=512, shards=8).cache()
+
+    # every interior sequence of a shard is exactly full; only the last
+    # may be ragged
+    agg = p.groupBy("shard", "seq_id").agg(F.sum("n_toks").alias("s"))
+    mx = agg.groupBy("shard").agg(F.max("seq_id").alias("m"))
+    assert (
+        agg.join(mx, "shard")
+        .filter((F.col("seq_id") < F.col("m")) & (F.col("s") != 512))
+        .count()
+        == 0
+    )
+    # token conservation: every document's tokens land exactly once
+    per_doc = p.groupBy("doc_id").agg(F.sum("n_toks").alias("packed"))
+    truth = docs.select(
+        "doc_id", token_count(F.col("text"), mode="ws").alias("n")
+    )
+    assert (
+        per_doc.join(truth, "doc_id")
+        .filter(F.col("packed") != F.col("n"))
+        .count()
+        == 0
+    )
+    assert per_doc.count() == docs.count()
+    # boundary-crossing spans are contiguous: a doc's chunks start at 0
+    # and each next chunk starts where the previous ended
+    spans = p.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_tok_start", "n_toks"))
+        ).alias("sp")
+    )
+    bad = spans.filter(
+        F.exists(
+            F.transform(
+                F.col("sp"),
+                lambda s, i: (
+                    s["doc_tok_start"]
+                    != F.coalesce(
+                        F.get(F.col("sp"), i - 1)["doc_tok_start"]
+                        + F.get(F.col("sp"), i - 1)["n_toks"],
+                        F.lit(0),
+                    )
+                ),
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+    p.unpersist()
