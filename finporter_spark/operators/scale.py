@@ -225,3 +225,105 @@ def compact_files(
         for f in os.listdir(out_path)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
+
+
+def zorder_key(
+    cols: Sequence[Column],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) clustering key: each column is min/max-scaled to
+    a ``bits``-bit integer and the bits are interleaved, so sorting by
+    the key co-clusters rows that are close in EVERY dimension at once.
+
+    A single-column sort gives perfect parquet min/max pruning on that
+    column and none on the others; the Z-curve trades a little
+    per-column locality for locality in all dimensions — the standard
+    lakehouse layout for tables filtered on more than one column
+    (Bayer's UB-tree ordering; the same technique Delta/Iceberg expose
+    as OPTIMIZE ZORDER / sort-order transforms).
+
+    Pure column expressions (``bits * len(cols)`` shift/or terms, all
+    whole-stage-codegen) — no UDF. ``mins``/``maxs`` are the dataset
+    bounds per column (one tiny agg at write time, analogous to the
+    stats pass every table format already runs).
+    """
+    top = (1 << bits) - 1
+    scaled = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = (mx - mn) or 1.0
+        # multiply before dividing: when the input is already an exact
+        # 0..top integer (rank_scale path) the mapping stays identity
+        # instead of picking up float round-down at bin boundaries
+        s = F.floor(
+            (c.cast("double") - F.lit(float(mn))) * top / F.lit(span)
+        ).cast("long")
+        scaled.append(F.greatest(F.least(s, F.lit(top)), F.lit(0)))
+    key = F.lit(0).cast("long")
+    n = len(scaled)
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(s, i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 8,
+    rank_scale: bool = True,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    range-partition by the key (``n_files`` compact z-ranges, one file
+    each), sort within partitions, drop the key. Each output file then
+    covers a tight hyper-rectangle, so parquet min/max stats prune
+    scans filtered on ANY of the clustered columns — not just the
+    first sort column.
+
+    ``rank_scale`` (default): each column is mapped to its
+    approx-quantile bin before interleaving, so skewed distributions
+    still split the curve evenly — linear min/max scaling of a
+    long-tailed column packs most rows into a few codes and the Z-curve
+    degenerates to a sort on the other columns (the reason Delta/
+    Iceberg z-order on range IDs, not raw values). The bin lookup is a
+    broadcast-literal sorted-boundary array probed with
+    ``size(filter(...))`` — per-row JVM expression, no shuffle, no UDF;
+    the quantile pass is the same sampled sketch the range partitioner
+    already runs."""
+    n_bins = 1 << bits
+    zcols = []
+    if rank_scale:
+        for c in cols:
+            probs = [i / n_bins for i in range(1, n_bins)]
+            bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_bins))
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            zcols.append(
+                F.size(
+                    F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+                ).cast("long")
+            )
+        mins = [0.0] * len(cols)
+        maxs = [float(n_bins - 1)] * len(cols)
+    else:
+        b = df.agg(
+            *[F.min(c).cast("double") for c in cols],
+            *[F.max(c).cast("double") for c in cols],
+        ).first()
+        mins, maxs = b[: len(cols)], b[len(cols) :]
+        zcols = [F.col(c) for c in cols]
+    (
+        df.withColumn("_zkey", zorder_key(zcols, mins, maxs, bits))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2275,3 +2275,37 @@ def l17_pack_sequences(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         seq_tokens=512, shards=64,
     )
+
+
+@query(
+    "z3_zorder_scan",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id BETWEEN 100 AND 180 AND value BETWEEN 250 AND 400
+    """,
+)
+def z3_zorder_scan(spark, sf_dir):
+    """Z3: Z-order-clustered layout (operators/scale.write_zordered) —
+    events rewritten once per dataset with (user_id, value) Morton-key
+    range partitioning, then scanned with a two-dimensional box filter.
+    Each file covers a tight (user_id, value) hyper-rectangle, so
+    parquet min/max stats prune the scan on BOTH predicates (a single
+    sort column only ever prunes itself); clustering quality is
+    asserted in tests/test_scale.py. Oracle = the same filter on the
+    original table: passes only if the clustered rewrite is lossless."""
+    from finporter_spark.operators.scale import write_zordered
+
+    path = _stage_once(
+        sf_dir,
+        "z3",
+        lambda p: write_zordered(
+            _t(spark, sf_dir, "events").select("event_id", "user_id", "value"),
+            p,
+            ["user_id", "value"],
+            n_files=32,
+        ),
+        "events",
+    )
+    return spark.read.parquet(path).filter(
+        F.col("user_id").between(100, 180) & F.col("value").between(250, 400)
+    )
