@@ -57,6 +57,11 @@ HEADLINE = [
     "s8_partitioned_prune",
     "z1_bucketed_join",
     "z2_salted_agg",
+    "z3_zorder_scan",
+    "l16_repetition_profile",
+    "l17_pack_sequences",
+    "m9_mkv_frames",
+    "m5b_mp3_metadata",
     "pipe1_training_prep",
 ]
 
@@ -97,9 +102,12 @@ def main() -> None:
     STAGED = [
         "s8_partitioned_prune",
         "z1_bucketed_join",
+        "z3_zorder_scan",
         "x2_tumbling_window",
         "x3_session_window",
         "l2_minhash_near_dup",
+        "m9_mkv_frames",
+        "m5b_mp3_metadata",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -2309,3 +2309,32 @@ def z3_zorder_scan(spark, sf_dir):
     return spark.read.parquet(path).filter(
         F.col("user_id").between(100, 180) & F.col("value").between(250, 400)
     )
+
+
+@query("a12_count_min", None)  # ≈ operator: CMS bounds asserted in tests
+def a12_count_min(spark, sf_dir):
+    """A12: mergeable frequency sketches (Count-Min, JVM
+    ``count_min_sketch`` agg — completes the sketch family next to
+    a10's HLL and a11's KLL). The per-partition partial sketches merge
+    associatively, so the same one-pass state serves a 1000-executor
+    heavy-hitter scan or an incremental stream. eps=0.001, conf=0.99 =>
+    est in [true, true + eps*N] w.p. 0.99 (threshold-tested). The
+    ~112 KB merged sketch is deserialized driver-side through Spark's
+    own public CountMinSketch.readFrom and point-queried for the probe
+    keys — the analogue of the IVF centroid collect: constant-size
+    state, not data."""
+    e = _t(spark, sf_dir, "events")
+    blob = bytes(
+        e.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("s")
+        ).first()["s"]
+    )
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        blob
+    )
+    keys = [r.user_id for r in e.select("user_id").distinct().collect()]
+    rows = [
+        (int(k), int(jcms.estimateCount(spark._jvm.java.lang.Long(int(k)))))
+        for k in sorted(keys)
+    ]
+    return spark.createDataFrame(rows, "user_id bigint, est_count bigint")

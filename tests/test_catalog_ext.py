@@ -33,6 +33,7 @@ def test_catalog_covers_declared_surface():
         "a3_approx_count_distinct",
         "a10_hll_sketch",
         "a11_kll_quantiles",
+        "a12_count_min",
         "l2_minhash_near_dup",
         "l2_simhash_near_dup",
         "l3_lsh_knn",

@@ -365,3 +365,24 @@ def test_kll_quantiles_within_rank_tolerance(spark, sf_dir):
         lo50, hi50, lo95, hi95 = bounds[k]
         assert lo50 <= p50 <= hi50, (k, p50, (lo50, hi50))
         assert lo95 <= p95 <= hi95, (k, p95, (lo95, hi95))
+
+
+def test_count_min_error_bounds(spark, sf_dir):
+    """CMS guarantee: est >= true always; est <= true + eps*N at the
+    sketch's confidence (asserted with 3x slack on the whole key set)."""
+    from finporter_spark.queries.catalog import CATALOG
+
+    est = {
+        r.user_id: r.est_count
+        for r in CATALOG["a12_count_min"][0](spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.user_id: r.c
+        for r in e.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    assert set(est) == set(exact)
+    for k, t in exact.items():
+        assert est[k] >= t
+        assert est[k] - t <= 3 * 0.001 * n
