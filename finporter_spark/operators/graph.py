@@ -1,0 +1,96 @@
+"""Link-graph analysis: PageRank over an edge DataFrame.
+
+Web-scale training pipelines weight documents by the link authority of
+their source (Common-Crawl-style domain ranking feeding quality
+sampling); PageRank is the canonical such score. This is the
+DataFrame-native formulation: each iteration is
+
+    contribs = edges ⋈ ranks (on src)  →  groupBy(dst) sum
+    ranks    = (1-d)/N + d · (contribs + dangling_mass/N)
+
+two keyed shuffles per iteration (src-join, dst-agg), both map-side
+combined — the shape that holds on a 100 TB edge list. Driver work per
+iteration is one scalar (the dangling-mass sum), mirroring the
+connected-components convergence counter (`dedup.py`). Ranks are
+cached per iteration and the previous cache released, so lineage stays
+bounded across iterations.
+
+No reference parity to cite: the reference (openalloc/FINporter) has no
+graph surface; this exists for the training-data-pipeline operator
+family (SURVEY.md §2 L-group). Formulation follows the public PageRank
+literature (Brin & Page 1998; the damped power-iteration with uniform
+teleport and dangling redistribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration damped PageRank.
+
+    ``edges``: (src, dst) rows — parallel edges count multiply, self
+    loops allowed (both occur in real link graphs). ``vertices``: one
+    row per node id (nodes with no in- or out-edges still hold rank).
+    Returns (id, pr) with sum(pr) == 1 up to float error.
+
+    Fixed ``n_iter`` (not convergence-tested) keeps the result exactly
+    reproducible by the SQL oracle; production runs would loop on an
+    L1-delta threshold instead — same per-iteration plan.
+    """
+    n = vertices.count()
+    verts = vertices.select(F.col(id_col).alias("id"))
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    ranks = verts.withColumn("pr", F.lit(1.0 / n)).cache()
+    try:
+        for _ in range(n_iter):
+            # rank mass leaving each node, split across its out-edges
+            contribs = (
+                edges.join(
+                    ranks.join(out_deg, "id").withColumnRenamed("id", src),
+                    src,
+                )
+                .select(F.col(dst).alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("c"))
+            )
+            # dangling nodes (deg null) spread their mass uniformly
+            dangling = (
+                ranks.join(out_deg, "id", "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .first()[0]
+            )
+            new_ranks = verts.join(contribs, "id", "left").select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("pr"),
+            )
+            # localCheckpoint, not cache: an iterative plan that only
+            # caches still GROWS its logical tree every round (each
+            # analysis re-walks the whole history — measured minutes at
+            # 20 rounds even on a 4-node graph). Checkpointing truncates
+            # lineage to the materialized partitions; rank state is
+            # ~n rows of (long, double), trivially small next to edges.
+            # (local = executor-disk; a production run on a real cluster
+            # would point spark.checkpoint.dir at the DFS instead.)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks
+    except Exception:
+        ranks.unpersist()
+        raise

@@ -2338,3 +2338,78 @@ def a12_count_min(spark, sf_dir):
         for k in sorted(keys)
     ]
     return spark.createDataFrame(rows, "user_id bigint, est_count bigint")
+
+
+@query(
+    "l18_pagerank",
+    """
+    WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * m) % nn.n AS dst
+      FROM documents, nn, (VALUES (3), (5), (7)) v(m)
+    ),
+    r0 AS (SELECT doc_id AS id, 1.0 / nn.n AS pr FROM documents, nn),
+    r1 AS (
+      SELECT d.doc_id AS id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(r.pr / 3), 0) AS pr
+      FROM documents d CROSS JOIN nn
+      LEFT JOIN e ON e.dst = d.doc_id LEFT JOIN r0 r ON r.id = e.src
+      GROUP BY d.doc_id, nn.n
+    ),
+    r2 AS (
+      SELECT d.doc_id AS id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(r.pr / 3), 0) AS pr
+      FROM documents d CROSS JOIN nn
+      LEFT JOIN e ON e.dst = d.doc_id LEFT JOIN r1 r ON r.id = e.src
+      GROUP BY d.doc_id, nn.n
+    ),
+    r3 AS (
+      SELECT d.doc_id AS id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(r.pr / 3), 0) AS pr
+      FROM documents d CROSS JOIN nn
+      LEFT JOIN e ON e.dst = d.doc_id LEFT JOIN r2 r ON r.id = e.src
+      GROUP BY d.doc_id, nn.n
+    ),
+    r4 AS (
+      SELECT d.doc_id AS id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(r.pr / 3), 0) AS pr
+      FROM documents d CROSS JOIN nn
+      LEFT JOIN e ON e.dst = d.doc_id LEFT JOIN r3 r ON r.id = e.src
+      GROUP BY d.doc_id, nn.n
+    ),
+    r5 AS (
+      SELECT d.doc_id AS id,
+             0.15 / nn.n + 0.85 * COALESCE(SUM(r.pr / 3), 0) AS pr
+      FROM documents d CROSS JOIN nn
+      LEFT JOIN e ON e.dst = d.doc_id LEFT JOIN r4 r ON r.id = e.src
+      GROUP BY d.doc_id, nn.n
+    )
+    SELECT id, round(pr, 9) AS pr FROM r5
+    """,
+)
+def l18_pagerank(spark, sf_dir):
+    """L18: PageRank over a deterministic synthetic link graph (doc i
+    links to i*3, i*5, i*7 mod N — every node has out-degree 3, so the
+    oracle needs no dangling term). Web-corpus pipelines weight
+    documents by source link authority (Common-Crawl-style domain
+    ranking feeding quality sampling); the operator
+    (operators/graph.pagerank) is the damped power iteration as two
+    keyed shuffles per round with per-round cache rotation. The oracle
+    unrolls the same five iterations in SQL; both sides round to 9 dp
+    (the hash comparison's own granularity) so the equality is
+    bitwise."""
+    from finporter_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    # max+1, not count(): ids are the modulus domain (matches the oracle
+    # even if the id space ever grows sparse)
+    n = d.agg(F.max("doc_id") + 1).first()[0]
+    verts = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[(F.col("doc_id") * m) % n for m in (3, 5, 7)])
+        ).alias("dst"),
+    )
+    pr = pagerank(edges, verts, n_iter=5, damping=0.85)
+    return pr.select("id", F.round("pr", 9).alias("pr"))

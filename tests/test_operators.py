@@ -386,3 +386,27 @@ def test_count_min_error_bounds(spark, sf_dir):
     for k, t in exact.items():
         assert est[k] >= t
         assert est[k] - t <= 3 * 0.001 * n
+
+
+def test_pagerank_semantics(spark):
+    """Conservation (sum pr == 1), authority ordering (a sink pointed at
+    by everyone outranks the pointers), and dangling-mass handling (a
+    node with no out-edges redistributes; totals still conserve)."""
+    from finporter_spark.operators.graph import pagerank
+
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    # 1,2,3 all point at 0; 0 points nowhere (dangling)
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    pr = {r.id: r.pr for r in pagerank(edges, verts, n_iter=20).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[0] > pr[1] == pr[2] == pr[3]
+
+    # a ring conserves and equalizes
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    pr2 = {r.id: r.pr for r in pagerank(ring, verts, n_iter=10).collect()}
+    assert abs(sum(pr2.values()) - 1.0) < 1e-9
+    assert max(pr2.values()) - min(pr2.values()) < 1e-12
