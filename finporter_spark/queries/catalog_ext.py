@@ -2413,3 +2413,92 @@ def l18_pagerank(spark, sf_dir):
     )
     pr = pagerank(edges, verts, n_iter=5, damping=0.85)
     return pr.select("id", F.round("pr", 9).alias("pr"))
+
+
+@query(
+    "pipe2_llm_corpus",
+    r"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        FROM documents
+      ) GROUP BY h
+    ),
+    sd AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM sd
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t
+    ),
+    g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM idx),
+    pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+    rep AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM pg GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT t.doc_id, len(t.toks) AS n_toks_doc
+      FROM t LEFT JOIN rep USING (doc_id)
+      WHERE COALESCE(CAST(dup AS DOUBLE) / n, 0.0) <= 0.02
+    ),
+    sh AS (
+      SELECT doc_id, n_toks_doc,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 16 AS shard
+      FROM kept
+    ),
+    o AS (
+      SELECT doc_id, shard, n_toks_doc,
+             CAST(COALESCE(SUM(n_toks_doc) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_off
+      FROM sh
+    ),
+    e AS (
+      SELECT doc_id, shard, n_toks_doc, tok_off,
+             unnest(generate_series(tok_off // 256,
+                    (tok_off + greatest(n_toks_doc, 1) - 1) // 256)) AS seq_id
+      FROM o
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(seq_id * 256 - tok_off, 0) AS BIGINT)
+             AS doc_tok_start,
+           CAST(least((seq_id + 1) * 256 - tok_off, n_toks_doc)
+                - greatest(seq_id * 256 - tok_off, 0) AS BIGINT) AS n_toks
+    FROM e
+    """,
+)
+def pipe2_llm_corpus(spark, sf_dir):
+    """Composite LLM-corpus pipeline, end to end: exact dedup (sha256
+    keep-min) -> intra-doc repetition gate (Gopher-style dup-ngram mass
+    <= 2%, calibrated to bite on the synthetic corpus) -> GPT-style
+    packing of the survivors into 256-token sequences across 16 shards.
+    One lazy plan; every stage is the already-oracle-checked operator
+    (l1 + l16 + l17) composed, and the pipeline oracle is their SQL
+    composition — so the hash match proves the STAGES COMPOSE, not just
+    that each works alone. Shuffle budget: dedup groupBy + survivor
+    join + repetition pair + shard window = all keyed on doc/hash,
+    map-combined, no broadcast of anything data-sized."""
+    from finporter_spark.operators.dedup import exact_dedup
+    from finporter_spark.operators.prep import (
+        pack_sequences,
+        repetition_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    surv = exact_dedup(d, "text", "doc_id").select("doc_id").join(d, "doc_id")
+    prof = repetition_profile(surv, "text", "doc_id", ngram_n=3)
+    kept = surv.join(
+        prof.filter(F.col("dup_frac") <= 0.02).select("doc_id"), "doc_id"
+    )
+    return pack_sequences(kept, "text", "doc_id", seq_tokens=256, shards=16)
