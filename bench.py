@@ -63,6 +63,8 @@ HEADLINE = [
     "m9_mkv_frames",
     "m5b_mp3_metadata",
     "pipe1_training_prep",
+    "pipe2_llm_corpus",
+    "l18_pagerank",
 ]
 
 

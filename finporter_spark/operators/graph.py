@@ -35,6 +35,7 @@ def pagerank(
     id_col: str = "id",
     n_iter: int = 5,
     damping: float = 0.85,
+    dangling: bool = True,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank.
 
@@ -46,37 +47,55 @@ def pagerank(
     Fixed ``n_iter`` (not convergence-tested) keeps the result exactly
     reproducible by the SQL oracle; production runs would loop on an
     L1-delta threshold instead — same per-iteration plan.
+
+    ``dangling=False`` skips the per-round dangling-mass job for graphs
+    the caller KNOWS have no sink nodes (one Spark job per round saved;
+    with sinks present it would leak rank mass — leave it on unless the
+    out-degree floor is structural, as in l18's synthetic graph).
+
+    The loop-invariant inputs (edges joined to out-degree) are cached
+    once and released before returning; rank state is localCheckpointed
+    per round to keep the logical plan flat (see inline note).
     """
     n = vertices.count()
     verts = vertices.select(F.col(id_col).alias("id"))
     out_deg = edges.groupBy(F.col(src).alias("id")).agg(
         F.count("*").alias("deg")
     )
-    ranks = verts.withColumn("pr", F.lit(1.0 / n)).cache()
+    # loop-invariant: every iteration re-reads the edge list with its
+    # out-degree attached — cache it once instead of re-running the
+    # degree shuffle per round (at scale this is THE dominant input;
+    # a real deployment would persist it as a bucketed table instead)
+    edges_deg = edges.join(
+        out_deg.withColumnRenamed("id", src), src
+    ).select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "deg").cache()
+    ranks = verts.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
     try:
         for _ in range(n_iter):
             # rank mass leaving each node, split across its out-edges
             contribs = (
-                edges.join(
-                    ranks.join(out_deg, "id").withColumnRenamed("id", src),
-                    src,
+                edges_deg.join(ranks, edges_deg.e_src == ranks.id)
+                .select(
+                    F.col("e_dst").alias("id"),
+                    (F.col("pr") / F.col("deg")).alias("c"),
                 )
-                .select(F.col(dst).alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
                 .groupBy("id")
                 .agg(F.sum("c").alias("c"))
             )
-            # dangling nodes (deg null) spread their mass uniformly
-            dangling = (
-                ranks.join(out_deg, "id", "left_anti")
-                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-                .first()[0]
-            )
+            # dangling nodes (no out-edges) spread their mass uniformly
+            d_mass = 0.0
+            if dangling:
+                d_mass = (
+                    ranks.join(out_deg, "id", "left_anti")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                    .first()[0]
+                )
             new_ranks = verts.join(contribs, "id", "left").select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(d_mass / n))
                 ).alias("pr"),
             )
             # localCheckpoint, not cache: an iterative plan that only
@@ -87,10 +106,7 @@ def pagerank(
             # ~n rows of (long, double), trivially small next to edges.
             # (local = executor-disk; a production run on a real cluster
             # would point spark.checkpoint.dir at the DFS instead.)
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-            ranks.unpersist()
-            ranks = new_ranks
+            ranks = new_ranks.localCheckpoint(eager=True)
         return ranks
-    except Exception:
-        ranks.unpersist()
-        raise
+    finally:
+        edges_deg.unpersist()

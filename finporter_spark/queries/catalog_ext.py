@@ -2411,7 +2411,9 @@ def l18_pagerank(spark, sf_dir):
             F.array(*[(F.col("doc_id") * m) % n for m in (3, 5, 7)])
         ).alias("dst"),
     )
-    pr = pagerank(edges, verts, n_iter=5, damping=0.85)
+    # dangling=False is safe: every node has out-degree exactly 3 by
+    # construction, so there is no sink mass to redistribute
+    pr = pagerank(edges, verts, n_iter=5, damping=0.85, dangling=False)
     return pr.select("id", F.round("pr", 9).alias("pr"))
 
 
