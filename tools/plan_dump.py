@@ -139,6 +139,22 @@ SHOWCASE = {
         "Catalyst decorrelation: EXISTS/NOT EXISTS rewritten to left-semi "
         "and left-anti hash joins, no per-row subquery execution."
     ),
+    "l17_pack_sequences": (
+        "Sequence packing: the running token offset is a window cumsum "
+        "PARTITIONED by the md5 shard (64 parallel windows — never one "
+        "global serial sort), then the boundary-crossing explode is "
+        "map-only. One shuffle total."
+    ),
+    "l16_repetition_profile": (
+        "Repetition profiling: explode -> (doc,gram) count -> per-doc "
+        "re-agg; both shuffles keyed on the doc id with map-side "
+        "partial aggregation, no UDF."
+    ),
+    "z3_zorder_scan": (
+        "Z-order-clustered scan: both box predicates reach PushedFilters "
+        "on the parquet scan, and the Morton-range file layout means the "
+        "row-group min/max stats actually bite on each of them."
+    ),
 }
 
 
