@@ -2504,3 +2504,85 @@ def pipe2_llm_corpus(spark, sf_dir):
         prof.filter(F.col("dup_frac") <= 0.02).select("doc_id"), "doc_id"
     )
     return pack_sequences(kept, "text", "doc_id", seq_tokens=256, shards=16)
+
+
+@query(
+    "x9_incremental_mv",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('value')} AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def x9_incremental_mv(spark, sf_dir):
+    """X9: incrementally-maintained materialized view — the streaming
+    pattern behind every 'continuous aggregate': each micro-batch's
+    partial aggregate is MERGED into a persisted state table instead of
+    recomputing the full aggregate. State versions are written to
+    ``state_v{{batch_id}}`` (idempotent per batch_id: a replayed batch
+    overwrites its own version, the exactly-once leg x8's crash-restart
+    test proves), and each merge reads the previous version — so state
+    size stays O(groups), independent of stream length. The returned
+    final state must equal the one-shot batch aggregate over the whole
+    input: the oracle proves incremental == batch.
+    """
+    import shutil
+
+    from finporter_spark.streaming.pipeline import run_stream_foreach_batch
+
+    path = _stage_events_csv(spark, sf_dir)
+    root = _io_dir(sf_dir, "x9_state")
+    ckpt = _io_dir(sf_dir, "x9_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)  # force a multi-batch drain
+        .csv(path)
+    )
+
+    def latest_version(before: int) -> int:
+        """Newest persisted state older than ``before`` — discovered from
+        the sink itself, so a crash-restarted process (which replays the
+        failed batch under the same id) merges onto the right parent
+        instead of trusting in-process memory."""
+        versions = [
+            int(d[len("state_v"):])
+            for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if d.startswith("state_v") and int(d[len("state_v"):]) < before
+        ]
+        return max(versions, default=-1)
+
+    def merge(bdf, batch_id):
+        delta = bdf.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("total_dec"),
+        )
+        parent = latest_version(batch_id)
+        if parent >= 0:
+            prev = bdf.sparkSession.read.parquet(
+                os.path.join(root, f"state_v{parent}")
+            )
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total_dec").alias("total_dec"),
+                )
+            )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(root, f"state_v{batch_id}")
+        )
+
+    run_stream_foreach_batch(sdf, merge, ckpt)
+    final = spark.read.parquet(
+        os.path.join(root, f"state_v{latest_version(1 << 62)}")
+    )
+    return final.select(
+        "event_type", "n", F.col("total_dec").cast("double").alias("total")
+    )
