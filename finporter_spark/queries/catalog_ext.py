@@ -360,10 +360,19 @@ def _stage_media(spark, sf_dir, name, make_fn):
 
 
 def _stage_events_csv(spark, sf_dir):
-    """The canonical events-as-CSV drop folder (shared by x1/x8)."""
+    """The canonical events-as-CSV drop folder (shared by x1/x8/x9).
+
+    Written as EIGHT files: the drop exists to exercise multi-batch
+    drains (``maxFilesPerTrigger=1``), and the source parquet is a
+    single partition at test SFs — without the repartition the "stream"
+    would collapse to one micro-batch and every multi-batch claim
+    downstream would be vacuous (x9's version-count test pins this).
+    All consumers are order-insensitive (complete-mode agg, full union,
+    associative merge), so the nondeterministic row placement is fine.
+    """
     return _stage_once(
         sf_dir,
-        "x1",
+        "x1_8f",
         lambda p: _t(spark, sf_dir, "events")
         .select(
             "event_id",
@@ -371,6 +380,7 @@ def _stage_events_csv(spark, sf_dir):
             "event_type",
             "value",
         )
+        .repartition(8)
         .write.mode("overwrite")
         .csv(p, header=True),
         "events",

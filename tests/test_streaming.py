@@ -438,3 +438,33 @@ def test_x8_crash_restart_exactly_once(spark, tmp_path):
     )
     want = sorted((i, i * 10 + j) for i in range(3) for j in range(4))
     assert got == want
+
+
+def test_x9_incremental_mv_actually_incremental(spark, sf_dir):
+    """x9's oracle proves incremental == batch; this pins that the
+    maintenance really was incremental: one state version per
+    micro-batch (maxFilesPerTrigger=1 over a multi-file drop), each
+    holding O(groups) rows, monotonically growing counts."""
+    import os
+
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    out = CATALOG["x9_incremental_mv"][0](spark, sf_dir)
+    n_types = out.count()
+    root = _io_dir(sf_dir, "x9_state")
+    versions = sorted(
+        int(d[len("state_v"):])
+        for d in os.listdir(root)
+        if d.startswith("state_v")
+    )
+    assert len(versions) > 1, "drain must have produced multiple batches"
+    totals = []
+    for v in versions:
+        st = spark.read.parquet(os.path.join(root, f"state_v{v}"))
+        assert st.count() <= n_types  # state stays O(groups)
+        totals.append(st.agg(F.sum("n")).first()[0])
+    assert totals == sorted(totals), "event counts must grow monotonically"
+    assert totals[-1] == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
