@@ -193,3 +193,57 @@ def test_mp4_roundtrip_property(sizes, spc):
 
     frames = [bytes([i % 251]) * n for i, n in enumerate(sizes)]
     assert mp4_demux(mp4_mux(frames, samples_per_chunk=spc)) == frames
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=600), min_size=1,
+                   max_size=24),
+    fpb=st.integers(min_value=1, max_value=8),
+)
+def test_mkv_roundtrip_property(sizes, fpb):
+    """Any frame-size multiset and lacing factor round-trips through the
+    EBML mux/demux byte-exactly — zero-length frames, Xiph
+    255-continuation sizes, and un-laced remainder blocks included."""
+    from finporter_spark.operators.mkv import mkv_demux, mkv_mux
+
+    frames = [bytes([i % 251]) * n for i, n in enumerate(sizes)]
+    assert mkv_demux(mkv_mux(frames, frames_per_block=fpb)) == frames
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=600), min_size=1,
+                   max_size=24),
+)
+def test_avi_roundtrip_property(sizes):
+    """Any frame-size multiset round-trips through the RIFF mux/demux
+    byte-exactly — odd sizes exercise word-alignment padding, and the
+    idx1 validation must accept every layout the muxer emits."""
+    from finporter_spark.operators.avi import avi_demux, avi_mux
+
+    frames = [bytes([i % 251]) * n for i, n in enumerate(sizes)]
+    assert avi_demux(avi_mux(frames)) == frames
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    brs=st.lists(st.sampled_from([32, 40, 48, 56, 64, 80, 96, 112, 128,
+                                  160, 192, 224, 256, 320]),
+                 min_size=1, max_size=16),
+    sr=st.sampled_from([44100, 48000, 32000]),
+    id3v2=st.integers(min_value=0, max_value=200),
+    id3v1=st.booleans(),
+)
+def test_mp3_metadata_property(brs, sr, id3v2, id3v1):
+    """The frame-header walk recovers the exact frame count, rates, and
+    floor-division aggregates for any frame plan / tag combination."""
+    from finporter_spark.operators.audio import mp3_metadata, mp3_mux
+
+    m = mp3_metadata(mp3_mux(brs, sr, id3v2_size=id3v2, id3v1=id3v1))
+    assert m["n_frames"] == len(brs)
+    assert m["sample_rate"] == sr
+    assert m["avg_bitrate_kbps"] == sum(brs) // len(brs)
+    assert m["total_samples"] == len(brs) * 1152
+    assert m["duration_ms"] == len(brs) * 1152 * 1000 // sr
+    assert m["vbr"] == (len(set(brs)) > 1)
