@@ -190,6 +190,88 @@ def lsh_bucket_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def blocked_allpairs_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine above ``threshold`` via block-matrix tiling.
+
+    Dense similarity at a low threshold is intrinsically O(n^2) — no
+    geometric blocking (sign-LSH, IVF) separates cosine 0.4 from 0.0 on an
+    isotropic corpus (measured: >=33% candidate fraction for 0.83 recall).
+    The scalable formulation keeps the quadratic WORK but bounds memory and
+    shuffle: split the corpus into B blocks, enumerate the B(B+1)/2
+    unordered block pairs, and score each tile with one BLAS matmul inside
+    a cogrouped Arrow batch.
+
+    Scale shape: each row is replicated to its B+1 tiles (shuffle ∝ n·B,
+    never n^2); a task holds two blocks (2n/B vectors), so B is chosen to
+    fit executor memory; tiles are independent → embarrassingly parallel
+    across B(B+1)/2 tasks. The Python boundary is one numpy matmul per
+    tile — Arrow-batched, BLAS-backed, ~100x fewer interpreter crossings
+    than per-pair lambda scoring.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
+    )
+    # a row in block p is the LEFT side of tiles (p, p..B-1) and the RIGHT
+    # side of tiles (0..p, p): pure explode, no self-join (and no
+    # ambiguous-lineage trap inside the cogroup)
+    left = v.select(
+        F.col("_blk").alias("ba"),
+        F.explode(
+            F.sequence(F.col("_blk"), F.lit(n_blocks - 1))
+        ).alias("bb"),
+        "_id",
+        "_v",
+    )
+    right = v.select(
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("ba"),
+        F.col("_blk").alias("bb"),
+        "_id",
+        "_v",
+    )
+
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []}).astype(
+                {"id_l": "int64", "id_r": "int64", "cosine": "float64"}
+            )
+        A = np.asarray(lpdf["_v"].tolist(), dtype=np.float64)
+        B = np.asarray(rpdf["_v"].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        S = A @ B.T
+        la = lpdf["_id"].to_numpy()
+        rb = rpdf["_id"].to_numpy()
+        if ba == bb:
+            # diagonal tile: dedupe within the block by id order
+            mask = (S >= threshold) & (la[:, None] < rb[None, :])
+        else:
+            mask = S >= threshold
+        i, j = np.nonzero(mask)
+        il, ir = la[i], rb[j]
+        lo, hi = np.minimum(il, ir), np.maximum(il, ir)
+        return pd.DataFrame(
+            {"id_l": lo, "id_r": hi, "cosine": np.round(S[i, j], round_dp)}
+        )
+
+    return (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(score, "id_l bigint, id_r bigint, cosine double")
+    )
+
+
 def _assign_udf(centroids: list[list[float]], n_probe: int = 1):
     """Vectorized nearest-centroid assignment (numpy, Arrow-batched).
 

@@ -571,6 +571,31 @@ def l10_embedding_near_dup(spark, sf_dir):
     )
 
 
+@query(
+    "l19_blocked_allpairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT id_l, id_r, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def l19_blocked_allpairs(spark, sf_dir):
+    """Same exact result as l10, produced the way a 100 TB corpus would:
+    block-matrix tiling + one BLAS matmul per tile (see
+    operators/similarity.blocked_allpairs_cosine). Shuffle ∝ n·B, task
+    memory = two blocks; l10's broadcast NLJ is the small-corpus baseline."""
+    from finporter_spark.operators.similarity import blocked_allpairs_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return blocked_allpairs_cosine(emb, threshold=0.4, n_blocks=8)
+
+
 # =====================================================================
 # M — multimodal pipeline (L5): binary media columns + metadata. The
 # media bytes are deterministic fake PNGs built from table columns, so

@@ -410,3 +410,50 @@ def test_pagerank_semantics(spark):
     pr2 = {r.id: r.pr for r in pagerank(ring, verts, n_iter=10).collect()}
     assert abs(sum(pr2.values()) - 1.0) < 1e-9
     assert max(pr2.values()) - min(pr2.values()) < 1e-12
+
+
+def test_blocked_allpairs_matches_brute_force(spark, sf_dir):
+    """Tiled BLAS all-pairs is EXACT: identical pair set and 6dp cosines
+    vs the broadcast-NLJ baseline, for a divisor and a non-divisor block
+    count and for the degenerate single-block case."""
+    from finporter_spark.operators.similarity import blocked_allpairs_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = e.select(F.col("vec_id").alias("id_l"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_r"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    exact = {
+        (r.id_l, r.id_r, round(r.cosine, 6))
+        for r in F.broadcast(a)
+        .join(b, F.col("id_l") < F.col("id_r"))
+        .select(
+            "id_l",
+            "id_r",
+            (dot / (nrm(F.col("ea")) * nrm(F.col("eb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .collect()
+    }
+    for n_blocks in (1, 3, 8):
+        tiled = {
+            (r.id_l, r.id_r, r.cosine)
+            for r in blocked_allpairs_cosine(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert tiled == exact, f"n_blocks={n_blocks}"

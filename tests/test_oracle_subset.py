@@ -36,6 +36,8 @@ SUBSET = [
     "p15_higher_order_funcs",
     "l15_bigram_lm_score",
     "w5_gap_fill",
+    # round-4 additions
+    "l19_blocked_allpairs",
 ]
 
 
