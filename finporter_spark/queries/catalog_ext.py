@@ -422,6 +422,47 @@ def x1_stream_file_source(spark, sf_dir):
     return run_stream_to_memory(agg, "x1_mem", output_mode="complete")
 
 
+@query(
+    "x10_stream_static_join",
+    f"""
+    SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('e.value')} AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def x10_stream_static_join(spark, sf_dir):
+    """X10: stream-static enrichment join — the canonical streaming-ETL
+    shape (fact stream enriched against a slowly-changing dim). The dim
+    is a static broadcast side, so each micro-batch joins map-side with
+    NO stream-state: unlike stream-stream joins (x7) there is nothing to
+    watermark, and at 100 TB the dim refresh is a snapshot swap. Complete-
+    mode agg over the joined stream makes a full drain equal the batch
+    answer under any micro-batch split."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = _stage_once(
+        sf_dir,
+        "x10",
+        lambda p: e.repartition(8).write.mode("overwrite").csv(p, header=True),
+        "events",
+    )
+    sdf = stream_decode_files(
+        spark, path, schema="event_id bigint, user_id bigint, value double"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return run_stream_to_memory(agg, "x10_mem", output_mode="complete")
+
+
 @query("x5_stream_dedup", "SELECT DISTINCT event_id FROM events")
 def x5_stream_dedup(spark, sf_dir):
     """X5: stateful streaming dedup (dropDuplicatesWithinWatermark) over
@@ -847,6 +888,60 @@ def w5_gap_fill(spark, sf_dir):
             F.col("v").isNotNull().alias("observed"),
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
+    )
+
+
+@query(
+    "w6_sessionize",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DSUM('value')} AS total_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def w6_sessionize(spark, sf_dir):
+    """W6: BATCH sessionization — the offline twin of the streaming
+    session window (x3), and the standard backfill/reprocessing path:
+    a gap > 10 min starts a new session. Two windows over the SAME
+    (user_id, ts) ordering — one shuffle, both window passes reuse the
+    sort — then a per-(user, session) hash agg. Scales as W-ops do:
+    state ∝ one user's events per task, no driver involvement."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 600),
+        1,
+    ).otherwise(0)
+    sessions = e.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
     )
 
 
@@ -1355,6 +1450,43 @@ def o6_upsert_merge(spark, sf_dir):
         order_by=[F.col("src").desc(), F.col("ts").desc()],
     )
     return merged.select("event_id", "user_id", "ts", "value")
+
+
+@query(
+    "o9_scd2_history",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS change_id,
+           o_orderstatus AS status, o_totalprice AS attr_value,
+           o_orderdate AS valid_from,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(o_orderdate) OVER w AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def o9_scd2_history(spark, sf_dir):
+    """O9: type-2 slowly-changing-dimension build — the history-keeping
+    sibling of o6's keep-latest upsert. The change log (orders, as
+    per-customer state changes) becomes a versioned dimension: each row
+    gets [valid_from, valid_to) from its own date and its successor's
+    (lead), open-ended rows are current. One window sort per customer —
+    exactly one shuffle on the dimension key, no join against existing
+    state needed because lead() derives closure from the log itself."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("attr_value"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
 
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
