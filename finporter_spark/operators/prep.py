@@ -105,6 +105,82 @@ def decontaminate(
     return df.join(contaminated, id_col, "left_anti")
 
 
+def fuzzy_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_jaccard_threshold: float = 0.5,
+    signatures: DataFrame | None = None,
+    bench_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup-AWARE eval decontamination: drop a training document when
+    its MinHash signature agrees with some benchmark document's on
+    ``est_jaccard_threshold`` of components (estimated Jaccard).
+
+    :func:`decontaminate` is the exact-overlap gate (shared n-gram ⇒
+    contaminated); this is its fuzzy sibling for the real-world case —
+    benchmark text lightly paraphrased/reformatted inside a training
+    page, which exact n-gram probes miss. Candidates come from LSH band
+    collisions (equi-join on (band, bucket), train side shuffled, bench
+    side broadcast-sized by contract), NEVER an all-pairs scan, so the
+    shape is the same one-signature-pass + bucket-join as the L2 dedup
+    family; pass persisted ``signatures`` /``bench_signatures`` (see
+    ``dedup.load_or_build_signatures``) to skip even that.
+
+    ≈ operator: MinHash estimation is probabilistic — recall vs the
+    exact-Jaccard ground truth is threshold-tested, not oracle-hashed.
+    """
+    from finporter_spark.operators.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+
+    def prep(frame, sig, side):
+        s = (
+            sig
+            if sig is not None
+            else minhash_signatures(frame, text_col, id_col, shingle_n, num_hashes)
+        )
+        return s.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+                f"{side}_sig"
+            ),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    t = prep(df, signatures, "t")
+    b = prep(benchmark, bench_signatures, "b")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("t_sig", "b_sig", lambda x, y: x == y), lambda z: z
+        )
+    )
+    contaminated = (
+        t.join(F.broadcast(b), ["band", "bucket"])
+        .dropDuplicates(["t_id", "b_id"])
+        .filter(n_eq / F.lit(float(num_hashes)) >= est_jaccard_threshold)
+        .select(F.col("t_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
 def sample_bucket(key: Column, buckets: int = 10000) -> Column:
     """Deterministic, engine-portable bucket in [0, buckets) for a key:
     first 8 hex chars of ``md5(key as string)``. Reruns, retries, and

@@ -150,6 +150,44 @@ def l13_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, ngram_n=5).select("doc_id", "lang")
 
 
+@query("l20_fuzzy_decontaminate", None)  # ≈ operator: recall checked in tests
+def l20_fuzzy_decontaminate(spark, sf_dir):
+    """Near-dup-aware decontamination (l13's fuzzy sibling): a training
+    doc is dropped when its estimated Jaccard vs any benchmark doc is
+    ≥ 0.5, candidates via MinHash band collisions. Reuses the SAME
+    persisted signature table as l2 (one signature pass per corpus
+    snapshot serves dedup, clustering, and decontamination), split by
+    the benchmark predicate."""
+    import os
+
+    from finporter_spark.operators.dedup import load_or_build_signatures
+    from finporter_spark.operators.prep import fuzzy_decontaminate
+    from finporter_spark.operators.scale import source_fingerprint
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = load_or_build_signatures(
+        docs,
+        cache_path=_io_dir(sf_dir, "l2_sigs_n3_k32"),
+        fingerprint=source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")
+        ),
+        text_col="text", id_col="doc_id", shingle_n=3, num_hashes=32,
+    )
+    bench_pred = F.col("doc_id") % 37 == 0
+    survivors = fuzzy_decontaminate(
+        docs.filter(~bench_pred),
+        docs.filter(bench_pred),
+        shingle_n=3,
+        num_hashes=32,
+        bands=8,
+        est_jaccard_threshold=0.5,
+        signatures=sigs.filter(~bench_pred),
+        bench_signatures=sigs.filter(bench_pred),
+    )
+    return survivors.select("doc_id", "lang")
+
+
 @query(
     "o7_stratified_sample",
     """

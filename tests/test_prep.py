@@ -217,3 +217,32 @@ def test_pack_sequences_invariants(spark, sf_dir):
     ).count()
     assert bad == 0
     p.unpersist()
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A training doc that is a light edit of a benchmark doc (no shared
+    5-gram needed — high estimated Jaccard of 3-gram shingles) is
+    dropped; unrelated docs survive; docs with no shingles are kept."""
+    from finporter_spark.operators.prep import fuzzy_decontaminate
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=base)])
+    train = spark.createDataFrame(
+        [
+            # one word swapped -> near-dup of the benchmark text
+            Row(doc_id=1, text=base.replace("omicron", "OMICRON")),
+            Row(doc_id=2, text="completely unrelated words appear here "
+                               "and keep going for a while longer"),
+            Row(doc_id=3, text="too short"),
+        ]
+    )
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            train, bench, est_jaccard_threshold=0.5
+        ).select("doc_id").collect()
+    )
+    assert kept == [2, 3]

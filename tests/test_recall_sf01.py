@@ -166,3 +166,34 @@ def test_ivf_knn_recall_at_sf01(spark, emb01, tmp_path):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ivf knn sf0.1 recall {recall}"
+
+
+def test_fuzzy_decontaminate_recall_at_sf01(spark, docs01):
+    """Every training doc whose TRUE 3-gram Jaccard vs the benchmark
+    split (doc_id % 37 == 0) is >= 0.5 must be removed by the MinHash
+    path (the sf0.1 contaminated docs all sit at Jaccard >= 0.95, where
+    8x4 banding collides with probability ~1); and the fuzzy gate must
+    not nuke the corpus (precision guard)."""
+    from finporter_spark.operators.dedup import ngram_jaccard_pairs
+    from finporter_spark.operators.prep import fuzzy_decontaminate
+
+    bench_pred = F.col("doc_id") % 37 == 0
+    pairs = ngram_jaccard_pairs(docs01, threshold=0.5).collect()
+    truth = {
+        r.id_a if r.id_a % 37 != 0 else r.id_b
+        for r in pairs
+        if (r.id_a % 37 == 0) != (r.id_b % 37 == 0)
+    }
+    assert truth, "sf0.1 corpus should contain cross-split near-dups"
+    train = docs01.filter(~bench_pred)
+    survivors = {
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            train, docs01.filter(bench_pred), est_jaccard_threshold=0.5
+        ).select("doc_id").collect()
+    }
+    removed = {r.doc_id for r in train.select("doc_id").collect()} - survivors
+    assert truth <= removed, f"missed contaminated docs: {truth - removed}"
+    assert len(removed) <= 0.05 * train.count(), (
+        f"fuzzy gate removed {len(removed)} docs - precision collapsed"
+    )
