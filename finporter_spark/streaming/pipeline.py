@@ -99,27 +99,65 @@ def stream_dedup(
     )
 
 
+STATE_PARTITIONS = 8
+"""State-store partition count for stateful streaming drains.
+
+``spark.sql.shuffle.partitions`` at a streaming query's FIRST start fixes
+its number of state stores forever (Spark pins it in the checkpoint and
+re-applies it on restart, overriding the session conf — so the setting is
+per-query-lifetime, not per-run). Every micro-batch pays one state-store
+load+commit per partition per stateful operator, a fixed cost that
+dwarfs the data work at test backlogs: the x7 interval join drains in
+~4 s with 8 state partitions vs ~10 s with 32. On a real cluster this
+knob is sized to executors × cores like any shuffle; the drain helpers
+below set it explicitly (and restore the session value) so streaming
+state layout is a deliberate choice rather than inherited from whatever
+batch shuffle width the session happens to use.
+"""
+
+
+class _state_partitions:
+    """Set shuffle partitions for a streaming query's start, restore on
+    exit. The restore is safe AFTER awaitTermination: availableNow has
+    fully drained, and a restarted query re-reads the checkpointed value,
+    not the session conf."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_stream_to_memory(
     sdf: DataFrame,
     query_name: str,
     output_mode: str = "append",
     timeout_s: float = 120.0,
+    state_partitions: int | None = STATE_PARTITIONS,
 ) -> DataFrame:
     """Drive a stream to completion (availableNow) into an in-memory sink
     and return the materialized result — the batch-equivalence harness."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"stream {query_name!r} did not drain within {timeout_s}s; "
-            "stopped to avoid reading a partially-filled memory sink"
+    with _state_partitions(sdf.sparkSession, state_partitions):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream {query_name!r} did not drain within {timeout_s}s; "
+                "stopped to avoid reading a partially-filled memory sink"
+            )
     spark = sdf.sparkSession
     return spark.table(query_name)
 
@@ -129,6 +167,7 @@ def run_stream_foreach_batch(
     sink_fn,
     checkpoint: str,
     timeout_s: float = 120.0,
+    state_partitions: int | None = STATE_PARTITIONS,
 ) -> None:
     """Drive a stream through a foreachBatch custom sink (availableNow).
 
@@ -140,19 +179,20 @@ def run_stream_foreach_batch(
     function being idempotent per batch_id — callers key their writes
     on it.
     """
-    q = (
-        sdf.writeStream.foreachBatch(sink_fn)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(
-            f"foreachBatch stream did not drain within {timeout_s}s; "
-            "stopped — the sink may hold a partial batch (checkpoint "
-            f"{checkpoint} will re-deliver it on restart)"
+    with _state_partitions(sdf.sparkSession, state_partitions):
+        q = (
+            sdf.writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"foreachBatch stream did not drain within {timeout_s}s; "
+                "stopped — the sink may hold a partial batch (checkpoint "
+                f"{checkpoint} will re-deliver it on restart)"
+            )
 
 
 def stream_transform(
