@@ -1489,6 +1489,148 @@ def o9_scd2_history(spark, sf_dir):
     )
 
 
+@query(
+    "o10_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT user_id AS key, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op
+      FROM events
+    ), latest AS (
+      SELECT key, op, value FROM (
+        SELECT key, op, value,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ch) WHERE rn = 1
+    )
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           COALESCE(l.value, c.c_acctbal) AS balance,
+           l.key IS NOT NULL AS changed
+    FROM customer c
+    LEFT JOIN latest l ON c.c_custkey = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def o10_cdc_apply(spark, sf_dir):
+    """O10: CDC changelog apply — the three-verb merge (insert/update/
+    delete) every lakehouse MERGE INTO performs, built from primitives:
+    collapse the changelog to its newest op per key (one window pass —
+    at 100 TB the changelog is far smaller than the base, so this is the
+    cheap side), then LEFT-join the base and let the final op decide:
+    D drops the row, I/U replace the payload, absent keys pass through.
+    o6 is the upsert-only special case; o9 keeps the history this
+    overwrites. Base-side work is one broadcast-or-shuffled join — the
+    base table itself is never re-sorted."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    ch = e.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "value")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(latest, c.c_custkey == latest.key, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.coalesce("value", "c_acctbal").alias("balance"),
+            F.col("key").isNotNull().alias("changed"),
+        )
+    )
+
+
+@query(
+    "o11_per_key_cap",
+    """
+    SELECT doc_id, source, CAST(rn AS INT) AS draw_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents) WHERE rn <= 50
+    """,
+)
+def o11_per_key_cap(spark, sf_dir):
+    """O11: deterministic per-key cap — at most k documents per source,
+    chosen by md5-hash order (a uniform draw that is identical across
+    engines, runs, and retries; same portability argument as o7's
+    sampler). The per-domain cap is a standard corpus-curation gate
+    (bound any one domain's share of the training set); one window
+    shuffle on the cap key, and at scale a pre-filter via an
+    approximate per-key count keeps the exact window off the
+    un-capped majority."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("int").alias("draw_rank"),
+        )
+        .filter(F.col("draw_rank") <= 50)
+    )
+
+
+@query(
+    "p16_fuzzy_join",
+    """
+    SELECT a.p_partkey AS key_l, b.p_partkey AS key_r,
+           a.p_brand AS brand, a.p_name AS name_l, b.p_name AS name_r,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def p16_fuzzy_join(spark, sf_dir):
+    """P16: blocked fuzzy join (entity resolution): candidate pairs come
+    from an EQUI-join on the blocking key (brand) — never a cross join —
+    and survive on edit distance ≤ 2. levenshtein is a JVM built-in, so
+    the pair scoring stays in codegen; blocking bounds pairs to
+    Σ(block²), the standard ER shape (choose the key so blocks stay
+    small; salt or split hot blocks exactly like any skewed join)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_l"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_l"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_r"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_r"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_l") < F.col("key_r"))
+        .withColumn("dist", F.levenshtein("name_l", "name_r").cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select("key_l", "key_r", "brand", "name_l", "name_r", "dist")
+    )
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
