@@ -491,6 +491,51 @@ def x5_stream_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "s10_binaryfile_scan",
+    """
+    SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin'
+             AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           lower(sha256(text)) AS digest
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def s10_binaryfile_scan(spark, sf_dir):
+    """S10: the `binaryFile` source — whole files as (path, length,
+    content) rows, the ingest shape for raw media/artifact corpora
+    (SURVEY §2B L5). A staged drop of one .bin per document is scanned
+    back and digested; the oracle predicts basename, byte length, and
+    sha256 from the source table, so the check proves the source reads
+    exactly the bytes written. At 100 TB this source partitions by file
+    (maxPartitionBytes batches small files per task); content digesting
+    is map-only."""
+
+    def write_files(p):
+        os.makedirs(p, exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()  # staging only: 100 unit-size files, one time
+        )
+        for r in rows:
+            with open(os.path.join(p, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+
+    path = _stage_once(sf_dir, "s10", write_files, "documents")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract("path", "[^/]+$", 0).alias("fname"),
+            F.col("length"),
+            F.lower(F.sha2("content", 256)).alias("digest"),
+        )
+    )
+
+
 # =====================================================================
 # L9/L10 — exact near-dup pair generation (the brute-force oracles the
 # ≈-marked MinHash/SimHash/LSH operators are validated against).
