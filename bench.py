@@ -65,6 +65,18 @@ HEADLINE = [
     "pipe1_training_prep",
     "pipe2_llm_corpus",
     "l18_pagerank",
+    # round-4 additions
+    "l19_blocked_allpairs",
+    "l20_fuzzy_decontaminate",
+    "w6_sessionize",
+    "o9_scd2_history",
+    "o10_cdc_apply",
+    "o11_per_key_cap",
+    "p16_fuzzy_join",
+    "s10_binaryfile_scan",
+    "x7_stream_stream_join",
+    "x10_stream_static_join",
+    "pipe3_stream_corpus_ingest",
 ]
 
 
@@ -110,6 +122,10 @@ def main() -> None:
         "l2_minhash_near_dup",
         "m9_mkv_frames",
         "m5b_mp3_metadata",
+        "l20_fuzzy_decontaminate",
+        "s10_binaryfile_scan",
+        "x7_stream_stream_join",
+        "x10_stream_static_join",
     ]
     for name in STAGED:
         if name in HEADLINE:

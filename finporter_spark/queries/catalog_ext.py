@@ -2940,3 +2940,71 @@ def x9_incremental_mv(spark, sf_dir):
     return final.select(
         "event_type", "n", F.col("total_dec").cast("double").alias("total")
     )
+
+
+@query(
+    "pipe3_stream_corpus_ingest",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang, nt,
+             CAST(len(string_split(nt, ' ')) AS INT) AS n_tokens
+      FROM norm WHERE len(string_split(nt, ' ')) >= 10
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(nt)
+    )
+    SELECT g.doc_id, g.lang, g.n_tokens FROM gated g JOIN keep USING (doc_id)
+    """,
+)
+def pipe3_stream_corpus_ingest(spark, sf_dir):
+    """PIPE3: STREAMING corpus ingestion — pipe1's incremental twin.
+    Documents arrive as a JSON-lines file stream; each micro-batch is
+    quality-gated (token count) map-side, then MERGED into a persisted
+    corpus keyed by content hash with keep-lowest-doc_id semantics, so
+    exact dedup holds ACROSS batches: a duplicate arriving three batches
+    after its original is dropped by the sink merge, not by unbounded
+    stream state. Versioned idempotent sink (state_v{batch_id}, parent
+    discovered from the sink — x9's exactly-once pattern); the oracle is
+    the one-shot batch pipeline over the whole corpus, proving
+    incremental ingestion == batch rebuild."""
+    import shutil
+
+    from finporter_spark.operators.dedup import normalized_text
+    from finporter_spark.streaming.pipeline import (
+        run_stream_foreach_batch,
+        versioned_keep_first_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = _stage_once(
+        sf_dir,
+        "pipe3",
+        lambda p: docs.repartition(8).write.mode("overwrite").json(p),
+        "documents",
+    )
+    root = _io_dir(sf_dir, "pipe3_state")
+    ckpt = _io_dir(sf_dir, "pipe3_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", 2)  # multi-batch: dedup must cross batches
+        .json(path)
+    )
+    enriched = (
+        sdf.select("doc_id", "lang", normalized_text(F.col("text")).alias("nt"))
+        .withColumn("n_tokens", F.size(F.split("nt", " ")).cast("int"))
+        .filter(F.col("n_tokens") >= 10)
+        .withColumn("h", F.sha2("nt", 256))
+        .select("doc_id", "lang", "n_tokens", "h")
+    )
+
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="h", order_col="doc_id"
+    )
+    run_stream_foreach_batch(enriched, merge, ckpt)
+    return read_final(spark).select("doc_id", "lang", "n_tokens")

@@ -195,6 +195,57 @@ def run_stream_foreach_batch(
             )
 
 
+def versioned_keep_first_sink(root: str, key_col: str, order_col: str):
+    """An idempotent, versioned KEEP-FIRST merge sink for foreachBatch:
+    each batch unions the parent state (discovered from the sink, so a
+    crash-replayed batch_id merges onto the right parent) and keeps the
+    lowest ``order_col`` row per ``key_col`` — cross-batch exact dedup
+    with O(distinct keys) state, the ingestion-time dedup shape (a
+    duplicate arriving N batches late is dropped by the merge, not by
+    unbounded stream state).
+
+    Returns ``(merge_fn, read_final)``: pass ``merge_fn`` to
+    :func:`run_stream_foreach_batch`; ``read_final(spark)`` loads the
+    newest persisted state.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    def latest_version(before: int) -> int:
+        versions = [
+            int(d[len("state_v"):])
+            for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if d.startswith("state_v") and int(d[len("state_v"):]) < before
+        ]
+        return max(versions, default=-1)
+
+    def merge(bdf, batch_id):
+        cur = bdf
+        parent = latest_version(batch_id)
+        if parent >= 0:
+            prev = bdf.sparkSession.read.parquet(
+                os.path.join(root, f"state_v{parent}")
+            )
+            cur = prev.unionByName(cur)
+        w = Window.partitionBy(key_col).orderBy(order_col)
+        survivors = (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(root, f"state_v{batch_id}")
+        )
+
+    def read_final(spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(root, f"state_v{latest_version(1 << 62)}")
+        )
+
+    return merge, read_final
+
+
 def stream_transform(
     spark: SparkSession,
     in_dir: str,

@@ -38,6 +38,7 @@ def test_catalog_covers_declared_surface():
         "l2_simhash_near_dup",
         "l3_lsh_knn",
         "l3_ivf_knn",
+        "l20_fuzzy_decontaminate",
     }
 
 

@@ -468,3 +468,46 @@ def test_x9_incremental_mv_actually_incremental(spark, sf_dir):
     assert totals[-1] == spark.read.parquet(
         f"{sf_dir}/events.parquet"
     ).count()
+
+
+def test_pipe3_sink_dedups_across_batches(spark, tmp_path):
+    """A duplicate document arriving BATCHES after its original must be
+    dropped by the keep-first merge sink (the sf0.01 corpus has no exact
+    dupes, so the catalog oracle alone cannot exercise this path); and
+    one state version must exist per micro-batch."""
+    import json as _json
+    import os
+
+    from finporter_spark.streaming.pipeline import (
+        run_stream_foreach_batch,
+        versioned_keep_first_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = [
+        [{"doc_id": 1, "text": "AAA"}],                        # original
+        [{"doc_id": 2, "text": "BBB"}, {"doc_id": 3, "text": "AAA"}],
+        [{"doc_id": 4, "text": "AAA"}, {"doc_id": 5, "text": "CCC"}],
+    ]
+    for i, rows in enumerate(files):
+        with open(src / f"f{i}.json", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("h", F.sha2("text", 256))
+    )
+    root, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="h", order_col="doc_id"
+    )
+    run_stream_foreach_batch(sdf, merge, ckpt)
+
+    final = {r.doc_id for r in read_final(spark).collect()}
+    assert final == {1, 2, 5}, final  # docs 3 and 4 are late duplicates
+    versions = [d for d in os.listdir(root) if d.startswith("state_v")]
+    assert len(versions) == 3, versions  # one per micro-batch
