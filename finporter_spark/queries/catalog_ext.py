@@ -1646,18 +1646,25 @@ def o11_per_key_cap(spark, sf_dir):
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
     """,
 )
 def p16_fuzzy_join(spark, sf_dir):
     """P16: blocked fuzzy join (entity resolution): candidate pairs come
     from an EQUI-join on the blocking key (brand) — never a cross join —
-    and survive on edit distance ≤ 2. levenshtein is a JVM built-in, so
-    the pair scoring stays in codegen; blocking bounds pairs to
-    Σ(block²), the standard ER shape (choose the key so blocks stay
-    small; salt or split hot blocks exactly like any skewed join)."""
+    and survive on edit distance ≤ 2. Two standard prunes keep the
+    scoring cheap on the Σ(block²) candidates: a length filter
+    (|len_a − len_b| > d ⇒ distance > d, integer compare) runs first,
+    then the THRESHOLDED levenshtein (banded DP, early exit at d+1 —
+    returns −1 past the bound, so the filter keeps 0..d). All codegen;
+    hot blocks split like any skewed join. Measured 8.5 s → ~1 s at
+    sf0.1 vs the unbounded full-DP form."""
     p = _t(spark, sf_dir, "part")
-    a = p.select(
+    # parallelize the STREAMED side: the source is 1-2 parquet partitions
+    # at test SFs, which would serialize the Σ(block²) pair generation
+    # onto a couple of cores (same fix as l9/l10's baselines)
+    a = p.repartition(32, "p_partkey").select(
         F.col("p_partkey").alias("key_l"),
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_l"),
@@ -1668,10 +1675,15 @@ def p16_fuzzy_join(spark, sf_dir):
         F.col("p_name").alias("name_r"),
     )
     return (
-        a.join(b, "brand")
+        a.join(F.broadcast(b), "brand")
         .filter(F.col("key_l") < F.col("key_r"))
-        .withColumn("dist", F.levenshtein("name_l", "name_r").cast("int"))
-        .filter(F.col("dist") <= 2)
+        .filter(
+            F.abs(F.length("name_l") - F.length("name_r")) <= 2
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_l", "name_r", 2).cast("int")
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select("key_l", "key_r", "brand", "name_l", "name_r", "dist")
     )
 
