@@ -155,6 +155,34 @@ SHOWCASE = {
         "on the parquet scan, and the Morton-range file layout means the "
         "row-group min/max stats actually bite on each of them."
     ),
+    "l19_blocked_allpairs": (
+        "Tiled dense similarity: explode-derived (ba, bb) tile ids feed "
+        "ONE FlatMapCoGroupsInPandas (the per-tile BLAS matmul); shuffle "
+        "is n*(B+1) rows and a task holds exactly two blocks — the "
+        "bounded-memory form of an intrinsically quadratic operator."
+    ),
+    "p16_fuzzy_join": (
+        "Blocked fuzzy join: BroadcastHashJoin on the blocking key (no "
+        "shuffle of candidates), then length-difference prune and "
+        "THRESHOLDED levenshtein both inside WholeStageCodegen — no "
+        "Python, no cross join."
+    ),
+    "o10_cdc_apply": (
+        "CDC merge: the window (keep-newest-op) runs on the CHANGELOG "
+        "side only; the base table joins once and is never sorted — the "
+        "asymmetry that makes log-apply cheap at a 100 TB base."
+    ),
+    "w6_sessionize": (
+        "Batch sessionization: lag-mark and running-sum windows share "
+        "ONE (user_id, ts) sort (a single Exchange+Sort feeds both "
+        "Window operators), then a partial-agg per session."
+    ),
+    "o9_scd2_history": (
+        "SCD2 build: exactly one Exchange (hashpartitioning on the "
+        "dimension key) under one Sort+Window computing version, "
+        "valid_to, and is_current together — closure derived from the "
+        "log itself, no join against existing state."
+    ),
 }
 
 
