@@ -470,6 +470,42 @@ def upsert_by_key(
     )
 
 
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    base_key: str,
+    log_key: str,
+    op_col: str,
+    order_by: Sequence[Column],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """CDC merge (the three-verb MERGE INTO from primitives): collapse
+    the changelog to its NEWEST op per key (``order_by`` descending-rank
+    semantics — first row wins), then LEFT-join the base once and let
+    that final op decide: 'D' drops the row, any other op ('I'/'U')
+    exposes the changelog payload, untouched keys pass through.
+
+    A D followed (in ``order_by`` rank) by a later U resurrects the key;
+    a U followed by a later D deletes it — only the final op matters,
+    which is what makes the apply one window over the (small) changelog
+    plus one join, with the 100 TB base never re-sorted. Returns the
+    base columns plus the changelog's ``payload_cols`` (null for
+    untouched rows) and the final ``op_col`` ('D' rows already dropped).
+    """
+    w = Window.partitionBy(log_key).orderBy(*order_by)
+    latest = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(log_key, op_col, *payload_cols)
+    )
+    joined = base.join(
+        latest, base[base_key] == latest[log_key], "left"
+    )
+    return joined.filter(
+        F.col(op_col).isNull() | (F.col(op_col) != "D")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_l",

@@ -1567,8 +1567,9 @@ def o10_cdc_apply(spark, sf_dir):
     D drops the row, I/U replace the payload, absent keys pass through.
     o6 is the upsert-only special case; o9 keeps the history this
     overwrites. Base-side work is one broadcast-or-shuffled join — the
-    base table itself is never re-sorted."""
-    from pyspark.sql import Window
+    base table itself is never re-sorted (operators/dedup.apply_changelog;
+    op-ordering semantics incl. delete-then-resurrect unit-tested)."""
+    from finporter_spark.operators.dedup import apply_changelog
 
     e = _t(spark, sf_dir, "events")
     ch = e.select(
@@ -1581,24 +1582,20 @@ def o10_cdc_apply(spark, sf_dir):
         .otherwise("U")
         .alias("op"),
     )
-    w = Window.partitionBy("key").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        ch.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("key", "op", "value")
-    )
     c = _t(spark, sf_dir, "customer")
-    return (
-        c.join(latest, c.c_custkey == latest.key, "left")
-        .filter(F.col("op").isNull() | (F.col("op") != "D"))
-        .select(
-            F.col("c_custkey").alias("custkey"),
-            F.col("c_name").alias("name"),
-            F.coalesce("value", "c_acctbal").alias("balance"),
-            F.col("key").isNotNull().alias("changed"),
-        )
+    return apply_changelog(
+        c,
+        ch,
+        base_key="c_custkey",
+        log_key="key",
+        op_col="op",
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        payload_cols=["value"],
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.coalesce("value", "c_acctbal").alias("balance"),
+        F.col("key").isNotNull().alias("changed"),
     )
 
 

@@ -457,3 +457,43 @@ def test_blocked_allpairs_matches_brute_force(spark, sf_dir):
             ).collect()
         }
         assert tiled == exact, f"n_blocks={n_blocks}"
+
+
+def test_apply_changelog_final_op_wins(spark):
+    """CDC ordering semantics: only the NEWEST op per key decides —
+    U-then-D deletes, D-then-U resurrects with the later payload,
+    I on a new key passes its payload through, untouched base rows
+    survive with null payload."""
+    from finporter_spark.operators.dedup import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (9, "nine")],
+        "id bigint, name string",
+    )
+    log = spark.createDataFrame(
+        [
+            # key 1: U@t1 then D@t2  -> deleted
+            (1, 1, "U", 10.0), (1, 2, "D", None),
+            # key 2: D@t1 then U@t2  -> resurrected with v=22
+            (2, 1, "D", None), (2, 2, "U", 22.0),
+            # key 3: single I        -> payload 33
+            (3, 1, "I", 33.0),
+        ],
+        "key bigint, t int, op string, v double",
+    )
+    out = {
+        r.id: (r.op, r.v)
+        for r in apply_changelog(
+            base,
+            log,
+            base_key="id",
+            log_key="key",
+            op_col="op",
+            order_by=[F.col("t").desc()],
+            payload_cols=["v"],
+        ).collect()
+    }
+    assert set(out) == {2, 3, 9}          # 1 deleted, 9 untouched
+    assert out[2] == ("U", 22.0)          # resurrection takes the later U
+    assert out[3] == ("I", 33.0)
+    assert out[9] == (None, None)         # pass-through row, null op/payload

@@ -191,3 +191,61 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         .collect()
     }
     assert with_filter == plain
+
+
+def test_w6_single_sort_feeds_both_windows_and_agg(spark, sf_dir):
+    """Sessionization's 100 TB property: the lag-mark window, the
+    running-sum window, AND the per-session aggregate all reuse ONE
+    hash-partitioning on user_id — exactly one Exchange in the plan."""
+    df = CATALOG["w6_sessionize"][0](spark, sf_dir)
+    p = plan(df)
+    assert p.count("+- Exchange") == 1, p.split("\n\n")[0]
+    assert p.count("+- Window") == 2
+    assert "BatchEvalPython" not in p
+
+
+def test_o9_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 closure (version, valid_to, is_current) comes from one
+    window over one Exchange on the dimension key — no join against
+    existing state, no second sort."""
+    df = CATALOG["o9_scd2_history"][0](spark, sf_dir)
+    p = plan(df)
+    assert p.count("+- Exchange") == 1, p.split("\n\n")[0]
+    assert "Join" not in p
+
+
+def test_p16_blocked_join_broadcasts_and_stays_jvm(spark, sf_dir):
+    """Fuzzy join: candidates via BroadcastHashJoin on the blocking key
+    (never a cross product), scoring in codegen (no Python)."""
+    df = CATALOG["p16_fuzzy_join"][0](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_l19_tiled_plan_has_no_join(spark, sf_dir):
+    """Blocked all-pairs: the quadratic work happens INSIDE the
+    cogrouped Arrow stage — the plan itself contains no join operator
+    at all (tiles come from explode, pairs from the per-tile matmul)."""
+    df = CATALOG["l19_blocked_allpairs"][0](spark, sf_dir)
+    p = plan(df)
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_o10_window_on_changelog_side_only(spark, sf_dir):
+    """CDC apply: the keep-newest window sorts the CHANGELOG (events),
+    never the base table — the base joins once, unsorted."""
+    df = CATALOG["o10_cdc_apply"][0](spark, sf_dir)
+    p = plan(df)
+    # exactly one Window node ("+- Window (" excludes WindowGroupLimit,
+    # the map-side rank-1 prune Spark adds BEFORE the exchange — the
+    # changelog is pre-filtered to one candidate row per key per mapper)
+    assert p.count("+- Window (") == 1
+    assert "WindowGroupLimit" in p
+    # the window's sort is on the changelog key/ts, not base columns
+    assert "c_custkey ASC" not in p and "c_name ASC" not in p

@@ -511,3 +511,43 @@ def test_pipe3_sink_dedups_across_batches(spark, tmp_path):
     assert final == {1, 2, 5}, final  # docs 3 and 4 are late duplicates
     versions = [d for d in os.listdir(root) if d.startswith("state_v")]
     assert len(versions) == 3, versions  # one per micro-batch
+
+
+@pytest.mark.parametrize(
+    "splits",
+    [
+        [[0, 1, 2, 3, 4, 5]],                  # one batch
+        [[0], [1], [2], [3], [4], [5]],        # row per batch
+        [[0, 1], [2], [3, 4, 5]],              # uneven
+        [[5, 4], [3, 2], [1, 0]],              # arrival order != key order
+    ],
+)
+def test_keep_first_sink_invariant_under_batch_splits(spark, tmp_path, splits):
+    """Sink-merge dedup must be SPLIT-INVARIANT: any partition of the
+    input into ordered micro-batches yields the same final state as the
+    global keep-first — and replaying the last batch under the same
+    batch_id (crash re-delivery) converges to the identical state."""
+    from finporter_spark.streaming.pipeline import versioned_keep_first_sink
+
+    rows = [  # (doc_id, key) with cross-batch duplicate keys
+        (10, "a"), (11, "b"), (12, "a"), (13, "c"), (14, "b"), (15, "a"),
+    ]
+    expected = {("a", 10), ("b", 11), ("c", 13)}
+
+    root = str(tmp_path / "state")
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="h", order_col="doc_id"
+    )
+    last_bid, last_batch = None, None
+    for bid, idxs in enumerate(splits):
+        bdf = spark.createDataFrame(
+            [rows[i] for i in idxs], "doc_id bigint, h string"
+        )
+        merge(bdf, bid)
+        last_bid, last_batch = bid, bdf
+    got = {(r.h, r.doc_id) for r in read_final(spark).collect()}
+    assert got == expected, got
+    # crash re-delivery: same batch_id, same data -> same state
+    merge(last_batch, last_bid)
+    again = {(r.h, r.doc_id) for r in read_final(spark).collect()}
+    assert again == expected, again
