@@ -551,3 +551,52 @@ def test_keep_first_sink_invariant_under_batch_splits(spark, tmp_path, splits):
     merge(last_batch, last_bid)
     again = {(r.h, r.doc_id) for r in read_final(spark).collect()}
     assert again == expected, again
+
+
+def test_stream_dedup_under_rocksdb_state_store(spark, tmp_path):
+    """State-store provider is the scale knob for LARGE streaming state
+    (RocksDB spills to executor disk instead of holding the store in
+    JVM heap); the operator contract must be provider-agnostic. Run the
+    x5-shape stateful dedup under RocksDBStateStoreProvider and assert
+    the same exact-dedup result as the default provider."""
+    import pandas as pd
+
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 1, 3, 2, 3, 4],
+            "ts": ["2021-01-01 10:00:00"] * 7,
+        }
+    )
+    rows.iloc[:4].to_csv(src / "a.csv", index=False)
+    rows.iloc[4:].to_csv(src / "b.csv", index=False)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = (
+            spark.readStream.schema("event_id bigint, ts timestamp")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        out = run_stream_to_memory(
+            sdf.select("event_id"), "x5_rocksdb_mem", output_mode="append"
+        )
+        assert sorted(r.event_id for r in out.collect()) == [1, 2, 3, 4]
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
