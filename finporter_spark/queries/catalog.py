@@ -580,6 +580,49 @@ def j6_asof_join(spark, sf_dir):
 
 
 @query(
+    "j6b_asof_forward",
+    """
+    SELECT event_id, user_id, ts, n_event_id, n_ts FROM (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS n_event_id, r.ts AS n_ts,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts ASC, r.event_id DESC) AS rn
+      FROM events l
+      LEFT JOIN events r
+        ON r.user_id = l.user_id AND r.event_type = 'error'
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    ) WHERE rn = 1
+    """,
+)
+def j6b_asof_forward(spark, sf_dir):
+    """J6 forward direction WITH a tolerance horizon: for each event,
+    the user's FIRST error within the next 6 hours (time-to-failure /
+    next-action attribution shape). The tolerance is the scale lever the
+    backward entry doesn't exercise: it bounds the match fan-out BEFORE
+    the rank filter, which is what keeps the intermediate finite on a
+    dense right-hand timeline."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("n_ts"),
+        F.col("event_id").alias("n_event_id"),
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="n_ts",
+        right_cols=["n_event_id", "n_ts"],
+        tolerance=F.expr("INTERVAL 6 HOURS"),
+        direction="forward",
+        tiebreakers=["n_event_id"],
+        left_id=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "n_event_id", "n_ts")
+
+
+@query(
     "j7_cross_join",
     """
     SELECT r_name, os FROM region
