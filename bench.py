@@ -58,6 +58,8 @@ HEADLINE = [
     "z1_bucketed_join",
     "z2_salted_agg",
     "z3_zorder_scan",
+    "z4_salted_join",
+    "j6b_asof_forward",
     "l16_repetition_profile",
     "l17_pack_sequences",
     "m9_mkv_frames",

@@ -70,6 +70,46 @@ def salted_agg(
     )
 
 
+def salted_replicate_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    buckets: int = 8,
+    how: str = "inner",
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-tolerant shuffled equi-join: salt the BIG side's key with a
+    deterministic bucket, replicate the SMALL side once per bucket, and
+    join on (key, salt) — a hot key's rows spread across ``buckets``
+    partitions instead of serializing on one reducer.
+
+    This is the manual skew-join for the case AQE's OptimizeSkewedJoin
+    can't reach (skew detected only at runtime inside a single map
+    output, or an engine/stage where AQE is off — e.g. under a
+    streaming micro-batch plan, where AQE's skew split is disabled) and
+    the small side is too big to broadcast outright. Cost: the small
+    side shuffles ``buckets``× — cheap by the "small" contract; the big
+    side still shuffles once. Like :func:`salted_agg`, the salt comes
+    from a DETERMINISTIC spread over payload columns, never ``rand()``
+    (task retries must re-land rows identically).
+    """
+    if salt_source is None:
+        spread = [c for c in big.columns if c != big_key] or [big_key]
+        salt_source = F.xxhash64(*[F.col(c) for c in spread])
+    b = big.withColumn("_salt", F.pmod(salt_source, F.lit(buckets)).cast("int"))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
+    )
+    out = b.join(
+        s,
+        (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
+        how,
+    )
+    return out.drop("_salt", small_key)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

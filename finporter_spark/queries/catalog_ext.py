@@ -1926,6 +1926,52 @@ def z1_bucketed_join(spark, sf_dir):
 
 
 @query(
+    "z4_salted_join",
+    f"""
+    SELECT o_orderstatus AS status, n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n, {DSUM('o_totalprice')} AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def z4_salted_join(spark, sf_dir):
+    """Z4: skew-tolerant SHUFFLED join — the manual salt+replicate form
+    (operators/scale.salted_replicate_join) for when AQE's skew split
+    can't reach (AQE is off under streaming micro-batch plans) and the
+    build side is too big to broadcast outright. The fact side's key is
+    salted over 8 deterministic buckets, the dim side replicates 8x, and
+    the join runs on (key, salt) — a hot customer's orders spread over 8
+    reducers. Hash-oracled against the plain join (salting must be
+    invisible in the result); `tests/test_scale.py` forces the shuffled
+    path (broadcast off) and pins `_salt` into the join partitioning."""
+    from finporter_spark.operators.scale import salted_replicate_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    joined = salted_replicate_join(
+        o, c, big_key="o_custkey", small_key="c_custkey", buckets=8
+    )
+    return (
+        joined.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "z2_salted_agg",
     f"""
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

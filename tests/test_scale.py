@@ -301,3 +301,40 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, e.collect()))
     b = sorted(map(tuple, spark.read.parquet(zpath).collect()))
     assert a == b
+
+
+def test_z4_salted_join_spreads_hot_key_and_matches_plain(spark, sf_dir):
+    """salted_replicate_join under a FORCED shuffled join: the join
+    partitioning must include _salt (the hot key spreads over buckets
+    reducers), and the result must equal the plain unsalted join
+    exactly — including a synthetic 90%-hot-key frame."""
+    from finporter_spark.operators.scale import salted_replicate_join
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # synthetic skew: 90% of fact rows share key 7
+        big = spark.range(2000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(50).select(
+            F.col("id").alias("sk"), (F.col("id") * 100).alias("dim_val")
+        )
+        out = salted_replicate_join(
+            big, small, big_key="k", small_key="sk", buckets=8
+        )
+        p = plan(out)
+        assert "_salt" in p and "hashpartitioning" in p.lower()
+        assert "BroadcastHashJoin" not in p
+        got = sorted((r.k, r.payload, r.dim_val) for r in out.collect())
+        want = sorted(
+            (r.k, r.payload, r.dim_val)
+            for r in big.join(small, big.k == small.sk).drop("sk").collect()
+        )
+        assert got == want and len(got) == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
