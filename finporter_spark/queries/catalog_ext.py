@@ -333,6 +333,70 @@ def u5_udtf_bigrams(spark, sf_dir):
     )
 
 
+@query(
+    "u6_arrow_udf",
+    """
+    SELECT c_custkey,
+           round(c_acctbal * 1.07 + CAST(length(c_name) AS DOUBLE), 6)
+             AS score
+    FROM customer
+    """,
+)
+def u6_arrow_udf(spark, sf_dir):
+    """U6: Arrow-OPTIMIZED Python scalar UDF (``useArrow=True``) — the
+    Spark 4 upgrade path for row-wise Python UDFs: same def-a-function
+    ergonomics as the classic UDF, but batches cross the JVM↔Python
+    boundary as Arrow instead of pickled rows (plans as ArrowEvalPython,
+    never BatchEvalPython — the plan suite forbids the latter
+    catalog-wide). u1 is the pandas_udf (Series-native) form; this is
+    the scalar-native form that legacy UDF code migrates to first."""
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(DoubleType(), useArrow=True)
+    def score(bal: float, name: str) -> float:
+        return round(bal * 1.07 + float(len(name)), 6)
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", score(F.col("c_acctbal"), F.col("c_name")).alias("score")
+    )
+
+
+@query(
+    "p17_url_extract",
+    """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang AS query
+    FROM documents
+    """,
+)
+def p17_url_extract(spark, sf_dir):
+    """P17: URL parsing (``parse_url`` — host/path/query extraction),
+    the precursor of every per-domain pipeline stage (o11's per-domain
+    cap, domain-level PageRank, crawl dedup all key on HOST). The URL
+    is synthesized from table columns, so the oracle predicts each
+    extracted part independently — the check proves parse_url agrees
+    with the ground-truth construction. Codegen JVM expression,
+    map-only."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
 # =====================================================================
 # X — streaming execution against batch oracles. The stream entries run
 # a real Structured Streaming query (file source -> memory sink,
