@@ -38,6 +38,13 @@ SUBSET = [
     "w5_gap_fill",
     # round-4 additions
     "l19_blocked_allpairs",
+    "w6_sessionize",
+    "o9_scd2_history",
+    "o10_cdc_apply",
+    "p16_fuzzy_join",
+    "p17_url_extract",
+    "z4_salted_join",
+    "j6b_asof_forward",
 ]
 
 
