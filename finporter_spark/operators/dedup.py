@@ -481,16 +481,20 @@ def apply_changelog(
 ) -> DataFrame:
     """CDC merge (the three-verb MERGE INTO from primitives): collapse
     the changelog to its NEWEST op per key (``order_by`` descending-rank
-    semantics — first row wins), then LEFT-join the base once and let
-    that final op decide: 'D' drops the row, any other op ('I'/'U')
-    exposes the changelog payload, untouched keys pass through.
+    semantics — first row wins), then FULL-outer-join the base once and
+    let that final op decide: 'D' drops the row (a 'D' on an absent key
+    is a no-op), 'U'/'I' on an existing key exposes the changelog
+    payload, 'U'/'I' on a NEW key is a true WHEN-NOT-MATCHED insert
+    (base columns null except ``base_key``, which is populated from the
+    changelog key), and untouched keys pass through.
 
     A D followed (in ``order_by`` rank) by a later U resurrects the key;
     a U followed by a later D deletes it — only the final op matters,
     which is what makes the apply one window over the (small) changelog
     plus one join, with the 100 TB base never re-sorted. Returns the
-    base columns plus the changelog's ``payload_cols`` (null for
-    untouched rows) and the final ``op_col`` ('D' rows already dropped).
+    base columns plus the changelog's ``log_key``/``payload_cols``
+    (null for untouched rows) and the final ``op_col`` ('D' rows
+    already dropped).
     """
     w = Window.partitionBy(log_key).orderBy(*order_by)
     latest = (
@@ -498,10 +502,19 @@ def apply_changelog(
         .filter(F.col("_rn") == 1)
         .select(log_key, op_col, *payload_cols)
     )
+    key_type = dict(base.dtypes)[base_key]
     joined = base.join(
-        latest, base[base_key] == latest[log_key], "left"
+        latest, base[base_key] == latest[log_key], "full_outer"
     )
-    return joined.filter(
+    # Inserted (log-only) rows carry the changelog key into the base's
+    # key column; every other base column is null for them, mirroring
+    # MERGE's WHEN NOT MATCHED THEN INSERT of the declared columns.
+    merged_key = F.coalesce(
+        base[base_key], latest[log_key].cast(key_type)
+    ).alias(base_key)
+    out_cols = [merged_key if c == base_key else base[c] for c in base.columns]
+    out_cols += [latest[c] for c in (log_key, op_col, *payload_cols)]
+    return joined.select(*out_cols).filter(
         F.col(op_col).isNull() | (F.col(op_col) != "D")
     )
 

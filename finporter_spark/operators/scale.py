@@ -93,7 +93,22 @@ def salted_replicate_join(
     side still shuffles once. Like :func:`salted_agg`, the salt comes
     from a DETERMINISTIC spread over payload columns, never ``rand()``
     (task retries must re-land rows identically).
+
+    ``how`` is restricted to ``inner``/``left`` (incl. semi/anti): the
+    replication is on the SMALL side, so right/full-outer would emit
+    each unmatched small row once per replica — ``buckets``× inflated —
+    and is rejected rather than silently wrong. Need small-side-preserving
+    semantics? Salt the other way around or use the plain join + AQE.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_replicate_join: how={how!r} unsupported — small-side "
+            "replication would duplicate unmatched small rows under "
+            "right/full-outer joins; use inner/left/semi/anti"
+        )
     if salt_source is None:
         spread = [c for c in big.columns if c != big_key] or [big_key]
         salt_source = F.xxhash64(*[F.col(c) for c in spread])
@@ -107,7 +122,12 @@ def salted_replicate_join(
         (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
         how,
     )
-    return out.drop("_salt", small_key)
+    if how.lower() in {"left_semi", "leftsemi", "semi", "left_anti",
+                       "leftanti", "anti"}:
+        return out.drop("_salt")
+    # drop the SMALL side's key/salt by reference — dropping by name
+    # would also take the big side's column when the key names collide
+    return out.drop(s["_salt"]).drop(b["_salt"]).drop(s[small_key])
 
 
 def write_bucketed(

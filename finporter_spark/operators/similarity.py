@@ -214,6 +214,12 @@ def blocked_allpairs_cosine(
     across B(B+1)/2 tasks. The Python boundary is one numpy matmul per
     tile — Arrow-batched, BLAS-backed, ~100x fewer interpreter crossings
     than per-pair lambda scoring.
+
+    Contract: ``id_col`` must be integral (the output schema is
+    ``id_l bigint, id_r bigint`` and the pair is canonicalized by numeric
+    min/max); all-zero embeddings are defined to have cosine 0 with
+    everything (norms are clamped at 1e-12, so they never pass a positive
+    threshold and never emit NaN).
     """
     v = vectors.select(
         F.col(id_col).alias("_id"),
@@ -248,8 +254,10 @@ def blocked_allpairs_cosine(
             )
         A = np.asarray(lpdf["_v"].tolist(), dtype=np.float64)
         B = np.asarray(rpdf["_v"].tolist(), dtype=np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        # clamp zero norms: an all-zero vector scores cosine 0 (below any
+        # positive threshold) instead of NaN-poisoning its row of the tile
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         S = A @ B.T
         la = lpdf["_id"].to_numpy()
         rb = rpdf["_id"].to_numpy()

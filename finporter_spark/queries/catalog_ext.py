@@ -1602,7 +1602,9 @@ def o9_scd2_history(spark, sf_dir):
     "o10_cdc_apply",
     """
     WITH ch AS (
-      SELECT user_id AS key, ts, event_id, value,
+      SELECT CASE WHEN event_type = 'click' THEN user_id + 10000000
+                  ELSE user_id END AS key,
+             ts, event_id, value,
              CASE WHEN event_type = 'error' THEN 'D'
                   WHEN event_type = 'signup' THEN 'I'
                   ELSE 'U' END AS op
@@ -1614,11 +1616,11 @@ def o9_scd2_history(spark, sf_dir):
                                   ORDER BY ts DESC, event_id DESC) AS rn
         FROM ch) WHERE rn = 1
     )
-    SELECT c.c_custkey AS custkey, c.c_name AS name,
+    SELECT COALESCE(c.c_custkey, l.key) AS custkey, c.c_name AS name,
            COALESCE(l.value, c.c_acctbal) AS balance,
            l.key IS NOT NULL AS changed
     FROM customer c
-    LEFT JOIN latest l ON c.c_custkey = l.key
+    FULL OUTER JOIN latest l ON c.c_custkey = l.key
     WHERE l.op IS NULL OR l.op <> 'D'
     """,
 )
@@ -1627,17 +1629,22 @@ def o10_cdc_apply(spark, sf_dir):
     delete) every lakehouse MERGE INTO performs, built from primitives:
     collapse the changelog to its newest op per key (one window pass —
     at 100 TB the changelog is far smaller than the base, so this is the
-    cheap side), then LEFT-join the base and let the final op decide:
-    D drops the row, I/U replace the payload, absent keys pass through.
-    o6 is the upsert-only special case; o9 keeps the history this
-    overwrites. Base-side work is one broadcast-or-shuffled join — the
-    base table itself is never re-sorted (operators/dedup.apply_changelog;
-    op-ordering semantics incl. delete-then-resurrect unit-tested)."""
+    cheap side), then FULL-outer-join the base and let the final op
+    decide: D drops the row, I/U replace the payload, I/U on a key the
+    base lacks is a true WHEN-NOT-MATCHED insert (click-event keys are
+    shifted out of the customer domain here so the insert branch is
+    hash-checked), untouched keys pass through. o6 is the upsert-only
+    special case; o9 keeps the history this overwrites. Base-side work
+    is one broadcast-or-shuffled join — the base table itself is never
+    re-sorted (operators/dedup.apply_changelog; op-ordering semantics
+    incl. delete-then-resurrect and insert-then-delete unit-tested)."""
     from finporter_spark.operators.dedup import apply_changelog
 
     e = _t(spark, sf_dir, "events")
     ch = e.select(
-        F.col("user_id").alias("key"),
+        F.when(F.col("event_type") == "click", F.col("user_id") + 10000000)
+        .otherwise(F.col("user_id"))
+        .alias("key"),
         "ts",
         "event_id",
         "value",

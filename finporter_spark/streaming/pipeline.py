@@ -213,11 +213,13 @@ def versioned_keep_first_sink(root: str, key_col: str, order_col: str):
     from pyspark.sql import Window
 
     def latest_version(before: int) -> int:
-        versions = [
-            int(d[len("state_v"):])
-            for d in (os.listdir(root) if os.path.isdir(root) else [])
-            if d.startswith("state_v") and int(d[len("state_v"):]) < before
-        ]
+        # tolerate stray non-version entries (leftover temp dirs, marker
+        # files) instead of crashing parent discovery on int()
+        versions = []
+        for d in os.listdir(root) if os.path.isdir(root) else []:
+            suffix = d[len("state_v"):]
+            if d.startswith("state_v") and suffix.isdigit() and int(suffix) < before:
+                versions.append(int(suffix))
         return max(versions, default=-1)
 
     def merge(bdf, batch_id):
@@ -239,9 +241,14 @@ def versioned_keep_first_sink(root: str, key_col: str, order_col: str):
         )
 
     def read_final(spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(
-            os.path.join(root, f"state_v{latest_version(1 << 62)}")
-        )
+        final = latest_version(1 << 62)
+        if final < 0:
+            raise FileNotFoundError(
+                f"versioned_keep_first_sink: no state versions written "
+                f"under {root!r} — the stream produced zero batches "
+                "(empty source directory?)"
+            )
+        return spark.read.parquet(os.path.join(root, f"state_v{final}"))
 
     return merge, read_final
 

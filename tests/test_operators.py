@@ -462,12 +462,14 @@ def test_blocked_allpairs_matches_brute_force(spark, sf_dir):
 def test_apply_changelog_final_op_wins(spark):
     """CDC ordering semantics: only the NEWEST op per key decides —
     U-then-D deletes, D-then-U resurrects with the later payload,
-    I on a new key passes its payload through, untouched base rows
-    survive with null payload."""
+    I on a key ABSENT from the base is a true WHEN-NOT-MATCHED insert
+    (base columns null, key populated from the changelog), D on an
+    absent key is a no-op, untouched base rows survive with null
+    payload."""
     from finporter_spark.operators.dedup import apply_changelog
 
     base = spark.createDataFrame(
-        [(1, "one"), (2, "two"), (3, "three"), (9, "nine")],
+        [(1, "one"), (2, "two"), (9, "nine")],
         "id bigint, name string",
     )
     log = spark.createDataFrame(
@@ -476,24 +478,51 @@ def test_apply_changelog_final_op_wins(spark):
             (1, 1, "U", 10.0), (1, 2, "D", None),
             # key 2: D@t1 then U@t2  -> resurrected with v=22
             (2, 1, "D", None), (2, 2, "U", 22.0),
-            # key 3: single I        -> payload 33
+            # key 3: single I, NOT in base -> inserted with payload 33
             (3, 1, "I", 33.0),
+            # key 4: single D, NOT in base -> no-op (nothing to delete)
+            (4, 1, "D", None),
+            # key 5: I@t1 then D@t2, NOT in base -> insert then delete
+            (5, 1, "I", 55.0), (5, 2, "D", None),
         ],
         "key bigint, t int, op string, v double",
     )
-    out = {
-        r.id: (r.op, r.v)
-        for r in apply_changelog(
-            base,
-            log,
-            base_key="id",
-            log_key="key",
-            op_col="op",
-            order_by=[F.col("t").desc()],
-            payload_cols=["v"],
-        ).collect()
-    }
-    assert set(out) == {2, 3, 9}          # 1 deleted, 9 untouched
+    rows = apply_changelog(
+        base,
+        log,
+        base_key="id",
+        log_key="key",
+        op_col="op",
+        order_by=[F.col("t").desc()],
+        payload_cols=["v"],
+    ).collect()
+    out = {r.id: (r.op, r.v) for r in rows}
+    names = {r.id: r.name for r in rows}
+    assert set(out) == {2, 3, 9}          # 1 deleted, 4/5 never land, 9 untouched
     assert out[2] == ("U", 22.0)          # resurrection takes the later U
-    assert out[3] == ("I", 33.0)
+    assert out[3] == ("I", 33.0)          # inserted: key from changelog,
+    assert names[3] is None               #   base columns null
+    assert names[2] == "two"
     assert out[9] == (None, None)         # pass-through row, null op/payload
+
+
+def test_blocked_allpairs_zero_vector_safe(spark):
+    """An all-zero embedding must score cosine 0 with everything (clamped
+    norm) — never NaN — and must not suppress other pairs in its tile."""
+    from finporter_spark.operators.similarity import blocked_allpairs_cosine
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 0.0]),  # zero vector
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = blocked_allpairs_cosine(
+        emb, threshold=0.5, n_blocks=2, id_col="vec_id"
+    ).collect()
+    got = {(r.id_l, r.id_r): r.cosine for r in rows}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0

@@ -338,3 +338,43 @@ def test_z4_salted_join_spreads_hot_key_and_matches_plain(spark, sf_dir):
         assert got == want and len(got) == 2000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """Right/full-outer would emit each unmatched small row once per
+    replica (buckets x inflation) — the operator must refuse, not
+    silently inflate."""
+    import pytest
+
+    from finporter_spark.operators.scale import salted_replicate_join
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(5).select(F.col("id").alias("sk"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_replicate_join(big, small, "k", "sk", buckets=4, how=how)
+
+
+def test_salted_join_keeps_big_key_on_name_collision(spark):
+    """Both sides named 'k': the small side's key/salt must be dropped
+    by DataFrame reference, keeping the big side's key column intact."""
+    from finporter_spark.operators.scale import salted_replicate_join
+
+    big = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+    )
+    out = salted_replicate_join(big, small, big_key="k", small_key="k")
+    assert out.columns == ["k", "payload", "dim"]
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r.k is not None and r.dim == r.k * 2 for r in rows)
+    # left join: unmatched big rows survive exactly once with null dim
+    big2 = spark.range(100).select(
+        (F.col("id") % 20).alias("k"), F.col("id").alias("payload")
+    )
+    left = salted_replicate_join(big2, small, "k", "k", how="left").collect()
+    assert len(left) == 100
+    assert sum(r.dim is None for r in left) == 50

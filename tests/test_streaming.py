@@ -600,3 +600,29 @@ def test_stream_dedup_under_rocksdb_state_store(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_keep_first_sink_empty_stream_and_stray_entries(spark, tmp_path):
+    """Zero-batch stream: read_final must raise a clear 'no state
+    versions' error, not an opaque state_v-1 parquet path error; and a
+    stray non-version entry under the root (leftover temp dir) must not
+    crash parent discovery."""
+    import os
+
+    import pytest
+
+    from finporter_spark.streaming.pipeline import versioned_keep_first_sink
+
+    root = str(tmp_path / "state")
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="h", order_col="doc_id"
+    )
+    with pytest.raises(FileNotFoundError, match="no state versions"):
+        read_final(spark)
+
+    os.makedirs(os.path.join(root, "state_v0.tmp"))  # stray: non-numeric
+    os.makedirs(os.path.join(root, "_spark_metadata"))
+    bdf = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id bigint, h string")
+    merge(bdf, 0)
+    got = {(r.h, r.doc_id) for r in read_final(spark).collect()}
+    assert got == {("a", 1)}
