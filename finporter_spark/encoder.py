@@ -127,8 +127,9 @@ def encode_to_string(
     header line, then every row followed by the line separator
     (DelimitedEncoder.swift:171-175 appends the separator per element, so
     the output ends with one). Driver-side collect — intended for the
-    CLI-parity path on small results only; large exports go through
-    ``write_delimited``.
+    CLI-parity path on small results only; large single-file exports go
+    through :func:`write_delimited_single_file` (same bytes, no driver
+    collect) and bulk multi-file exports through ``write_delimited``.
     """
     names = list(columns) if columns is not None else df.columns
     lines = [r[0] for r in to_delimited_lines(df, delimiter, names).collect()]
@@ -161,6 +162,62 @@ def write_delimited(
         header_df.unionAll(lines).coalesce(1).write.mode("overwrite").text(path)
     else:
         lines.write.mode("overwrite").text(path)
+
+
+def write_delimited_single_file(
+    df: DataFrame,
+    path: str,
+    delimiter: str = ",",
+    columns: Sequence[str] | None = None,
+    line_separator: str = "\n",
+    header: bool = True,
+) -> str:
+    """Byte-golden single-file export WITHOUT a driver ``collect()``.
+
+    Produces bytes identical to :func:`encode_to_string` (header line,
+    every row followed by ``line_separator``) but streams them through
+    the filesystem instead of driver memory: the same codegen'd
+    projection writes per-partition encoded-text part files (executors
+    do all the formatting work in parallel), then the parts are
+    concatenated in part-file order — Spark numbers parts by partition
+    index and each partition's rows are written in order, which is
+    exactly ``collect()``'s row order, so the concat is
+    order-deterministic. Driver memory is O(copy buffer), not O(rows).
+
+    On a cluster the concat step assumes the sink path is
+    driver-visible (shared FS); object-store deployments would swap it
+    for a server-side multipart compose of the same ordered parts.
+    Returns ``path``.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    names = list(columns) if columns is not None else df.columns
+    staging = tempfile.mkdtemp(
+        prefix="golden_parts_", dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+    parts_dir = os.path.join(staging, "parts")
+    try:
+        (
+            to_delimited_lines(df, delimiter, names)
+            .write.mode("overwrite")
+            .option("lineSep", line_separator)
+            .text(parts_dir)
+        )
+        parts = sorted(glob.glob(os.path.join(parts_dir, "part-*")))
+        with open(path, "wb") as out:
+            if header:
+                out.write(
+                    (encode_header(names, delimiter) + line_separator).encode()
+                )
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, out)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return path
 
 
 def export(

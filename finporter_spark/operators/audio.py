@@ -1,9 +1,9 @@
 """WAV (RIFF PCM) codec + real audio feature extraction — stdlib + numpy.
 
 WAV is a container, not a codec: 8/16-bit PCM parses with struct/numpy
-alone, so unlike MP3/AAC (which stay stubbed behind
-``extract_audio_features(fake=...)``) the engine can genuinely decode
-it. ``extract_wav_features`` is the REAL per-frame feature extractor:
+alone, so the engine can genuinely decode it (MP3 is demuxed to frames
++ metadata below; full MDCT decode stays out of scope).
+``extract_wav_features`` is the REAL per-frame feature extractor:
 RIFF parse -> int samples -> vectorized numpy reductions per window
 (energy, amplitude sum, zero crossings), Arrow-batched via mapInPandas.
 """

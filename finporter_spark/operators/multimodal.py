@@ -7,18 +7,18 @@ functions via ``mapInPandas`` — constant Python overhead per batch, media
 bytes never round-trip through the driver, and partitioning is by file so
 a 100 TB corpus fans out across executors.
 
-Codec status: PNG and baseline JPEG are REAL. PNG: stdlib zlib codec
-(all five filters, gray/GA/RGB/RGBA). JPEG: Annex-K baseline
-Huffman+DCT codec in numpy (``operators/jpeg.py`` — SOF0, 8-bit,
-gray/4:4:4). ``resize_image`` decodes either, resamples with numpy
-nearest-neighbor, and re-encodes actual pixels. Video/audio codecs are
-unavailable in this container: ``sample_frames`` /
-``extract_audio_features`` raise NotImplementedError unless a
-deterministic fake is requested, and ``decode_image_meta`` parses real
-header bytes for everything (pure Python). The Spark-side plumbing —
-schemas, batch iteration, UDF signatures — is real and tested either
-way. (Production swap-in: Pillow/libjpeg-turbo in the same mapInPandas
-slots; per-image cost is embarrassingly parallel.)
+Codec status: every shipped path is REAL — no synthetic media doubles.
+PNG: stdlib zlib codec (all five filters, gray/GA/RGB/RGBA). JPEG:
+Annex-K baseline Huffman+DCT codec in numpy (``operators/jpeg.py`` —
+SOF0, 8-bit, gray/4:4:4). GIF: LZW (``operators/gif.py``).
+``resize_image`` decodes any of these, resamples with numpy
+nearest-neighbor, and re-encodes actual pixels. ``sample_frames``
+demuxes real MJPEG / ISO BMFF (MP4) / Matroska (MKV) / AVI (RIFF)
+containers; audio is real WAV PCM + MP3 framing in
+``operators/audio.py``. Unsupported codec features (progressive JPEG,
+WebP, non-PCM WAV, ...) raise NotImplementedError naming what IS
+supported. (Production swap-in: Pillow/libjpeg-turbo/ffmpeg in the
+same mapInPandas slots; per-file cost is embarrassingly parallel.)
 """
 
 from __future__ import annotations
@@ -271,7 +271,6 @@ def resize_image(
     df: DataFrame,
     content_col: str = "content",
     size: tuple[int, int] = (224, 224),
-    fake: bool = False,
 ) -> DataFrame:
     """Image resize over a binary column (Arrow-batched mapInPandas).
 
@@ -282,9 +281,7 @@ def resize_image(
     can verify exact pixels; callers wanting JPEG out re-encode with
     ``jpeg.jpeg_encode``). Formats with no codec here
     (progressive/subsampled JPEG, video stills, WebP, ...) raise
-    NotImplementedError unless ``fake=True``, which instead produces
-    the deterministic pseudo-resize byte buffer (w*h bytes) for every
-    row — the plumbing test double.
+    NotImplementedError naming the supported formats.
     """
     w, h = size
     out_schema = StructType(
@@ -296,9 +293,6 @@ def resize_image(
         if b is None:
             return None
         data = bytes(b)
-        if fake:
-            n = w * h
-            return data[:n].ljust(n, b"\x00")
         if data[:8] == b"\x89PNG\r\n\x1a\n":
             px = png_decode(data)
         elif data[:2] == b"\xff\xd8":
@@ -312,8 +306,7 @@ def resize_image(
         else:
             raise NotImplementedError(
                 "only PNG, baseline JPEG, and GIF codecs are available in "
-                "this environment; pass fake=True for the deterministic "
-                "test double"
+                "this environment"
             )
         return png_encode(nearest_resize(px, (w, h)))
 
@@ -328,8 +321,6 @@ def resize_image(
 def sample_frames(
     df: DataFrame,
     content_col: str = "content",
-    every_n_bytes: int = 1024,
-    fake: bool = False,
     every_n_frames: int = 1,
 ) -> DataFrame:
     """Frame sampling over a video-style binary column (1 row in ->
@@ -348,10 +339,10 @@ def sample_frames(
     - AVI (RIFF): ``avi.avi_demux`` walks the chunk tree to the video
       stream's ``##dc`` chunks, idx1-validated.
 
-    Every ``every_n_frames``-th frame is emitted as its own bytes.
-    Unrecognized containers raise NotImplementedError unless
-    ``fake=True``, which slices the byte stream every
-    ``every_n_bytes`` — same fan-out shape, test double.
+    Every ``every_n_frames``-th frame is emitted as its own bytes
+    (``frame_idx`` keeps the ORIGINAL demux index, so subsampled output
+    reads 0, N, 2N, ...). Unrecognized containers raise
+    NotImplementedError naming the supported formats.
     """
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != content_col]
@@ -386,8 +377,7 @@ def sample_frames(
                     raise NotImplementedError(
                         "only MJPEG, ISO BMFF (MP4), Matroska (MKV), and "
                         "AVI (RIFF) streams are demuxable in this "
-                        "environment; pass fake=True for the byte-slicing "
-                        "test double"
+                        "environment"
                     )
                 for k, fr in enumerate(demuxed):
                     if k % every_n_frames:
@@ -400,92 +390,4 @@ def sample_frames(
             out["frame"] = frames
             yield out[[f.name for f in out_schema.fields]]
 
-    if not fake:
-        return df.mapInPandas(_map_real, out_schema)
-
-    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # vectorized fan-out: one np.repeat of the carry-through
-            # columns + a flat slice list — no per-row Python objects
-            # beyond the frame bytes themselves
-            blobs = [
-                bytes(b) if b is not None else b"" for b in pdf[content_col]
-            ]
-            counts = np.array(
-                [max(1, len(b) // every_n_bytes) for b in blobs], dtype=np.int64
-            )
-            idx = np.repeat(np.arange(len(blobs)), counts)
-            frame_idx = np.concatenate(
-                [np.arange(c) for c in counts]
-            ) if len(counts) else np.array([], dtype=np.int64)
-            out = pdf.drop(columns=[content_col]).iloc[idx].reset_index(
-                drop=True
-            )
-            out["frame_idx"] = frame_idx.astype("int32")
-            out["frame"] = [
-                blobs[r][i * every_n_bytes : (i + 1) * every_n_bytes]
-                for r, i in zip(idx, frame_idx)
-            ]
-            yield out[[f.name for f in out_schema.fields]]
-
-    return df.mapInPandas(_map, out_schema)
-
-
-def extract_audio_features(
-    df: DataFrame,
-    content_col: str = "content",
-    frame_bytes: int = 1024,
-    fake: bool = False,
-) -> DataFrame:
-    """Audio feature extraction stub (codec unavailable in this container).
-
-    Real implementation would decode PCM and emit per-frame features;
-    the deterministic fake computes byte-level energy/mean per
-    ``frame_bytes`` window — same output shape (one feature row per
-    frame) and the same Arrow-batched ``mapInPandas`` plumbing.
-    """
-    out_schema = StructType(
-        [f for f in df.schema.fields if f.name != content_col]
-        + [
-            StructField("frame_idx", IntegerType()),
-            StructField("energy", LongType()),
-            StructField("byte_mean", LongType()),
-        ]
-    )
-
-    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio codec not available; pass fake=True for the "
-                    "deterministic test double"
-                )
-            # vectorized: per-frame energy/mean come from numpy reductions
-            # over a flat byte buffer, not per-byte Python arithmetic
-            blobs = [
-                bytes(b) if b is not None else b"" for b in pdf[content_col]
-            ]
-            counts = np.array(
-                [max(1, len(b) // frame_bytes) for b in blobs], dtype=np.int64
-            )
-            idx = np.repeat(np.arange(len(blobs)), counts)
-            frame_idx = np.concatenate(
-                [np.arange(c) for c in counts]
-            ) if len(counts) else np.array([], dtype=np.int64)
-            energies = np.empty(len(idx), dtype=np.int64)
-            means = np.empty(len(idx), dtype=np.int64)
-            for j, (r, i) in enumerate(zip(idx, frame_idx)):
-                fr = np.frombuffer(
-                    blobs[r], np.uint8, offset=0
-                )[i * frame_bytes : (i + 1) * frame_bytes].astype(np.int64)
-                energies[j] = (fr * fr).sum()
-                means[j] = fr.sum() // max(len(fr), 1)
-            out = pdf.drop(columns=[content_col]).iloc[idx].reset_index(
-                drop=True
-            )
-            out["frame_idx"] = frame_idx.astype("int32")
-            out["energy"] = energies
-            out["byte_mean"] = means
-            yield out[[f.name for f in out_schema.fields]]
-
-    return df.mapInPandas(_map, out_schema)
+    return df.mapInPandas(_map_real, out_schema)

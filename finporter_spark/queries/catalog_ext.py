@@ -756,9 +756,12 @@ def l19_blocked_allpairs(spark, sf_dir):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _fake_png_frame(scale: int, mod: int):
-    """mapInPandas stage building a deterministic fake PNG binary column
-    (real header bytes; payload length ``24 + (n_chars*scale) % mod``)."""
+def _png_header_frame(scale: int, mod: int):
+    """mapInPandas stage building a header-only PNG binary column: a REAL
+    signature + IHDR (what m1's metadata parse reads) over a padded
+    payload of length ``24 + (n_chars*scale) % mod`` — a metadata-parse
+    fixture, not a decodable image (pixel-path queries m2/m4/m7 stage
+    fully decodable media instead)."""
     import struct
 
     def _map(batches):
@@ -781,7 +784,7 @@ def _fake_png_frame(scale: int, mod: int):
 def _media(spark, sf_dir, scale: int, mod: int):
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return d.mapInPandas(
-        _fake_png_frame(scale, mod), "doc_id bigint, content binary"
+        _png_header_frame(scale, mod), "doc_id bigint, content binary"
     )
 
 
@@ -880,19 +883,66 @@ def m2_image_resize(spark, sf_dir):
 @query(
     "m3_frame_sample",
     """
-    SELECT doc_id,
-           CAST(unnest(generate_series(0,
-                greatest((24 + (n_chars * 2) % 8000) // 256, 1) - 1)) AS INT)
-             AS frame_idx
-    FROM documents
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, (doc_id % 6 + 2) // 2)) AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i * 2 AS INT) AS frame_idx,
+           CAST(((doc_id * 5 + i * 2 * 7) % 128) * 2 AS BIGINT)
+             AS frame_mean
+    FROM f
     """,
 )
 def m3_frame_sample(spark, sf_dir):
-    """M3: video frame-sampling shape (1 row in -> k frames out via
-    mapInPandas); byte-slicing test double, count predicted by oracle."""
-    media = _media(spark, sf_dir, scale=2, mod=8000)
-    frames = sample_frames(media, "content", every_n_bytes=256, fake=True)
-    return frames.select("doc_id", "frame_idx")
+    """M3: every-Nth frame sampling over a REAL MJPEG stream — the
+    generic 1-row-in -> k-frames-out fan-out, plus the
+    ``every_n_frames`` subsample path m8/m9/m10 (which keep every
+    frame) don't exercise. Each doc becomes a concatenated-JPEG stream
+    of doc_id%6+3 frames; jpeg.split_mjpeg walks the actual SOI/EOI
+    marker structure, sample_frames keeps frames 0,2,4,... and each
+    kept frame Huffman-decodes to a block-constant image whose mean the
+    oracle predicts exactly (even values survive the DCT quantizer
+    round-trip, as in m8)."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                content.append(
+                    b"".join(
+                        jpeg_encode(
+                            np.full(
+                                (16, 16, 1),
+                                ((i * 5 + f * 7) % 128) * 2,
+                                np.uint8,
+                            )
+                        )
+                        for f in range(i % 6 + 3)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    media = _stage_media(spark, sf_dir, "m3_media", _make)
+    frames = sample_frames(media, "content", every_n_frames=2)  # REAL demux
+
+    def _mean(batches):
+        for pdf in batches:
+            means = [int(jpeg_decode(bytes(b)).mean()) for b in pdf["frame"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_mean": pd.array(means, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        _mean, "doc_id bigint, frame_idx int, frame_mean bigint"
+    )
 
 
 # =====================================================================

@@ -91,3 +91,38 @@ def test_header_declared_order(spark):
     assert encode_to_string(df) == "bar,baz\nx,y\n"
     # declared order overrides df order (FINporter.swift:62,66)
     assert encode_to_string(df, columns=["baz", "bar"]) == "baz,bar\ny,x\n"
+
+
+def test_single_file_export_matches_collect_path(spark, tmp_path, sf_dir):
+    """Distributed byte-golden export: per-partition encoded parts +
+    ordered concat must produce bytes IDENTICAL to the driver-collect
+    path on a multi-partition DataFrame — including quoting/escape
+    bytes, the trailing separator, and a custom line separator."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.encoder import (
+        encode_to_string,
+        write_delimited_single_file,
+    )
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0,
+                   F.concat(F.col("c_name"), F.lit(', "vip"')))
+            .otherwise(F.col("c_name")),
+        )
+        .repartition(8)  # force a genuinely multi-partition source
+    )
+    want = encode_to_string(df)
+    out = str(tmp_path / "export.csv")
+    write_delimited_single_file(df, out)
+    assert open(out, "rb").read() == want.encode()
+
+    # custom separator + no header, TSV delimiter
+    want2 = encode_to_string(df, "\t", line_separator="\r\n", header=False)
+    write_delimited_single_file(
+        df, out, "\t", line_separator="\r\n", header=False
+    )
+    assert open(out, "rb").read() == want2.encode()

@@ -131,18 +131,61 @@ def test_png_codec_roundtrip_all_filters():
             assert (png_decode(png_encode(px, filter_type=ft)) == px).all()
 
 
-def test_resize_fake_shape(spark, media_dir):
-    df = read_binary(spark, media_dir)
-    out = resize_image(df, size=(8, 8), fake=True)
+def test_resize_real_shape(spark, tmp_path):
+    """Generic resize plumbing over a mixed-format dir (real PNG + GIF
+    files on disk): content column dropped, every output is a real
+    8x8 PNG."""
+    import numpy as np
+
+    from finporter_spark.operators.gif import gif_encode
+    from finporter_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(3)
+    (tmp_path / "a.png").write_bytes(
+        png_encode(rng.randint(0, 256, (24, 16, 3), dtype=np.uint8))
+    )
+    (tmp_path / "b.gif").write_bytes(
+        gif_encode(
+            rng.randint(0, 4, (12, 20), dtype=np.uint8),
+            np.array(
+                [[0, 0, 0], [80, 10, 10], [10, 80, 10], [10, 10, 80]],
+                dtype=np.uint8,
+            ),
+        )
+    )
+    df = read_binary(spark, str(tmp_path))
+    out = resize_image(df, size=(8, 8))
     rows = out.collect()
-    assert all(len(r.resized) == 64 for r in rows)
+    assert len(rows) == 2
     assert "content" not in out.columns
+    for r in rows:
+        assert bytes(r.resized)[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png_decode(bytes(r.resized)).shape[:2] == (8, 8)
 
 
-def test_sample_frames_fake(spark, media_dir):
-    df = read_binary(spark, media_dir).filter(F.col("path").endswith("c.bin"))
-    out = sample_frames(df, every_n_bytes=30, fake=True)
-    assert out.count() == 3  # 100 bytes // 30
+def test_sample_frames_every_n_subsample(spark):
+    """every_n_frames over a REAL MJPEG stream: frame_idx keeps the
+    original demux index (0, 2, 4, ...) and each kept frame is a valid
+    standalone JPEG."""
+    import numpy as np
+
+    from finporter_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    frames = [
+        jpeg_encode(np.full((8, 8, 1), v, np.uint8))
+        for v in (10, 40, 70, 100, 130)
+    ]
+    df = spark.createDataFrame(
+        [(1, b"".join(frames))], "id long, content binary"
+    )
+    out = sample_frames(df, every_n_frames=2).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [
+        0, 2, 4,
+    ]
+    means = {
+        r.frame_idx: int(jpeg_decode(bytes(r.frame)).mean()) for r in out
+    }
+    assert means == {0: 10, 2: 70, 4: 130}
 
 
 # --- UDF surface ---
@@ -195,32 +238,6 @@ def test_u4_flatten(spark):
 
     out = flatten_map(df, split_rows, "tok string")
     assert sorted(r.tok for r in out.collect()) == ["a", "b", "c"]
-
-
-def test_audio_features_fake_shape(spark):
-    from finporter_spark.operators.multimodal import extract_audio_features
-
-    df = spark.createDataFrame(
-        [(1, bytes(range(256)) * 8), (2, b"\x01" * 100)],
-        "id long, content binary",
-    )
-    out = extract_audio_features(df, fake=True, frame_bytes=1024).collect()
-    by_id = {}
-    for r in out:
-        by_id.setdefault(r.id, []).append(r)
-    assert len(by_id[1]) == 2  # 2048 bytes -> 2 frames
-    assert len(by_id[2]) == 1  # short clip -> 1 frame
-    assert by_id[2][0].byte_mean == 1
-    assert by_id[2][0].energy == 100
-
-
-def test_audio_features_real_path_raises(spark):
-    import pytest
-    from finporter_spark.operators.multimodal import extract_audio_features
-
-    df = spark.createDataFrame([(1, b"x")], "id long, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
-        extract_audio_features(df, fake=False).collect()
 
 
 def test_jpeg_codec_block_constant_exact():
