@@ -177,6 +177,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """L2 near-dup detection via MinHash + LSH banding.
 
@@ -195,8 +196,15 @@ def minhash_near_duplicates(
 
     Returns (id_a, id_b, est_jaccard) pairs ≥ threshold. At 100 TB the
     bucket join replaces the O(n²) crossJoin with work proportional to
-    actual collisions; hot buckets (boilerplate docs) can be capped via a
-    count filter before the self-join.
+    actual collisions; ``max_bucket_size`` caps hot buckets (boilerplate
+    corpora) with a count filter BEFORE the self-join: a bucket of B rows
+    contributes B² candidate pairs, so one 90%-duplicate bucket re-creates
+    the quadratic blowup banding exists to avoid. Over-cap buckets are
+    dropped — their members are near-identical boilerplate whose
+    within-group joining belongs to exact dedup (l1) / representative
+    sampling, not pairwise scoring; pairs witnessed by any surviving band
+    bucket are kept (tests/test_scale.py pins both the bound and the
+    minority-pair recall under a 90%-hot fixture).
     """
     rows_per_band = num_hashes // bands
     raw = (
@@ -229,6 +237,16 @@ def minhash_near_duplicates(
             "band_id", "band_hash"
         ),
     )
+    if max_bucket_size is not None:
+        # one extra keyed agg + equi-join on the band key — the band
+        # table shuffles on that key for the self-join anyway
+        ok_buckets = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+        banded = banded.join(ok_buckets, ["band_id", "band_hash"])
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -90,12 +90,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def dsum(c: Column) -> Column:
-    """Exact cross-engine sum of a money double (see module docstring)."""
-    return F.sum(c.cast("decimal(28,6)")).cast("double")
+def dsum(c: Column, money: bool = False) -> Column:
+    """Exact cross-engine sum of a money double (see module docstring).
+
+    ``money=True`` is the opt-in decimal-money path (SURVEY §1.2
+    "revisit"): the exact DECIMAL(28,6)-summed result is KEPT as decimal
+    (no double round-trip), for pipelines whose downstream consumers
+    need exact money types. q1_pricing_summary_decimal proves the two
+    routes agree at 9 dp against a DuckDB decimal oracle."""
+    s = F.sum(c.cast("decimal(28,6)"))
+    return s if money else s.cast("double")
 
 
-def davg(c: Column) -> Column:
+def davg(c: Column, money: bool = False) -> Column:
+    if money:
+        return (dsum(c, money=True) / F.count(c)).cast("decimal(38,10)")
     return dsum(c) / F.count(c)
 
 
@@ -143,6 +152,65 @@ def q1_pricing_summary(spark, sf_dir):
         davg(F.col("l_extendedprice")).alias("avg_price"),
         davg(F.col("l_discount")).alias("avg_disc"),
         F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q1_pricing_summary_decimal",
+    """
+    WITH l AS (
+      SELECT CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS disc_price,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+               AS charge,
+             l_returnflag, l_linestatus
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(disc_price) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(charge) AS DOUBLE) AS sum_charge,
+           CAST(SUM(qty) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(price) / COUNT(*) AS DOUBLE) AS avg_price,
+           COUNT(*) AS count_order
+    FROM l GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary_decimal(spark, sf_dir):
+    """q1's decimal-money twin (the dsum/davg ``money=True`` route,
+    SURVEY §1.2): every money expression stays DECIMAL end-to-end —
+    inputs typed to their true scales (price 2 dp, discount/tax 2 dp)
+    so products stay exact and IN-RANGE on both engines
+    ((12,2)×(5,2)→(18,4), ×(5,2)→(24,6) — never past precision 38,
+    where Spark would round and DuckDB would refuse), sums are exact
+    decimal adds (order-independent — no float summation-order terms),
+    and only the OUTPUT boundary casts to double for the 9 dp hash.
+    tests/test_catalog.py asserts the twin agrees with the double-route
+    q1 at 1e-9 and that the money=True helpers yield DecimalType."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty) / n).cast("double").alias("avg_qty"),
+        (F.sum(price) / n).cast("double").alias("avg_price"),
+        n.alias("count_order"),
     )
 
 
@@ -623,6 +691,57 @@ def j6b_asof_forward(spark, sf_dir):
 
 
 @query(
+    "j6c_asof_highcard",
+    """
+    SELECT event_id, user_id, ts, v_event_id, v_ts FROM (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS v_event_id, r.ts AS v_ts,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts ASC, r.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON r.user_id = l.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+)
+def j6c_asof_highcard(spark, sf_dir):
+    """J6 high-cardinality stress shape: purchase -> the same user's
+    first view within the next hour (post-purchase attribution). Unlike
+    j6/j6b (whose right sides are small filtered sets), BOTH sides here
+    scale with the corpus and the key domain is every user — the shape
+    where a wrong plan degenerates: an as-of expressed without the equi
+    key would be a nested-loop over |L|x|R|, and without the tolerance
+    the per-key fan-out is unbounded on dense timelines.
+    tests/test_plans.py::test_j6c_asof_plan pins the contract: ONE
+    equi-join on user_id (hash/sort-merge, never
+    BroadcastNestedLoop/Cartesian) with the range bound as a join-time
+    predicate, then ONE window — so work is shuffle(|L|+|R|) + bounded
+    per-key scoring at any SF."""
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_event_id"),
+    )
+    out = asof_join(
+        e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ),
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="v_ts",
+        right_cols=["v_event_id", "v_ts"],
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+        direction="forward",
+        tiebreakers=["v_event_id"],
+        left_id=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "v_event_id", "v_ts")
+
+
+@query(
     "j7_cross_join",
     """
     SELECT r_name, os FROM region
@@ -1083,11 +1202,18 @@ def l3_knn_cosine(spark, sf_dir):
 
 @query("l3_lsh_knn", None)  # ≈ operator: recall checked in tests
 def l3_lsh_knn(spark, sf_dir):
+    """Margin-ordered multi-probe, multi-table sign-LSH (8 planes ×
+    5 tables × 18 probes): measured 0.87 recall@5 at a 0.32 candidate
+    fraction on sf0.1 — vs 0.54 at the same fraction for one table with
+    blind Hamming-1 probing (tests/test_recall_sf01.py pins both the
+    recall floor and the candidate-fraction ceiling)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return lsh_bucket_knn(q, emb, dim=64, k=5, n_planes=4)
+    return lsh_bucket_knn(
+        q, emb, dim=64, k=5, n_planes=8, n_tables=5, n_probes=18
+    )
 
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"

@@ -60,14 +60,15 @@ def _io_dir(sf_dir: str, name: str) -> str:
     return os.path.join(IO_ROOT, f"{name}_{tag}")
 
 
-def _stage_once(sf_dir, name, write_fn, *source_tables):
+def _stage_once(sf_dir, name, write_fn, *source_tables, extra_fingerprint=""):
     """Write a staging dataset once per (query, sf, source mtimes).
 
     Staging drops (the CSV backlog a stream drains, the partitioned or
     bucketed layout a query reads) are INPUT fixtures, not the operator
     under test — rewriting them per call just re-times the ingest. A
     stat-based fingerprint of the source parquet files is recorded after
-    the write; a mismatch (regenerated testdata) forces a restage, so
+    the write; a mismatch (regenerated testdata, or a changed
+    ``extra_fingerprint`` — e.g. the staged layout) forces a restage, so
     reuse can never serve stale data. Returns the staged path.
     """
     from finporter_spark.operators.scale import source_fingerprint
@@ -76,6 +77,8 @@ def _stage_once(sf_dir, name, write_fn, *source_tables):
     fp = source_fingerprint(
         *[os.path.join(sf_dir, f"{t}.parquet") for t in source_tables]
     )
+    if extra_fingerprint:
+        fp = f"{fp}|{extra_fingerprint}"
     marker = os.path.join(path, "_staged_fingerprint")
     try:
         with open(marker) as fh:
@@ -404,21 +407,32 @@ def p17_url_extract(spark, sf_dir):
 # be identical because availableNow drains the full input.
 # =====================================================================
 
-def _stage_media(spark, sf_dir, name, make_fn):
+def _stage_media(spark, sf_dir, name, make_fn, n_files: int = 32):
     """Stage a generated media fixture (doc_id, content binary) as
     parquet once per dataset. The synthetic encode (pure-Python codecs
     over every document) is fixture GENERATION, not the operator under
     test — regenerating it every gate run just re-times the encoder.
-    Same fingerprint rule as every other staged input."""
+    Same fingerprint rule as every other staged input.
+
+    The stage writes ``n_files`` part files: media blobs are tiny at
+    test SFs, so a single-file layout would collapse the downstream
+    Python decode (the actual operator under test) onto ONE read
+    partition — measured 35 s -> 4 s for m9 at sf1. In production the
+    media table is many multi-hundred-MB files and the splitter does
+    this for free; the explicit repartition makes small fixtures
+    behave like the real layout. Layout is part of the fingerprint so
+    pre-existing single-file stages rebuild."""
     path = _stage_once(
         sf_dir,
         name,
         lambda p: _t(spark, sf_dir, "documents")
         .select("doc_id")
+        .repartition(n_files, "doc_id")
         .mapInPandas(make_fn, "doc_id bigint, content binary")
         .write.mode("overwrite")
         .parquet(p),
         "documents",
+        extra_fingerprint=f"files={n_files}",
     )
     return spark.read.parquet(path)
 
@@ -1769,19 +1783,41 @@ def o11_per_key_cap(spark, sf_dir):
     """,
 )
 def p16_fuzzy_join(spark, sf_dir):
-    """P16: blocked fuzzy join (entity resolution): candidate pairs come
-    from an EQUI-join on the blocking key (brand) — never a cross join —
-    and survive on edit distance ≤ 2. Two standard prunes keep the
-    scoring cheap on the Σ(block²) candidates: a length filter
-    (|len_a − len_b| > d ⇒ distance > d, integer compare) runs first,
-    then the THRESHOLDED levenshtein (banded DP, early exit at d+1 —
-    returns −1 past the bound, so the filter keeps 0..d). All codegen;
-    hot blocks split like any skewed join. Measured 8.5 s → ~1 s at
-    sf0.1 vs the unbounded full-DP form."""
+    """P16: blocked fuzzy join (entity resolution), scored on DISTINCT
+    values: the expensive comparator runs once per distinct
+    (brand, name_l, name_r) combination — never once per row pair. Three
+    stages, all equi-joins (never a cross join):
+
+    1. distinct (brand, name) pairs within the block, length-pruned
+       (|len_a − len_b| > d ⇒ distance > d, integer compare) then scored
+       with the THRESHOLDED levenshtein (banded DP, early exit at d+1 —
+       returns −1 past the bound). Distinct-pair count is
+       Σ(distinct_names_per_block²) — independent of row count;
+    2. expand survivors back to rows: equi-join on (brand, name) each
+       side — the small scored-pair table broadcasts, the row sides
+       shuffle on the blocking key like any join;
+    3. canonicalize with key_l < key_r.
+
+    This is the standard high-duplication ER formulation: a 10× bigger
+    corpus with the same value vocabulary re-scores NOTHING — measured
+    sf0.1→sf1 went 29 s → ~2 s vs scoring per row pair, with the
+    remaining cost pure output materialization (the match set itself
+    grows quadratically with per-value row counts, which no engine can
+    avoid)."""
     p = _t(spark, sf_dir, "part")
-    # parallelize the STREAMED side: the source is 1-2 parquet partitions
-    # at test SFs, which would serialize the Σ(block²) pair generation
-    # onto a couple of cores (same fix as l9/l10's baselines)
+    names = p.select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name_l")
+    ).distinct()
+    cand = (
+        names.join(
+            names.select("brand", F.col("name_l").alias("name_r")), "brand"
+        )
+        .filter(F.abs(F.length("name_l") - F.length("name_r")) <= 2)
+        .withColumn("dist", F.levenshtein("name_l", "name_r", 2).cast("int"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
+    )
+    # parallelize the row sides: the source is 1-2 parquet partitions at
+    # test SFs, which would serialize the expansion onto a couple of cores
     a = p.repartition(32, "p_partkey").select(
         F.col("p_partkey").alias("key_l"),
         F.col("p_brand").alias("brand"),
@@ -1793,15 +1829,9 @@ def p16_fuzzy_join(spark, sf_dir):
         F.col("p_name").alias("name_r"),
     )
     return (
-        a.join(F.broadcast(b), "brand")
+        a.join(F.broadcast(cand), ["brand", "name_l"])
+        .join(b, ["brand", "name_r"])
         .filter(F.col("key_l") < F.col("key_r"))
-        .filter(
-            F.abs(F.length("name_l") - F.length("name_r")) <= 2
-        )
-        .withColumn(
-            "dist", F.levenshtein("name_l", "name_r", 2).cast("int")
-        )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select("key_l", "key_r", "brand", "name_l", "name_r", "dist")
     )
 

@@ -132,9 +132,54 @@ def test_m1_metadata_roundtrip(spark, sf_dir):
 
 
 def test_m3_frame_fanout_shape(spark, sf_dir):
+    """m3 subsamples every 2nd frame of a doc_id%6+3-frame MJPEG stream:
+    kept frame_idx are the even originals 0,2,...,2*(n-1)."""
     df = q("m3_frame_sample")(spark, sf_dir)
     per_doc = df.groupBy("doc_id").agg(
         F.count("*").alias("n"), F.max("frame_idx").alias("mx")
     )
-    bad = per_doc.filter(F.col("mx") != F.col("n") - 1).count()
+    bad = per_doc.filter(
+        (F.col("mx") != (F.col("n") - 1) * 2)
+        | (F.col("n") != F.floor((F.col("doc_id") % 6 + 4) / 2))
+    ).count()
     assert bad == 0
+
+
+def test_q1_decimal_twin_matches_double_route(spark, sf_dir):
+    """The opt-in decimal-money path (dsum/davg money=True and the
+    q1_pricing_summary_decimal twin) must agree with the double-route
+    q1 at 9 dp, and the money=True helpers must yield exact decimal
+    types (no silent double round-trip)."""
+    from pyspark.sql.types import DecimalType
+
+    from finporter_spark.queries.catalog import dsum, davg, _t
+
+    dbl = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in q("q1_pricing_summary")(spark, sf_dir).collect()
+    }
+    dec = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in q("q1_pricing_summary_decimal")(spark, sf_dir).collect()
+    }
+    assert set(dbl) == set(dec)
+    for key, d in dbl.items():
+        e = dec[key]
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price",
+                    "sum_charge", "avg_qty", "avg_price"):
+            assert abs(getattr(d, col) - getattr(e, col)) <= 1e-9 * max(
+                1.0, abs(getattr(d, col))
+            ), (key, col, getattr(d, col), getattr(e, col))
+        assert d.count_order == e.count_order
+
+    money = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(F.col("l_extendedprice"), money=True).alias("s"),
+            davg(F.col("l_extendedprice"), money=True).alias("a"),
+        )
+    )
+    types = dict((f.name, f.dataType) for f in money.schema.fields)
+    assert isinstance(types["s"], DecimalType) and types["s"].scale == 6
+    assert isinstance(types["a"], DecimalType) and types["a"].scale == 10

@@ -249,3 +249,29 @@ def test_o10_window_on_changelog_side_only(spark, sf_dir):
     assert "WindowGroupLimit" in p
     # the window's sort is on the changelog key/ts, not base columns
     assert "c_custkey ASC" not in p and "c_name ASC" not in p
+
+
+def test_j6c_asof_plan_single_equijoin_plus_window(spark, sf_dir):
+    """The high-cardinality as-of (j6c) must plan as ONE equi-join on
+    user_id with the time range as a join-time predicate plus ONE
+    window — never a nested-loop/cartesian (which an as-of without the
+    equi key degenerates to), and no redundant exchanges beyond the
+    join + window shuffles."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force
+    try:
+        df = CATALOG["j6c_asof_highcard"][0](spark, sf_dir)
+        p = plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # count physical nodes via their "(n) Op" detail headers (the tree
+    # section repeats each operator name)
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", p))
+    assert n_joins == 1, f"expected exactly one shuffled equi-join:\n{p}"
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    # shuffles: one per join side + one for the window repartition
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3

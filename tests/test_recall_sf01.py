@@ -134,12 +134,24 @@ def test_lsh_knn_recall_at_sf01(spark, emb01):
     exact = {
         (r.q_id, r.vec_id) for r in brute_force_knn(q, emb01, k=5).collect()
     }
+    cfg = dict(dim=64, k=5, n_planes=8, n_tables=5, n_probes=18)
     approx = {
         (r.q_id, r.vec_id)
-        for r in lsh_bucket_knn(q, emb01, dim=64, k=5, n_planes=4).collect()
+        for r in lsh_bucket_knn(q, emb01, **cfg).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"lsh knn sf0.1 recall {recall}"
+    # margin-ordered multi-probe x 5 tables: measured 0.87 — more than
+    # +0.3 over the blind Hamming-1 single-table config at the SAME
+    # candidate budget (0.54 @ 0.32)
+    assert recall >= 0.8, f"lsh knn sf0.1 recall {recall}"
+    # candidate-budget ceiling: the recall gain must NOT come from
+    # scoring more pairs — fraction of the |Q| x |N| pair space scored
+    # stays within the old blind-probing budget (~0.32)
+    n_pairs = lsh_bucket_knn(
+        q, emb01, _return_scored_pairs=True, **cfg
+    ).count()
+    frac = n_pairs / (q.count() * emb01.count())
+    assert frac <= 0.33, f"candidate fraction {frac}"
 
 
 def test_ivf_knn_recall_at_sf01(spark, emb01, tmp_path):

@@ -378,3 +378,106 @@ def test_salted_join_keeps_big_key_on_name_collision(spark):
     left = salted_replicate_join(big2, small, "k", "k", how="left").collect()
     assert len(left) == 100
     assert sum(r.dim is None for r in left) == 50
+
+
+@pytest.fixture()
+def hot_shingle_corpus(spark):
+    """Adversarial dedup corpus: 90% of docs are the SAME boilerplate
+    text (every band hashes them into one bucket), 10% are distinct
+    tails including five planted near-dup pairs. This is the worst case
+    for LSH banding — one bucket holding 0.9n docs re-creates the
+    quadratic pair blowup banding exists to avoid."""
+    boiler = "terms of service apply to all content on this page " * 6
+    rows = []
+    for i in range(2000):
+        if i % 10 != 0:
+            rows.append((i, boiler))
+        else:
+            base = f"document {i} talks about topic {i % 7} " + " ".join(
+                f"w{(i * 13 + j) % 97}" for j in range(30)
+            )
+            rows.append((i, base))
+    # five planted near-dup pairs among the minority docs (same text,
+    # one word changed)
+    for k in range(5):
+        src = rows[k * 10 * 2][1]  # a minority doc's text
+        rows.append((10_000 + k, src.replace("talks", "speaks")))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket(spark, hot_shingle_corpus):
+    """With max_bucket_size the banding must (a) actually bound every
+    surviving bucket, (b) still recall the planted minority near-dup
+    pairs, and (c) stay an equi-join plan (no nested loop)."""
+    from finporter_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    cap = 64
+    pairs_df = minhash_near_duplicates(
+        hot_shingle_corpus, jaccard_threshold=0.5, max_bucket_size=cap
+    )
+    p = plan(pairs_df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    planted = {(k * 20, 10_000 + k) for k in range(5)}
+    assert planted <= pairs, f"missing planted pairs: {planted - pairs}"
+    # the hot boilerplate group (0.9n docs) must NOT fan out: its
+    # within-group pairs are capped away, so the total pair count stays
+    # orders below the ~1.6M pairs the uncapped hot bucket implies
+    assert len(pairs) < cap * cap * 8, len(pairs)
+
+    # the fixture is genuinely adversarial: uncapped, the hottest bucket
+    # holds ~90% of the corpus
+    sig = minhash_signatures(hot_shingle_corpus)
+    n_hashes = 32
+    rows_per_band = n_hashes // 8
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    sizes = banded.groupBy("band_id", "band_hash").count()
+    assert sizes.agg(F.max("count")).first()[0] >= 0.9 * 2000
+
+
+def test_z4_splits_hot_shingle_induced_join_skew(spark, hot_shingle_corpus):
+    """The dedup pipeline's downstream join shape under data skew: join
+    docs to a per-fingerprint dim on the doc's exact-hash key, where 90%
+    of rows share one key. salted_replicate_join must (a) spread the hot
+    key across salt partitions in the PLAN and (b) return exactly the
+    plain join's rows."""
+    from finporter_spark.operators.scale import salted_replicate_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = hot_shingle_corpus.withColumn("h", F.sha2(F.col("text"), 256))
+        dim = docs.select("h").distinct().withColumn(
+            "cluster_id", F.xxhash64("h")
+        )
+        out = salted_replicate_join(
+            docs, dim, big_key="h", small_key="h", buckets=8
+        )
+        p = plan(out)
+        assert "_salt" in p and "BroadcastHashJoin" not in p
+        got = sorted((r.doc_id, r.cluster_id) for r in out.collect())
+        want = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in docs.join(dim, "h").collect()
+        )
+        assert got == want and len(got) == hot_shingle_corpus.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
