@@ -79,6 +79,11 @@ HEADLINE = [
     "x7_stream_stream_join",
     "x10_stream_static_join",
     "pipe3_stream_corpus_ingest",
+    # round-5 additions
+    "q1_pricing_summary_decimal",
+    "j6c_asof_highcard",
+    "l3_lsh_knn",
+    "m3_frame_sample",
 ]
 
 
@@ -124,6 +129,7 @@ def main() -> None:
         "l2_minhash_near_dup",
         "m9_mkv_frames",
         "m5b_mp3_metadata",
+        "m3_frame_sample",
         "l20_fuzzy_decontaminate",
         "s10_binaryfile_scan",
         "x7_stream_stream_join",

@@ -1340,6 +1340,15 @@ def x6_stateful_running_totals(spark, sf_dir):
     threshold-tested in tests/, not hashed — pandas partial sums aren't
     decimal-routable). 8-way staging keeps the write AND the stream
     ingest parallel (a coalesce(1) here serialized both).
+
+    State partitions: 32, NOT the drain-tuned 8 the commit-bound
+    streams use (x7's interval join pays per-partition store commits
+    and wants few) — applyInPandasWithState invokes Python once per
+    KEY, so on high-cardinality keys the per-key callback cost
+    dominates and wants maximum worker parallelism. A/B at both SFs:
+    8 -> 32 partitions is 6.3 s -> 2.0 s at sf0.1 and 42 s -> 15 s at
+    sf1 (150k keys). On a cluster this is the same executors x cores
+    sizing rule as any shuffle.
     """
     from finporter_spark.streaming.pipeline import (
         run_stream_to_memory,
@@ -1366,7 +1375,8 @@ def x6_stateful_running_totals(spark, sf_dir):
         .csv(path)
     )
     out = run_stream_to_memory(
-        stream_running_totals(sdf), "x6_mem", output_mode="update"
+        stream_running_totals(sdf), "x6_mem", output_mode="update",
+        state_partitions=32,
     )
     return out.select("user_id", "n")
 

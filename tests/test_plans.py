@@ -275,3 +275,25 @@ def test_j6c_asof_plan_single_equijoin_plus_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
     # shuffles: one per join side + one for the window repartition
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3
+
+
+def test_j5_banded_inequality_join_avoids_nested_loop(spark, sf_dir):
+    """j5's count-richer-than inequality is decomposed into a band
+    equi-join + per-band suffix counts: the plan must contain NO
+    nested-loop over |S|x|C| (the naive theta-join shape) even with
+    broadcasts disabled on the row sides."""
+    import re
+
+    df = CATALOG["j5_range_join"][0](spark, sf_dir)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # the only BNLJ allowed is the bounded 1-row min/max bounds
+    # crossJoin; the S x C pairing itself must be an equi-join on band
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)) >= 1
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            continue  # tree line; detail asserted below
+    # any BNLJ node must be the 1-row bounds broadcast, never the C side
+    details = re.findall(r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\)|\Z)", p)
+    for d in details:
+        assert "c_acctbal > s_acctbal" not in d, d
