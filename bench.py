@@ -84,6 +84,9 @@ HEADLINE = [
     "j6c_asof_highcard",
     "l3_lsh_knn",
     "m3_frame_sample",
+    "l21_bpe_tokenize",
+    "o12_epoch_shuffle",
+    "o13_source_mix",
 ]
 
 
@@ -130,6 +133,7 @@ def main() -> None:
         "m9_mkv_frames",
         "m5b_mp3_metadata",
         "m3_frame_sample",
+        "l21_bpe_tokenize",
         "l20_fuzzy_decontaminate",
         "s10_binaryfile_scan",
         "x7_stream_stream_join",

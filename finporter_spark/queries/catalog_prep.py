@@ -486,3 +486,125 @@ def p15_higher_order_funcs(spark, sf_dir):
         .cast("double")
         .alias("max_abs"),
     )
+
+
+@query("l21_bpe_tokenize", None)  # approx operator: non-SQL-expressible merge
+def l21_bpe_tokenize(spark, sf_dir):
+    """L21: BPE tokenization - the actual subword ids a trainer consumes
+    (l7 counts regex tokens; this one produces them). Train = ONE
+    corpus-sized word-frequency aggregation, then a vocabulary-sized
+    merge loop persisted as dataset state (the IVF-centroid pattern);
+    apply = map-only Arrow encode with the merge ranks in the closure
+    and per-batch word memoization (Zipf reuse). No SQL engine
+    expresses the merge recursion, so this is a declared approx entry:
+    rows-only in the driver gate; tests/test_tokenizer.py proves the
+    distributed trainer reproduces a pure-Python reference BPE exactly
+    (same merges, same tokens) and that decode(encode(x))
+    whitespace-roundtrips every document."""
+    from finporter_spark.operators.scale import source_fingerprint
+    from finporter_spark.operators.tokenizer import (
+        bpe_encode,
+        load_or_train_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = load_or_train_merges(
+        d,
+        cache_path=_io_dir(sf_dir, "l21_bpe_m120"),
+        fingerprint=source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")
+        ),
+        n_merges=120,
+    )
+    return bpe_encode(d, merges).select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws("", F.slice("tokens", 1, 8)).alias("head_tokens"),
+    )
+
+
+@query(
+    "o12_epoch_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(concat('epoch7|', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def o12_epoch_shuffle(spark, sf_dir):
+    """O12: deterministic epoch shuffle - the global training-order
+    permutation every data loader needs, keyed by (epoch, doc) hash so
+    it is identical across engines, runs, retries, AND epochs are
+    decorrelated (new epoch string -> new permutation). The plan is a
+    global sort: range-partitioned exchange (sampled split points), the
+    one shuffle a total order costs; at 100 TB the writer would keep
+    rows range-bucketed into shard files instead of asking for one
+    global row_number (same sort, no final coalesce). md5, not
+    xxhash64: identical hex on both engines, so the oracle re-derives
+    the exact order."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return d.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+@query(
+    "o13_source_mix",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ), weighted AS (
+      SELECT doc_id, source, rk,
+             CASE WHEN source IN ('src0','src1','src2') THEN 4.0
+                  WHEN source IN ('src3','src4') THEN 2.0
+                  ELSE 1.0 END AS w
+      FROM ranked
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS source_rank,
+           CAST(rk / w AS DOUBLE) AS stride_key
+    FROM weighted
+    """,
+)
+def o13_source_mix(spark, sf_dir):
+    """O13: weighted source mixing (stride scheduling) - upsample
+    priority domains by weight without replacement: rank docs within
+    each source by a deterministic hash draw, then interleave by
+    rk/weight (a source with weight 4 contributes 4x the docs per unit
+    of the global order). This is the corpus-mixing gate (domain
+    sampling ratios) every pretraining pipeline applies after dedup;
+    one window shuffle on source + a map-side key, and consumers sort
+    or range-bucket by stride_key exactly like o12. Deterministic
+    (md5), so reruns and engines agree on the mix."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(4.0))
+        .when(F.col("source").isin("src3", "src4"), F.lit(2.0))
+        .otherwise(F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("source_rank"),
+    ).select(
+        "doc_id",
+        "source",
+        "source_rank",
+        (F.col("source_rank") / weight).cast("double").alias("stride_key"),
+    )

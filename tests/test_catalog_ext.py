@@ -39,6 +39,7 @@ def test_catalog_covers_declared_surface():
         "l3_lsh_knn",
         "l3_ivf_knn",
         "l20_fuzzy_decontaminate",
+        "l21_bpe_tokenize",
     }
 
 
