@@ -978,13 +978,21 @@ def w4_range_frame(spark, sf_dir):
     """W3 range frame: trailing 30-minute window keyed on event time, not
     row position. The sum routes through DECIMAL(28,6) because a RANGE
     frame's addend order is engine-internal (Spark running-frame vs
-    DuckDB segment tree) — decimal makes it order-independent."""
+    DuckDB segment tree) — decimal makes it order-independent.
+
+    The range key is FRACTIONAL epoch seconds (timestamp cast to
+    double — microseconds included), matching the oracle's
+    ``epoch(ts)``: ``unix_timestamp`` truncates to whole seconds, which
+    silently shifts the 1800 s frame boundary for events landing within
+    the fractional remainder — invisible at small SFs (no event pair
+    sits that close to the boundary), caught by the sf1 sweep where two
+    rows flipped."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.col("ts").cast("double"))
         .rangeBetween(-1800, Window.currentRow)
     )
     return e.select(

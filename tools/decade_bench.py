@@ -1,0 +1,124 @@
+"""Two-decade scale evidence: time a relational-core query subset at
+sf0.1 (driver testdata), sf1 and sf10 (tools/gen_testdata.py — 6M and
+60M-row lineitem), printing per-query ratios per decade.
+
+The subset is the shuffle/join/window/agg core plus the flagship L ops —
+the operators whose plans must survive scale-up. Streaming drains and
+per-file media decode are excluded: their sf-flat (commit-bound) and
+embarrassingly-parallel behavior is established in SCALING.md; this
+sweep exists to catch super-linear RELATIONAL plans two decades out.
+
+Usage: python tools/decade_bench.py [--skip-gen]
+Writes DECADE_BENCH.json {query: {sf: sec}} and prints a table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from finporter_spark.queries.catalog import catalog_queries
+from finporter_spark.session import get_session
+
+GEN_ROOT = "/tmp/finporter_testdata"
+SFS = [
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", f"{GEN_ROOT}/sf1"),
+    ("10", f"{GEN_ROOT}/sf10"),
+]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q1_pricing_summary_decimal",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    "p1_projection",
+    "p10_surrogate_id",
+    "p16_fuzzy_join",
+    "j1_join_agg",
+    "j4_broadcast_dim",
+    "j5_range_join",
+    "j6_asof_join",
+    "j6c_asof_highcard",
+    "a2_count_distinct",
+    "a4_cube",
+    "a7_percentiles",
+    "w1_ranking",
+    "w3_running_sum",
+    "w4_range_frame",
+    "w6_sessionize",
+    "o5_dedup_latest",
+    "o7_stratified_sample",
+    "o11_per_key_cap",
+    "o12_epoch_shuffle",
+    "o13_source_mix",
+    "l1_exact_dedup",
+    "l2_minhash_near_dup",
+    "l4_quality_score",
+    "l8_tfidf_top_terms",
+    "l12_chunk_documents",
+    "l13_decontaminate",
+    "l15_bigram_lm_score",
+    "l16_repetition_profile",
+    "l17_pack_sequences",
+    "l18_pagerank",
+    "l21_bpe_tokenize",
+    "z1_bucketed_join",
+    "z2_salted_agg",
+    "z4_salted_join",
+]
+
+
+def main() -> None:
+    if "--skip-gen" not in sys.argv:
+        for sf in ("1.0", "10.0"):
+            d = f"{GEN_ROOT}/sf{sf.rstrip('0').rstrip('.') or sf}"
+            if not os.path.isfile(os.path.join(d, "lineitem.parquet")):
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "tools", "gen_testdata.py"),
+                     "--sf", sf],
+                    check=True,
+                )
+    spark = get_session("decade-bench")
+    qs = catalog_queries()
+    qs["q1_pricing_summary"](spark, SFS[0][1]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for sf, d in SFS:
+            # first call may stage fixtures; run twice, time the second
+            if name in ("z1_bucketed_join", "l2_minhash_near_dup",
+                        "l21_bpe_tokenize", "l13_decontaminate"):
+                qs[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            t0 = time.time()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            results[name][sf] = round(time.time() - t0, 3)
+        r = results[name]
+        print(
+            f"{name:32} {r['0.1']:>8} {r['1']:>8} {r['10']:>8} "
+            f"{r['1']/max(r['0.1'],0.001):>5.1f}x {r['10']/max(r['1'],0.001):>5.1f}x",
+            flush=True,
+        )
+    with open(os.path.join(REPO, "DECADE_BENCH.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote DECADE_BENCH.json")
+
+
+if __name__ == "__main__":
+    main()

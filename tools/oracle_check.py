@@ -35,7 +35,17 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"  # pandas renders SQL NULL as NaN in float cols
-        return format(round(v, 9), ".9f").rstrip("0").rstrip(".")
+        # 9 dp AND <=15 significant digits: a double carries ~15.95
+        # decimal digits, so two engines converting the SAME exact
+        # decimal (e.g. a DECIMAL(28,6) sum at sf1 magnitude, 17
+        # digits) can legitimately differ by 1 ulp — beyond-precision
+        # digits are conversion noise, not values (first seen on
+        # q1's 2.8e10 sum_charge at sf1: ulp = 3.8e-6 > the 9 dp
+        # quantum)
+        r = round(v, 9)
+        if abs(r) >= 1e6:
+            return format(r, ".15g")
+        return format(r, ".9f").rstrip("0").rstrip(".")
     if isinstance(v, bool):
         return "true" if v else "false"
     if hasattr(v, "isoformat"):
