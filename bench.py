@@ -87,6 +87,9 @@ HEADLINE = [
     "l21_bpe_tokenize",
     "o12_epoch_shuffle",
     "o13_source_mix",
+    "l22_semantic_dedup",
+    "l23_curriculum_sample",
+    "w7_streaks",
 ]
 
 

@@ -510,3 +510,153 @@ def ivf_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means + SemDeDup-style semantic dedup (SURVEY §2B-ext L22)
+# ---------------------------------------------------------------------------
+
+def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array<double> column to a Python-list
+    centroid, folded left-to-right exactly like DuckDB's list_sum so the
+    cross-engine drift stays at fold-order level (~1e-13, absorbed by
+    6 dp rounding)."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "_ed",
+    out_cluster: str = "cluster",
+    out_dist: str = "dist2",
+) -> DataFrame:
+    """Assign every row to its nearest centroid — entirely JVM-side.
+
+    The centroid list is tiny (k x dim) so it rides into the plan as
+    literals: the assignment is a map-only projection (no shuffle, no
+    broadcast join, no UDF), which is the 100 TB-correct shape — the
+    scan is the only cost. Distances are rounded to 6 dp BEFORE the
+    argmin and ties break on the lowest centroid index, so an
+    independent engine (the DuckDB oracle) makes bit-identical
+    decisions despite float fold-order drift."""
+    dists = F.array(
+        *[F.round(_sq_dist_to_literal(F.col(vec_col), c), 6) for c in centroids]
+    )
+    return df.withColumn("_dists", dists).select(
+        "*",
+        (F.array_position("_dists", F.array_min("_dists")) - 1)
+        .cast("int")
+        .alias(out_cluster),
+        F.array_min("_dists").alias(out_dist),
+    ).drop("_dists")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means: init = the k rows with the smallest
+    ids, then ``iters`` assign/update rounds. Every update is one keyed
+    shuffle (posexplode -> groupBy(cluster, dim) -> avg) and the only
+    driver-side state is the k x dim centroid table (the IVF-centroid
+    pattern — at 100 TB that is still a few KB). Centroid means are
+    rounded to 6 dp each round so independent engines converge to
+    bit-identical centroids; empty clusters keep their previous
+    centroid."""
+    emb = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_ed"),
+    )
+    init = (
+        emb.orderBy("_id")
+        .limit(k)
+        # round in-engine: F.round (HALF_UP) matches the oracle's ROUND,
+        # Python's round() is banker's and would diverge on exact halves
+        .select("_id", F.transform("_ed", lambda x: F.round(x, 6)).alias("_ed"))
+        .orderBy("_id")
+        .collect()
+    )
+    centroids = [[float(v) for v in r["_ed"]] for r in init]
+    emb = emb.cache()
+    try:
+        for _ in range(iters):
+            assigned = kmeans_assign(emb, centroids)
+            means = (
+                assigned.select("cluster", F.posexplode("_ed").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg(F.round(F.avg("x"), 6).alias("v"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+                .collect()
+            )
+            new_c = {r["cluster"]: [p["v"] for p in r["s"]] for r in means}
+            centroids = [new_c.get(c, centroids[c]) for c in range(k)]
+    finally:
+        emb.unpersist()
+    return centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then mark near-duplicates WITHIN each
+    cluster — a row is kept iff no lower-id row in its cluster has
+    cosine >= threshold. The cluster key turns the quadratic all-pairs
+    scan into per-cluster blocks; at 100 TB k scales with n (SemDeDup
+    uses n/1000-ish) so blocks stay bounded, and an oversized block
+    falls back to l19's tiled-BLAS formulation. Returns
+    (id, cluster, dist2, kept).
+    """
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    emb = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_ed"),
+    )
+    assigned = kmeans_assign(emb, centroids).withColumn(
+        "_n", _norm(F.col("_ed"))
+    ).cache()
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col("cluster").alias("_ca"),
+        F.col("_ed").alias("_ea"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.repartition(32, id_col).select(
+        F.col(id_col).alias("_idb"),
+        F.col("cluster").alias("_cb"),
+        F.col("_ed").alias("_eb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    dup_ids = (
+        F.broadcast(a)
+        .join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .filter(cos >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.round("dist2", 6).alias("dist2"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -608,3 +608,182 @@ def o13_source_mix(spark, sf_dir):
         "source_rank",
         (F.col("source_rank") / weight).cast("double").alias("stride_key"),
     )
+
+
+def _l22_dist_cte(src_e: str, src_c: str, d_name: str, a_name: str) -> str:
+    """One unrolled Lloyd assignment round of the l22 oracle: distances
+    (6 dp-rounded, matching the Spark side's pre-argmin rounding) and
+    lowest-index-tie-break argmin."""
+    return f"""
+    {d_name} AS (SELECT e.vec_id, c.cid,
+              ROUND(list_sum(list_transform(list_zip(e.emb, c.cen),
+                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
+       FROM e CROSS JOIN {src_c} c),
+    {a_name} AS (SELECT vec_id, cid, d FROM (
+         SELECT vec_id, cid, d,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         FROM {d_name}) WHERE rk = 1)"""
+
+
+def _l22_mean_cte(a_name: str, prev_c: str, m_name: str, c_name: str) -> str:
+    """One centroid-update round: per-(cluster, dim) mean rounded to 6 dp
+    (same as the Spark side), empty clusters keep the previous centroid."""
+    return f"""
+    {m_name} AS (SELECT {a_name}.cid, g.i, ROUND(AVG(e.emb[g.i]), 6) AS v
+       FROM {a_name} JOIN e USING (vec_id)
+            CROSS JOIN generate_series(1, 64) AS g(i)
+       GROUP BY {a_name}.cid, g.i),
+    {c_name} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
+       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
+                          FROM {m_name} GROUP BY cid) mm USING (cid))"""
+
+
+_L22_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(emb, x -> ROUND(x, 6)) AS cen
+           FROM e WHERE vec_id < 8),
+    {_l22_dist_cte('e', 'c0', 'd1', 'a1')},
+    {_l22_mean_cte('a1', 'c0', 'm1', 'c1')},
+    {_l22_dist_cte('e', 'c1', 'd2', 'a2')},
+    {_l22_mean_cte('a2', 'c1', 'm2', 'c2')},
+    {_l22_dist_cte('e', 'c2', 'd3', 'a3')},
+    dup AS (SELECT DISTINCT y.vec_id
+            FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                 JOIN e ex ON ex.vec_id = x.vec_id
+                 JOIN e ey ON ey.vec_id = y.vec_id
+            WHERE list_dot_product(ex.emb, ey.emb)
+                  / (sqrt(list_dot_product(ex.emb, ex.emb))
+                     * sqrt(list_dot_product(ey.emb, ey.emb))) >= 0.4)
+    SELECT a3.vec_id, CAST(a3.cid AS INT) AS cluster,
+           ROUND(a3.d, 6) AS dist2,
+           a3.vec_id NOT IN (SELECT vec_id FROM dup) AS kept
+    FROM a3
+"""
+
+
+@query("l22_semantic_dedup", _L22_ORACLE)
+def l22_semantic_dedup(spark, sf_dir):
+    """L22: SemDeDup (Abbas et al. 2023) — semantic near-dup removal:
+    deterministic k-means over the embedding space (init = k smallest
+    ids, 2 Lloyd rounds, 6 dp-rounded centroids/distances so an
+    independent engine makes bit-identical decisions), then a row is
+    kept iff no lower-id row in its CLUSTER has cosine >= 0.4. The
+    cluster key blocks the quadratic pair scan; the k-means itself is
+    one map-only assignment + one keyed mean shuffle per round with
+    k x dim driver state (the IVF-centroid pattern). The oracle unrolls
+    both Lloyd rounds as SQL CTEs (the l18 PageRank pattern)."""
+    from finporter_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iters=2, threshold=0.4
+    )
+
+
+@query(
+    "w7_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days
+    )
+    SELECT user_id, CAST(MIN(day) AS TIMESTAMP) AS start_day,
+           CAST(MAX(day) AS TIMESTAMP) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM r
+    GROUP BY user_id, day - CAST(rn AS INT)
+    """,
+)
+def w7_streaks(spark, sf_dir):
+    """W7: gaps-and-islands — consecutive-active-day streaks per user
+    (the canonical sessionize-without-timestamps window pattern; w6
+    sessionizes by gap duration, this one by calendar adjacency). One
+    distinct shuffle + one window shuffle, both keyed on user_id; the
+    island key (day - row_number) is a map-side expression, so the
+    plan is two exchanges regardless of scale."""
+    from pyspark.sql import Window
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = F.date_sub(F.col("day"), F.row_number().over(w))
+    return (
+        d.withColumn("_island", grp)
+        .groupBy("user_id", "_island")
+        .agg(
+            F.min("day").cast("timestamp").alias("start_day"),
+            F.max("day").cast("timestamp").alias("end_day"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("_island")
+    )
+
+
+@query(
+    "l23_curriculum_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_TOKS},
+                  t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS INT)
+               / CAST(NULLIF(len({_TOKS}), 0) AS DOUBLE) AS sr
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN sr >= 0.25 THEN 'high'
+                  WHEN sr >= 0.12 THEN 'mid'
+                  ELSE 'low' END AS bin
+      FROM q
+    )
+    SELECT doc_id, bin FROM b
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 10000
+          < CASE bin WHEN 'high' THEN 9000 WHEN 'mid' THEN 5000 ELSE 1000 END
+    """,
+)
+def l23_curriculum_sample(spark, sf_dir):
+    """L23: curriculum sampling — the quality-weighted acceptance gate a
+    pretraining mix applies after dedup: score each doc (l4's stopword
+    ratio as the fluency proxy), bin by fixed thresholds, then keep 90%
+    of high-, 50% of mid-, 10% of low-quality docs via the same
+    md5-bucket draw as o7 (rerun-stable, engine-portable, composable —
+    a tighter budget's sample is a subset of a looser one). Scoring +
+    binning + draw are all map-side codegen: the whole operator is a
+    filtered scan, no shuffle at any scale."""
+    from finporter_spark.operators.prep import sample_bucket
+    from finporter_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop = F.array(
+        *[
+            F.lit(s)
+            for s in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+        ]
+    )
+    sr = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / F.nullif(
+        n_tok, F.lit(0)
+    ).cast("double")
+    bin_col = (
+        F.when(sr >= 0.25, F.lit("high"))
+        .when(sr >= 0.12, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    rate = (
+        F.when(F.col("bin") == "high", F.lit(9000))
+        .when(F.col("bin") == "mid", F.lit(5000))
+        .otherwise(F.lit(1000))
+    )
+    return (
+        d.select("doc_id", bin_col.alias("bin"))
+        .filter(sample_bucket(F.col("doc_id")) < rate)
+    )
