@@ -557,6 +557,33 @@ def kmeans_assign(
     ).drop("_dists")
 
 
+def _fit_cached(emb: DataFrame, k: int, iters: int) -> list[list[float]]:
+    """Lloyd loop over an already-cached (_id, _ed) projection."""
+    init = (
+        emb.orderBy("_id")
+        .limit(k)
+        # round in-engine: F.round (HALF_UP) matches the oracle's ROUND,
+        # Python's round() is banker's and would diverge on exact halves
+        .select("_id", F.transform("_ed", lambda x: F.round(x, 6)).alias("_ed"))
+        .orderBy("_id")
+        .collect()
+    )
+    centroids = [[float(v) for v in r["_ed"]] for r in init]
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("_ed").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 6).alias("v"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
+            .collect()
+        )
+        new_c = {r["cluster"]: [p["v"] for p in r["s"]] for r in means}
+        centroids = [new_c.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -575,34 +602,44 @@ def kmeans_fit(
     emb = df.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_ed"),
-    )
-    init = (
-        emb.orderBy("_id")
-        .limit(k)
-        # round in-engine: F.round (HALF_UP) matches the oracle's ROUND,
-        # Python's round() is banker's and would diverge on exact halves
-        .select("_id", F.transform("_ed", lambda x: F.round(x, 6)).alias("_ed"))
-        .orderBy("_id")
-        .collect()
-    )
-    centroids = [[float(v) for v in r["_ed"]] for r in init]
-    emb = emb.cache()
+    ).cache()
     try:
-        for _ in range(iters):
-            assigned = kmeans_assign(emb, centroids)
-            means = (
-                assigned.select("cluster", F.posexplode("_ed").alias("i", "x"))
-                .groupBy("cluster", "i")
-                .agg(F.round(F.avg("x"), 6).alias("v"))
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s"))
-                .collect()
-            )
-            new_c = {r["cluster"]: [p["v"] for p in r["s"]] for r in means}
-            centroids = [new_c.get(c, centroids[c]) for c in range(k)]
+        return _fit_cached(emb, k, iters)
     finally:
         emb.unpersist()
-    return centroids
+
+
+def _within_cluster_dup_ids(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Ids that have a LOWER-id neighbor with cosine >= threshold in the
+    same cluster. Per-cluster chunked BLAS (the l19 idea with the cluster
+    as the block key): each group sorts by id, normalizes once, then
+    walks 1024-row chunks of the similarity matrix — task memory is
+    O(chunk x block), never block². Zero-norm rows are clamped to eps so
+    they produce 0-cosines instead of NaNs (they can still BE duplicates
+    of nothing, but never silently poison the mask)."""
+    import pandas as pd  # noqa: F811 — keep the worker import explicit
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        m = np.asarray(pdf["_ed"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        m = m / np.maximum(nrm, 1e-12)[:, None]
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            s = m[lo:hi] @ m.T  # (chunk, n)
+            # pair (i, j) counts iff i < j: mask out j <= i
+            cols = np.arange(n)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            hits = (s >= threshold) & (cols > rows)
+            dup |= hits.any(axis=0)
+        return pdf.loc[dup, ["_id"]]
+
+    return assigned.select("cluster", "_id", "_ed").groupBy("cluster").applyInPandas(
+        find_dups, schema="_id long"
+    )
 
 
 def semantic_dedup(
@@ -617,46 +654,23 @@ def semantic_dedup(
     embedding space with k-means, then mark near-duplicates WITHIN each
     cluster — a row is kept iff no lower-id row in its cluster has
     cosine >= threshold. The cluster key turns the quadratic all-pairs
-    scan into per-cluster blocks; at 100 TB k scales with n (SemDeDup
-    uses n/1000-ish) so blocks stay bounded, and an oversized block
-    falls back to l19's tiled-BLAS formulation. Returns
-    (id, cluster, dist2, kept).
-    """
-    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    scan into per-cluster blocks scored by chunked BLAS
+    (one Arrow group per cluster; task memory O(chunk x block)); at
+    100 TB k scales with n (SemDeDup uses n/1000-ish) so blocks stay
+    bounded, and an oversized block falls back to l19's tiled-BLAS
+    formulation. Returns (id, cluster, dist2, kept)."""
     emb = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_ed"),
-    )
-    assigned = kmeans_assign(emb, centroids).withColumn(
-        "_n", _norm(F.col("_ed"))
     ).cache()
-    a = assigned.select(
-        F.col(id_col).alias("_ida"),
-        F.col("cluster").alias("_ca"),
-        F.col("_ed").alias("_ea"),
-        F.col("_n").alias("_na"),
+    centroids = _fit_cached(emb, k, iters)
+    assigned = kmeans_assign(emb, centroids)
+    dup_ids = _within_cluster_dup_ids(assigned, threshold).withColumn(
+        "_dup", F.lit(True)
     )
-    b = assigned.repartition(32, id_col).select(
-        F.col(id_col).alias("_idb"),
-        F.col("cluster").alias("_cb"),
-        F.col("_ed").alias("_eb"),
-        F.col("_n").alias("_nb"),
-    )
-    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
-    dup_ids = (
-        F.broadcast(a)
-        .join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
-        .filter(cos >= threshold)
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
-    return (
-        assigned.join(dup_ids, id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.round("dist2", 6).alias("dist2"),
-            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
-        )
+    return assigned.join(dup_ids, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        F.round("dist2", 6).alias("dist2"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
     )

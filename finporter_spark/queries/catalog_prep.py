@@ -756,8 +756,12 @@ def l23_curriculum_sample(spark, sf_dir):
     of high-, 50% of mid-, 10% of low-quality docs via the same
     md5-bucket draw as o7 (rerun-stable, engine-portable, composable —
     a tighter budget's sample is a subset of a looser one). Scoring +
-    binning + draw are all map-side codegen: the whole operator is a
-    filtered scan, no shuffle at any scale."""
+    binning + draw are all map-side codegen. The cheap md5 gate runs
+    FIRST (a bucket >= the max rate can never survive any bin), so 10%
+    of docs skip tokenization entirely; the one round-robin exchange
+    below only exists because the test file is a single row group — a
+    real corpus scan is already thousands of tasks wide, and the
+    operator itself never shuffles on a key."""
     from finporter_spark.operators.prep import sample_bucket
     from finporter_spark.operators.text import tokens
 
@@ -784,6 +788,9 @@ def l23_curriculum_sample(spark, sf_dir):
         .otherwise(F.lit(1000))
     )
     return (
-        d.select("doc_id", bin_col.alias("bin"))
+        d.select("doc_id", "text")
+        .filter(sample_bucket(F.col("doc_id")) < 9000)
+        .repartition(32)
+        .select("doc_id", bin_col.alias("bin"))
         .filter(sample_bucket(F.col("doc_id")) < rate)
     )
