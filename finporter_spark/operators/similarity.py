@@ -98,52 +98,74 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     return vals
 
 
-def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = bit-pattern of sign(vec · plane) over all planes."""
-    acc = F.lit(0).cast("long")
+def _sql_double_array(vals: list[float]) -> str:
+    """Inline SQL array literal. Python float repr is shortest-roundtrip,
+    so the parsed double is bit-identical to the F.lit it replaces —
+    but ONE parser call instead of len(vals) py4j literal calls (the
+    py4j route cost ~40 ms per 64-wide array and dominated l3/l22 plan
+    CONSTRUCTION: 4.6 s of driver time before the first task)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def sign_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Bucket id = bit-pattern of sign(vec · plane) over all planes.
+
+    ``vec`` is a column NAME (the whole expression is built as one SQL
+    string — see :func:`_sql_double_array`); a Column is accepted for
+    back-compat only if it is a plain attribute."""
+    name = vec if isinstance(vec, str) else vec._jc.toString()
+    v = f"transform(`{name}`, x -> cast(x as double))"
+    parts = []
     for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.transform(vec, lambda x: x.cast("double")),
-                F.array(*[F.lit(v) for v in p]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        proj = (
+            f"aggregate(zip_with({v}, {_sql_double_array(p)},"
+            " (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
         )
-        acc = acc.bitwiseOR(F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    return acc
+        parts.append(
+            f"(CASE WHEN {proj} > 0.0D THEN {1 << i}L ELSE 0L END)"
+        )
+    return F.expr("(" + " | ".join(parts) + ")")
 
 
-def _margin_probe_udf(planes: list[list[float]], n_probes: int):
-    """Arrow UDF producing each query's margin-ordered probe buckets.
+def _margin_probe_udf(table_planes: list[list[list[float]]], n_probes: int):
+    """Arrow UDF producing each query's margin-ordered probe buckets for
+    EVERY hash table in one pass (one Python stage total — per-table UDF
+    branches each paid a worker spin-up that dominated the query at
+    small SFs).
 
     Classic multi-probe LSH (Lv et al., VLDB'07): a missed neighbor most
     likely differs in the planes where the query's projection margin is
     smallest, so probe the buckets whose flipped-bit sets have the
     smallest summed squared margins — not the blind Hamming-1 shell.
     Enumerates all 2^n_planes masks vectorized in numpy (fine to ~12
-    planes) and keeps the best ``n_probes``. Runs ONLY on the query side
-    (small by contract); candidate hashing stays pure-JVM.
+    planes) and keeps the best ``n_probes`` per table. Runs ONLY on the
+    query side (small by contract); candidate hashing stays pure-JVM.
     """
-    P = np.asarray(planes, dtype=np.float64)  # (p, dim)
-    n_planes = len(planes)
+    Ps = [np.asarray(p, dtype=np.float64) for p in table_planes]  # (p, dim)
+    n_planes = len(table_planes[0])
     nmask = 1 << n_planes
     # (nmask, p) 0/1 flip matrix: mask bit j flips plane j
     flips = (
         (np.arange(nmask)[:, None] >> np.arange(n_planes)[None, :]) & 1
     ).astype(np.float64)
 
-    @pandas_udf("array<long>")
+    @pandas_udf("array<struct<table:int,bucket:bigint>>")
     def probes(v: pd.Series) -> pd.Series:
         M = np.asarray(v.tolist(), dtype=np.float64)
-        proj = M @ P.T                                   # (n, p)
-        codes = ((proj > 0) << np.arange(n_planes)).sum(1).astype(np.int64)
-        scores = proj**2 @ flips.T                       # (n, nmask)
-        order = np.argsort(scores, axis=1, kind="stable")[:, :n_probes]
-        return pd.Series(
-            [(codes[i] ^ order[i]).tolist() for i in range(len(M))]
-        )
+        out: list[list[dict]] = [[] for _ in range(len(M))]
+        for t, P in enumerate(Ps):
+            proj = M @ P.T                               # (n, p)
+            codes = (
+                ((proj > 0) << np.arange(n_planes)).sum(1).astype(np.int64)
+            )
+            scores = proj**2 @ flips.T                   # (n, nmask)
+            order = np.argsort(scores, axis=1, kind="stable")[:, :n_probes]
+            for i in range(len(M)):
+                out[i].extend(
+                    {"table": t, "bucket": int(b)}
+                    for b in codes[i] ^ order[i]
+                )
+        return pd.Series(out)
 
     return probes
 
@@ -203,33 +225,36 @@ def lsh_bucket_knn(
         F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
         F.col(q_vec).alias("_qraw"),
     ).withColumn("_qn", _norm(F.col("_qv")))
-    q_parts, c_parts = [], []
-    for t in range(n_tables):
-        planes = [
-            _hyperplane(dim, i, seed + 1000 * t) for i in range(n_planes)
-        ]
-        q_parts.append(
-            qv.select(
-                q_id,
-                "_qv",
-                "_qn",
-                F.lit(t).alias("table"),
-                F.explode(
-                    _margin_probe_udf(planes, n_probes)(F.col("_qraw"))
-                ).alias("bucket"),
-            )
-        )
-        c_parts.append(
-            candidates.select(
-                F.col(c_id),
-                F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
-                F.lit(t).alias("table"),
-                sign_lsh_bucket(F.col(c_vec), planes).alias("bucket"),
-            ).withColumn("_cn", _norm(F.col("_cv")))
-        )
-    qb = q_parts[0]
-    for part in q_parts[1:]:
-        qb = qb.unionByName(part)
+    table_planes = [
+        [_hyperplane(dim, i, seed + 1000 * t) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    # ONE probe UDF covering every table: the per-table UDF branches each
+    # cost a Python worker stage; collapsing them took the sf0.1 catalog
+    # query from ~4.5s to ~1s without changing a single probed bucket
+    qb = qv.select(
+        q_id,
+        "_qv",
+        "_qn",
+        F.explode(
+            _margin_probe_udf(table_planes, n_probes)(F.col("_qraw"))
+        ).alias("_tb"),
+    ).select(
+        q_id,
+        "_qv",
+        "_qn",
+        F.col("_tb.table").alias("table"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+    c_parts = [
+        candidates.select(
+            F.col(c_id),
+            F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
+            F.lit(t).alias("table"),
+            sign_lsh_bucket(F.col(c_vec), planes).alias("bucket"),
+        ).withColumn("_cn", _norm(F.col("_cv")))
+        for t, planes in enumerate(table_planes)
+    ]
     cb = c_parts[0]
     for part in c_parts[1:]:
         cb = cb.unionByName(part)
@@ -516,16 +541,16 @@ def ivf_knn(
 # Deterministic k-means + SemDeDup-style semantic dedup (SURVEY §2B-ext L22)
 # ---------------------------------------------------------------------------
 
-def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
+def _sq_dist_to_literal(vec_name: str, centroid: list[float]) -> Column:
     """Squared L2 distance from an array<double> column to a Python-list
     centroid, folded left-to-right exactly like DuckDB's list_sum so the
     cross-engine drift stays at fold-order level (~1e-13, absorbed by
-    6 dp rounding)."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    6 dp rounding). Built as one SQL string (see _sql_double_array) —
+    k x dim py4j literal calls made l22's plan construction slower than
+    its execution."""
+    return F.expr(
+        f"aggregate(zip_with(`{vec_name}`, {_sql_double_array(centroid)},"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
     )
 
 
@@ -546,7 +571,7 @@ def kmeans_assign(
     independent engine (the DuckDB oracle) makes bit-identical
     decisions despite float fold-order drift."""
     dists = F.array(
-        *[F.round(_sq_dist_to_literal(F.col(vec_col), c), 6) for c in centroids]
+        *[F.round(_sq_dist_to_literal(vec_col, c), 6) for c in centroids]
     )
     return df.withColumn("_dists", dists).select(
         "*",
