@@ -387,3 +387,74 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hex_order_index(
+    df: DataFrame,
+    hex_col: Column,
+    tiebreak: Sequence[str],
+    buckets: int = 256,
+    pos_col: str = "pos",
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """Distributed global ``row_number`` over a hex-string sort key
+    (e.g. an md5 draw) — the total order an epoch shuffle needs WITHOUT
+    the single-partition window ``Window.orderBy`` costs (Spark moves
+    the whole dataset to one task; the WindowExec warning is real: at
+    100 TB that plan simply does not run).
+
+    Two-level formulation, one corpus-sized shuffle:
+
+    1. ``_bkt = floor(int(hex[:prefix_chars], 16) * buckets / 16^p)`` —
+       a DETERMINISTIC, monotonic bucketing of the key prefix (no
+       sampled range boundaries, so retries/reruns and both engines
+       agree). Ordering by ``(_bkt, hex, tiebreak)`` equals ordering by
+       ``(hex, tiebreak)`` because ``_bkt`` is a monotone function of
+       the hex prefix.
+    2. A ``row_number`` window PARTITIONED by ``_bkt`` (the only
+       corpus-sized exchange), plus per-bucket counts rolled into
+       cumulative offsets — a ``buckets``-row ladder (bounded by the
+       constant ``buckets``, independent of corpus size) that rides a
+       broadcast join back onto the rows. The counts aggregate hangs
+       off the same exchange, so the plan reuses the shuffle files
+       (ReusedExchange) instead of re-scanning.
+
+    ``pos = offset(_bkt) + local_rank`` reproduces the exact global
+    row_number. md5 is uniform, so buckets are balanced by
+    construction; a skewed custom key would want more ``prefix_chars``.
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= buckets <= 16 ** prefix_chars:
+        raise ValueError(
+            f"buckets must be in [1, {16 ** prefix_chars}] "
+            f"for prefix_chars={prefix_chars}"
+        )
+    prefix_val = F.conv(F.substring(hex_col, 1, prefix_chars), 16, 10).cast(
+        "long"
+    )
+    d = df.withColumn("_hk", hex_col).withColumn(
+        "_bkt",
+        F.floor(prefix_val * buckets / F.lit(16 ** prefix_chars)).cast("int"),
+    )
+    w_local = Window.partitionBy("_bkt").orderBy(
+        F.col("_hk"), *[F.col(c) for c in tiebreak]
+    )
+    ranked = d.withColumn("_local", F.row_number().over(w_local))
+    counts = d.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_bkt",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(pos_col, (F.col("_off") + F.col("_local")).cast("bigint"))
+        .drop("_bkt", "_hk", "_local", "_off")
+    )

@@ -537,23 +537,23 @@ def o12_epoch_shuffle(spark, sf_dir):
     """O12: deterministic epoch shuffle - the global training-order
     permutation every data loader needs, keyed by (epoch, doc) hash so
     it is identical across engines, runs, retries, AND epochs are
-    decorrelated (new epoch string -> new permutation). The plan is a
-    global sort: range-partitioned exchange (sampled split points), the
-    one shuffle a total order costs; at 100 TB the writer would keep
-    rows range-bucketed into shard files instead of asking for one
-    global row_number (same sort, no final coalesce). md5, not
-    xxhash64: identical hex on both engines, so the oracle re-derives
-    the exact order."""
-    from pyspark.sql import Window
+    decorrelated (new epoch string -> new permutation). The naive plan
+    (``Window.orderBy`` with no partition) funnels the corpus through
+    ONE task; :func:`hex_order_index` instead buckets the md5 prefix
+    deterministically, ranks within buckets in parallel, and broadcasts
+    a bounded cumulative-offset ladder — same exact global order, one
+    keyed shuffle, no single-partition stage (plan-asserted in
+    tests/test_plans.py). md5, not xxhash64: identical hex on both
+    engines, so the oracle re-derives the exact order."""
+    from finporter_spark.operators.scale import hex_order_index
 
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(
+    return hex_order_index(
+        d.select("doc_id"),
         F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string"))),
-        F.col("doc_id"),
-    )
-    return d.select(
-        "doc_id", F.row_number().over(w).cast("bigint").alias("pos")
-    )
+        tiebreak=["doc_id"],
+        buckets=64,
+    ).select("doc_id", "pos")
 
 
 @query(

@@ -297,3 +297,26 @@ def test_j5_banded_inequality_join_avoids_nested_loop(spark, sf_dir):
     details = re.findall(r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\)|\Z)", p)
     for d in details:
         assert "c_acctbal > s_acctbal" not in d, d
+
+
+def test_o12_epoch_shuffle_no_global_window(spark, sf_dir):
+    """The epoch shuffle's total order must NOT be a single-partition
+    global window over the corpus (the plan that moves 100 TB to one
+    task). hex_order_index's plan: the corpus-sized Window is
+    PARTITIONED by the md5-prefix bucket, the only SinglePartition
+    exchange feeds the bounded ``buckets``-row offsets ladder, and the
+    offsets ride a broadcast join back."""
+    import re
+
+    df = CATALOG["o12_epoch_shuffle"][0](spark, sf_dir)
+    p = plan(df)
+    # exactly one SinglePartition exchange: the B-row offsets ladder
+    assert p.count("SinglePartition") == 1, p
+    # offsets join back via broadcast, never a shuffle of the big side
+    assert "BroadcastHashJoin" in p
+    # every Window node that ranks the corpus is keyed on _bkt; the
+    # only orderBy-without-partition window is the offsets ladder
+    # (operating on the post-aggregate B-row side)
+    wins = re.findall(r"\(\d+\) Window\b[\s\S]*?(?=\n\(\d+\)|\Z)", p)
+    assert len(wins) == 2, p  # local rank + offsets ladder
+    assert any("_bkt" in w and "row_number" in w for w in wins), p
