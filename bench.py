@@ -90,6 +90,10 @@ HEADLINE = [
     "l22_semantic_dedup",
     "l23_curriculum_sample",
     "w7_streaks",
+    "l24_bm25_rank",
+    "l25_span_dedup",
+    "o14_three_way_split",
+    "a13_profile_columns",
 ]
 
 

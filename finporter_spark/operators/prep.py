@@ -366,3 +366,136 @@ def pack_sequences(
             )
         ).cast("long").alias("n_toks"),
     )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    ngram_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Repeated-span statistics + keep decision — the C4/CCNet-style
+    "remove documents dominated by text seen earlier in the corpus"
+    gate, at word ``ngram_n``-gram granularity.
+
+    A span is duplicated when the same n-gram first appears in a
+    lower-``id_col`` document (corpus order = dedup priority, the same
+    keep-min-id convention as l2/l11/l22). A document is kept while
+    ``dup_frac < drop_threshold``.
+
+    Plan: explode spans (positions 0..len-n), group by the span's md5
+    (16-byte keys through the shuffle, not ~50-char gram strings) to
+    find each span's first document, join back, re-aggregate per doc —
+    three keyed shuffles (gram, gram, doc), each map-combinable; no
+    driver state. Documents shorter than ``ngram_n`` tokens have no
+    spans and are absent from the output (same as the oracle).
+    """
+    from finporter_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= ngram_n)
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - ngram_n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i + 1, ngram_n))
+                ),
+            )
+        ).alias("_gkey"),
+    )
+    first_seen = grams.groupBy("_gkey").agg(
+        F.min(id_col).alias("_first_doc")
+    )
+    return (
+        grams.join(first_seen, "_gkey")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(
+                (F.col("_first_doc") < F.col(id_col)).cast("long")
+            ).cast("bigint").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac", (F.col("n_dup") / F.col("n_spans")).cast("double")
+        )
+        .withColumn("keep", F.col("dup_frac") < F.lit(drop_threshold))
+    )
+
+
+def three_way_split(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    val_slot: int = 1,
+    test_slot: int = 2,
+    slots: int = 20,
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum proportions (each ``slots``-sized run of the stratum's
+    hash-ranked documents contributes exactly one val and one test doc
+    — 90/5/5 at the defaults), unlike independent Bernoulli draws whose
+    split sizes wobble.
+
+    Rank documents within each stratum by an md5 draw (rerun- and
+    engine-stable), then slot by rank modulo: one window shuffle on the
+    stratum key, map-side after that. The o13 stride-mix pattern with a
+    modulo gate instead of a weight."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    rk = F.row_number().over(w)
+    slot = (rk % slots).cast("int")
+    return df.select(
+        id_col,
+        strata_col,
+        F.when(slot == val_slot, F.lit("val"))
+        .when(slot == test_slot, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass column profiler: per-column non-null count, exact
+    distinct count, lexicographic min/max (string canon), and mean
+    string length — the data-quality summary a pipeline runs before
+    trusting a new corpus drop.
+
+    Single ``agg`` with multiple exact ``countDistinct``s: Catalyst
+    plans the standard Expand (one replicate per distinct column) with
+    map-side partial aggregation, so the corpus is SCANNED ONCE however
+    many columns are profiled — the alternative union-of-per-column
+    aggregates re-reads the table per column. The wide single-row
+    result is unpivoted with ``stack`` (map-side, no extra exchange).
+    """
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"),
+            F.min(s).alias(f"_mn_{c}"),
+            F.max(s).alias(f"_mx_{c}"),
+            F.avg(F.length(s)).cast("double").alias(f"_al_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}, _al_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_nonnull, n_distinct, min_str, max_str, avg_len)",
+        "_n AS n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        "avg_len",
+    )

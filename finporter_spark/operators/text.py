@@ -8,6 +8,8 @@ at input bandwidth at any scale.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from finporter_spark.operators.dedup import normalized_text
@@ -115,3 +117,80 @@ def rolling_hashes(col: Column, window: int = 8) -> Column:
     from finporter_spark.operators.dedup import shingles
 
     return F.transform(shingles(col, window), lambda s: F.xxhash64(s))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the retrieval scorer a corpus-curation pipeline uses for
+    keyword-targeted subsetting (and the exact baseline an ANN/embedding
+    retriever is judged against).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the +1 'plus' variant,
+    always positive).
+
+    Scale shape: tokens are FILTERED to the (tiny, broadcast-literal)
+    query vocabulary before the (doc,term) aggregation, so the shuffle
+    carries only query-matched postings — the inverted-index slice, not
+    the corpus. N/avgdl/df are scalar- or vocabulary-sized aggregates
+    joined back by broadcast. No Python in the plan.
+
+    Emits one row per document with ≥1 matched term: (id, n_matched,
+    score). Callers wanting top-k order by (score desc, id) — ties are
+    real when documents share term statistics.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    dl = toks.select(
+        id_col, F.size("_toks").cast("double").alias("_dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.filter("_toks", lambda t: F.array_contains(terms, t))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)  # corpus-sized: keyed shuffle, NOT broadcast
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    (F.col("_n_docs") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_matched"),
+        F.sum("_s").cast("double").alias("bm25"),
+    )

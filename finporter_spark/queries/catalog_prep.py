@@ -794,3 +794,166 @@ def l23_curriculum_sample(spark, sf_dir):
         .select("doc_id", bin_col.alias("bin"))
         .filter(sample_bucket(F.col("doc_id")) < rate)
     )
+
+
+_BM25_TERMS = ("spark", "table", "join", "fast", "query", "window")
+
+
+@query(
+    "l24_bm25_rank",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE term IN ('spark','table','join','fast','query','window')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS INT) AS n_matched,
+           CAST(SUM(
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           ) AS DOUBLE) AS bm25
+    FROM tf
+    JOIN dfreq f USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """,
+)
+def l24_bm25_rank(spark, sf_dir):
+    """L24: Okapi BM25 keyword relevance over the corpus — the
+    lexical-retrieval scorer (and the baseline embedding retrievers are
+    judged against). Tokens are filtered to the broadcast-literal query
+    vocabulary BEFORE the posting aggregation, so the shuffle carries
+    the inverted-index slice, not the corpus; df/N/avgdl are broadcast
+    scalars; the dl join is the one corpus-keyed shuffle."""
+    from finporter_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS)
+    )
+
+
+@query(
+    "l25_span_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS gkey
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM toks
+        WHERE len(toks) >= 8
+      )
+    ), first_seen AS (
+      SELECT gkey, MIN(doc_id) AS first_doc FROM grams GROUP BY gkey
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS dup_frac,
+           (CAST(SUM(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*)) < 0.5 AS keep
+    FROM grams g JOIN first_seen f USING (gkey)
+    GROUP BY g.doc_id
+    """,
+)
+def l25_span_dedup(spark, sf_dir):
+    """L25: repeated-span dedup gate (C4/CCNet style) — a document is
+    dropped when ≥50% of its word 8-grams first appeared in a
+    lower-id document. Exact span-level sibling of l2's whole-doc
+    MinHash: three map-combinable keyed shuffles (16-byte md5 span
+    keys, not gram strings), no driver state."""
+    from finporter_spark.operators.prep import span_dedup_stats
+
+    return span_dedup_stats(
+        _t(spark, sf_dir, "documents"), ngram_n=8
+    )
+
+
+@query(
+    "o14_three_way_split",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rk % 20 = 1 THEN 'val'
+                WHEN rk % 20 = 2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM ranked
+    """,
+)
+def o14_three_way_split(spark, sf_dir):
+    """O14: deterministic stratified train/val/test split with EXACT
+    per-source proportions (each 20-doc run of a source's hash-ranked
+    docs yields exactly one val + one test) — Bernoulli draws wobble,
+    rank-modulo does not. One window shuffle on the stratum key;
+    rerun/engine-stable via md5."""
+    from finporter_spark.operators.prep import three_way_split
+
+    return three_way_split(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "a13_profile_columns",
+    """
+    SELECT 'doc_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           MIN(CAST(doc_id AS VARCHAR)) AS min_str,
+           MAX(CAST(doc_id AS VARCHAR)) AS max_str,
+           CAST(AVG(length(CAST(doc_id AS VARCHAR))) AS DOUBLE) AS avg_len
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           MIN(lang), MAX(lang),
+           CAST(AVG(length(lang)) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           MIN(source), MAX(source),
+           CAST(AVG(length(source)) AS DOUBLE)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           MIN(CAST(n_chars AS VARCHAR)), MAX(CAST(n_chars AS VARCHAR)),
+           CAST(AVG(length(CAST(n_chars AS VARCHAR))) AS DOUBLE)
+    FROM documents
+    """,
+)
+def a13_profile_columns(spark, sf_dir):
+    """A13: one-pass exact column profiler (non-null / distinct /
+    min / max / mean length per column) — the pre-ingest data-quality
+    summary. Multiple exact countDistincts in ONE agg: Catalyst's
+    Expand plan scans the corpus once (vs the oracle's per-column
+    re-reads, which is why the oracle is written as UNION ALL);
+    unpivot is a map-side stack."""
+    from finporter_spark.operators.prep import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )

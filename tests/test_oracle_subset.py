@@ -45,6 +45,16 @@ SUBSET = [
     "p17_url_extract",
     "z4_salted_join",
     "j6b_asof_forward",
+    # round-5 additions
+    "o12_epoch_shuffle",
+    "o13_source_mix",
+    "o14_three_way_split",
+    "w7_streaks",
+    "l22_semantic_dedup",
+    "l23_curriculum_sample",
+    "l24_bm25_rank",
+    "l25_span_dedup",
+    "a13_profile_columns",
 ]
 
 

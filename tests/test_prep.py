@@ -246,3 +246,122 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
         ).select("doc_id").collect()
     )
     assert kept == [2, 3]
+
+
+def test_three_way_split_exact_proportions(spark, sf_dir):
+    """Each stratum of n docs must yield exactly floor/ceil(n/20) val
+    and test rows (rank-modulo exactness — the property Bernoulli
+    splits lack), assignments must be rerun-stable, and every doc
+    appears exactly once."""
+    from finporter_spark.operators.prep import three_way_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = three_way_split(docs)
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    per = {
+        (r["source"], r["split"]): r["n"]
+        for r in out.groupBy("source", "split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    totals = {}
+    for (src, _), n in per.items():
+        totals[src] = totals.get(src, 0) + n
+    for src, n in totals.items():
+        # ranks 1..n: val on rk%20==1, test on rk%20==2
+        exp_val = len([r for r in range(1, n + 1) if r % 20 == 1])
+        exp_test = len([r for r in range(1, n + 1) if r % 20 == 2])
+        assert per.get((src, "val"), 0) == exp_val, src
+        assert per.get((src, "test"), 0) == exp_test, src
+    # deterministic across reruns
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, three_way_split(docs).collect()))
+    assert a == b
+
+
+def test_span_dedup_planted_duplicate_dropped(spark):
+    """A doc that restates an earlier doc's text verbatim (plus a short
+    novel tail) must cross the 50% duplicated-span threshold and be
+    marked keep=false; the original and an unrelated doc stay kept."""
+    from finporter_spark.operators.prep import span_dedup_stats
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    other = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " extra1 extra2"),  # mostly copied
+        Row(doc_id=3, text=other),
+        Row(doc_id=4, text="too short"),  # < 8 tokens: no spans
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(
+            spark.createDataFrame(rows), ngram_n=8
+        ).collect()
+    }
+    assert out[1]["n_dup"] == 0 and out[1]["keep"]
+    assert out[3]["n_dup"] == 0 and out[3]["keep"]
+    # doc 2 has 5 spans; 3 of them (positions 0-2 within base) already
+    # appeared in doc 1
+    assert out[2]["n_spans"] == 5
+    assert out[2]["n_dup"] == 3
+    assert not out[2]["keep"]
+    assert 4 not in out  # sub-n docs carry no spans
+
+
+def test_bm25_ranks_term_dense_doc_higher(spark):
+    """More query-term occurrences (tf) at equal length must score
+    higher; a doc with no query terms must be absent; rarer terms must
+    contribute more than common ones (idf monotonicity)."""
+    from finporter_spark.operators.text import bm25_scores
+
+    rows = [
+        Row(doc_id=1, text="spark spark spark pad pad pad pad pad"),
+        Row(doc_id=2, text="spark pad pad pad pad pad pad pad"),
+        Row(doc_id=3, text="pad pad pad pad pad pad pad pad"),
+        # 'rare' appears in one doc, 'spark' in three
+        Row(doc_id=4, text="rare pad pad pad pad pad pad pad"),
+        Row(doc_id=5, text="spark pad pad pad pad pad pad pad"),
+    ]
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            spark.createDataFrame(rows), ["spark", "rare"]
+        ).collect()
+    }
+    assert 3 not in out
+    assert out[1] > out[2] > 0
+    assert out[4] > out[5]  # same tf/dl, rarer term -> higher idf
+
+
+def test_profile_columns_single_scan_and_values(spark, sf_dir):
+    """Profiler values must match per-column recomputation, and the
+    plan must contain exactly ONE parquet scan (Expand-based
+    multi-distinct, not a union of per-column re-reads)."""
+    from finporter_spark.operators.prep import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    out = {
+        r["column_name"]: r
+        for r in profile_columns(docs, ["lang", "n_chars"]).collect()
+    }
+    n = docs.count()
+    langs = docs.select("lang").distinct().count()
+    assert out["lang"]["n_rows"] == n
+    assert out["lang"]["n_distinct"] == langs
+    assert out["n_chars"]["min_str"] == str(
+        docs.agg(F.min(F.col("n_chars").cast("string"))).collect()[0][0]
+    )
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_columns(docs, ["lang", "n_chars"]).explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    # count detail headers, not tree lines (each node prints twice)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p
