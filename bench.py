@@ -94,6 +94,7 @@ HEADLINE = [
     "l25_span_dedup",
     "o14_three_way_split",
     "a13_profile_columns",
+    "pipe4_hybrid_retrieval",
 ]
 
 

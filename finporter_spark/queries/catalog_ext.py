@@ -3243,3 +3243,152 @@ def pipe3_stream_corpus_ingest(spark, sf_dir):
     )
     run_stream_foreach_batch(enriched, merge, ckpt)
     return read_final(spark).select("doc_id", "lang", "n_tokens")
+
+
+# =====================================================================
+# PIPE4: hybrid retrieval — BM25 ∪ embedding cosine, fused with
+# reciprocal-rank fusion (the RAG retrieval stack as one declarative
+# plan)
+# =====================================================================
+
+_P4_TERMS = ("spark", "table", "join", "fast", "query", "window")
+_P4_QVEC = 7  # query = the embedding of vec_id 7 (deterministic, tiny)
+_P4_K = 100  # per-branch candidate depth
+_P4_RRF = 60  # the standard RRF dampening constant
+
+
+@query(
+    "pipe4_hybrid_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE term IN ('spark','table','join','fast','query','window')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), lex AS (
+      SELECT tf.doc_id,
+             round(SUM(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfreq f USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ), lex_top AS (
+      SELECT doc_id, score FROM lex ORDER BY score DESC, doc_id LIMIT {_P4_K}
+    ), lex_rank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lex_top
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), qv AS (
+      SELECT e AS qe FROM v WHERE vec_id = {_P4_QVEC}
+    ), sem AS (
+      SELECT vec_id AS doc_id,
+             round(list_dot_product(e, qe)
+                   / (sqrt(list_dot_product(e, e))
+                      * sqrt(list_dot_product(qe, qe))), 6) AS score
+      FROM v CROSS JOIN qv WHERE vec_id <> {_P4_QVEC}
+    ), sem_top AS (
+      SELECT doc_id, score FROM sem ORDER BY score DESC, doc_id LIMIT {_P4_K}
+    ), sem_rank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM sem_top
+    )
+    SELECT doc_id,
+           CAST(l.r AS BIGINT) AS lex_rank,
+           CAST(s.r AS BIGINT) AS sem_rank,
+           CAST(COALESCE(1.0 / ({_P4_RRF} + l.r), 0)
+                + COALESCE(1.0 / ({_P4_RRF} + s.r), 0) AS DOUBLE) AS rrf
+    FROM lex_rank l FULL OUTER JOIN sem_rank s USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 50
+    """,
+)
+def pipe4_hybrid_retrieval(spark, sf_dir):
+    """PIPE4: hybrid retrieval — the RAG stack as one declarative plan.
+    Lexical branch: l24's BM25 against the query vocabulary. Semantic
+    branch: embedding cosine against a fixed query vector (the vec_id=7
+    embedding — a 1-row broadcast, the deterministic stand-in for an
+    encoder call). Each branch keeps its top-K via ``orderBy().limit``
+    (TakeOrderedAndProject: per-partition heaps + driver merge of K —
+    never a global sort shuffle), ranks WITHIN the bounded K-row
+    candidate list, and reciprocal-rank fusion joins the two lists
+    full-outer: rrf = Σ 1/(60+rank). Scores are rounded to 6 dp before
+    ranking (the l22 determinism canon) so both engines break ties on
+    doc_id identically; ranks are ints, so the fused score is exact
+    arithmetic cross-engine."""
+    from finporter_spark.operators.text import bm25_scores
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_scores(docs, list(_P4_TERMS)).select(
+        "doc_id", F.round("bm25", 6).alias("score")
+    )
+    lex_top = lex.orderBy(F.desc("score"), "doc_id").limit(_P4_K)
+    w = Window.orderBy(F.desc("score"), "doc_id")  # bounded: K rows
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(w).alias("lex_rank")
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == _P4_QVEC).select(
+            F.col("e").alias("qe")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != _P4_QVEC)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (nrm("e") * nrm("qe")), 6).alias("score"),
+        )
+    )
+    sem_top = sem.orderBy(F.desc("score"), "doc_id").limit(_P4_K)
+    sem_rank = sem_top.select(
+        "doc_id", F.row_number().over(w).alias("sem_rank")
+    )
+
+    fused = (
+        lex_rank.join(sem_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("sem_rank").cast("bigint").alias("sem_rank"),
+            (
+                F.coalesce(
+                    1.0 / (_P4_RRF + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (_P4_RRF + F.col("sem_rank")), F.lit(0.0)
+                )
+            ).cast("double").alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(50)

@@ -55,6 +55,7 @@ SUBSET = [
     "l24_bm25_rank",
     "l25_span_dedup",
     "a13_profile_columns",
+    "pipe4_hybrid_retrieval",
 ]
 
 

@@ -320,3 +320,18 @@ def test_o12_epoch_shuffle_no_global_window(spark, sf_dir):
     wins = re.findall(r"\(\d+\) Window\b[\s\S]*?(?=\n\(\d+\)|\Z)", p)
     assert len(wins) == 2, p  # local rank + offsets ladder
     assert any("_bkt" in w and "row_number" in w for w in wins), p
+
+
+def test_pipe4_topk_never_global_sorts(spark, sf_dir):
+    """Hybrid retrieval's per-branch top-K and the final fused top-50
+    must plan as TakeOrderedAndProject (per-partition heaps + driver
+    merge of K rows) — a LIMIT after ORDER BY must never become a
+    full-corpus global sort, and no corpus-sized single-partition
+    exchange may appear (the two rank windows operate on the bounded
+    K-row candidate lists)."""
+    import re
+
+    df = CATALOG["pipe4_hybrid_retrieval"][0](spark, sf_dir)
+    p = plan(df)
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) == 3, p
+    assert "Exchange SinglePartition" not in p, p
