@@ -95,6 +95,8 @@ HEADLINE = [
     "o14_three_way_split",
     "a13_profile_columns",
     "pipe4_hybrid_retrieval",
+    "w8_time_decay_score",
+    "m11_image_dhash_dedup",
 ]
 
 

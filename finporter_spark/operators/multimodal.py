@@ -391,3 +391,45 @@ def sample_frames(
             yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(_map_real, out_schema)
+
+
+def dhash_image(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "dhash",
+    grid: tuple[int, int] = (9, 8),
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of an image binary column:
+    decode → nearest-resample to a (w+1)×h grid → horizontal adjacent
+    brightness comparisons → w·h bit string. Near-identical images
+    (re-encodes, small crops at coarse grids) collide; the hash is the
+    grouping key for image-level dedup (M11) — the visual sibling of
+    the text corpus' SimHash.
+
+    Emitted as a BIT STRING (not int64): exact, orderable, and free of
+    the sign-bit hazards a 64-bit numeric hash hits in engines without
+    unsigned types. Map-only Arrow pass; the downstream groupBy on the
+    hash is the only shuffle in a dedup built on it.
+    """
+    import numpy as np
+
+    w_grid, h_grid = grid
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf[content_col]:
+                arr = png_decode(bytes(b))
+                if arr.ndim == 3:
+                    arr = arr[:, :, 0]
+                r = nearest_resize(arr, (w_grid, h_grid)).astype(np.int16)
+                bits = (r[:, 1:] > r[:, :-1]).astype(np.uint8)
+                hashes.append("".join("1" if v else "0" for v in bits.ravel()))
+            out = pdf.copy()
+            out[out_col] = hashes
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(_map, f"{schema}, {out_col} string")

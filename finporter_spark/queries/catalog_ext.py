@@ -3392,3 +3392,145 @@ def pipe4_hybrid_retrieval(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(50)
+
+
+@query(
+    "w8_time_decay_score",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts,
+           round(
+             SUM(value * exp((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+                             / 86400.0))
+             * exp(-MAX(epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+                   / 86400.0),
+             6) AS decay_score
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def w8_time_decay_score(spark, sf_dir):
+    """W8: exponentially time-decayed engagement score per user (1-day
+    half-life-ish decay, anchored at each user's LAST event):
+    score = Σ v_i·exp(−λ(T_user − t_i)).
+
+    The naive formulation needs T_user before scoring each row (a
+    window pass + an aggregate). The log-domain factorization
+    exp(−λ(T−t)) = exp(λt)·exp(−λT) turns it into ONE groupBy of two
+    algebraic aggregates — Σ v·exp(λt) and max(t) — map-side
+    combinable, single shuffle. Trade-off documented: the intermediate
+    carries exp(λ·span) dynamic range, fine for spans ≪ 700/λ seconds
+    (here: decades); longer spans would rebase per partition.
+
+    Fractional epoch (``ts.cast(double)``) on both sides — the w4 sf1
+    lesson. Score rounded to 6 dp: double-sum reorder noise is ~1e-13
+    relative, far under the canon."""
+    e = _t(spark, sf_dir, "events")
+    lam = 1.0 / 86400.0
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")).cast("double")
+    t_rel = F.col("ts").cast("double") - base
+    return (
+        e.select("user_id", "ts", "value", t_rel.alias("_t"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("value") * F.exp(F.col("_t") * lam)).alias("_raw"),
+            F.max("_t").alias("_tmax"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "last_ts",
+            F.round(
+                F.col("_raw") * F.exp(-F.col("_tmax") * lam), 6
+            ).alias("decay_score"),
+        )
+    )
+
+
+@query(
+    "m11_image_dhash_dedup",
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 40 AS g,
+             (doc_id % 40) % 24 + 8 AS w_in,
+             (doc_id % 40) % 16 + 8 AS h_in
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, g, w_in, h_in, y.v AS y, x.v AS x
+      FROM dims,
+           (SELECT unnest(generate_series(0, 7)) AS v) y,
+           (SELECT unnest(generate_series(0, 7)) AS v) x
+    ), bits AS (
+      SELECT doc_id, y, x,
+             CASE WHEN
+               (3 * ((y * h_in) // 8) * ((y * h_in) // 8)
+                + 5 * (((x + 1) * w_in) // 9) * (((x + 1) * w_in) // 9)
+                + 11 * g) % 256
+               >
+               (3 * ((y * h_in) // 8) * ((y * h_in) // 8)
+                + 5 * ((x * w_in) // 9) * ((x * w_in) // 9)
+                + 11 * g) % 256
+             THEN '1' ELSE '0' END AS bit
+      FROM grid
+    ), hashes AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, dhash,
+           CAST(MIN(doc_id) OVER (PARTITION BY dhash) AS BIGINT)
+             AS group_min,
+           CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT)
+             AS group_size
+    FROM hashes
+    """,
+)
+def m11_image_dhash_dedup(spark, sf_dir):
+    """M11: perceptual-hash image dedup — every document carries a REAL
+    gray PNG (pattern keyed by doc_id % 40, so ~12-13 docs share each
+    exact image); the pipeline decodes, nearest-resamples to 9×8, takes
+    horizontal-difference bits (dHash), and groups on the hash. The
+    oracle re-derives the EXACT 64-bit string from the encoder's pixel
+    formula through the resample index map — decode, resample, and
+    comparison order must all be bit-correct, and the dedup groups must
+    land exactly on the planted doc_id%40 classes (modulo honest
+    cross-class hash collisions, which both engines reproduce
+    identically by construction).
+
+    Plan: map-only Arrow decode+hash, ONE shuffle (window keyed on the
+    hash) for group stats — the image twin of l1's exact text dedup."""
+    import numpy as np
+
+    from finporter_spark.operators.multimodal import (
+        dhash_image,
+        png_encode,
+    )
+    from pyspark.sql import Window
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                g = int(i) % 40
+                w, h = g % 24 + 8, g % 16 + 8
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                px = ((3 * y * y + 5 * x * x + 11 * g) % 256).astype(
+                    np.uint8
+                )
+                content.append(png_encode(px[:, :, None]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": content}
+            )
+
+    media = _stage_media(spark, sf_dir, "m11_media", _make)
+    hashed = dhash_image(media, "content").select("doc_id", "dhash")
+    w = Window.partitionBy("dhash")
+    return hashed.select(
+        "doc_id",
+        "dhash",
+        F.min("doc_id").over(w).cast("bigint").alias("group_min"),
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+    )

@@ -644,3 +644,29 @@ def test_sample_frames_real_avi(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2]
     for r, v in zip(rows, vals):
         assert (jpeg_decode(bytes(r.frame)) == v - (v % 2)).all()
+
+
+def test_dhash_invariant_to_reencode_sensitive_to_content(spark):
+    """dHash must be identical for a byte-identical re-encode of the
+    same pixels (dedup recall) and differ for a visibly different
+    pattern (precision); output must be a 64-char bit string."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from finporter_spark.operators.multimodal import dhash_image, png_encode
+
+    y, x = np.arange(12)[:, None], np.arange(17)[None, :]
+    a = ((3 * y * y + 5 * x * x) % 256).astype(np.uint8)
+    b = ((3 * y * y + 5 * x * x + 97) % 256).astype(np.uint8)  # shifted mod
+    rows = [
+        Row(doc_id=1, content=bytearray(png_encode(a[:, :, None]))),
+        Row(doc_id=2, content=bytearray(png_encode(a[:, :, None], filter_type=0))),
+        Row(doc_id=3, content=bytearray(png_encode(b[:, :, None]))),
+    ]
+    out = {
+        r["doc_id"]: r["dhash"]
+        for r in dhash_image(spark.createDataFrame(rows)).collect()
+    }
+    assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

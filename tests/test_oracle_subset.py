@@ -56,6 +56,8 @@ SUBSET = [
     "l25_span_dedup",
     "a13_profile_columns",
     "pipe4_hybrid_retrieval",
+    "w8_time_decay_score",
+    "m11_image_dhash_dedup",
 ]
 
 
