@@ -957,3 +957,100 @@ def a13_profile_columns(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         ["doc_id", "lang", "source", "n_chars"],
     )
+
+
+_L26_STOP = "'the','a','an','and','or','of','to','in','is','it'"
+_L26_FEAT = f"""
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             len(toks) / 30.0 AS x1,
+             CAST(len(list_filter(toks, t -> t IN ({_L26_STOP}))) AS INT)
+               / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS x2,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+               / CAST(NULLIF(len(toks), 0) AS DOUBLE) / 5.0 AS x3
+      FROM (SELECT doc_id, lang, {{toks}} AS toks FROM documents)
+      WHERE len(toks) > 0
+    )"""
+
+
+def _l26_iter(n: int) -> str:
+    """One unrolled GD iteration: mean gradients (6 dp-rounded) from
+    weights w{n-1}, then the update CTE w{n}."""
+    z = "(w.b*x0 + w.c1*x1 + w.c2*x2 + w.c3*x3)"
+    p = f"1.0/(1.0 + exp(-{z}))"
+    gs = ", ".join(
+        f"round(avg(({p} - y) * x{j}), 6) AS g{j}" for j in range(4)
+    )
+    return f"""
+    g{n} AS (SELECT {gs} FROM feat CROSS JOIN w{n - 1} w),
+    w{n} AS (SELECT w.b - 0.5*g.g0 AS b, w.c1 - 0.5*g.g1 AS c1,
+                    w.c2 - 0.5*g.g2 AS c2, w.c3 - 0.5*g.g3 AS c3
+             FROM w{n - 1} w CROSS JOIN g{n} g)"""
+
+
+@query(
+    "l26_quality_classifier",
+    (
+        "WITH "
+        + _L26_FEAT.replace("{toks}", _TOKS).strip()
+        + ",\n    w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),"
+        + ",".join(_l26_iter(i) for i in (1, 2, 3))
+        + """
+    SELECT doc_id, y AS label,
+           round(1.0/(1.0 + exp(-(w.b*x0 + w.c1*x1 + w.c2*x2 + w.c3*x3))), 6)
+             AS p_en
+    FROM feat CROSS JOIN w3 w
+    """
+    ),
+)
+def l26_quality_classifier(spark, sf_dir):
+    """L26: the corpus-quality classifier trained IN the engine — batch-
+    GD logistic regression (predicting lang='en' from cheap text
+    features: token count, stopword ratio, mean token length) where
+    every iteration is ONE map-side-combinable mean-gradient aggregate
+    and the weight vector is the only driver state (the kmeans/PageRank
+    dataset-state pattern; operators/ml.py). Scoring is map-only with
+    literal weights. The oracle unrolls the same 3 iterations as CTEs;
+    6 dp-rounded mean gradients make both engines' weights
+    bit-identical (the l22 determinism canon)."""
+    from finporter_spark.operators.ml import logreg_fit, logreg_score
+    from finporter_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop = F.array(
+        *[
+            F.lit(s)
+            for s in ("the", "a", "an", "and", "or", "of", "to", "in",
+                      "is", "it")
+        ]
+    )
+    feat = (
+        d.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            F.lit(1.0).alias("x0"),
+            (n_tok / F.lit(30.0)).alias("x1"),
+            (
+                F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+                / F.nullif(n_tok, F.lit(0)).cast("double")
+            ).alias("x2"),
+            (
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                )
+                / F.nullif(n_tok, F.lit(0)).cast("double")
+                / F.lit(5.0)
+            ).alias("x3"),
+        )
+        .filter(n_tok > 0)
+        # iters+1 passes read this 5-double projection; materialize once
+        .cache()
+    )
+    w = logreg_fit(feat, ["x0", "x1", "x2", "x3"], "y", lr=0.5, iters=3)
+    return logreg_score(
+        feat, w, ["x0", "x1", "x2", "x3"], out_col="p_en"
+    ).select("doc_id", F.col("y").alias("label"), "p_en")

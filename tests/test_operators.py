@@ -526,3 +526,29 @@ def test_blocked_allpairs_zero_vector_safe(spark):
     got = {(r.id_l, r.id_r): r.cosine for r in rows}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0
+
+
+def test_logreg_gd_learns_separable_signal(spark):
+    """On a linearly separable feature the learned weight must move in
+    the separating direction, training must be rerun-deterministic
+    (6 dp-rounded gradients), and scoring must rank positives above
+    negatives."""
+    from pyspark.sql import Row
+
+    from finporter_spark.operators.ml import logreg_fit, logreg_score
+
+    rows = [
+        Row(x0=1.0, x1=float(v), y=1.0 if v > 0 else 0.0)
+        for v in (-4, -3, -2, -1, 1, 2, 3, 4)
+    ]
+    feat = spark.createDataFrame(rows)
+    w = logreg_fit(feat, ["x0", "x1"], "y", lr=0.5, iters=10)
+    assert w[1] > 0.5  # separating slope, clearly positive
+    assert w == logreg_fit(feat, ["x0", "x1"], "y", lr=0.5, iters=10)
+    probs = {
+        r["x1"]: r["prob"]
+        for r in logreg_score(feat, w, ["x0", "x1"]).collect()
+    }
+    assert min(probs[v] for v in (1, 2, 3, 4)) > max(
+        probs[v] for v in (-1, -2, -3, -4)
+    )

@@ -58,6 +58,7 @@ SUBSET = [
     "pipe4_hybrid_retrieval",
     "w8_time_decay_score",
     "m11_image_dhash_dedup",
+    "l26_quality_classifier",
 ]
 
 
