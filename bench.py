@@ -98,6 +98,7 @@ HEADLINE = [
     "w8_time_decay_score",
     "m11_image_dhash_dedup",
     "l26_quality_classifier",
+    "x11_stream_budget_gate",
 ]
 
 

@@ -3534,3 +3534,95 @@ def m11_image_dhash_dedup(spark, sf_dir):
         F.min("doc_id").over(w).cast("bigint").alias("group_min"),
         F.count("*").over(w).cast("bigint").alias("group_size"),
     )
+
+
+@query(
+    "x11_stream_budget_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS INT) AS n_tokens,
+             SUM(len({_TOKS})) OVER (PARTITION BY source ORDER BY doc_id)
+               AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM t WHERE cum <= 400
+    """,
+)
+def x11_stream_budget_gate(spark, sf_dir):
+    """X11: CUSTOM stateful streaming operator via
+    ``applyInPandasWithState`` — a per-source token-budget admission
+    gate (o11's streaming sibling): documents stream in doc_id order
+    and each source admits its ordered prefix while the cumulative
+    token count (counting every seen doc, so the cut is a deterministic
+    truncation point) stays ≤ 400. The cumulative counter is the
+    per-key GroupState, carried ACROSS micro-batches (3 staged files,
+    forced mtimes, maxFilesPerTrigger=1 → the budget must survive 3
+    state round-trips). Arrow-batched per group; state is one long per
+    source — the custom-state path Spark's built-in streaming ops
+    (dedup, windowed agg) can't express. Oracle: the equivalent batch
+    running-sum window."""
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from finporter_spark.operators.text import tokens
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    BUDGET = 400
+
+    def _write(p):
+        os.makedirs(p, exist_ok=True)
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+        )
+        hi = d.agg(F.max("doc_id")).first()[0] or 0
+        third = hi // 3 + 1
+        for i in range(3):
+            part_df = d.filter(
+                (F.col("doc_id") >= i * third)
+                & (F.col("doc_id") < (i + 1) * third)
+            )
+            tmp = os.path.join(p, "_tmp")
+            part_df.repartition(1).write.mode("overwrite").csv(
+                tmp, header=True
+            )
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(p, f"{chr(97 + i)}.csv")
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            mtime = 1_000_000_000 + i * 1000
+            os.utime(dst, (mtime, mtime))
+
+    path = _stage_once(sf_dir, "x11", _write, "documents")
+
+    def gate(key, pdfs, state):
+        cum = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs))
+        if len(pdf) == 0:
+            return
+        # micro-batch partitions deliver group rows unordered; the
+        # admission order contract is doc_id, so sort within the batch
+        # (batches themselves arrive in doc_id-range order by staging)
+        pdf = pdf.sort_values("doc_id")
+        cums = cum + pdf["n_tokens"].cumsum()
+        state.update((int(cum + int(pdf["n_tokens"].sum())),))
+        admit = cums <= BUDGET
+        out = pdf.loc[admit, ["doc_id", "source", "n_tokens"]].copy()
+        out["cum_tokens"] = cums[admit]
+        yield out
+
+    sdf = (
+        spark.readStream.schema("doc_id bigint, source string, n_tokens int")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(path)
+    )
+    gated = sdf.groupBy("source").applyInPandasWithState(
+        gate,
+        "doc_id bigint, source string, n_tokens int, cum_tokens bigint",
+        "cum bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(gated, "x11_mem", output_mode="append")
