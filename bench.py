@@ -99,6 +99,7 @@ HEADLINE = [
     "m11_image_dhash_dedup",
     "l26_quality_classifier",
     "x11_stream_budget_gate",
+    "a14_rolling_hll_rollup",
 ]
 
 

@@ -3626,3 +3626,43 @@ def x11_stream_budget_gate(spark, sf_dir):
         GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_memory(gated, "x11_mem", output_mode="append")
+
+
+@query("a14_rolling_hll_rollup", None)  # ≈ operator: error bound in tests
+def a14_rolling_hll_rollup(spark, sf_dir):
+    """A14: trailing-7-day distinct users from MERGED per-day HLL
+    sketches — the rollup pattern sketches exist for: the corpus-sized
+    pass builds ONE sketch per day (`hll_sketch_agg`, partials merge
+    associatively across executors), and every trailing window then
+    unions 7 tiny sketches (`hll_union_agg`) instead of rescanning 7
+    days of raw events per output row. The naive COUNT(DISTINCT) over a
+    sliding range frame re-shuffles user_ids once per window; this
+    formulation touches raw data once and the rollup's input is
+    #days × ~10 KB, broadcastable at any corpus size. Declared ≈:
+    rows-only in the gate, relative error vs the exact trailing
+    distinct asserted <5% in tests/test_operators.py (the a10
+    contract)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    # trailing 7-day window: day-grain self-join (bounded fan-out 7) so
+    # the union stays an aggregation of sketch BINARIES, never raw rows
+    days = daily.select(F.col("day").alias("anchor"))
+    joined = days.join(
+        daily,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+    )
+    return (
+        joined.groupBy("anchor")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+            .alias("approx_users_7d")
+        )
+        .select(F.col("anchor").alias("day"), "approx_users_7d")
+    )

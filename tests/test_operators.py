@@ -552,3 +552,36 @@ def test_logreg_gd_learns_separable_signal(spark):
     assert min(probs[v] for v in (1, 2, 3, 4)) > max(
         probs[v] for v in (-1, -2, -3, -4)
     )
+
+
+def test_rolling_hll_rollup_within_tolerance(spark, sf_dir):
+    """a14 (≈ operator): trailing-7-day distinct-user estimates from
+    merged per-day sketches within 5% of the exact trailing distinct,
+    for every anchor day."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_ext import a14_rolling_hll_rollup
+
+    approx = {
+        r.day: r.approx_users_7d
+        for r in a14_rolling_hll_rollup(spark, sf_dir).collect()
+    }
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = e.select(F.col("day").alias("anchor")).distinct()
+    exact = {
+        r.anchor: r.n
+        for r in days.join(
+            e,
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
