@@ -444,6 +444,10 @@ def three_way_split(
     engine-stable), then slot by rank modulo: one window shuffle on the
     stratum key, map-side after that. The o13 stride-mix pattern with a
     modulo gate instead of a weight."""
+    if not (0 <= val_slot < slots and 0 <= test_slot < slots):
+        raise ValueError("val_slot/test_slot must be in [0, slots)")
+    if val_slot == test_slot:
+        raise ValueError("val_slot and test_slot must differ")
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

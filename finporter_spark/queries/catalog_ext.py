@@ -3598,9 +3598,10 @@ def x11_stream_budget_gate(spark, sf_dir):
 
     def gate(key, pdfs, state):
         cum = state.get[0] if state.exists else 0
-        pdf = pd.concat(list(pdfs))
-        if len(pdf) == 0:
+        parts = [p for p in pdfs if len(p)]
+        if not parts:  # timeout-only invocations carry no rows
             return
+        pdf = pd.concat(parts)
         # micro-batch partitions deliver group rows unordered; the
         # admission order contract is doc_id, so sort within the batch
         # (batches themselves arrive in doc_id-range order by staging)
