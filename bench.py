@@ -151,6 +151,8 @@ def main() -> None:
         "s10_binaryfile_scan",
         "x7_stream_stream_join",
         "x10_stream_static_join",
+        "x11_stream_budget_gate",
+        "m11_image_dhash_dedup",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -384,10 +384,13 @@ def span_dedup_stats(
     keep-min-id convention as l2/l11/l22). A document is kept while
     ``dup_frac < drop_threshold``.
 
-    Plan: explode spans (positions 0..len-n), group by the span's md5
-    (16-byte keys through the shuffle, not ~50-char gram strings) to
-    find each span's first document, join back, re-aggregate per doc —
-    three keyed shuffles (gram, gram, doc), each map-combinable; no
+    Plan: explode spans (positions 0..len-n) keyed by the span's md5
+    digest BYTES (``unhex(md5)``: fixed 16-byte binary keys through the
+    shuffle — half the hex-string width, a fraction of the raw grams);
+    each span's first document is a ``min() OVER (PARTITION BY key)``
+    window — ONE materialization of the gram table and TWO keyed
+    shuffles total (gram, doc), vs the groupBy+join-back formulation
+    that recomputes the corpus-sized explode for the join side. No
     driver state. Documents shorter than ``ngram_n`` tokens have no
     spans and are absent from the output (same as the oracle).
     """
@@ -401,17 +404,17 @@ def span_dedup_stats(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("_toks") - ngram_n),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("_toks", i + 1, ngram_n))
+                lambda i: F.unhex(
+                    F.md5(
+                        F.concat_ws(" ", F.slice("_toks", i + 1, ngram_n))
+                    )
                 ),
             )
         ).alias("_gkey"),
     )
-    first_seen = grams.groupBy("_gkey").agg(
-        F.min(id_col).alias("_first_doc")
-    )
+    first_doc = F.min(id_col).over(Window.partitionBy("_gkey"))
     return (
-        grams.join(first_seen, "_gkey")
+        grams.withColumn("_first_doc", first_doc)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_spans"),

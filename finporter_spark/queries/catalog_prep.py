@@ -876,7 +876,7 @@ def l25_span_dedup(spark, sf_dir):
     """L25: repeated-span dedup gate (C4/CCNet style) — a document is
     dropped when ≥50% of its word 8-grams first appeared in a
     lower-id document. Exact span-level sibling of l2's whole-doc
-    MinHash: three map-combinable keyed shuffles (16-byte md5 span
+    MinHash: three map-combinable keyed shuffles (fixed-width md5 span
     keys, not gram strings), no driver state."""
     from finporter_spark.operators.prep import span_dedup_stats
 
