@@ -335,3 +335,18 @@ def test_pipe4_topk_never_global_sorts(spark, sf_dir):
     p = plan(df)
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) == 3, p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_l25_span_dedup_two_shuffles_no_join(spark, sf_dir):
+    """The span-dedup plan must materialize the gram explode ONCE: the
+    first-seen doc is a window over the gram key, so the plan has
+    exactly two corpus-sized exchanges (gram key, doc key), one Window,
+    and NO join (the groupBy+join-back shape recomputes the explode)."""
+    import re
+
+    df = CATALOG["l25_span_dedup"][0](spark, sf_dir)
+    p = plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
+    assert not re.search(r"\(\d+\) \w*Join", p), p
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1, p  # one explode
