@@ -59,6 +59,10 @@ def logreg_fit(
                 for j, c in enumerate(feature_cols)
             ]
         ).first()
+        if grads is None or grads["g0"] is None:
+            raise ValueError(
+                "logreg_fit: empty feature frame (no rows to average)"
+            )
         w = [wj - lr * grads[f"g{j}"] for j, wj in enumerate(w)]
     return w
 
