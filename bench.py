@@ -100,6 +100,7 @@ HEADLINE = [
     "l26_quality_classifier",
     "x11_stream_budget_gate",
     "a14_rolling_hll_rollup",
+    "s12_python_datasource",
 ]
 
 
@@ -153,6 +154,7 @@ def main() -> None:
         "x10_stream_static_join",
         "x11_stream_budget_gate",
         "m11_image_dhash_dedup",
+        "s12_python_datasource",
     ]
     for name in STAGED:
         if name in HEADLINE:

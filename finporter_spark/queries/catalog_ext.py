@@ -3667,3 +3667,79 @@ def a14_rolling_hll_rollup(spark, sf_dir):
         )
         .select(F.col("anchor").alias("day"), "approx_users_7d")
     )
+
+
+@query(
+    "s12_python_datasource",
+    """
+    SELECT 'acct-' || CAST(p_partkey % 7 AS VARCHAR) AS accountID,
+           'S' || CAST(p_partkey AS VARCHAR) AS securityID,
+           CASE WHEN p_partkey % 5 = 0 THEN ''
+                ELSE 'L' || CAST(p_partkey % 100 AS VARCHAR) END AS lotID,
+           CAST(p_size AS DOUBLE) AS shareCount,
+           CAST(p_retailprice AS DOUBLE) AS shareBasis,
+           CAST(DATE '2021-01-01' + INTERVAL (p_partkey % 365) DAY
+                AS TIMESTAMP) AS acquiredAt
+    FROM part
+    WHERE p_partkey % 7 = 3
+    """,
+)
+def s12_python_datasource(spark, sf_dir):
+    """S12: the custom Spark 4 Python DataSource (`format("finport")`,
+    SURVEY §4's Detect-as-DataSource candidate, implemented in
+    `sources/finport_datasource.py`) reading a directory of AllocData
+    HOLDING CSVs: one InputPartition per file (parallel executor-side
+    pure-Python decode, same typed rules as the importer), per-file
+    header verification (the detect contract), and `pushFilters`
+    absorbing the accountID equality so filtered rows never cross the
+    Arrow boundary. Staged fixture derives deterministically from
+    `part`, so the oracle recomputes the expected rows relationally."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+    )
+
+    def _write(p):
+        part = _t(spark, sf_dir, "part").select(
+            F.concat(
+                F.lit("acct-"), (F.col("p_partkey") % 7).cast("string")
+            ).alias("accountID"),
+            F.concat(F.lit("S"), F.col("p_partkey").cast("string")).alias(
+                "securityID"
+            ),
+            F.when(F.col("p_partkey") % 5 == 0, F.lit(""))
+            .otherwise(
+                F.concat(
+                    F.lit("L"), (F.col("p_partkey") % 100).cast("string")
+                )
+            )
+            .alias("lotID"),
+            F.col("p_size").cast("double").cast("string").alias(
+                "shareCount"
+            ),
+            F.col("p_retailprice").cast("double").cast("string").alias(
+                "shareBasis"
+            ),
+            F.date_format(
+                F.date_add(
+                    F.lit("2021-01-01"),
+                    (F.col("p_partkey") % 365).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("acquiredAt"),
+        )
+        part.repartition(8).write.mode("overwrite").csv(p, header=True)
+
+    path = _stage_once(sf_dir, "s12", _write, "part")
+    # runtime-settable feature flag (off by default in Spark 4); a
+    # driver-supplied session won't have it in its builder config
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(FinportDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("finport")
+        .option("path", path)
+        .load()
+        .filter(F.col("accountID") == "acct-3")
+    )

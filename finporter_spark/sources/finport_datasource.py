@@ -1,0 +1,180 @@
+"""`format("finport")` — a real Spark 4 Python DataSource for the
+standardized AllocData HOLDING export (the "Detect-as-DataSource"
+candidate from SURVEY §4, now implemented).
+
+A user points `spark.read.format("finport").load(dir)` at a directory of
+AllocData holding CSVs (header = the declared attribute order,
+`FINporter.swift:62,66`; typed-decode rules per field mirroring
+`importers/allocdata._typed_column`) and gets the typed DataFrame with
+no driver-side handler involved:
+
+- **one InputPartition per file** — files decode in parallel on
+  executors, scaling with the file count exactly like Spark's native
+  CSV source (partition-local pure-Python parse: executors have no
+  SparkSession, so the importer's DataFrame decode cannot run there —
+  a connector re-expresses decode row-locally by design);
+- **filter pushdown** (`pushFilters`): EqualTo / IsNotNull /
+  In on any column are absorbed and applied during the partition read,
+  so filtered rows never cross the Python→JVM Arrow boundary; every
+  other predicate is returned to Spark to evaluate;
+- header verification per file: a file whose first line is not the
+  declared HOLDING header raises (the detect contract — wrong-entity
+  files must fail loudly, not decode garbage).
+
+Decode rules (same semantics as the Spark-side importer):
+required string keys decode empty fields to "" (never null); doubles
+via try-float (invalid → null); timestamps accept ISO
+`yyyy-MM-dd'T'HH:mm:ss` and bare `yyyy-MM-dd` (midnight).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+from datetime import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+HOLDING_FIELDS = [
+    ("accountID", StringType(), False),
+    ("securityID", StringType(), False),
+    ("lotID", StringType(), False),
+    ("shareCount", DoubleType(), True),
+    ("shareBasis", DoubleType(), True),
+    ("acquiredAt", TimestampType(), True),
+]
+_HEADER = [n for n, _, _ in HOLDING_FIELDS]
+_REQUIRED_STR = {n for n, t, nullable in HOLDING_FIELDS if not nullable}
+_DOUBLE = {n for n, t, _ in HOLDING_FIELDS if isinstance(t, DoubleType)}
+_TS = {n for n, t, _ in HOLDING_FIELDS if isinstance(t, TimestampType)}
+
+
+def _parse_ts(s: str):
+    s = s.strip()
+    if not s:
+        return None
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _parse_double(s: str):
+    s = s.strip()
+    if not s:
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FinportReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("finport: .load(path) directory is required")
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, (EqualTo, In, IsNotNull)) and len(
+                f.attribute
+            ) == 1 and f.attribute[0] in _HEADER:
+                self._pushed.append(f)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".csv") and not f.startswith(("_", "."))
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"finport: no .csv files under {self.path}"
+            )
+        return [_FilePartition(p) for p in files]
+
+    def _keep(self, row: dict) -> bool:
+        for f in self._pushed:
+            v = row[f.attribute[0]]
+            if isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            elif isinstance(f, In):
+                if v not in f.value:
+                    return False
+            elif isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+        return True
+
+    def read(self, partition):
+        with io.open(partition.path, newline="", encoding="utf-8") as fh:
+            rdr = csv.reader(fh)
+            header = next(rdr, None)
+            if header != _HEADER:
+                raise ValueError(
+                    f"finport: {partition.path} first line is not the "
+                    f"declared HOLDING header (detect contract): {header}"
+                )
+            for rec in rdr:
+                if not rec:
+                    continue
+                row = {}
+                for name, raw in zip(_HEADER, rec):
+                    if name in _DOUBLE:
+                        row[name] = _parse_double(raw)
+                    elif name in _TS:
+                        row[name] = _parse_ts(raw)
+                    elif name in _REQUIRED_STR:
+                        row[name] = raw if raw is not None else ""
+                    else:
+                        row[name] = raw
+                for name in _HEADER[len(rec):]:  # short row: trailing nulls
+                    row[name] = "" if name in _REQUIRED_STR else None
+                if self._keep(row):
+                    yield tuple(row[n] for n in _HEADER)
+
+
+class FinportDataSource(DataSource):
+    """Register with ``spark.dataSource.register(FinportDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "finport"
+
+    def schema(self) -> StructType:
+        # all fields declared nullable at the Spark boundary (required
+        # string keys are still never null — the reader fills ""), the
+        # same convention as Spark's own file sources
+        return StructType(
+            [StructField(n, t, True) for n, t, _ in HOLDING_FIELDS]
+        )
+
+    def reader(self, schema):
+        return FinportReader(self.options)

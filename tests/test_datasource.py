@@ -87,3 +87,60 @@ def test_quarantine_cache_released_after_transform(spark, tmp_path):
     assert getattr(good, _ATTR) == []
     # released frames still compute correctly (recompute, uncached)
     assert good.count() == 2
+
+
+def test_finport_reader_pushdown_and_contract(tmp_path):
+    """Reader-level contract: supported filters (EqualTo/In/IsNotNull on
+    real columns) are absorbed and applied during read; unsupported
+    ones are yielded back for Spark to evaluate; a wrong header fails
+    loudly (detect contract); short rows pad with ''/null."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+    )
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportReader,
+        _FilePartition,
+    )
+
+    d = tmp_path / "holdings"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+        "acct-1,S1,L1,10.0,100.5,2021-03-01\n"
+        "acct-2,S2,,5.0,,2021-03-01T12:30:00\n"
+        "acct-1,S3\n"  # short row: trailing fields pad
+    )
+    rdr = FinportReader({"path": str(d)})
+    unsupported = list(
+        rdr.pushFilters(
+            [
+                EqualTo(("accountID",), "acct-1"),
+                GreaterThan(("shareCount",), 1.0),  # not absorbed
+                In(("securityID",), ("S1", "S3")),
+                IsNotNull(("lotID",)),
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in unsupported] == ["GreaterThan"]
+    parts = rdr.partitions()
+    assert len(parts) == 1
+    rows = list(rdr.read(parts[0]))
+    # acct-1 ∩ {S1,S3} ∩ lotID not null -> S1 (full) and S3 (padded '')
+    assert [r[1] for r in rows] == ["S1", "S3"]
+    s3 = rows[1]
+    assert s3[2] == "" and s3[3] is None and s3[5] is None
+    import datetime
+
+    assert rows[0][5] == datetime.datetime(2021, 3, 1, 0, 0)
+
+    (d / "b.csv").write_text("wrong,header\nx,y\n")
+    rdr2 = FinportReader({"path": str(d)})
+    bad = [p for p in rdr2.partitions() if p.path.endswith("b.csv")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="declared HOLDING header"):
+        list(rdr2.read(bad[0]))

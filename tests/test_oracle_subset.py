@@ -60,6 +60,7 @@ SUBSET = [
     "m11_image_dhash_dedup",
     "l26_quality_classifier",
     "x11_stream_budget_gate",
+    "s12_python_datasource",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]
