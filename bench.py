@@ -101,6 +101,7 @@ HEADLINE = [
     "x11_stream_budget_gate",
     "a14_rolling_hll_rollup",
     "s12_python_datasource",
+    "s13_datasource_roundtrip",
 ]
 
 

@@ -3743,3 +3743,54 @@ def s12_python_datasource(spark, sf_dir):
         .load()
         .filter(F.col("accountID") == "acct-3")
     )
+
+
+@query(
+    "s13_datasource_roundtrip",
+    """
+    SELECT 'acct-' || CAST(p_partkey % 7 AS VARCHAR) AS accountID,
+           'S' || CAST(p_partkey AS VARCHAR) AS securityID,
+           CASE WHEN p_partkey % 5 = 0 THEN ''
+                ELSE 'L' || CAST(p_partkey % 100 AS VARCHAR) END AS lotID,
+           CAST(p_size AS DOUBLE) AS shareCount,
+           CAST(p_retailprice AS DOUBLE) AS shareBasis,
+           CAST(DATE '2021-01-01' + INTERVAL (p_partkey % 365) DAY
+                AS TIMESTAMP) AS acquiredAt
+    FROM part
+    """,
+)
+def s13_datasource_roundtrip(spark, sf_dir):
+    """S13: full connector roundtrip — read the staged holdings through
+    `format("finport")`, WRITE them back through the same format (the
+    distributed golden-encoder sink: per-task temp files, two-phase
+    driver commit renaming to part-NNNNN.csv, so torn output is never
+    visible), then read the written directory again. Hash-matching the
+    relational oracle proves write∘read is lossless under the golden
+    encoding rules (escape/quote, ISO-Z timestamps, shortest-roundtrip
+    doubles, nil↔empty)."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+    )
+
+    # reuse s12's staged input fixture (idempotent, fingerprint-guarded:
+    # running the s12 entry stages it when absent or stale)
+    from finporter_spark.queries.catalog import CATALOG
+
+    CATALOG["s12_python_datasource"][0](spark, sf_dir).limit(1).collect()
+    in_path = _io_dir(sf_dir, "s12")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(FinportDataSource)
+    except Exception:
+        pass
+    full = (
+        spark.read.format("finport").option("path", in_path).load()
+    )
+    out_path = _io_dir(sf_dir, "s13_out")
+    (
+        full.write.format("finport")
+        .mode("overwrite")
+        .option("path", out_path)
+        .save()
+    )
+    return spark.read.format("finport").option("path", out_path).load()

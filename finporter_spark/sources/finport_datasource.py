@@ -34,13 +34,17 @@ import io
 import os
 from datetime import datetime
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
     IsNotNull,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -68,7 +72,10 @@ def _parse_ts(s: str):
     s = s.strip()
     if not s:
         return None
-    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+    # ISO-Z first (what the golden encoder and the finport writer emit),
+    # then zoneless ISO, then bare date at midnight — the same
+    # precedence as importers/allocdata._typed_column
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
         try:
             return datetime.strptime(s, fmt)
         except ValueError:
@@ -152,9 +159,20 @@ class FinportReader(DataSourceReader):
                     elif name in _TS:
                         row[name] = _parse_ts(raw)
                     elif name in _REQUIRED_STR:
-                        row[name] = raw if raw is not None else ""
+                        # invert the golden escape (every '"' was written
+                        # as '\"' — DelimitedEncoder.swift:135 — so the
+                        # replacement is the exact inverse and makes
+                        # write∘read lossless, unlike Spark's CSV reader
+                        # which only unescapes inside quoted fields)
+                        row[name] = (
+                            raw.replace('\\"', '"')
+                            if raw is not None
+                            else ""
+                        )
                     else:
-                        row[name] = raw
+                        row[name] = raw.replace('\\"', '"') if isinstance(
+                            raw, str
+                        ) else raw
                 for name in _HEADER[len(rec):]:  # short row: trailing nulls
                     row[name] = "" if name in _REQUIRED_STR else None
                 if self._keep(row):
@@ -178,3 +196,91 @@ class FinportDataSource(DataSource):
 
     def reader(self, schema):
         return FinportReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return FinportWriter(self.options, overwrite)
+
+
+# ---------------------------------------------------------------------
+# Write path: df.write.format("finport").mode(...).save() — the golden
+# FINporter encoding as a distributed sink with a two-phase commit
+# ---------------------------------------------------------------------
+
+
+def _golden_field(v, delimiter: str = ",") -> str:
+    """Pure-Python mirror of ``encoder.format_field`` (DelimitedEncoder
+    semantics: escape " as \\" always, quote only when the field contains
+    the delimiter; nil -> empty; doubles shortest-roundtrip; timestamps
+    ISO-Z; booleans true/false)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    s = str(v).replace('"', '\\"')
+    if delimiter in s:
+        return f'"{s}"'
+    return s
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class FinportWriter(DataSourceWriter):
+    """Per-task: encode rows under the golden rules into a TEMP file;
+    driver commit renames every temp to its final ``part-NNNNN.csv``
+    name and aborts delete temps — torn outputs are never visible
+    (the same two-phase protocol Spark's file sinks use). Each part
+    file carries the declared header line, so the finport READER reads
+    the writer's output directly (full connector roundtrip)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("finport: .save(path) directory is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.csv")
+        n = 0
+        with io.open(tmp, "w", encoding="utf-8", newline="") as fh:
+            fh.write(",".join(_HEADER) + "\n")
+            for row in iterator:
+                fh.write(
+                    ",".join(_golden_field(v) for v in row) + "\n"
+                )
+                n += 1
+        return _PartFile(tmp_path=tmp, rows=n)
+
+    def commit(self, messages):
+        import glob
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.csv")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{i:05d}.csv"),
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass

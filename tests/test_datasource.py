@@ -144,3 +144,100 @@ def test_finport_reader_pushdown_and_contract(tmp_path):
 
     with _pytest.raises(ValueError, match="declared HOLDING header"):
         list(rdr2.read(bad[0]))
+
+
+def test_finport_writer_bytes_match_golden_encoder(spark, tmp_path):
+    """One part file written by the finport sink must be byte-identical
+    to encode_to_string over the same rows (header + golden
+    escape/quote/double/timestamp rules) — the connector write path IS
+    the golden encoder, distributed."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from finporter_spark.encoder import encode_to_string
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+    )
+
+    rows = [
+        Row(
+            accountID='ac"me',
+            securityID="S,1",  # delimiter: must quote
+            lotID="",
+            shareCount=10.25,
+            shareBasis=0.1,  # shortest repr, not 0.10000000000000001
+            acquiredAt=datetime.datetime(2021, 3, 1, 12, 30, 0),
+        ),
+        Row(
+            accountID="a2",
+            securityID="S2",
+            lotID="L1",
+            shareCount=None,
+            shareBasis=None,
+            acquiredAt=None,
+        ),
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+    try:
+        spark.dataSource.register(FinportDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "out")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df.write.format("finport").mode("overwrite").option(
+        "path", out
+    ).save()
+    import os
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    written = open(os.path.join(out, parts[0]), encoding="utf-8").read()
+    assert written == encode_to_string(df)
+    # and the reader round-trips it exactly
+    back = (
+        spark.read.format("finport").option("path", out).load().collect()
+    )
+    assert sorted(map(tuple, back)) == sorted(map(tuple, df.collect()))
+
+
+def test_finport_writer_abort_leaves_no_partial_output(spark, tmp_path):
+    """A failing task must leave NO visible part files (two-phase
+    commit: temps are renamed only on driver commit)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+    )
+
+    try:
+        spark.dataSource.register(FinportDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "out")
+
+    @F.udf("double")
+    def boom(x):
+        raise RuntimeError("induced task failure")
+
+    df = spark.range(10).select(
+        F.lit("a").alias("accountID"),
+        F.lit("s").alias("securityID"),
+        F.lit("l").alias("lotID"),
+        boom(F.col("id").cast("double")).alias("shareCount"),
+        F.lit(None).cast("double").alias("shareBasis"),
+        F.lit(None).cast("timestamp").alias("acquiredAt"),
+    )
+    with _pytest.raises(Exception):
+        df.write.format("finport").mode("overwrite").option(
+            "path", out
+        ).save()
+    visible = (
+        [f for f in os.listdir(out) if f.startswith("part-")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert visible == []

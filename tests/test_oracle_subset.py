@@ -61,6 +61,7 @@ SUBSET = [
     "l26_quality_classifier",
     "x11_stream_budget_gate",
     "s12_python_datasource",
+    "s13_datasource_roundtrip",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]
