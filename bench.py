@@ -102,6 +102,7 @@ HEADLINE = [
     "a14_rolling_hll_rollup",
     "s12_python_datasource",
     "s13_datasource_roundtrip",
+    "x12_datasource_stream",
 ]
 
 

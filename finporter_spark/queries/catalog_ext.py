@@ -3794,3 +3794,47 @@ def s13_datasource_roundtrip(spark, sf_dir):
         .save()
     )
     return spark.read.format("finport").option("path", out_path).load()
+
+
+@query(
+    "x12_datasource_stream",
+    """
+    SELECT 'acct-' || CAST(p_partkey % 7 AS VARCHAR) AS accountID,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_size AS DOUBLE)) AS DOUBLE) AS total_shares
+    FROM part
+    GROUP BY 1
+    """,
+)
+def x12_datasource_stream(spark, sf_dir):
+    """X12: the finport connector's STREAMING read path
+    (`spark.readStream.format("finport")`, a Spark 4
+    SimpleDataSourceStreamReader): a directory tail with file-granular
+    offsets — the consumed-file set IS the offset, so checkpoint replay
+    re-decodes exactly the files between two offsets (exactly-once;
+    incremental offset semantics unit-tested directly in
+    tests/test_datasource.py). Drains the s12 fixture and aggregates in
+    complete mode, so the drained answer equals the batch relational
+    oracle under any micro-batch split."""
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+    )
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    # ensure the s12 fixture is staged (idempotent)
+    CATALOG["s12_python_datasource"][0](spark, sf_dir).limit(1).collect()
+    in_path = _io_dir(sf_dir, "s12")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(FinportDataSource)
+    except Exception:
+        pass
+    sdf = spark.readStream.format("finport").option("path", in_path).load()
+    agg = sdf.groupBy("accountID").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("shareCount").cast("double").alias("total_shares"),
+    )
+    return run_stream_to_memory(
+        agg, "x12_mem", output_mode="complete"
+    )

@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -200,6 +201,9 @@ class FinportDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return FinportWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema):
+        return FinportStreamReader(self.options)
+
 
 # ---------------------------------------------------------------------
 # Write path: df.write.format("finport").mode(...).save() — the golden
@@ -284,3 +288,65 @@ class FinportWriter(DataSourceWriter):
                     os.remove(m.tmp_path)
                 except OSError:
                     pass
+
+
+# ---------------------------------------------------------------------
+# Streaming read path: spark.readStream.format("finport") — a directory
+# tail with exactly-once file-granular offsets
+# ---------------------------------------------------------------------
+
+
+class FinportStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over a growing directory of holding CSVs.
+
+    Offset = the sorted list of files already consumed (file-granular,
+    the same unit as Spark's own file stream source). ``read(start)``
+    decodes every not-yet-consumed file with the SAME typed rules as the
+    batch reader and advances the offset; ``readBetweenOffsets`` replays
+    a recorded batch deterministically after restart (exactly-once on
+    top of the checkpoint log: the file set between two offsets never
+    changes, so replay = re-decode those files)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("finport: .load(path) directory is required")
+        self._batch_reader = FinportReader(options)
+
+    def _files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(".csv") and not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _decode(self, names):
+        # a LIST, not a generator: Spark's prefetching cache copies the
+        # returned iterator for checkpoint replay (generators can't be
+        # copied); batch sizes are bounded by the files-per-trigger cut
+        rows: list = []
+        for name in names:
+            rows.extend(
+                self._batch_reader.read(
+                    _FilePartition(os.path.join(self.path, name))
+                )
+            )
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        fresh = [f for f in self._files() if f not in seen]
+        end = {"seen": sorted(seen | set(fresh))}
+        return iter(self._decode(fresh)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        fresh = sorted(
+            set(end.get("seen", [])) - set(start.get("seen", []))
+        )
+        return iter(self._decode(fresh))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: source files are immutable inputs

@@ -241,3 +241,39 @@ def test_finport_writer_abort_leaves_no_partial_output(spark, tmp_path):
         else []
     )
     assert visible == []
+
+
+def test_finport_stream_reader_incremental_offsets(tmp_path):
+    """Offset semantics without a Spark session: read() consumes only
+    files not in the start offset, offsets are cumulative,
+    readBetweenOffsets replays exactly the recorded file delta (the
+    checkpoint-recovery contract), and an empty tick yields no rows."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    (d / "a.csv").write_text(hdr + "a1,S1,L1,1.0,,\n")
+    rdr = FinportStreamReader({"path": str(d)})
+
+    o0 = rdr.initialOffset()
+    rows1, o1 = rdr.read(o0)
+    assert [r[1] for r in rows1] == ["S1"]
+    assert o1 == {"seen": ["a.csv"]}
+
+    # nothing new: empty batch, offset unchanged
+    rows2, o2 = rdr.read(o1)
+    assert list(rows2) == [] and o2 == o1
+
+    # a new file arrives: only it is read
+    (d / "b.csv").write_text(hdr + "a2,S2,L2,2.0,,\na3,S3,L3,3.0,,\n")
+    rows3, o3 = rdr.read(o1)
+    assert [r[1] for r in rows3] == ["S2", "S3"]
+    assert o3 == {"seen": ["a.csv", "b.csv"]}
+
+    # checkpoint replay: exactly the delta between two offsets
+    replay = list(rdr.readBetweenOffsets(o1, o3))
+    assert [r[1] for r in replay] == ["S2", "S3"]
+    assert [r[1] for r in rdr.readBetweenOffsets(o0, o1)] == ["S1"]

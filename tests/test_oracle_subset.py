@@ -62,6 +62,7 @@ SUBSET = [
     "x11_stream_budget_gate",
     "s12_python_datasource",
     "s13_datasource_roundtrip",
+    "x12_datasource_stream",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]
