@@ -40,6 +40,7 @@ def test_catalog_covers_declared_surface():
         "l3_ivf_knn",
         "l20_fuzzy_decontaminate",
         "l21_bpe_tokenize",
+        "a14_rolling_hll_rollup",
     }
 
 
