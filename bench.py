@@ -103,6 +103,8 @@ HEADLINE = [
     "s12_python_datasource",
     "s13_datasource_roundtrip",
     "x12_datasource_stream",
+    "w9_ohlc_downsample",
+    "o15_k_anonymity",
 ]
 
 

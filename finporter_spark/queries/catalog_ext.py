@@ -3838,3 +3838,123 @@ def x12_datasource_stream(spark, sf_dir):
     return run_stream_to_memory(
         agg, "x12_mem", output_mode="complete"
     )
+
+
+@query(
+    "w9_ohlc_downsample",
+    f"""
+    WITH ranked AS (
+      SELECT event_type,
+             make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT)
+               * 600 * 1000000) AS w_start,
+             value, ts, event_id,
+             row_number() OVER (
+               PARTITION BY event_type,
+                 CAST(floor(epoch(ts) / 600) AS BIGINT)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                 CAST(floor(epoch(ts) / 600) AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, w_start,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           {DSUM('value')} AS volume
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def w9_ohlc_downsample(spark, sf_dir):
+    """W9: OHLC bar downsampling — the finance-native resample (ticks →
+    10-minute open/high/low/close bars per instrument) the reference's
+    domain implies but its row-at-a-time engine cannot express. One
+    window shuffle keyed on (instrument, bar) ranks ticks
+    time-ascending and -descending (deterministic event_id tie-break),
+    then a same-keyed aggregation (no second exchange) picks the
+    endpoints; volume routes through DECIMAL for order-independence.
+    Spark's min_by/max_by would drop the window but tie-break
+    non-deterministically — the rank formulation is the cross-engine
+    canon."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    bar = (F.floor(F.col("ts").cast("double") / 600)).cast("long")
+    wa = Window.partitionBy("event_type", "_bar").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "_bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "event_type", "ts", "event_id", "value", bar.alias("_bar")
+    ).select(
+        "event_type",
+        "_bar",
+        "value",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    return (
+        ranked.groupBy("event_type", "_bar")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value")))
+            .cast("double")
+            .alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value")))
+            .cast("double")
+            .alias("close"),
+            F.count("*").cast("bigint").alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("_bar") * 600).alias("w_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            "volume",
+        )
+    )
+
+
+@query(
+    "o15_k_anonymity",
+    """
+    WITH cohorts AS (
+      SELECT lang, source,
+             CAST(n_chars // 100 AS INT) AS len_bin,
+             CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bin, cohort_size,
+           cohort_size >= 5 AS k_ok
+    FROM cohorts
+    """,
+)
+def o15_k_anonymity(spark, sf_dir):
+    """O15: k-anonymity audit over quasi-identifiers (lang × source ×
+    binned length) — the governance gate paired with l14's redaction: a
+    cohort smaller than k (=5) re-identifies its members and must be
+    suppressed or generalized before release. One map-combinable
+    groupBy; 100-char integer-division bins on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("int").alias("len_bin"),
+        )
+        .groupBy("lang", "source", "len_bin")
+        .agg(F.count("*").cast("bigint").alias("cohort_size"))
+        .withColumn("k_ok", F.col("cohort_size") >= 5)
+    )

@@ -63,6 +63,8 @@ SUBSET = [
     "s12_python_datasource",
     "s13_datasource_roundtrip",
     "x12_datasource_stream",
+    "w9_ohlc_downsample",
+    "o15_k_anonymity",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]

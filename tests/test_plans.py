@@ -350,3 +350,16 @@ def test_l25_span_dedup_two_shuffles_no_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
     assert not re.search(r"\(\d+\) \w*Join", p), p
     assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1, p  # one explode
+
+
+def test_w9_ohlc_single_exchange(spark, sf_dir):
+    """OHLC bars: the rank windows and the endpoint aggregation share
+    the (instrument, bar) key, so the plan must contain exactly ONE
+    corpus-sized exchange — the aggregate reuses the window's
+    partitioning instead of re-shuffling."""
+    import re
+
+    df = CATALOG["w9_ohlc_downsample"][0](spark, sf_dir)
+    p = plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "SinglePartition" not in p, p
