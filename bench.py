@@ -105,6 +105,8 @@ HEADLINE = [
     "x12_datasource_stream",
     "w9_ohlc_downsample",
     "o15_k_anonymity",
+    "w10_max_drawdown",
+    "o16_snapshot_diff",
 ]
 
 

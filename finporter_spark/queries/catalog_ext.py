@@ -3958,3 +3958,115 @@ def o15_k_anonymity(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("cohort_size"))
         .withColumn("k_ok", F.col("cohort_size") >= 5)
     )
+
+
+@query(
+    "w10_max_drawdown",
+    """
+    WITH runmax AS (
+      SELECT user_id, value,
+             MAX(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MIN(value / peak - 1.0) AS DOUBLE) AS max_drawdown,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM runmax
+    GROUP BY user_id
+    """,
+)
+def w10_max_drawdown(spark, sf_dir):
+    """W10: maximum drawdown per account — the risk metric over a value
+    series (largest peak-to-trough loss): running max (rows frame,
+    deterministic event_id tie-break) then the minimum of
+    value/peak − 1. Window and aggregate share the user key — one
+    corpus-sized exchange, the w9 pattern."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "value",
+            F.max("value").over(w).alias("peak"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("value") / F.col("peak") - 1.0)
+            .cast("double")
+            .alias("max_drawdown"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "o16_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'I'
+                WHEN n.doc_id IS NULL THEN 'D'
+                ELSE 'U' END AS op
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+)
+def o16_snapshot_diff(spark, sf_dir):
+    """O16: snapshot diff → changelog EXTRACT (the inverse of o10's
+    changelog APPLY): two corpus snapshots keyed on doc_id, compared by
+    content hash — rows only in the new snapshot emit I, only in the
+    old emit D, present in both with different hashes emit U; unchanged
+    rows are dropped. One full-outer equi-join (both sides shuffle on
+    the key; content compared as 16-byte digests, never text) — the op
+    that turns periodic full snapshots into the incremental feed o10 /
+    x9 consume. Fixture: the 'new' snapshot drops every 13th doc,
+    revises every 7th, and the 'old' lacks every 11th."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias(
+                "doc_id"
+            ),
+            F.when(F.col("o.doc_id").isNull(), "I")
+            .when(F.col("n.doc_id").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("o.h").alias("oh"),
+            F.col("n.h").alias("nh"),
+        )
+        .filter(
+            F.col("oh").isNull()
+            | F.col("nh").isNull()
+            | (F.col("oh") != F.col("nh"))
+        )
+        .select("doc_id", "op")
+    )

@@ -65,6 +65,8 @@ SUBSET = [
     "x12_datasource_stream",
     "w9_ohlc_downsample",
     "o15_k_anonymity",
+    "w10_max_drawdown",
+    "o16_snapshot_diff",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]
