@@ -3971,7 +3971,8 @@ def o15_k_anonymity(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           CAST(MIN(value / peak - 1.0) AS DOUBLE) AS max_drawdown,
+           CAST(MIN(CASE WHEN peak <> 0 THEN value / peak - 1.0 END)
+                AS DOUBLE) AS max_drawdown,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM runmax
     GROUP BY user_id
@@ -3981,7 +3982,9 @@ def w10_max_drawdown(spark, sf_dir):
     """W10: maximum drawdown per account — the risk metric over a value
     series (largest peak-to-trough loss): running max (rows frame,
     deterministic event_id tie-break) then the minimum of
-    value/peak − 1. Window and aggregate share the user key — one
+    value/peak − 1 (zero peaks guarded: an account whose running max
+    is 0 has no defined drawdown for that prefix). Window and
+    aggregate share the user key — one
     corpus-sized exchange, the w9 pattern."""
     from pyspark.sql import Window
 
@@ -3999,7 +4002,12 @@ def w10_max_drawdown(spark, sf_dir):
         )
         .groupBy("user_id")
         .agg(
-            F.min(F.col("value") / F.col("peak") - 1.0)
+            F.min(
+                F.when(
+                    F.col("peak") != 0,
+                    F.col("value") / F.col("peak") - 1.0,
+                )
+            )
             .cast("double")
             .alias("max_drawdown"),
             F.count("*").cast("bigint").alias("n_events"),
