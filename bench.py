@@ -107,6 +107,8 @@ HEADLINE = [
     "o15_k_anonymity",
     "w10_max_drawdown",
     "o16_snapshot_diff",
+    "l27_frequency_spectrum",
+    "a15_grouping_sets",
 ]
 
 

@@ -4078,3 +4078,85 @@ def o16_snapshot_diff(spark, sf_dir):
         )
         .select("doc_id", "op")
     )
+
+
+@query(
+    "l27_frequency_spectrum",
+    f"""
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term
+    )
+    SELECT CASE WHEN freq >= 100 THEN 100 ELSE freq END AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM tf
+    GROUP BY 1
+    """,
+)
+def l27_frequency_spectrum(spark, sf_dir):
+    """L27: token frequency spectrum — how many distinct terms occur k
+    times (k capped at 100+), the Zipf/Heaps diagnostic a corpus audit
+    reads before trusting dedup or tokenizer decisions (a hapax-heavy
+    spectrum flags OCR noise; a truncated tail flags over-dedup). Two
+    map-combinable aggregations: term counts (the l8/l21 shuffle
+    shape), then a vocabulary-sized regroup on the capped frequency."""
+    from finporter_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return (
+        tf.select(
+            F.when(F.col("freq") >= 100, F.lit(100))
+            .otherwise(F.col("freq"))
+            .cast("bigint")
+            .alias("freq_bucket"),
+            "freq",
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+@query(
+    "a15_grouping_sets",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('value')} AS total,
+           CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts))
+                AS BIGINT) AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+    """,
+)
+def a15_grouping_sets(spark, sf_dir):
+    """A15: explicit GROUPING SETS — the mixed-dimension aggregation
+    rollup/cube can't express ((type), (day), ()) without computing the
+    unwanted (type, day) cell — plus GROUPING()-derived ids so
+    consumers can tell a NULL dimension from a subtotal row. Catalyst
+    plans one Expand over the three sets with map-side partial
+    aggregation: the corpus is scanned once, exactly like a4."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_a15")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+               CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts))
+                    AS BIGINT) AS gid
+        FROM events_a15
+        GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+        """
+    )

@@ -67,6 +67,8 @@ SUBSET = [
     "o15_k_anonymity",
     "w10_max_drawdown",
     "o16_snapshot_diff",
+    "l27_frequency_spectrum",
+    "a15_grouping_sets",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]
