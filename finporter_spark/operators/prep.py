@@ -479,24 +479,40 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggregates re-reads the table per column. The wide single-row
     result is unpivoted with ``stack`` (map-side, no extra exchange).
     """
+    # identifiers reach selectExpr as strings, so quote them: backticks
+    # (with ``-doubling) for column references, backslash-escaping for
+    # the stack() name literals — a column named `a b`, `x'y` or even
+    # one containing a backtick profiles correctly instead of producing
+    # a parse error or a wrong literal
+    def bt(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def lit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     aggs = []
     for c in cols:
-        s = F.col(c).cast("string")
+        # backtick-quoted so a bare '.' in the name is not parsed as
+        # struct access; spaced/quoted names profile too
+        col = F.col(bt(c))
+        s = col.cast("string")
         aggs += [
-            F.count(F.col(c)).cast("bigint").alias(f"_nn_{c}"),
-            F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"),
+            F.count(col).cast("bigint").alias(f"_nn_{c}"),
+            F.countDistinct(col).cast("bigint").alias(f"_nd_{c}"),
             F.min(s).alias(f"_mn_{c}"),
             F.max(s).alias(f"_mx_{c}"),
             F.avg(F.length(s)).cast("double").alias(f"_al_{c}"),
         ]
     row = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
     stacked = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}, _al_{c}" for c in cols
+        f"{lit(c)}, {bt('_nn_' + c)}, {bt('_nd_' + c)}, "
+        f"{bt('_mn_' + c)}, {bt('_mx_' + c)}, {bt('_al_' + c)}"
+        for c in cols
     )
     return row.selectExpr(
         f"stack({len(cols)}, {stacked}) AS "
         "(column_name, n_nonnull, n_distinct, min_str, max_str, avg_len)",
-        "_n AS n_rows",
+        "`_n` AS n_rows",
     ).select(
         "column_name",
         "n_rows",

@@ -21,15 +21,25 @@ no driver-side handler involved:
   declared HOLDING header raises (the detect contract — wrong-entity
   files must fail loudly, not decode garbage).
 
+The decode parser is the EXACT inverse of the golden encoding
+(``_golden_field`` / ``encoder.format_field``, DelimitedEncoder.swift
+semantics): every ``"`` is written as ``\\"``; a field is wrapped in
+quotes only when it contains the delimiter (or a newline — see below).
+A generic ``csv.reader`` cannot parse this dialect: a field containing
+BOTH a quote and the delimiter (``a"b,c`` → ``"a\\"b,c"``) confuses
+RFC-4180 doubling rules and silently shifts every later column. The
+hand-rolled state machine here round-trips it exactly, supports raw
+newlines inside quoted fields, and RAISES on a row with more fields
+than the header (malformed input must fail loudly, never shift).
+
 Decode rules (same semantics as the Spark-side importer):
 required string keys decode empty fields to "" (never null); doubles
 via try-float (invalid → null); timestamps accept ISO
-`yyyy-MM-dd'T'HH:mm:ss` and bare `yyyy-MM-dd` (midnight).
+`yyyy-MM-dd'T'HH:mm:ss[Z]` and bare `yyyy-MM-dd` (midnight).
 """
 
 from __future__ import annotations
 
-import csv
 import io
 import os
 from datetime import datetime
@@ -94,6 +104,123 @@ def _parse_double(s: str):
         return None
 
 
+# ---------------------------------------------------------------------
+# Golden-dialect parser: the exact inverse of _golden_field
+# ---------------------------------------------------------------------
+
+
+def _parse_golden(text: str, delimiter: str = ","):
+    """Parse golden-encoded delimited text into records.
+
+    Returns ``(records, tail, open_quote)`` where ``records`` is a list
+    of ``(fields, end_char_index)`` for every NEWLINE-TERMINATED record
+    (``end_char_index`` points just past the terminating newline — a
+    record boundary, which the streaming reader uses as a resumable
+    byte-stable cut), ``tail`` is the field list of a final record with
+    no trailing newline (or None), and ``open_quote`` is True when EOF
+    hit inside an unterminated quoted field (the tail is then
+    un-resumable garbage for a batch reader and merely "not yet
+    complete" for a tailing stream reader).
+
+    Dialect (DelimitedEncoder.swift:130-140): ``\\"`` is a literal
+    quote ANYWHERE (quoted or not — the encoder escapes first, wraps
+    second); an initial ``"`` opens a quoted span in which the
+    delimiter and raw newlines are literal; the closing quote ends the
+    span. Blank lines are skipped (matching csv.reader's behavior in
+    the previous implementation).
+    """
+    records: list = []
+    fields: list = []
+    buf: list = []
+    i, n = 0, len(text)
+    in_q = False  # inside a quoted span
+    at_field_start = True  # only an opening quote here starts a span
+    started = False  # current record has any content
+    while i < n:
+        ch = text[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n and text[i + 1] == '"':
+                buf.append('"')
+                i += 2
+            elif ch == '"':
+                in_q = False
+                at_field_start = False
+                i += 1
+            else:
+                buf.append(ch)
+                i += 1
+            continue
+        if ch == "\\" and i + 1 < n and text[i + 1] == '"':
+            buf.append('"')
+            i += 2
+            started = True
+            at_field_start = False
+            continue
+        if ch == '"' and at_field_start:
+            in_q = True
+            started = True
+            at_field_start = False
+            i += 1
+            continue
+        if ch == delimiter:
+            fields.append("".join(buf))
+            buf.clear()
+            started = True
+            at_field_start = True
+            i += 1
+            continue
+        if ch == "\n" or (ch == "\r" and i + 1 < n and text[i + 1] == "\n"):
+            i += 1 if ch == "\n" else 2
+            if started:
+                fields.append("".join(buf))
+                buf.clear()
+                records.append((fields, i))
+                fields = []
+            started = False
+            at_field_start = True
+            continue
+        buf.append(ch)
+        started = True
+        at_field_start = False
+        i += 1
+    tail = None
+    if started or in_q:
+        fields.append("".join(buf))
+        tail = fields
+    return records, tail, in_q
+
+
+def _typed_tuple(fields: list, where: str):
+    """Apply the importer's typed-decode rules to one parsed record;
+    raises on a row wider than the declared header (a correctly parsed
+    over-wide row means malformed input — fail loudly, never shift)."""
+    if len(fields) > len(_HEADER):
+        raise ValueError(
+            f"finport: {where}: row has {len(fields)} fields but the "
+            f"HOLDING header declares {len(_HEADER)} — malformed input"
+        )
+    row = {}
+    for name, raw in zip(_HEADER, fields):
+        if name in _DOUBLE:
+            row[name] = _parse_double(raw)
+        elif name in _TS:
+            row[name] = _parse_ts(raw)
+        else:
+            # parser already unescaped \" -> "; required keys are ""
+            row[name] = raw
+    for name in _HEADER[len(fields):]:  # short row: trailing nulls
+        row[name] = "" if name in _REQUIRED_STR else None
+    return row
+
+
+def _check_header(fields: list, where: str) -> None:
+    if fields != _HEADER:
+        raise ValueError(
+            f"finport: {where} first line is not the "
+            f"declared HOLDING header (detect contract): {fields}"
+        )
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -142,42 +269,25 @@ class FinportReader(DataSourceReader):
         return True
 
     def read(self, partition):
-        with io.open(partition.path, newline="", encoding="utf-8") as fh:
-            rdr = csv.reader(fh)
-            header = next(rdr, None)
-            if header != _HEADER:
-                raise ValueError(
-                    f"finport: {partition.path} first line is not the "
-                    f"declared HOLDING header (detect contract): {header}"
-                )
-            for rec in rdr:
-                if not rec:
-                    continue
-                row = {}
-                for name, raw in zip(_HEADER, rec):
-                    if name in _DOUBLE:
-                        row[name] = _parse_double(raw)
-                    elif name in _TS:
-                        row[name] = _parse_ts(raw)
-                    elif name in _REQUIRED_STR:
-                        # invert the golden escape (every '"' was written
-                        # as '\"' — DelimitedEncoder.swift:135 — so the
-                        # replacement is the exact inverse and makes
-                        # write∘read lossless, unlike Spark's CSV reader
-                        # which only unescapes inside quoted fields)
-                        row[name] = (
-                            raw.replace('\\"', '"')
-                            if raw is not None
-                            else ""
-                        )
-                    else:
-                        row[name] = raw.replace('\\"', '"') if isinstance(
-                            raw, str
-                        ) else raw
-                for name in _HEADER[len(rec):]:  # short row: trailing nulls
-                    row[name] = "" if name in _REQUIRED_STR else None
-                if self._keep(row):
-                    yield tuple(row[n] for n in _HEADER)
+        with io.open(partition.path, encoding="utf-8", newline="") as fh:
+            text = fh.read()
+        records, tail, open_q = _parse_golden(text)
+        if open_q:
+            raise ValueError(
+                f"finport: {partition.path} ends inside an unterminated "
+                "quoted field — truncated or malformed input"
+            )
+        all_recs = [f for f, _ in records] + ([tail] if tail else [])
+        if not all_recs:
+            raise ValueError(
+                f"finport: {partition.path} is empty (missing the "
+                "declared HOLDING header)"
+            )
+        _check_header(all_recs[0], partition.path)
+        for rec in all_recs[1:]:
+            row = _typed_tuple(rec, partition.path)
+            if self._keep(row):
+                yield tuple(row[n] for n in _HEADER)
 
 
 class FinportDataSource(DataSource):
@@ -214,8 +324,8 @@ class FinportDataSource(DataSource):
 def _golden_field(v, delimiter: str = ",") -> str:
     """Pure-Python mirror of ``encoder.format_field`` (DelimitedEncoder
     semantics: escape " as \\" always, quote only when the field contains
-    the delimiter; nil -> empty; doubles shortest-roundtrip; timestamps
-    ISO-Z; booleans true/false)."""
+    the delimiter or a newline; nil -> empty; doubles shortest-roundtrip;
+    timestamps ISO-Z; booleans true/false)."""
     if v is None:
         return ""
     if isinstance(v, bool):
@@ -227,7 +337,7 @@ def _golden_field(v, delimiter: str = ",") -> str:
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     s = str(v).replace('"', '\\"')
-    if delimiter in s:
+    if delimiter in s or "\n" in s or "\r" in s:
         return f'"{s}"'
     return s
 
@@ -240,11 +350,15 @@ class _PartFile(WriterCommitMessage):
 
 class FinportWriter(DataSourceWriter):
     """Per-task: encode rows under the golden rules into a TEMP file;
-    driver commit renames every temp to its final ``part-NNNNN.csv``
-    name and aborts delete temps — torn outputs are never visible
-    (the same two-phase protocol Spark's file sinks use). Each part
-    file carries the declared header line, so the finport READER reads
-    the writer's output directly (full connector roundtrip)."""
+    driver commit renames every temp to its final
+    ``part-NNNNN-<jobUUID>.csv`` name and aborts delete temps — torn
+    outputs are never visible (the same two-phase protocol Spark's file
+    sinks use). The per-job UUID in the final name makes commits
+    collision-free, so ``mode("append")`` layers new part files next to
+    previous writes instead of silently replacing same-named ones.
+    Each part file carries the declared header line, so the finport
+    READER reads the writer's output directly (full connector
+    roundtrip)."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -269,16 +383,18 @@ class FinportWriter(DataSourceWriter):
 
     def commit(self, messages):
         import glob
+        import uuid
 
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.csv")):
                 os.remove(old)
+        job = uuid.uuid4().hex[:12]  # collision-free across commits
         for i, m in enumerate(messages):
             if m is None:
                 continue
             os.replace(
                 m.tmp_path,
-                os.path.join(self.path, f"part-{i:05d}.csv"),
+                os.path.join(self.path, f"part-{i:05d}-{job}.csv"),
             )
 
     def abort(self, messages):
@@ -292,26 +408,46 @@ class FinportWriter(DataSourceWriter):
 
 # ---------------------------------------------------------------------
 # Streaming read path: spark.readStream.format("finport") — a directory
-# tail with exactly-once file-granular offsets
+# tail with exactly-once byte-granular offsets
 # ---------------------------------------------------------------------
+
+
+def _utf8_prefix(data: bytes) -> str:
+    """Decode an append-in-progress file's bytes, dropping at most the
+    last 3 bytes when the producer was cut mid-multibyte-char."""
+    for trim in range(4):
+        end = len(data) - trim
+        if end < 0:
+            return ""
+        try:
+            return data[:end].decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+    raise UnicodeDecodeError(
+        "utf-8", data, 0, len(data), "finport: not a UTF-8 file"
+    )
 
 
 class FinportStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch source over a growing directory of holding CSVs.
 
-    Offset = the sorted list of files already consumed (file-granular,
-    the same unit as Spark's own file stream source). ``read(start)``
-    decodes every not-yet-consumed file with the SAME typed rules as the
-    batch reader and advances the offset; ``readBetweenOffsets`` replays
-    a recorded batch deterministically after restart (exactly-once on
-    top of the checkpoint log: the file set between two offsets never
-    changes, so replay = re-decode those files)."""
+    Offset = ``{"seen": {filename: consumed_bytes}}`` — byte-granular,
+    cut at COMPLETE-RECORD boundaries only (the parser reports where
+    each newline-terminated record ends, so a file an external producer
+    is still appending to is consumed up to its last complete record
+    and the remainder picked up by a later batch; a half-written final
+    line is never consumed, and therefore never replayed differently
+    once the file completes). ``readBetweenOffsets`` re-decodes exactly
+    the recorded byte ranges, so checkpoint replay after restart is
+    deterministic even for files that have since grown (exactly-once on
+    top of the checkpoint log). Files must be append-only while under
+    the watched directory (rewriting consumed bytes in place breaks any
+    file-tailing source's replay contract, including Spark's own)."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("finport: .load(path) directory is required")
-        self._batch_reader = FinportReader(options)
 
     def _files(self):
         return sorted(
@@ -321,32 +457,79 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"seen": {}}
 
-    def _decode(self, names):
-        # a LIST, not a generator: Spark's prefetching cache copies the
-        # returned iterator for checkpoint replay (generators can't be
-        # copied); batch sizes are bounded by the files-per-trigger cut
-        rows: list = []
-        for name in names:
-            rows.extend(
-                self._batch_reader.read(
-                    _FilePartition(os.path.join(self.path, name))
-                )
+    @staticmethod
+    def _seen(offset: dict) -> dict:
+        seen = offset.get("seen", {})
+        if isinstance(seen, list):  # legacy file-granular offset
+            return {name: -1 for name in seen}
+        return {str(k): int(v) for k, v in seen.items()}
+
+    def _decode_range(self, name: str, start: int, end: int):
+        """Decode the byte range [start, end) of one file — both ends
+        are record boundaries recorded by a previous listing, so the
+        slice is valid UTF-8 and parses to whole records. A range
+        starting at 0 must begin with the declared header."""
+        full = os.path.join(self.path, name)
+        with open(full, "rb") as fh:
+            fh.seek(start)
+            data = fh.read(end - start)
+        records, tail, open_q = _parse_golden(data.decode("utf-8"))
+        if tail is not None or open_q:
+            raise ValueError(
+                f"finport: {full}: recorded offset range [{start},{end}) "
+                "no longer ends at a record boundary — consumed bytes "
+                "were rewritten in place (append-only contract)"
             )
-        return rows
+        recs = [f for f, _ in records]
+        if start == 0 and recs:
+            _check_header(recs[0], full)
+            recs = recs[1:]
+        return [
+            tuple(row[n] for n in _HEADER)
+            for row in (_typed_tuple(r, full) for r in recs)
+        ]
 
     def read(self, start: dict):
-        seen = set(start.get("seen", []))
-        fresh = [f for f in self._files() if f not in seen]
-        end = {"seen": sorted(seen | set(fresh))}
-        return iter(self._decode(fresh)), end
+        seen = self._seen(start)
+        end = dict(seen)
+        # a LIST, not a generator: Spark's prefetching cache copies the
+        # returned iterator for checkpoint replay (generators can't be
+        # copied); batch sizes are bounded by what arrived since last tick
+        rows: list = []
+        for name in self._files():
+            prev = seen.get(name, 0)
+            if prev < 0:  # legacy whole-file offset: fully consumed
+                continue
+            full = os.path.join(self.path, name)
+            with open(full, "rb") as fh:
+                data = fh.read()
+            if len(data) <= prev:
+                continue
+            text = _utf8_prefix(data)
+            records, _tail, _q = _parse_golden(text)
+            if not records:
+                continue  # no complete record yet
+            stable = len(text[: records[-1][1]].encode("utf-8"))
+            if stable <= prev:
+                continue
+            rows.extend(self._decode_range(name, prev, stable))
+            end[name] = stable
+        return iter(rows), {"seen": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        fresh = sorted(
-            set(end.get("seen", [])) - set(start.get("seen", []))
-        )
-        return iter(self._decode(fresh))
+        s_seen, e_seen = self._seen(start), self._seen(end)
+        rows: list = []
+        for name in sorted(e_seen):
+            lo, hi = s_seen.get(name, 0), e_seen[name]
+            if hi < 0:  # legacy offset: replay the whole file
+                lo, hi = 0, os.path.getsize(
+                    os.path.join(self.path, name)
+                )
+            if hi > max(lo, 0):
+                rows.extend(self._decode_range(name, max(lo, 0), hi))
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: source files are immutable inputs

@@ -245,8 +245,8 @@ def test_finport_writer_abort_leaves_no_partial_output(spark, tmp_path):
 
 def test_finport_stream_reader_incremental_offsets(tmp_path):
     """Offset semantics without a Spark session: read() consumes only
-    files not in the start offset, offsets are cumulative,
-    readBetweenOffsets replays exactly the recorded file delta (the
+    bytes not covered by the start offset, offsets are cumulative,
+    readBetweenOffsets replays exactly the recorded byte ranges (the
     checkpoint-recovery contract), and an empty tick yields no rows."""
     from finporter_spark.sources.finport_datasource import (
         FinportStreamReader,
@@ -261,7 +261,8 @@ def test_finport_stream_reader_incremental_offsets(tmp_path):
     o0 = rdr.initialOffset()
     rows1, o1 = rdr.read(o0)
     assert [r[1] for r in rows1] == ["S1"]
-    assert o1 == {"seen": ["a.csv"]}
+    assert set(o1["seen"]) == {"a.csv"}
+    assert o1["seen"]["a.csv"] == (d / "a.csv").stat().st_size
 
     # nothing new: empty batch, offset unchanged
     rows2, o2 = rdr.read(o1)
@@ -271,9 +272,141 @@ def test_finport_stream_reader_incremental_offsets(tmp_path):
     (d / "b.csv").write_text(hdr + "a2,S2,L2,2.0,,\na3,S3,L3,3.0,,\n")
     rows3, o3 = rdr.read(o1)
     assert [r[1] for r in rows3] == ["S2", "S3"]
-    assert o3 == {"seen": ["a.csv", "b.csv"]}
+    assert set(o3["seen"]) == {"a.csv", "b.csv"}
 
     # checkpoint replay: exactly the delta between two offsets
     replay = list(rdr.readBetweenOffsets(o1, o3))
     assert [r[1] for r in replay] == ["S2", "S3"]
     assert [r[1] for r in rdr.readBetweenOffsets(o0, o1)] == ["S1"]
+
+
+def test_finport_stream_tails_growing_file(tmp_path):
+    """ADVICE (low): a file an external producer is still appending to
+    must not be half-consumed-then-replayed-differently. The offset is
+    byte-granular and cut at complete-record boundaries: a torn final
+    line is NOT consumed, the bytes that complete it arrive as a later
+    batch, and readBetweenOffsets replays the recorded ranges
+    deterministically even after the file has since grown."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    # producer cut mid-row: the second record has no trailing newline
+    (d / "a.csv").write_text(hdr + "a1,S1,L1,1.0,,\na2,S2,L2,2.")
+    rdr = FinportStreamReader({"path": str(d)})
+
+    rows1, o1 = rdr.read(rdr.initialOffset())
+    assert [r[1] for r in rows1] == ["S1"]  # torn row NOT consumed
+    stable1 = o1["seen"]["a.csv"]
+    assert stable1 == len(hdr + "a1,S1,L1,1.0,,\n")
+
+    # the producer finishes the row and appends another
+    with open(d / "a.csv", "a") as fh:
+        fh.write("5,,\na3,S3,L3,3.0,,\n")
+    rows2, o2 = rdr.read(o1)
+    assert [(r[1], r[3]) for r in rows2] == [("S2", 2.5), ("S3", 3.0)]
+
+    # replay of batch 1 after the file grew: still exactly batch 1
+    assert [r[1] for r in rdr.readBetweenOffsets(rdr.initialOffset(), o1)] \
+        == ["S1"]
+    assert [r[1] for r in rdr.readBetweenOffsets(o1, o2)] == ["S2", "S3"]
+
+
+def test_finport_reader_quote_plus_delimiter_roundtrip(tmp_path):
+    """ADVICE (medium): a field containing BOTH a quote and the
+    delimiter ('a"b,c' → '"a\\"b,c"') must decode losslessly with later
+    columns intact — csv.reader cannot parse this dialect (it shifts
+    every later column); the golden-inverse state machine can. Also:
+    embedded newline in a quoted field, and escaped quotes in unquoted
+    fields."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportReader,
+        _FilePartition,
+        _golden_field,
+    )
+
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    values = [
+        ('a"b,c', 'S"1', "plain", 1.5, None, None),
+        ('x,y', 'q"', 'both",here', 2.0, 3.0, None),
+        ("line1\nline2", "S3", "", None, None, None),
+    ]
+    lines = [
+        ",".join(_golden_field(v) for v in row) + "\n" for row in values
+    ]
+    (tmp_path / "f.csv").write_text(hdr + "".join(lines))
+    rdr = FinportReader({"path": str(tmp_path)})
+    rows = list(rdr.read(_FilePartition(str(tmp_path / "f.csv"))))
+    assert [tuple(r[:3]) for r in rows] == [tuple(v[:3]) for v in values]
+    assert rows[0][3] == 1.5 and rows[1][4] == 3.0
+
+
+def test_finport_reader_raises_on_overwide_row(tmp_path):
+    """ADVICE (medium): a row with MORE fields than the header is
+    malformed input — raise loudly instead of silently dropping or
+    shifting columns."""
+    import pytest as _pytest
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportReader,
+        _FilePartition,
+    )
+
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    (tmp_path / "f.csv").write_text(hdr + "a,b,c,1.0,2.0,,EXTRA\n")
+    rdr = FinportReader({"path": str(tmp_path)})
+    with _pytest.raises(ValueError, match="7 fields"):
+        list(rdr.read(_FilePartition(str(tmp_path / "f.csv"))))
+
+
+def test_finport_writer_append_preserves_previous_parts(spark, tmp_path):
+    """ADVICE (high): mode('append') must layer new part files next to
+    a previous write, never os.replace over identically-named parts —
+    final names carry a per-job UUID, so two sequential writes leave
+    ALL rows visible."""
+    import os
+
+    from pyspark.sql import Row
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+    )
+
+    try:
+        spark.dataSource.register(FinportDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "out")
+
+    schema = (
+        "accountID string, securityID string, lotID string, "
+        "shareCount double, shareBasis double, acquiredAt timestamp"
+    )
+
+    def _df(sec):
+        return spark.createDataFrame(
+            [Row("a1", sec, "L1", 1.0, None, None)], schema
+        ).coalesce(1)
+
+    _df("FIRST").write.format("finport").mode("append").option(
+        "path", out
+    ).save()
+    _df("SECOND").write.format("finport").mode("append").option(
+        "path", out
+    ).save()
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2  # both commits' parts coexist
+    back = spark.read.format("finport").option("path", out).load()
+    assert sorted(r.securityID for r in back.collect()) == [
+        "FIRST",
+        "SECOND",
+    ]
+    # overwrite still clears prior parts
+    _df("THIRD").write.format("finport").mode("overwrite").option(
+        "path", out
+    ).save()
+    back2 = spark.read.format("finport").option("path", out).load()
+    assert [r.securityID for r in back2.collect()] == ["THIRD"]

@@ -365,3 +365,25 @@ def test_profile_columns_single_scan_and_values(spark, sf_dir):
     # count detail headers, not tree lines (each node prints twice)
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert "Expand" in p
+
+
+def test_profile_columns_metachar_names(spark):
+    """ADVICE (low): column names containing spaces, quotes, dots, or
+    backticks must profile correctly — identifiers are backtick-quoted
+    and stack() name literals escaped, so no parse error / wrong
+    literal."""
+    from finporter_spark.operators.prep import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "y", None), (None, "y", 4.0)],
+        ["a b", "it's", "dot.ted",],
+    )
+    out = {
+        r["column_name"]: r
+        for r in profile_columns(df, ["a b", "it's", "dot.ted"]).collect()
+    }
+    assert set(out) == {"a b", "it's", "dot.ted"}
+    assert out["a b"]["n_nonnull"] == 2
+    assert out["it's"]["n_distinct"] == 2
+    assert out["dot.ted"]["min_str"] == "2.0"
+    assert all(r["n_rows"] == 3 for r in out.values())
