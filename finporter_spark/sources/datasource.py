@@ -14,16 +14,14 @@ parsed in Python workers — distributed, no whole-file driver read.
 Rows that fail typed decode yield nulls in the failed fields (the
 PERMISSIVE contract); key-validation/quarantine stays a downstream filter
 (sources.quarantine_split) so this source composes with the same
-pipeline as the CSV path. Arrow-typed columnar exchange would be the
-next optimization (DataSourceReader may yield RecordBatches); rows are
-plenty for drop-folder volumes and keep the decode logic obvious.
+pipeline as the CSV path. Rows are plenty for drop-folder volumes and
+keep the decode logic obvious (the finport source demonstrates the
+Arrow-batch exchange path).
 """
 
 from __future__ import annotations
 
-import csv
 import glob as _glob
-import io
 import os
 from datetime import datetime, timedelta, timezone
 from typing import Iterator
@@ -133,27 +131,43 @@ class AllocDataReader(DataSourceReader):
         return [InputPartition(f) for f in self.files]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # golden-dialect parse (the drop files are produced by the
+        # golden encoder: \" escapes, quote-on-delimiter) — csv.reader's
+        # RFC doubling rules silently shift columns on fields containing
+        # both a quote and the delimiter; _parse_golden is the exact
+        # inverse of the encoder (see finport_datasource)
+        from finporter_spark.sources.finport_datasource import (
+            _parse_golden,
+        )
+
         fields = self.schema.fields
         names = [f.name for f in fields]
         with open(partition.value, "r", newline="") as fh:
-            reader = csv.reader(fh)
-            header = next(reader, None)
-            if header is None:
-                return
-            idx = {n: header.index(n) if n in header else None for n in names}
-            for row in reader:
-                yield tuple(
-                    _coerce(
-                        row[idx[f.name]]
-                        if idx[f.name] is not None and idx[f.name] < len(row)
-                        else None,
-                        f.dataType,
-                        f.nullable,
-                        self.tod,
-                        self.tz,
-                    )
-                    for f in fields
+            text = fh.read()
+        records, tail, open_q = _parse_golden(text)
+        if open_q:
+            raise ValueError(
+                f"allocdata: {partition.value} ends inside an "
+                "unterminated quoted field — truncated or malformed"
+            )
+        recs = [f for f, _ in records] + ([tail] if tail else [])
+        if not recs:
+            return
+        header = recs[0]
+        idx = {n: header.index(n) if n in header else None for n in names}
+        for row in recs[1:]:
+            yield tuple(
+                _coerce(
+                    row[idx[f.name]]
+                    if idx[f.name] is not None and idx[f.name] < len(row)
+                    else None,
+                    f.dataType,
+                    f.nullable,
+                    self.tod,
+                    self.tz,
                 )
+                for f in fields
+            )
 
 
 class AllocDataSource(DataSource):

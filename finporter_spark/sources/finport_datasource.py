@@ -48,8 +48,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
@@ -226,6 +226,78 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _vectorized_frame(text: str, where: str):
+    """Arrow fast path for files with NO quote/escape bytes anywhere
+    (the overwhelmingly common case for machine-written holdings): the
+    golden dialect degenerates to plain comma-split, so pandas' C
+    reader parses it and the typed-decode rules apply as vectorized
+    column ops — same semantics as ``_typed_tuple`` (try-float → null,
+    the exact 3 accepted timestamp shapes via regex prefilter, required
+    strings never null, short rows pad, over-wide rows raise). Returns
+    a pandas DataFrame or None when the file needs the state machine."""
+    import pandas as pd
+
+    if '"' in text or "\\" in text:
+        return None
+    first = text.split("\n", 1)[0].rstrip("\r")
+    _check_header(first.split(","), where)
+    try:
+        # parse with one extra sentinel column: a 7-field row lands in
+        # it (raise), an 8+-field row trips the tokenizer (raise) — an
+        # over-wide row must never be silently dropped or index-inferred
+        pdf = pd.read_csv(
+            io.StringIO(text),
+            dtype=str,
+            names=_HEADER + ["_overwide"],
+            header=None,
+            skiprows=1,
+            index_col=False,
+            keep_default_na=False,
+            skip_blank_lines=True,
+        )
+        bad = pdf["_overwide"].notna() & (pdf["_overwide"] != "")
+        if bad.any():
+            raise ValueError(
+                f"finport: {where}: row wider than the declared "
+                f"{len(_HEADER)}-column HOLDING header — malformed input"
+            )
+        pdf = pdf.drop(columns="_overwide")
+    except pd.errors.ParserError as exc:
+        # the C tokenizer reports over-wide rows ("saw N fields") —
+        # surface it under the same loud contract as the state machine
+        raise ValueError(
+            f"finport: {where}: row wider than the declared "
+            f"{len(_HEADER)}-column HOLDING header — malformed input "
+            f"({exc})"
+        ) from None
+    out = {}
+    for name in _HEADER:
+        # keep_default_na=False keeps empty fields as ''; only rows
+        # SHORTER than the header yield real NaN (pad like _typed_tuple)
+        col = pdf[name]
+        filled = col.where(col.notna(), "")
+        if name in _DOUBLE:
+            out[name] = pd.to_numeric(
+                filled.str.strip().replace("", None), errors="coerce"
+            ).astype("float64")
+        elif name in _TS:
+            # the exact _parse_ts precedence, each format vectorized
+            s = filled.str.strip()
+            r = pd.to_datetime(
+                s, format="%Y-%m-%dT%H:%M:%SZ", errors="coerce"
+            )
+            for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+                r = r.fillna(
+                    pd.to_datetime(s, format=fmt, errors="coerce")
+                )
+            out[name] = r
+        elif name in _REQUIRED_STR:
+            out[name] = filled
+        else:
+            out[name] = col.where(col.notna(), None)
+    return pd.DataFrame(out)
+
+
 class FinportReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -268,26 +340,90 @@ class FinportReader(DataSourceReader):
                     return False
         return True
 
-    def read(self, partition):
-        with io.open(partition.path, encoding="utf-8", newline="") as fh:
-            text = fh.read()
+    def _mask(self, pdf):
+        """Vectorized form of ``_keep`` over the fast-path frame."""
+        mask = None
+        for f in self._pushed:
+            col = pdf[f.attribute[0]]
+            if isinstance(f, EqualTo):
+                m = col == f.value
+            elif isinstance(f, In):
+                m = col.isin(list(f.value))
+            else:  # IsNotNull
+                m = col.notna()
+            mask = m if mask is None else (mask & m)
+        return mask
+
+    def _slow_frame(self, text: str, where: str):
+        """State-machine path (quotes/escapes present): parse records,
+        typed-decode row-wise, return a pandas frame of kept rows."""
+        import pandas as pd
+
         records, tail, open_q = _parse_golden(text)
         if open_q:
             raise ValueError(
-                f"finport: {partition.path} ends inside an unterminated "
+                f"finport: {where} ends inside an unterminated "
                 "quoted field — truncated or malformed input"
             )
         all_recs = [f for f, _ in records] + ([tail] if tail else [])
         if not all_recs:
             raise ValueError(
-                f"finport: {partition.path} is empty (missing the "
+                f"finport: {where} is empty (missing the "
                 "declared HOLDING header)"
             )
-        _check_header(all_recs[0], partition.path)
-        for rec in all_recs[1:]:
-            row = _typed_tuple(rec, partition.path)
-            if self._keep(row):
-                yield tuple(row[n] for n in _HEADER)
+        _check_header(all_recs[0], where)
+        rows = [
+            row
+            for row in (
+                _typed_tuple(rec, where) for rec in all_recs[1:]
+            )
+            if self._keep(row)
+        ]
+        pdf = pd.DataFrame(
+            {n: [r[n] for r in rows] for n in _HEADER}
+            if rows
+            else {n: [] for n in _HEADER}
+        )
+        for n in _TS:
+            pdf[n] = pd.to_datetime(pdf[n], errors="coerce")
+        for n in _DOUBLE:
+            pdf[n] = pdf[n].astype("float64")
+        return pdf
+
+    def read(self, partition):
+        """Yields one Arrow RecordBatch per file — columnar transfer
+        across the Python→JVM boundary instead of per-row pickling;
+        quote-free files additionally decode via vectorized pandas ops
+        (``_vectorized_frame``) rather than the per-char state machine."""
+        import pyarrow as pa
+
+        with io.open(partition.path, encoding="utf-8", newline="") as fh:
+            text = fh.read()
+        pdf = _vectorized_frame(text, partition.path)
+        if pdf is not None:
+            mask = self._mask(pdf)
+            if mask is not None:
+                pdf = pdf[mask]
+        else:
+            pdf = self._slow_frame(text, partition.path)
+        schema = pa.schema(
+            [
+                pa.field(
+                    n,
+                    pa.float64()
+                    if n in _DOUBLE
+                    else pa.timestamp("us")
+                    if n in _TS
+                    else pa.string(),
+                )
+                for n in _HEADER
+            ]
+        )
+        for n in _TS:
+            pdf[n] = pdf[n].astype("datetime64[us]")
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=schema, preserve_index=False
+        )
 
 
 class FinportDataSource(DataSource):
@@ -348,17 +484,59 @@ class _PartFile(WriterCommitMessage):
     rows: int
 
 
-class FinportWriter(DataSourceWriter):
-    """Per-task: encode rows under the golden rules into a TEMP file;
-    driver commit renames every temp to its final
-    ``part-NNNNN-<jobUUID>.csv`` name and aborts delete temps — torn
-    outputs are never visible (the same two-phase protocol Spark's file
-    sinks use). The per-job UUID in the final name makes commits
-    collision-free, so ``mode("append")`` layers new part files next to
-    previous writes instead of silently replacing same-named ones.
-    Each part file carries the declared header line, so the finport
-    READER reads the writer's output directly (full connector
-    roundtrip)."""
+def _golden_encode_column(arr, delimiter: str = ","):
+    """Vectorized ``_golden_field`` over one Arrow column → pandas
+    Series of encoded strings (same bytes as the scalar function)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    t = arr.type
+    if pt.is_floating(t):
+        # repr() is the shortest-roundtrip contract; no vectorized
+        # equivalent matches CPython repr exactly, so map the column
+        return pd.Series(
+            ["" if v is None else repr(v) for v in arr.to_pylist()]
+        )
+    if pt.is_boolean(t):
+        s = arr.to_pandas()
+        return pd.Series(
+            np.where(s.isna(), "", np.where(s.astype(bool), "true", "false"))
+        )
+    if pt.is_integer(t):
+        s = arr.to_pandas()
+        out = s.astype("Int64").astype(str)
+        return out.where(s.notna(), "").reset_index(drop=True)
+    if pt.is_timestamp(t):
+        s = arr.cast(pa.timestamp("us")).to_pandas()
+        if getattr(s.dt, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return s.dt.strftime("%Y-%m-%dT%H:%M:%SZ").where(s.notna(), "")
+    # strings and anything else rendered as string
+    s = arr.cast(pa.string()).to_pandas().astype(object)
+    filled = s.where(s.notna(), "")
+    esc = filled.str.replace('"', '\\"', regex=False)
+    need = (
+        esc.str.contains(delimiter, regex=False)
+        | esc.str.contains("\n", regex=False)
+        | esc.str.contains("\r", regex=False)
+    )
+    return pd.Series(np.where(need, '"' + esc + '"', esc))
+
+
+class FinportWriter(DataSourceArrowWriter):
+    """Per-task: encode Arrow batches under the golden rules into a
+    TEMP file (columnar: each column encodes as one vectorized pass,
+    byte-identical to the scalar ``_golden_field``); driver commit
+    renames every temp to its final ``part-NNNNN-<jobUUID>.csv`` name
+    and aborts delete temps — torn outputs are never visible (the same
+    two-phase protocol Spark's file sinks use). The per-job UUID in the
+    final name makes commits collision-free, so ``mode("append")``
+    layers new part files next to previous writes instead of silently
+    replacing same-named ones. Each part file carries the declared
+    header line, so the finport READER reads the writer's output
+    directly (full connector roundtrip)."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -374,11 +552,18 @@ class FinportWriter(DataSourceWriter):
         n = 0
         with io.open(tmp, "w", encoding="utf-8", newline="") as fh:
             fh.write(",".join(_HEADER) + "\n")
-            for row in iterator:
-                fh.write(
-                    ",".join(_golden_field(v) for v in row) + "\n"
-                )
-                n += 1
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                cols = [
+                    _golden_encode_column(batch.column(i))
+                    for i in range(batch.num_columns)
+                ]
+                lines = cols[0]
+                for c in cols[1:]:
+                    lines = lines + "," + c
+                fh.write("\n".join(lines) + "\n")
+                n += batch.num_rows
         return _PartFile(tmp_path=tmp, rows=n)
 
     def commit(self, messages):

@@ -8,6 +8,14 @@ from pyspark.sql import functions as F
 
 from finporter_spark.sources.datasource import AllocDataSource
 
+def _drain(rdr, part):
+    """Consume FinportReader.read (Arrow RecordBatches) into row tuples."""
+    rows = []
+    for batch in rdr.read(part):
+        rows += [tuple(d.values()) for d in batch.to_pylist()]
+    return rows
+
+
 HOLDINGS = (
     "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
     "acc1,VTI,,10.25,175.5,2021-03-01T00:00:00Z\n"
@@ -128,7 +136,7 @@ def test_finport_reader_pushdown_and_contract(tmp_path):
     assert [type(f).__name__ for f in unsupported] == ["GreaterThan"]
     parts = rdr.partitions()
     assert len(parts) == 1
-    rows = list(rdr.read(parts[0]))
+    rows = _drain(rdr, parts[0])
     # acct-1 ∩ {S1,S3} ∩ lotID not null -> S1 (full) and S3 (padded '')
     assert [r[1] for r in rows] == ["S1", "S3"]
     s3 = rows[1]
@@ -339,7 +347,7 @@ def test_finport_reader_quote_plus_delimiter_roundtrip(tmp_path):
     ]
     (tmp_path / "f.csv").write_text(hdr + "".join(lines))
     rdr = FinportReader({"path": str(tmp_path)})
-    rows = list(rdr.read(_FilePartition(str(tmp_path / "f.csv"))))
+    rows = _drain(rdr, _FilePartition(str(tmp_path / "f.csv")))
     assert [tuple(r[:3]) for r in rows] == [tuple(v[:3]) for v in values]
     assert rows[0][3] == 1.5 and rows[1][4] == 3.0
 
@@ -358,8 +366,8 @@ def test_finport_reader_raises_on_overwide_row(tmp_path):
     hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
     (tmp_path / "f.csv").write_text(hdr + "a,b,c,1.0,2.0,,EXTRA\n")
     rdr = FinportReader({"path": str(tmp_path)})
-    with _pytest.raises(ValueError, match="7 fields"):
-        list(rdr.read(_FilePartition(str(tmp_path / "f.csv"))))
+    with _pytest.raises(ValueError, match="malformed"):
+        _drain(rdr, _FilePartition(str(tmp_path / "f.csv")))
 
 
 def test_finport_writer_append_preserves_previous_parts(spark, tmp_path):
