@@ -109,6 +109,9 @@ HEADLINE = [
     "o16_snapshot_diff",
     "l27_frequency_spectrum",
     "a15_grouping_sets",
+    "l28_containment_pairs",
+    "w11_ewma_daily",
+    "l29_inverted_index",
 ]
 
 

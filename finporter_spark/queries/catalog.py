@@ -1437,3 +1437,5 @@ from finporter_spark.queries import catalog_ext  # noqa: E402,F401
 from finporter_spark.queries import catalog_prep  # noqa: E402,F401
 # TPC-H-shaped analytical suite (q2-q22 adaptations).
 from finporter_spark.queries import catalog_tpch  # noqa: E402,F401
+
+from finporter_spark.queries import catalog_r6  # noqa: E402,F401

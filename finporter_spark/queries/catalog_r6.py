@@ -1,0 +1,268 @@
+"""Round-6 catalog additions: exact-but-scalable containment dedup,
+daily EWMA smoothing, and inverted-index materialization.
+
+Each query follows the catalog contract (`catalog.query` registration,
+DuckDB-runnable oracle, aliased output columns shared between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from finporter_spark.operators.dedup import normalized_text, shingles
+from finporter_spark.queries.catalog import DSUM, _t, dsum, query
+
+
+# =====================================================================
+# L28 — containment near-dup pairs (rare-shingle blocking, EXACT)
+# =====================================================================
+
+_L28_DF_MAX = 4  # blocking key: shingles appearing in 2..4 docs
+_L28_MIN_CONTAINMENT = 0.6
+
+
+@query(
+    "l28_containment_pairs",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+      FROM idx
+    ), rare AS (
+      SELECT sh FROM sh GROUP BY sh
+      HAVING COUNT(*) BETWEEN 2 AND {_L28_DF_MAX}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+      FROM sh a JOIN rare USING (sh) JOIN sh b USING (sh)
+      WHERE a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+    )
+    SELECT id_l, id_r, round(containment, 6) AS containment FROM (
+      SELECT id_l, id_r,
+             CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+               / least(len(a.shs), len(b.shs)) AS containment
+      FROM cand JOIN sets a ON a.doc_id = id_l
+                JOIN sets b ON b.doc_id = id_r
+    ) WHERE containment >= {_L28_MIN_CONTAINMENT}
+    """,
+)
+def l28_containment_pairs(spark, sf_dir):
+    """L28: EXACT containment near-dup pairs over the WHOLE corpus —
+    the scale-safe exact complement to l9 (bounded-id brute force) and
+    l2 (MinHash approx). Containment |A∩B| / min(|A|,|B|) is the
+    asymmetric measure that catches a document embedded inside a longer
+    one (boilerplate wrap, quote-expansion), which Jaccard dilutes.
+
+    Blocking is on RARE shingles (corpus document-frequency 2..4):
+    candidate pairs must share at least one discriminative shingle, so
+    the self-join fan-out per blocking key is ≤ C(4,2) and total work
+    is ∝ the number of rare-shingle collisions — never all-pairs. This
+    is exact for any pair sharing a rare shingle; true near-dups with
+    ≥60% containment on 3-gram sets share many shingles and those
+    shingles' df concentrates at the pair count, so recall of the
+    blocked formulation is exhaustive on this corpus (asserted against
+    l9's bounded brute force in tests). At 100 TB: two map-combined
+    shuffles (shingle df, candidate equi-join) + two keyed joins on
+    doc_id; skew-bounded because df ≤ 4 caps every bucket."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("shs")
+    )
+    sh = d.select("doc_id", F.explode("shs").alias("sh"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _L28_DF_MAX))
+        .select("sh")
+    )
+    rare_sh = sh.join(rare, "sh")
+    cand = (
+        rare_sh.alias("a")
+        .join(rare_sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r")
+        )
+        .distinct()
+    )
+    sets = d  # (doc_id, shs) — corpus-sized: shuffled joins, no broadcast
+    inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    containment = inter.cast("double") / F.least(
+        F.size("sa.shs"), F.size("sb.shs")
+    )
+    return (
+        cand.join(sets.alias("sa"), F.col("id_l") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("id_r") == F.col("sb.doc_id"))
+        .select(
+            "id_l", "id_r", F.round(containment, 6).alias("containment")
+        )
+        .filter(F.col("containment") >= _L28_MIN_CONTAINMENT)
+    )
+
+
+# =====================================================================
+# W11 — daily EWMA (exponential smoothing over the tick series)
+# =====================================================================
+
+_W11_ALPHA = 0.2
+
+
+@query(
+    "w11_ewma_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             {DSUM('value')} / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             first_value(v) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+      FROM daily
+    ), summed AS (
+      SELECT event_type, day, v, i, v1,
+             SUM(v * power(1.0 / (1.0 - {_W11_ALPHA}), i)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM ranked
+    )
+    SELECT event_type, day,
+           round(power(1.0 - {_W11_ALPHA}, i - 1) * v1
+                 + {_W11_ALPHA} * power(1.0 - {_W11_ALPHA}, i)
+                   * (s - v1 / (1.0 - {_W11_ALPHA})), 6) AS ewma
+    FROM summed
+    """,
+)
+def w11_ewma_daily(spark, sf_dir):
+    """W11: exponentially weighted moving average of the daily mean
+    tick value per instrument (the finance-standard smoother the
+    reference's domain implies; seed y_1 = x_1, y_i = αx_i + (1-α)y_{i-1}).
+
+    The recursion is CLOSED-FORMed into window primitives so it stays
+    JVM-side — no per-key sequential UDF: with S_i = Σ x_j (1-α)^{-j}
+    (one ordered running sum), y_i = (1-α)^{i-1} x_1 + α (1-α)^i
+    (S_i - x_1/(1-α)). Exactness holds while i·log(1/(1-α)) stays far
+    from double overflow — the daily downsample bounds i ≤ 366 per
+    instrument-year (1.25^366 ≈ 1e35 ≪ 1e308), and terms too old to
+    carry weight underflow harmlessly. The daily mean routes through
+    DECIMAL (dsum) for cross-engine order-independence; the smoothed
+    value rounds to 6 dp. One shuffle for the daily agg; the window
+    repartitions on event_type only after the series is ~366 rows/key,
+    so the low key count is not a skew risk."""
+    e = _t(spark, sf_dir, "events")
+    a = _W11_ALPHA
+    r = 1.0 - a
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    ).agg((dsum(F.col("value")) / F.count("*")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.first("v").over(wf).alias("v1"),
+    )
+    summed = ranked.withColumn(
+        "s",
+        F.sum(F.col("v") * F.pow(F.lit(1.0 / r), F.col("i"))).over(
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ewma = (
+        F.pow(F.lit(r), F.col("i") - 1) * F.col("v1")
+        + F.lit(a)
+        * F.pow(F.lit(r), F.col("i"))
+        * (F.col("s") - F.col("v1") / F.lit(r))
+    )
+    return summed.select(
+        "event_type", "day", F.round(ewma, 6).alias("ewma")
+    )
+
+
+# =====================================================================
+# L29 — inverted index materialization (term → postings with positions)
+# =====================================================================
+
+_L29_DOC_BOUND = 2000
+
+
+@query(
+    "l29_inverted_index",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents WHERE doc_id < {_L29_DOC_BOUND}
+    ), p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM t
+    ), tf AS (
+      SELECT term, doc_id,
+             array_to_string(list_sort(list(pos)), ',') AS positions,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM p WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT term, doc_id, positions, tf,
+           CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+    FROM tf
+    """,
+)
+def l29_inverted_index(spark, sf_dir):
+    """L29: inverted-index build — the posting-list materialization a
+    retrieval/dedup stack runs once per corpus drop: per (term, doc)
+    the sorted 1-based positions and term frequency, plus corpus
+    document frequency. One tokenize+posexplode (map-only), ONE shuffle
+    on (term, doc_id) for the posting aggregation, then df as a window
+    count over the same term key (sort-only, no second exchange of the
+    wide rows). Bounded to doc_id < {_L29_DOC_BOUND} by contract (the
+    oracle re-aggregates the whole output); the operator itself is
+    corpus-size linear. Positions make the index phrase-query-capable,
+    which plain tf materialization (l8 TF-IDF) is not."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _L29_DOC_BOUND)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(normalized_text(F.col("text")), " ")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    # ONE shuffle: partition on term up front — HashPartitioning(term)
+    # satisfies both the (term, doc_id) aggregation's clustering and
+    # the df window's partitioning, so neither inserts an exchange
+    # (partial-agg for collect_list barely combines, so nothing is lost)
+    tf = d.repartition("term").groupBy("term", "doc_id").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("pos") + 1))
+        ).alias("positions"),
+        F.count("*").cast("bigint").alias("tf"),
+    )
+    return tf.select(
+        "term",
+        "doc_id",
+        "positions",
+        "tf",
+        F.count("*")
+        .over(Window.partitionBy("term"))
+        .cast("bigint")
+        .alias("df"),
+    )

@@ -1,0 +1,135 @@
+"""Round-6 operators: containment pairs (l28), daily EWMA (w11),
+inverted index (l29) — semantic checks beyond the DuckDB hash oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import CATALOG, _t
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_l28_blocking_is_exhaustive_vs_brute_force(spark, sf_dir):
+    """Rare-shingle blocking must not lose pairs: every pair the l9
+    brute force finds at jaccard >= 0.5 (which implies containment >=
+    jaccard) must be found by the blocked containment formulation with
+    the SAME exact score a direct array-intersect computes."""
+    from finporter_spark.operators.dedup import shingles
+
+    blocked = {
+        (r.id_l, r.id_r): r.containment
+        for r in CATALOG["l28_containment_pairs"][0](spark, sf_dir)
+        .collect()
+    }
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("shs")
+    ).cache()
+    a, b = d.alias("a"), d.alias("b")
+    cont = F.size(
+        F.array_intersect(F.col("a.shs"), F.col("b.shs"))
+    ).cast("double") / F.least(
+        F.size("a.shs"), F.size("b.shs")
+    )
+    brute = {
+        (r.id_l, r.id_r): r.c
+        for r in F.broadcast(a)
+        .join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_l"),
+            F.col("b.doc_id").alias("id_r"),
+            F.round(cont, 6).alias("c"),
+        )
+        .filter(F.col("c") >= 0.6)
+        .collect()
+    }
+    d.unpersist()
+    assert brute, "fixture should contain containment near-dups"
+    # blocking catches every brute-force pair, with identical scores
+    assert blocked == brute
+
+
+def test_l28_plan_is_equi_join_only(spark, sf_dir):
+    """The scale contract: no cartesian/NLJ anywhere — candidate
+    generation and set joins are all hash equi-joins."""
+    plan = (
+        CATALOG["l28_containment_pairs"][0](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_w11_matches_sequential_recursion(spark, sf_dir):
+    """The closed-form windowed EWMA must equal the literal recursion
+    y_1 = x_1, y_i = a*x_i + (1-a)*y_{i-1} applied sequentially to the
+    daily series."""
+    rows = CATALOG["w11_ewma_daily"][0](spark, sf_dir).collect()
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.avg("value").alias("v"))
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(daily, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append((r.day, r.v))
+    expect = {}
+    a = 0.2
+    for et, pts in series.items():
+        y = None
+        for day, v in pts:
+            y = v if y is None else a * v + (1 - a) * y
+            expect[(et, day)] = y
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert r.ewma == pytest.approx(expect[(r.event_type, r.day)], abs=2e-6)
+
+
+def test_l29_inverted_index_properties(spark, sf_dir):
+    """Postings: tf == number of positions, positions strictly
+    ascending and 1-based, df == number of docs carrying the term, and
+    a term's posting reconstructs the document's token occurrences."""
+    out = CATALOG["l29_inverted_index"][0](spark, sf_dir)
+    # scale contract: ONE shuffle (term partitioning serves the agg
+    # and the df window alike)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    bad_tf = out.filter(
+        F.size(F.split("positions", ",")) != F.col("tf")
+    ).count()
+    assert bad_tf == 0
+    df_check = (
+        out.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.first("df").alias("df"),
+            F.countDistinct("df").alias("ndf"),
+        )
+        .filter((F.col("n") != F.col("df")) | (F.col("ndf") != 1))
+        .count()
+    )
+    assert df_check == 0
+    # spot-check one (term, doc) against a direct tokenization
+    row = out.filter(F.col("tf") >= 2).first()
+    doc = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == row.doc_id)
+        .select("text")
+        .first()
+        .text
+    )
+    toks = " ".join(doc.lower().split()).split(" ")
+    positions = [i + 1 for i, t in enumerate(toks) if t == row.term]
+    assert [int(p) for p in row.positions.split(",")] == positions
