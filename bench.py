@@ -112,6 +112,9 @@ HEADLINE = [
     "l28_containment_pairs",
     "w11_ewma_daily",
     "l29_inverted_index",
+    "j8_interval_join",
+    "w12_rolling_zscore",
+    "u7_iterator_model_score",
 ]
 
 

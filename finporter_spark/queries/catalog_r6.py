@@ -1,11 +1,17 @@
 """Round-6 catalog additions: exact-but-scalable containment dedup,
-daily EWMA smoothing, and inverted-index materialization.
+daily EWMA smoothing, inverted-index materialization, grid-binned
+interval-overlap join, rolling z-score anomaly flags, and the iterator
+Pandas UDF model-scoring surface.
 
 Each query follows the catalog contract (`catalog.query` registration,
 DuckDB-runnable oracle, aliased output columns shared between engines).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Window, functions as F
 
@@ -265,4 +271,221 @@ def l29_inverted_index(spark, sf_dir):
         .over(Window.partitionBy("term"))
         .cast("bigint")
         .alias("df"),
+    )
+
+
+# =====================================================================
+# J8 — interval-overlap join (grid-binned, no nested loop)
+# =====================================================================
+
+
+@query(
+    "j8_interval_join",
+    """
+    WITH L AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS t0,
+             CAST(l_shipdate AS DATE)
+               + INTERVAL (CAST(l_quantity AS INT) % 7 + 1) DAY AS t1
+      FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+    ), R AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS t0,
+             CAST(o_orderdate AS DATE) + INTERVAL 2 DAY AS t1
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-02-15' AND DATE '1995-04-15'
+    )
+    SELECT L.l_orderkey, L.l_linenumber, R.o_orderkey,
+           CAST(date_diff('day', greatest(L.t0, R.t0),
+                          least(L.t1, R.t1)) + 1 AS BIGINT) AS overlap_days
+    FROM L JOIN R ON L.t0 <= R.t1 AND R.t0 <= L.t1
+    """,
+)
+def j8_interval_join(spark, sf_dir):
+    """J8: interval-OVERLAP join between two interval sets with no
+    shared key (ship-windows x fulfillment-windows) — the remaining
+    join shape after j5 (scalar inequality banding) and j6 (as-of):
+    both sides are [t0, t1] ranges and the predicate is mutual overlap.
+
+    Naively this is a nested loop (Catalyst: BNLJ) — quadratic at two
+    large sides. The grid decomposition makes it an EQUI-join: every
+    interval replicates to the fixed-width time-grid cells it spans
+    (`sequence()` + explode, fan-out = interval length / cell width,
+    bounded here by 8d/4d <= 3 cells), candidates pair up per shared
+    cell via a hash join, the exact overlap predicate filters
+    residually, and each true pair is kept exactly once — in the FIRST
+    cell both intervals occupy (cell == max(first_l, first_r)), the
+    standard dedup that avoids a distinct over the pair blowup. Work
+    scales with overlaps + replication, never |L|x|R|; plan-asserted
+    NLJ-free. Spark's own range-join hints don't exist in OSS 4.x, so
+    this composition is THE way to run overlap joins at 100 TB."""
+    cell = 4  # days per grid cell — ~interval length keeps fan-out ~2
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between("1995-03-01", "1995-03-31 23:59:59")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("t0"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (F.col("l_quantity").cast("int") % 7 + 1),
+            ).alias("t1"),
+        )
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                "1995-02-15", "1995-04-15 23:59:59"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("t0"),
+            F.date_add(F.col("o_orderdate").cast("date"), 2).alias("t1"),
+        )
+    )
+
+    def gridded(df):
+        lo = F.floor(F.unix_date(F.col("t0")) / cell).cast("long")
+        hi = F.floor(F.unix_date(F.col("t1")) / cell).cast("long")
+        return df.withColumn("_lo", lo).withColumn(
+            "cell", F.explode(F.sequence(lo, hi))
+        )
+
+    a, b = gridded(li).alias("a"), gridded(orders).alias("b")
+    overlap = (F.col("a.t0") <= F.col("b.t1")) & (
+        F.col("b.t0") <= F.col("a.t1")
+    )
+    first_shared = F.col("cell") == F.greatest(
+        F.col("a._lo"), F.col("b._lo")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(overlap & first_shared)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderkey",
+            (
+                F.datediff(
+                    F.least(F.col("a.t1"), F.col("b.t1")),
+                    F.greatest(F.col("a.t0"), F.col("b.t0")),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
+
+
+# =====================================================================
+# W12 — rolling z-score anomaly flags
+# =====================================================================
+
+
+@query(
+    "w12_rolling_zscore",
+    """
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, value, round((value - mu) / sd, 6) AS z
+    FROM r
+    WHERE n >= 12 AND sd > 0 AND abs((value - mu) / sd) > 3
+    """,
+)
+def w12_rolling_zscore(spark, sf_dir):
+    """W12: rolling z-score anomaly detection — each tick scored
+    against the trailing 20 ticks of ITS OWN instrument (the window
+    excludes the current row, so an outlier can't mask itself), flagged
+    when it sits more than 3 sample standard deviations out. One
+    window shuffle on event_type; the trailing frame is a ROWS frame
+    with a deterministic (ts, event_id) order, so results are exact and
+    reproducible. The warm-up guard (n >= 12) suppresses flags before
+    the baseline has support — the shape every streaming-monitoring
+    stack reimplements, here as one declarative window."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    r = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        r.filter(
+            (F.col("n") >= 12) & (F.col("sd") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            "event_type", "event_id", "value", F.round(z, 6).alias("z")
+        )
+    )
+
+
+# =====================================================================
+# U7 — iterator Pandas UDF (amortized per-partition model init)
+# =====================================================================
+
+
+@query(
+    "u7_iterator_model_score",
+    """
+    WITH w AS (
+      SELECT list_transform(generate_series(1, 64), j -> sin(CAST(j AS DOUBLE)))
+               AS wts
+    )
+    SELECT vec_id,
+           round(1.0 / (1.0 + exp(-list_dot_product(
+                   CAST(embedding AS DOUBLE[]), w.wts))), 6) AS score
+    FROM embeddings, w
+    """,
+)
+def u7_iterator_model_score(spark, sf_dir):
+    """U7: the ITERATOR Pandas UDF (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`, SCALAR_ITER eval) — the API shape for model
+    scoring at scale: the "model" (here a deterministic sin-derived
+    weight vector standing in for a real checkpoint load) is
+    constructed ONCE per worker task, then reused across every Arrow
+    batch the task feeds it, amortizing init over the partition instead
+    of paying it per batch (what a plain scalar pandas_udf would do).
+    Inference itself is a vectorized numpy matmul over the stacked
+    batch. This is the 100 TB embedding-scoring pattern: map-only, no
+    shuffle, init cost ∝ tasks not rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # expensive init, ONCE per task (model load stand-in)
+        w = np.sin(np.arange(1, 65, dtype="float64"))
+        for s in batches:
+            m = np.stack(s.to_numpy())  # (batch, 64) float64
+            yield pd.Series(1.0 / (1.0 + np.exp(-(m @ w))))
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    return e.select(
+        "vec_id", F.round(score(F.col("emb")), 6).alias("score")
     )

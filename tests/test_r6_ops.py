@@ -133,3 +133,75 @@ def test_l29_inverted_index_properties(spark, sf_dir):
     toks = " ".join(doc.lower().split()).split(" ")
     positions = [i + 1 for i, t in enumerate(toks) if t == row.term]
     assert [int(p) for p in row.positions.split(",")] == positions
+
+
+def test_j8_matches_naive_overlap_and_no_nlj(spark, sf_dir):
+    """Grid-binned overlap join == the naive theta-join row set, and
+    the plan contains NO nested loop / cartesian."""
+    sf = "/root/testdata/sf0.01"
+    out = CATALOG["j8_interval_join"][0](spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            F.col("l_shipdate").between("1995-03-01", "1995-03-31 23:59:59")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("lt0"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (F.col("l_quantity").cast("int") % 7 + 1),
+            ).alias("lt1"),
+        )
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(
+            F.col("o_orderdate").between("1995-02-15", "1995-04-15 23:59:59")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("ot0"),
+            F.date_add(F.col("o_orderdate").cast("date"), 2).alias("ot1"),
+        )
+    )
+    naive = li.join(
+        o,
+        (F.col("lt0") <= F.col("ot1")) & (F.col("ot0") <= F.col("lt1")),
+    ).select("l_orderkey", "l_linenumber", "o_orderkey")
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        (r.l_orderkey, r.l_linenumber, r.o_orderkey) for r in out.collect()
+    )
+
+
+def test_u7_iterator_udf_is_map_only_scalar_iter(spark):
+    """The scoring plan must be ArrowEvalPython (SCALAR_ITER) with no
+    shuffle — pure map-side inference."""
+    out = CATALOG["u7_iterator_model_score"][0](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    # deterministic scoring parity with a driver-side recompute
+    import math
+
+    import numpy as np
+
+    w = np.sin(np.arange(1, 65, dtype="float64"))
+    rows = (
+        _t(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    expect = {
+        r.vec_id: 1.0 / (1.0 + math.exp(-float(np.dot(np.array(r.e), w))))
+        for r in rows
+    }
+    for r in out.collect():
+        assert r.score == pytest.approx(expect[r.vec_id], abs=2e-6)
