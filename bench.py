@@ -115,6 +115,8 @@ HEADLINE = [
     "j8_interval_join",
     "w12_rolling_zscore",
     "u7_iterator_model_score",
+    "s14_dynamic_partition_overwrite",
+    "m12_scene_cut",
 ]
 
 
@@ -169,6 +171,8 @@ def main() -> None:
         "x11_stream_budget_gate",
         "m11_image_dhash_dedup",
         "s12_python_datasource",
+        "s14_dynamic_partition_overwrite",
+        "m12_scene_cut",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -489,3 +489,109 @@ def u7_iterator_model_score(spark, sf_dir):
     return e.select(
         "vec_id", F.round(score(F.col("emb")), 6).alias("score")
     )
+
+
+# =====================================================================
+# S14 — dynamic partition overwrite (idempotent daily re-load)
+# =====================================================================
+
+
+@query(
+    "s14_dynamic_partition_overwrite",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN strftime(CAST(ts AS DATE), '%Y-%m-%d') = '2024-01-15'
+                THEN round(value * 1.1, 6) ELSE round(value, 6) END AS value_out,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+    FROM events
+    """,
+)
+def s14_dynamic_partition_overwrite(spark, sf_dir):
+    """S14: `partitionOverwriteMode=dynamic` — the idempotent daily
+    re-load pattern: a date-partitioned table gets ONE day's partition
+    replaced by a corrected recompute (here: 2024-01-15 values restated
+    x1.1) while every other partition's files are untouched. Static
+    overwrite would truncate the whole table; dynamic overwrite scopes
+    the commit to the partitions present in the incoming DataFrame —
+    the only safe way to re-run a day's batch on a 100 TB partitioned
+    store. The corrected day is recomputed FROM SOURCE (not from the
+    sink), so repeated runs converge (idempotence proven by the
+    fingerprint-staged initial load + re-execution in the test). Read
+    back through the partitioned reader; partition pruning on the
+    overwritten day is preserved (day stays a partition column)."""
+    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    )
+
+    def _initial(p):
+        e.write.mode("overwrite").partitionBy("day").parquet(p)
+
+    path = _stage_once(sf_dir, "s14", _initial, "events")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    corrected = e.filter(F.col("day") == "2024-01-15").withColumn(
+        "value", F.col("value") * 1.1
+    )
+    corrected.write.mode("overwrite").partitionBy("day").parquet(path)
+    out = spark.read.parquet(path)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value_out"),
+        F.col("day").cast("string").alias("day"),
+    )
+
+
+# =====================================================================
+# M12 — scene-cut detection over demuxed video frames
+# =====================================================================
+
+
+@query(
+    "m12_scene_cut",
+    """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, doc_id % 4 + 1)) AS frame_idx
+      FROM documents
+    ), m AS (
+      SELECT doc_id, frame_idx,
+             ((doc_id * 3 + frame_idx * 5) % 128) * 2 AS fmean
+      FROM f
+    ), d AS (
+      SELECT doc_id, frame_idx,
+             fmean - lag(fmean) OVER (PARTITION BY doc_id
+                                      ORDER BY frame_idx) AS delta
+      FROM m
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(delta AS BIGINT) AS delta
+    FROM d WHERE abs(delta) > 100
+    """,
+)
+def m12_scene_cut(spark, sf_dir):
+    """M12: scene-cut detection — consecutive-frame luminance jumps
+    over REAL MP4 demux+decode (composes m8's pipeline: ISO BMFF box
+    walk, JPEG Huffman decode, per-frame mean via Arrow-batched
+    mapInPandas), then a lag window per video flags frames whose mean
+    moved by more than the cut threshold. The decode stays map-only
+    Python; the temporal differencing is a JVM window keyed on the
+    video id — the division of labor that scales: Python touches each
+    frame once, the shuffle moves only (id, idx, mean) triples, never
+    pixels. Oracle predicts the flagged cuts exactly from the staged
+    fixture's generation formula."""
+    from finporter_spark.queries.catalog import CATALOG
+
+    frames = CATALOG["m8_mp4_frames"][0](spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.col("frame_mean") - F.lag("frame_mean").over(w)
+    return (
+        frames.withColumn("delta", delta)
+        .filter(F.abs("delta") > 100)
+        .select("doc_id", "frame_idx", F.col("delta").cast("bigint").alias("delta"))
+    )

@@ -205,3 +205,40 @@ def test_u7_iterator_udf_is_map_only_scalar_iter(spark):
     }
     for r in out.collect():
         assert r.score == pytest.approx(expect[r.vec_id], abs=2e-6)
+
+
+def test_s14_dynamic_overwrite_touches_only_target_partition(spark):
+    """Dynamic partition overwrite: re-running the restatement leaves
+    every OTHER day's files untouched (same inodes/mtimes) and is
+    idempotent (same result rows)."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    q = CATALOG["s14_dynamic_partition_overwrite"][0]
+    first = sorted(map(tuple, q(spark, sf).collect()))
+
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    path = _io_dir(sf, "s14")
+    others = [
+        d for d in os.listdir(path)
+        if d.startswith("day=") and d != "day=2024-01-15"
+    ]
+    assert others, "expected multiple day partitions"
+    snap = {
+        d: sorted(
+            (f, os.stat(os.path.join(path, d, f)).st_mtime_ns)
+            for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(("_", "."))
+        )
+        for d in others
+    }
+    second = sorted(map(tuple, q(spark, sf).collect()))
+    assert first == second  # idempotent restatement
+    for d in others:
+        now = sorted(
+            (f, os.stat(os.path.join(path, d, f)).st_mtime_ns)
+            for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(("_", "."))
+        )
+        assert now == snap[d], f"partition {d} was rewritten"
