@@ -418,3 +418,48 @@ def test_finport_writer_append_preserves_previous_parts(spark, tmp_path):
     ).save()
     back2 = spark.read.format("finport").option("path", out).load()
     assert [r.securityID for r in back2.collect()] == ["THIRD"]
+
+
+def test_golden_parser_inverts_encoder_property():
+    """Property: for any list of rows of arbitrary strings (quotes,
+    delimiters, newlines, backslashes), _parse_golden(_golden_field
+    encoding) recovers the rows exactly — except the one documented
+    ambiguity: a quoted field whose content ends with a backslash
+    encodes as '...\\"' whose tail is indistinguishable from an escaped
+    quote (the reference dialect's own lossy corner, skipped here)."""
+    from hypothesis import given, settings, strategies as st
+
+    from finporter_spark.sources.finport_datasource import (
+        _golden_field,
+        _parse_golden,
+    )
+
+    field = st.text(
+        alphabet=st.sampled_from(list('abc",\\\n\r xyz')), max_size=8
+    )
+    rows = st.lists(
+        st.lists(field, min_size=1, max_size=4), min_size=1, max_size=5
+    )
+
+    def ambiguous(v: str) -> bool:
+        # quoted (contains delimiter/newline) AND ends with backslash
+        return v.endswith("\\") and any(c in v for c in ",\n\r")
+
+    @settings(max_examples=300, deadline=None)
+    @given(rows)
+    def check(rs):
+        if any(ambiguous(v) for r in rs for v in r):
+            return
+        text = "".join(
+            ",".join(_golden_field(v) for v in r) + "\n" for r in rs
+        )
+        records, tail, open_q = _parse_golden(text)
+        assert not open_q and tail is None
+        # blank lines (rows of one empty field) are skipped by contract
+        expect = [r for r in rs if r != [""]]
+        assert [f for f, _ in records] == expect
+        # offsets are strictly increasing record boundaries
+        ends = [e for _, e in records]
+        assert ends == sorted(set(ends))
+
+    check()
