@@ -173,6 +173,8 @@ def main() -> None:
         "s12_python_datasource",
         "s14_dynamic_partition_overwrite",
         "m12_scene_cut",
+        "s13_datasource_roundtrip",
+        "l28_containment_pairs",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -79,8 +79,16 @@ def l28_containment_pairs(spark, sf_dir):
     l9's bounded brute force in tests). At 100 TB: two map-combined
     shuffles (shingle df, candidate equi-join) + two keyed joins on
     doc_id; skew-bounded because df ≤ 4 caps every bucket."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("shs")
+    # materialize the shingle sets ONCE: d feeds five branches (explode,
+    # df-filter join x2, set join x2) and the shingle expression would
+    # otherwise recompute per branch — the l9 lesson (15s -> 2s there)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("text"), 3)).alias("shs"),
+        )
+        .cache()
     )
     sh = d.select("doc_id", F.explode("shs").alias("sh"))
     rare = (
