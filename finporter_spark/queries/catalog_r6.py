@@ -302,10 +302,13 @@ def l29_inverted_index(spark, sf_dir):
       FROM orders
       WHERE o_orderdate BETWEEN DATE '1995-02-15' AND DATE '1995-04-15'
     )
-    SELECT L.l_orderkey, L.l_linenumber, R.o_orderkey,
-           CAST(date_diff('day', greatest(L.t0, R.t0),
-                          least(L.t1, R.t1)) + 1 AS BIGINT) AS overlap_days
+    SELECT L.l_orderkey, L.l_linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(MAX(date_diff('day', greatest(L.t0, R.t0),
+                              least(L.t1, R.t1)) + 1) AS BIGINT)
+             AS max_overlap_days
     FROM L JOIN R ON L.t0 <= R.t1 AND R.t0 <= L.t1
+    GROUP BY 1, 2
     """,
 )
 def j8_interval_join(spark, sf_dir):
@@ -370,22 +373,25 @@ def j8_interval_join(spark, sf_dir):
     first_shared = F.col("cell") == F.greatest(
         F.col("a._lo"), F.col("b._lo")
     )
+    overlap_days = (
+        F.datediff(
+            F.least(F.col("a.t1"), F.col("b.t1")),
+            F.greatest(F.col("a.t0"), F.col("b.t0")),
+        )
+        + 1
+    )
+    # aggregate per left interval: pair enumeration is quadratic in
+    # data DENSITY (an unkeyed overlap join's true output), so the
+    # catalog entry returns the per-shipment overlap profile — output
+    # linear in |L| at every SF while the grid join underneath still
+    # enumerates and dedups every true pair
     return (
         a.join(b, "cell")
         .filter(overlap & first_shared)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "o_orderkey",
-            (
-                F.datediff(
-                    F.least(F.col("a.t1"), F.col("b.t1")),
-                    F.greatest(F.col("a.t0"), F.col("b.t0")),
-                )
-                + 1
-            )
-            .cast("bigint")
-            .alias("overlap_days"),
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.max(overlap_days).cast("bigint").alias("max_overlap_days"),
         )
     )
 

@@ -463,3 +463,25 @@ def test_golden_parser_inverts_encoder_property():
         assert ends == sorted(set(ends))
 
     check()
+
+
+def test_finport_stream_legacy_offset_compat(tmp_path):
+    """A checkpoint written by the old file-granular offset format
+    ({"seen": [names]}) must keep working: read() treats listed files
+    as fully consumed; readBetweenOffsets replays them whole."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    (d / "a.csv").write_text(hdr + "a1,S1,L1,1.0,,\n")
+    rdr = FinportStreamReader({"path": str(d)})
+
+    legacy = {"seen": ["a.csv"]}
+    rows, end = rdr.read(legacy)
+    assert list(rows) == []  # already consumed under the old format
+    # replay from genesis to the legacy offset: whole file
+    replay = list(rdr.readBetweenOffsets({"seen": {}}, legacy))
+    assert [r[1] for r in replay] == ["S1"]

@@ -170,12 +170,16 @@ def test_j8_matches_naive_overlap_and_no_nlj(spark, sf_dir):
             F.date_add(F.col("o_orderdate").cast("date"), 2).alias("ot1"),
         )
     )
-    naive = li.join(
-        o,
-        (F.col("lt0") <= F.col("ot1")) & (F.col("ot0") <= F.col("lt1")),
-    ).select("l_orderkey", "l_linenumber", "o_orderkey")
+    naive = (
+        li.join(
+            o,
+            (F.col("lt0") <= F.col("ot1")) & (F.col("ot0") <= F.col("lt1")),
+        )
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+    )
     assert sorted(map(tuple, naive.collect())) == sorted(
-        (r.l_orderkey, r.l_linenumber, r.o_orderkey) for r in out.collect()
+        (r.l_orderkey, r.l_linenumber, r.n_overlaps) for r in out.collect()
     )
 
 
