@@ -117,6 +117,7 @@ HEADLINE = [
     "u7_iterator_model_score",
     "s14_dynamic_partition_overwrite",
     "m12_scene_cut",
+    "pipe5_market_surveillance",
 ]
 
 

@@ -609,3 +609,133 @@ def m12_scene_cut(spark, sf_dir):
         .filter(F.abs("delta") > 100)
         .select("doc_id", "frame_idx", F.col("delta").cast("bigint").alias("delta"))
     )
+
+
+# =====================================================================
+# PIPE5 — market surveillance (bars → daily EWMA → deviation alerts)
+# =====================================================================
+
+_P5_ALPHA = 0.3
+_P5_DEV = 45.0
+
+
+@query(
+    "pipe5_market_surveillance",
+    f"""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 600) AS BIGINT) AS bar,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                 CAST(floor(epoch(ts) / 600) AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ), bars AS (
+      SELECT event_type, bar,
+             CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close
+      FROM ranked GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, bar, close,
+             CAST(floor(bar * 600.0 / 86400) AS BIGINT) AS day,
+             row_number() OVER (
+               PARTITION BY event_type,
+                 CAST(floor(bar * 600.0 / 86400) AS BIGINT)
+               ORDER BY bar) AS i,
+             first_value(close) OVER (
+               PARTITION BY event_type,
+                 CAST(floor(bar * 600.0 / 86400) AS BIGINT)
+               ORDER BY bar
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+      FROM bars
+    ), summed AS (
+      SELECT event_type, bar, close, i, c1,
+             SUM(close * power(1.0 / (1.0 - {_P5_ALPHA}), i)) OVER (
+               PARTITION BY event_type, day ORDER BY bar
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM seq
+    ), scored AS (
+      SELECT event_type, bar, close,
+             power(1.0 - {_P5_ALPHA}, i - 1) * c1
+               + {_P5_ALPHA} * power(1.0 - {_P5_ALPHA}, i)
+                 * (s - c1 / (1.0 - {_P5_ALPHA})) AS ewma
+      FROM summed
+    )
+    SELECT event_type, bar, close, round(ewma, 6) AS ewma,
+           round(abs(close - ewma), 6) AS deviation
+    FROM scored WHERE abs(close - ewma) > {_P5_DEV}
+    """,
+)
+def pipe5_market_surveillance(spark, sf_dir):
+    """PIPE5: market-surveillance pipeline composed in ONE plan — the
+    finance stack the reference's domain implies, end to end: ticks →
+    deterministic 10-minute bars (w9's rank-canon close), per-day EWMA
+    of the close series (w11's closed-form window — JVM-side, no
+    sequential UDF), then deviation alerts where a bar's close strays
+    more than {_P5_DEV} from its smoothed baseline. Three window
+    stages share two shuffle keys ((instrument, bar) then (instrument,
+    day)); the alert filter is a residual predicate on computed
+    columns, so Catalyst pipelines the whole thing without
+    materialization. Stage-composed oracle: the same CTE stack in
+    DuckDB — proving the composition, not just the parts."""
+    bar = (F.floor(F.col("ts").cast("double") / 600)).cast("long")
+    wd = Window.partitionBy("event_type", "_bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value", bar.alias("_bar"))
+        .select(
+            "event_type",
+            "_bar",
+            "value",
+            F.row_number().over(wd).alias("_rd"),
+        )
+    )
+    bars = ranked.groupBy("event_type", "_bar").agg(
+        F.max(F.when(F.col("_rd") == 1, F.col("value")))
+        .cast("double")
+        .alias("close")
+    )
+    a = _P5_ALPHA
+    r = 1.0 - a
+    day = F.floor(F.col("_bar") * 600.0 / 86400).cast("long")
+    wseq = Window.partitionBy("event_type", "_day").orderBy("_bar")
+    wfrm = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = bars.withColumn("_day", day).select(
+        "event_type",
+        "_bar",
+        "close",
+        "_day",
+        F.row_number().over(wseq).alias("i"),
+        F.first("close").over(wfrm).alias("c1"),
+    )
+    summed = seq.withColumn(
+        "s",
+        F.sum(F.col("close") * F.pow(F.lit(1.0 / r), F.col("i"))).over(
+            wfrm
+        ),
+    )
+    ewma = (
+        F.pow(F.lit(r), F.col("i") - 1) * F.col("c1")
+        + F.lit(a)
+        * F.pow(F.lit(r), F.col("i"))
+        * (F.col("s") - F.col("c1") / F.lit(r))
+    )
+    scored = summed.select(
+        "event_type",
+        F.col("_bar").alias("bar"),
+        "close",
+        ewma.alias("_ewma"),
+    )
+    return scored.filter(
+        F.abs(F.col("close") - F.col("_ewma")) > _P5_DEV
+    ).select(
+        "event_type",
+        "bar",
+        "close",
+        F.round("_ewma", 6).alias("ewma"),
+        F.round(F.abs(F.col("close") - F.col("_ewma")), 6).alias(
+            "deviation"
+        ),
+    )
