@@ -112,14 +112,22 @@ def l28_containment_pairs(spark, sf_dir):
     containment = inter.cast("double") / F.least(
         F.size("sa.shs"), F.size("sb.shs")
     )
-    return (
+    from finporter_spark.caching import owns_cache
+
+    out = (
         cand.join(sets.alias("sa"), F.col("id_l") == F.col("sa.doc_id"))
         .join(sets.alias("sb"), F.col("id_r") == F.col("sb.doc_id"))
+        # filter on the UNROUNDED value (the oracle's WHERE binds to the
+        # unrounded subquery column), round only for output
+        .filter(containment >= _L28_MIN_CONTAINMENT)
         .select(
             "id_l", "id_r", F.round(containment, 6).alias("containment")
         )
-        .filter(F.col("containment") >= _L28_MIN_CONTAINMENT)
     )
+    # the shingle cache pins executor storage until released — tag it so
+    # long-lived sessions can free it (caching.release_caches), the
+    # quarantine_split convention
+    return owns_cache(out, d)
 
 
 # =====================================================================
@@ -137,16 +145,17 @@ _W11_ALPHA = 0.2
              {DSUM('value')} / COUNT(*) AS v
       FROM events GROUP BY 1, 2
     ), ranked AS (
-      SELECT event_type, day, v,
-             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+      SELECT event_type, day, v, substr(day, 1, 4) AS yr,
+             row_number() OVER (PARTITION BY event_type, substr(day, 1, 4)
+                                ORDER BY day) AS i,
              first_value(v) OVER (
-               PARTITION BY event_type ORDER BY day
+               PARTITION BY event_type, substr(day, 1, 4) ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
       FROM daily
     ), summed AS (
       SELECT event_type, day, v, i, v1,
              SUM(v * power(1.0 / (1.0 - {_W11_ALPHA}), i)) OVER (
-               PARTITION BY event_type ORDER BY day
+               PARTITION BY event_type, yr ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
       FROM ranked
     )
@@ -162,49 +171,32 @@ def w11_ewma_daily(spark, sf_dir):
     tick value per instrument (the finance-standard smoother the
     reference's domain implies; seed y_1 = x_1, y_i = αx_i + (1-α)y_{i-1}).
 
-    The recursion is CLOSED-FORMed into window primitives so it stays
-    JVM-side — no per-key sequential UDF: with S_i = Σ x_j (1-α)^{-j}
-    (one ordered running sum), y_i = (1-α)^{i-1} x_1 + α (1-α)^i
-    (S_i - x_1/(1-α)). Exactness holds while i·log(1/(1-α)) stays far
-    from double overflow — the daily downsample bounds i ≤ 366 per
-    instrument-year (1.25^366 ≈ 1e35 ≪ 1e308), and terms too old to
-    carry weight underflow harmlessly. The daily mean routes through
-    DECIMAL (dsum) for cross-engine order-independence; the smoothed
-    value rounds to 6 dp. One shuffle for the daily agg; the window
-    repartitions on event_type only after the series is ~366 rows/key,
-    so the low key count is not a skew risk."""
+    The recursion is CLOSED-FORMed into window primitives
+    (operators/timeseries.ewma_closed_form) so it stays JVM-side — no
+    per-key sequential UDF. The smoothing window PARTITIONS BY
+    (instrument, calendar year): the closed form's (1-α)^{-i} weights
+    grow with partition length, so the year key hard-bounds i ≤ 366
+    (1.25^366 ≈ 1e35 ≪ 1e308) for ANY history length — and with α=0.2
+    a term 150+ days old carries < 1e-15 relative weight, so the
+    January reset is numerically invisible beyond a short warm-up. The
+    daily mean routes through DECIMAL (dsum) for cross-engine
+    order-independence; the smoothed value rounds to 6 dp."""
+    from finporter_spark.operators.timeseries import ewma_closed_form
+
     e = _t(spark, sf_dir, "events")
-    a = _W11_ALPHA
-    r = 1.0 - a
     daily = e.groupBy(
         "event_type",
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
     ).agg((dsum(F.col("value")) / F.count("*")).alias("v"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = daily.select(
-        "event_type",
-        "day",
+    smoothed = ewma_closed_form(
+        daily.withColumn("_yr", F.substring("day", 1, 4)),
+        ["event_type", "_yr"],
+        ["day"],
         "v",
-        F.row_number().over(w).alias("i"),
-        F.first("v").over(wf).alias("v1"),
+        _W11_ALPHA,
     )
-    summed = ranked.withColumn(
-        "s",
-        F.sum(F.col("v") * F.pow(F.lit(1.0 / r), F.col("i"))).over(
-            Window.partitionBy("event_type")
-            .orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ewma = (
-        F.pow(F.lit(r), F.col("i") - 1) * F.col("v1")
-        + F.lit(a)
-        * F.pow(F.lit(r), F.col("i"))
-        * (F.col("s") - F.col("v1") / F.lit(r))
-    )
-    return summed.select(
-        "event_type", "day", F.round(ewma, 6).alias("ewma")
+    return smoothed.select(
+        "event_type", "day", F.round("ewma", 6).alias("ewma")
     )
 
 
@@ -428,8 +420,6 @@ def w12_rolling_zscore(spark, sf_dir):
     reproducible. The warm-up guard (n >= 12) suppresses flags before
     the baseline has support — the shape every streaming-monitoring
     stack reimplements, here as one declarative window."""
-    from pyspark.sql import Window
-
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -546,13 +536,22 @@ def s14_dynamic_partition_overwrite(spark, sf_dir):
         e.write.mode("overwrite").partitionBy("day").parquet(p)
 
     path = _stage_once(sf_dir, "s14", _initial, "events")
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
     corrected = e.filter(F.col("day") == "2024-01-15").withColumn(
         "value", F.col("value") * 1.1
     )
-    corrected.write.mode("overwrite").partitionBy("day").parquet(path)
+    # scope the dynamic mode to THIS write: leaking it session-wide
+    # would silently change every later partitioned overwrite (e.g. a
+    # fixture restage) from truncate-all to keep-absent-partitions
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
     out = spark.read.parquet(path)
     return out.select(
         "event_id",
@@ -697,36 +696,18 @@ def pipe5_market_surveillance(spark, sf_dir):
         .cast("double")
         .alias("close")
     )
-    a = _P5_ALPHA
-    r = 1.0 - a
+    from finporter_spark.operators.timeseries import ewma_closed_form
+
     day = F.floor(F.col("_bar") * 600.0 / 86400).cast("long")
-    wseq = Window.partitionBy("event_type", "_day").orderBy("_bar")
-    wfrm = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    seq = bars.withColumn("_day", day).select(
-        "event_type",
-        "_bar",
+    scored = ewma_closed_form(
+        bars.withColumn("_day", day),
+        ["event_type", "_day"],
+        ["_bar"],
         "close",
-        "_day",
-        F.row_number().over(wseq).alias("i"),
-        F.first("close").over(wfrm).alias("c1"),
-    )
-    summed = seq.withColumn(
-        "s",
-        F.sum(F.col("close") * F.pow(F.lit(1.0 / r), F.col("i"))).over(
-            wfrm
-        ),
-    )
-    ewma = (
-        F.pow(F.lit(r), F.col("i") - 1) * F.col("c1")
-        + F.lit(a)
-        * F.pow(F.lit(r), F.col("i"))
-        * (F.col("s") - F.col("c1") / F.lit(r))
-    )
-    scored = summed.select(
-        "event_type",
-        F.col("_bar").alias("bar"),
-        "close",
-        ewma.alias("_ewma"),
+        _P5_ALPHA,
+        out_name="_ewma",
+    ).select(
+        "event_type", F.col("_bar").alias("bar"), "close", "_ewma"
     )
     return scored.filter(
         F.abs(F.col("close") - F.col("_ewma")) > _P5_DEV

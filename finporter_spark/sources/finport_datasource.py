@@ -241,6 +241,18 @@ def _vectorized_frame(text: str, where: str):
         return None
     first = text.split("\n", 1)[0].rstrip("\r")
     _check_header(first.split(","), where)
+    # over-wide precheck: with no quotes anywhere, field count is
+    # comma count + 1 per line — one vectorized pass catches a 7th
+    # field EVEN WHEN EMPTY (a trailing comma), which the sentinel
+    # column below cannot distinguish from a short row's padding
+    if (
+        pd.Series(text.split("\n")).str.count(",").max()
+        >= len(_HEADER)
+    ):
+        raise ValueError(
+            f"finport: {where}: row wider than the declared "
+            f"{len(_HEADER)}-column HOLDING header — malformed input"
+        )
     try:
         # parse with one extra sentinel column: a 7-field row lands in
         # it (raise), an 8+-field row trips the tokenizer (raise) — an
@@ -255,6 +267,7 @@ def _vectorized_frame(text: str, where: str):
             keep_default_na=False,
             skip_blank_lines=True,
         )
+        # backup to the comma precheck (short rows pad with '' here)
         bad = pdf["_overwide"].notna() & (pdf["_overwide"] != "")
         if bad.any():
             raise ValueError(
@@ -688,19 +701,31 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
             if prev < 0:  # legacy whole-file offset: fully consumed
                 continue
             full = os.path.join(self.path, name)
-            with open(full, "rb") as fh:
-                data = fh.read()
-            if len(data) <= prev:
+            # per-trigger cost must be O(new bytes), not O(file): stat
+            # first (skip unchanged files without opening), then seek to
+            # the recorded boundary and read/parse ONLY the suffix —
+            # prev is always a record boundary, so the suffix parses
+            # standalone (header expected only when prev == 0)
+            if os.path.getsize(full) <= prev:
                 continue
+            with open(full, "rb") as fh:
+                fh.seek(prev)
+                data = fh.read()
             text = _utf8_prefix(data)
             records, _tail, _q = _parse_golden(text)
-            if not records:
+            recs = [f for f, _ in records]
+            if not recs:
                 continue  # no complete record yet
-            stable = len(text[: records[-1][1]].encode("utf-8"))
-            if stable <= prev:
-                continue
-            rows.extend(self._decode_range(name, prev, stable))
-            end[name] = stable
+            if prev == 0:
+                _check_header(recs[0], full)
+                recs = recs[1:]
+            rows.extend(
+                tuple(row[n] for n in _HEADER)
+                for row in (_typed_tuple(r, full) for r in recs)
+            )
+            end[name] = prev + len(
+                text[: records[-1][1]].encode("utf-8")
+            )
         return iter(rows), {"seen": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -708,7 +733,13 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
         rows: list = []
         for name in sorted(e_seen):
             lo, hi = s_seen.get(name, 0), e_seen[name]
-            if hi < 0:  # legacy offset: replay the whole file
+            if hi < 0:
+                if lo < 0:
+                    # legacy offset in BOTH: the file was consumed in an
+                    # earlier batch — this batch replays none of it
+                    continue
+                # legacy end only: the recorded batch consumed the file
+                # whole under the old file-granular format
                 lo, hi = 0, os.path.getsize(
                     os.path.join(self.path, name)
                 )

@@ -368,6 +368,14 @@ def test_finport_reader_raises_on_overwide_row(tmp_path):
     rdr = FinportReader({"path": str(tmp_path)})
     with _pytest.raises(ValueError, match="malformed"):
         _drain(rdr, _FilePartition(str(tmp_path / "f.csv")))
+    # an EMPTY 7th field (trailing comma) is over-wide too — the fast
+    # path must reject it exactly like the state machine does
+    (tmp_path / "g.csv").write_text(hdr + "a,b,c,1.0,2.0,,\n")
+    with _pytest.raises(ValueError, match="malformed|wider"):
+        _drain(rdr, _FilePartition(str(tmp_path / "g.csv")))
+    (tmp_path / "h.csv").write_text(hdr + 'a,"b",c,1.0,2.0,,\n')
+    with _pytest.raises(ValueError, match="malformed|fields"):
+        _drain(rdr, _FilePartition(str(tmp_path / "h.csv")))
 
 
 def test_finport_writer_append_preserves_previous_parts(spark, tmp_path):
@@ -485,3 +493,11 @@ def test_finport_stream_legacy_offset_compat(tmp_path):
     # replay from genesis to the legacy offset: whole file
     replay = list(rdr.readBetweenOffsets({"seen": {}}, legacy))
     assert [r[1] for r in replay] == ["S1"]
+    # a file legacy-listed in BOTH offsets was consumed in an EARLIER
+    # batch: replaying this batch must NOT duplicate its rows
+    assert list(rdr.readBetweenOffsets(legacy, legacy)) == []
+    (d / "b.csv").write_text(hdr + "a2,S2,L2,2.0,,\n")
+    it2, o2 = rdr.read(legacy)
+    rows2 = list(it2)
+    assert [r[1] for r in rows2] == ["S2"]
+    assert list(rdr.readBetweenOffsets(legacy, o2)) == rows2

@@ -239,6 +239,11 @@ def test_s14_dynamic_overwrite_touches_only_target_partition(spark):
     }
     second = sorted(map(tuple, q(spark, sf).collect()))
     assert first == second  # idempotent restatement
+    # the dynamic mode must NOT leak into the shared session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
     for d in others:
         now = sorted(
             (f, os.stat(os.path.join(path, d, f)).st_mtime_ns)
@@ -246,3 +251,24 @@ def test_s14_dynamic_overwrite_touches_only_target_partition(spark):
             if not f.startswith(("_", "."))
         )
         assert now == snap[d], f"partition {d} was rewritten"
+
+
+def test_ewma_helper_matches_recursion_and_partitions_bound(spark):
+    """ewma_closed_form == the sequential recursion on a long series,
+    per partition (the numeric contract: caller bounds partition rows
+    via a calendar key — here two 400-row partitions)."""
+    from finporter_spark.operators.timeseries import ewma_closed_form
+
+    vals = [((i * 37) % 101) / 3.0 for i in range(800)]
+    rows = [(("p1" if i < 400 else "p2"), i, vals[i]) for i in range(800)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {
+        (r.k, r.t): r.ewma
+        for r in ewma_closed_form(df, ["k"], ["t"], "v", 0.2).collect()
+    }
+    for part, lo in (("p1", 0), ("p2", 400)):
+        y = None
+        for i in range(lo, lo + 400):
+            y = vals[i] if y is None else 0.2 * vals[i] + 0.8 * y
+            got = out[(part, i)]
+            assert abs(got - y) < 1e-8 and got == got  # no NaN/inf
