@@ -118,6 +118,7 @@ HEADLINE = [
     "s14_dynamic_partition_overwrite",
     "m12_scene_cut",
     "pipe5_market_surveillance",
+    "w11b_ewma_unbounded",
 ]
 
 

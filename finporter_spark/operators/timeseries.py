@@ -54,3 +54,96 @@ def ewma_closed_form(
     return staged.withColumn(out_name, y).drop(
         "_ewma_i", "_ewma_c1", "_ewma_s"
     )
+
+
+def ewma_unbounded(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    alpha: float,
+    epoch_rows: int = 512,
+    out_name: str = "ewma",
+) -> DataFrame:
+    """Exact EWMA over UNBOUNDED per-key history — the scale path when
+    no calendar key can bound the series (``ewma_closed_form``'s
+    (1-α)^{-i} weights overflow past ~log(DBL_MAX)/log(1/(1-α)) rows).
+
+    Decomposition: split each key's ordered series into fixed
+    ``epoch_rows`` epochs. Within an epoch the closed form applies with
+    exponents ≤ epoch_rows (never overflows); across epochs the exact
+    recursion y_end(e) = (1-α)^{n_e}·y_end(e-1) + B_e runs over the
+    EPOCH SUMMARIES — a table with rows/key = history/epoch_rows, tiny
+    relative to the data — inside one ``applyInPandas`` per key. The
+    carry joins back on (key, epoch) and each row finishes with
+    y = (1-α)^k·carry + α(1-α)^k·S_k (one local window). So: two keyed
+    window shuffles + one vanishing-size grouped pass + one keyed join;
+    state per task = one epoch, exact to the sequential recursion at
+    any length (test: 5,000-row series where the plain closed form is
+    inf/NaN).
+    """
+    import pandas as pd
+
+    r = 1.0 - alpha
+    pcols = list(partition_cols)
+    w = Window.partitionBy(*pcols).orderBy(*order_cols)
+    staged = df.withColumn("_g", F.row_number().over(w))
+    staged = staged.withColumn(
+        "_epoch", ((F.col("_g") - 1) / epoch_rows).cast("long")
+    ).withColumn("_k", (F.col("_g") - 1) % epoch_rows + 1)
+    wl = Window.partitionBy(*pcols, "_epoch").orderBy(*order_cols)
+    wlf = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # S_k = Σ_{j≤k} x_j (1-α)^{-j} with j the LOCAL index (≤ epoch_rows)
+    staged = staged.withColumn(
+        "_s",
+        F.sum(
+            F.col(value_col) * F.pow(F.lit(1.0 / r), F.col("_k"))
+        ).over(wlf),
+    ).withColumn("_c1", F.first(value_col).over(wlf))
+
+    # per-epoch summary: row count n_e and the end-of-epoch local term
+    summaries = staged.groupBy(*pcols, "_epoch").agg(
+        F.count("*").alias("_n"),
+        F.max(F.struct("_k", "_s")).getField("_s").alias("_t"),
+        F.min("_c1").alias("_c1e"),
+    )
+
+    # carry table schema: partition cols keep their input types
+    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    carry_schema = ", ".join(
+        f"`{c}` {ftypes[c]}" for c in pcols
+    ) + ", _epoch long, _carry double"
+
+    def _carries(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_epoch")
+        out, y = [], 0.0
+        for e, n, t, c1 in zip(
+            pdf["_epoch"], pdf["_n"], pdf["_t"], pdf["_c1e"]
+        ):
+            out.append(y)  # carry INTO epoch e
+            n = int(n)
+            if e == 0:
+                # seed epoch: y_1 = x_1
+                y = r ** (n - 1) * c1 + alpha * r**n * (t - c1 / r)
+            else:
+                y = (r**n) * y + alpha * (r**n) * t
+        res = pdf[pcols + ["_epoch"]].copy()
+        res["_carry"] = out
+        return res
+
+    carries = summaries.groupBy(*pcols).applyInPandas(
+        _carries,
+        schema=carry_schema,
+    )
+    joined = staged.join(carries, pcols + ["_epoch"])
+    k, s, c1 = F.col("_k"), F.col("_s"), F.col("_c1")
+    y_seed = (
+        F.pow(F.lit(r), k - 1) * c1
+        + F.lit(alpha) * F.pow(F.lit(r), k) * (s - c1 / F.lit(r))
+    )
+    y_carry = F.pow(F.lit(r), k) * F.col("_carry") + F.lit(
+        alpha
+    ) * F.pow(F.lit(r), k) * s
+    return joined.withColumn(
+        out_name, F.when(F.col("_epoch") == 0, y_seed).otherwise(y_carry)
+    ).drop("_g", "_epoch", "_k", "_s", "_c1", "_carry")

@@ -720,3 +720,60 @@ def pipe5_market_surveillance(spark, sf_dir):
             "deviation"
         ),
     )
+
+
+@query(
+    "w11b_ewma_unbounded",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             {DSUM('value')} / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             first_value(v) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+      FROM daily
+    ), summed AS (
+      SELECT event_type, day, v, i, v1,
+             SUM(v * power(1.0 / (1.0 - {_W11_ALPHA}), i)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM ranked
+    )
+    SELECT event_type, day,
+           round(power(1.0 - {_W11_ALPHA}, i - 1) * v1
+                 + {_W11_ALPHA} * power(1.0 - {_W11_ALPHA}, i)
+                   * (s - v1 / (1.0 - {_W11_ALPHA})), 6) AS ewma
+    FROM summed
+    """,
+)
+def w11b_ewma_unbounded(spark, sf_dir):
+    """W11b: EWMA over the FULL per-instrument history with no calendar
+    reset — the unbounded-length scale path
+    (operators/timeseries.ewma_unbounded): fixed 16-row epochs compute
+    the closed form with bounded exponents, the exact cross-epoch
+    recursion runs over EPOCH SUMMARIES (history/16 rows per key)
+    inside one applyInPandas, and the carry joins back for the per-row
+    finish. Exact at ANY history length — the plain closed form (w11's
+    in-year formulation) overflows doubles past ~3,500 rows/key, proven
+    in tests/test_r6_ops.py on a 5,000-row series. The oracle uses the
+    un-epoched closed form, valid at fixture lengths (≤366 days/key),
+    so the hash match certifies the epoch-carry path reproduces it
+    bit-for-bit at 6 dp; tiny 16-row epochs force multi-epoch carries
+    at every SF."""
+    from finporter_spark.operators.timeseries import ewma_unbounded
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    ).agg((dsum(F.col("value")) / F.count("*")).alias("v"))
+    smoothed = ewma_unbounded(
+        daily, ["event_type"], ["day"], "v", _W11_ALPHA, epoch_rows=16
+    )
+    return smoothed.select(
+        "event_type", "day", F.round("ewma", 6).alias("ewma")
+    )

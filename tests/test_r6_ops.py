@@ -272,3 +272,43 @@ def test_ewma_helper_matches_recursion_and_partitions_bound(spark):
             y = vals[i] if y is None else 0.2 * vals[i] + 0.8 * y
             got = out[(part, i)]
             assert abs(got - y) < 1e-8 and got == got  # no NaN/inf
+
+
+def test_ewma_unbounded_exact_where_closed_form_overflows(spark):
+    """5,000-row single-key series at alpha=0.3: the plain closed form's
+    (1/0.7)^i weights overflow doubles (~2,000 rows), while the
+    epoch-carry decomposition stays exact to the sequential recursion
+    at every row — including across epoch boundaries."""
+    import math
+
+    from finporter_spark.operators.timeseries import (
+        ewma_closed_form,
+        ewma_unbounded,
+    )
+
+    n, a = 5000, 0.3
+    vals = [((i * 53) % 211) / 7.0 for i in range(n)]
+    df = spark.createDataFrame(
+        [("k", i, vals[i]) for i in range(n)], "k string, t int, v double"
+    ).repartition(8)
+
+    naive_tail = (
+        ewma_closed_form(df, ["k"], ["t"], "v", a)
+        .filter(F.col("t") >= n - 5)
+        .collect()
+    )
+    assert any(
+        r.ewma is None or not math.isfinite(r.ewma) for r in naive_tail
+    ), "expected the plain closed form to overflow at this length"
+
+    got = {
+        r.t: r.ewma
+        for r in ewma_unbounded(
+            df, ["k"], ["t"], "v", a, epoch_rows=512
+        ).collect()
+    }
+    assert len(got) == n
+    y = None
+    for i in range(n):
+        y = vals[i] if y is None else a * vals[i] + (1 - a) * y
+        assert got[i] == pytest.approx(y, rel=1e-9, abs=1e-9), i
