@@ -3815,7 +3815,12 @@ def x12_datasource_stream(spark, sf_dir):
     incremental offset semantics unit-tested directly in
     tests/test_datasource.py). Drains the s12 fixture and aggregates in
     complete mode, so the drained answer equals the batch relational
-    oracle under any micro-batch split."""
+    oracle under any micro-batch split. Scale note: the Simple*
+    stream-reader API is BY DESIGN driver-prefetched (Spark routes
+    simple sources' rows through the driver between offset commits) —
+    the right tier for drop-folder tailing; bulk backfills go through
+    the partition-parallel batch reader (s12/s13, Arrow-batched), which
+    is the 100 TB path."""
     from finporter_spark.queries.catalog import CATALOG
     from finporter_spark.sources.finport_datasource import (
         FinportDataSource,
