@@ -119,6 +119,7 @@ HEADLINE = [
     "m12_scene_cut",
     "pipe5_market_surveillance",
     "w11b_ewma_unbounded",
+    "w13_compound_balance",
 ]
 
 

@@ -56,6 +56,103 @@ def ewma_closed_form(
     )
 
 
+def affine_scan(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    a_col: str,
+    b_col: str,
+    epoch_rows: int = 512,
+    out_name: str = "y",
+) -> DataFrame:
+    """Exact distributed prefix scan for the affine recurrence
+    y_i = a_i·y_{i-1} + b_i (seed y_0 = 0; encode a different seed in
+    b_1) — the Blelloch scan over the affine-map monoid, which no
+    Spark built-in expresses:
+
+    1. epoch the ordered series (fixed ``epoch_rows`` rows);
+    2. per (key, epoch) one ``applyInPandas`` computes the exact LOCAL
+       scan: P_k = Π a_j and Q_k (the fold from a zero carry), so each
+       row's answer given the incoming carry c is P_k·c + Q_k —
+       affine maps compose, which is what makes the scan parallel;
+    3. the carry recursion runs over per-epoch summaries (last row's
+       (P, Q) per epoch; rows/key = history/epoch_rows — vanishing)
+       in one tiny grouped pass;
+    4. carries join back on (key, epoch) and a JVM expression
+       finishes every row.
+
+    Covers EWMA (constant a — see ``ewma_unbounded``), compound
+    interest/balance (a_i = 1 + rate_i), decayed counters, Kalman-style
+    scalar filters. Task state = one epoch; every stage is a keyed
+    shuffle or a vanishing-size pass — the unbounded-history scale
+    path. Numeric contract: |Π a| within an epoch must stay inside
+    double range (|a| ≈ 1 in every named use; bound epoch_rows
+    accordingly for exotic coefficients).
+    """
+    import pandas as pd
+
+    pcols = list(partition_cols)
+    w = Window.partitionBy(*pcols).orderBy(*order_cols)
+    staged = df.withColumn("_g", F.row_number().over(w)).withColumn(
+        "_epoch", ((F.col("_g") - 1) / epoch_rows).cast("long")
+    )
+    row_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in staged.schema.fields
+    ) + ", _P double, _Q double"
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_g")
+        P, Q = 1.0, 0.0
+        Ps, Qs = [], []
+        for a, b in zip(pdf[a_col], pdf[b_col]):
+            P *= a
+            Q = a * Q + b
+            Ps.append(P)
+            Qs.append(Q)
+        pdf = pdf.copy()
+        pdf["_P"] = Ps
+        pdf["_Q"] = Qs
+        return pdf
+
+    local = staged.groupBy(*pcols, "_epoch").applyInPandas(
+        _local, schema=row_schema
+    )
+    summaries = local.groupBy(*pcols, "_epoch").agg(
+        F.max(F.struct("_g", "_P", "_Q")).alias("_last")
+    ).select(
+        *pcols,
+        "_epoch",
+        F.col("_last._P").alias("_A"),
+        F.col("_last._Q").alias("_B"),
+    )
+    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    carry_schema = ", ".join(
+        f"`{c}` {ftypes[c]}" for c in pcols
+    ) + ", _epoch long, _carry double"
+
+    def _carries(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_epoch")
+        outs, y = [], 0.0
+        for A, B in zip(pdf["_A"], pdf["_B"]):
+            outs.append(y)
+            y = A * y + B
+        res = pdf[pcols + ["_epoch"]].copy()
+        res["_carry"] = outs
+        return res
+
+    carries = summaries.groupBy(*pcols).applyInPandas(
+        _carries, schema=carry_schema
+    )
+    return (
+        local.join(carries, pcols + ["_epoch"])
+        .withColumn(
+            out_name, F.col("_P") * F.col("_carry") + F.col("_Q")
+        )
+        .drop("_g", "_epoch", "_P", "_Q", "_carry")
+    )
+
+
 def ewma_unbounded(
     df: DataFrame,
     partition_cols: Sequence[str],
@@ -69,81 +166,26 @@ def ewma_unbounded(
     no calendar key can bound the series (``ewma_closed_form``'s
     (1-α)^{-i} weights overflow past ~log(DBL_MAX)/log(1/(1-α)) rows).
 
-    Decomposition: split each key's ordered series into fixed
-    ``epoch_rows`` epochs. Within an epoch the closed form applies with
-    exponents ≤ epoch_rows (never overflows); across epochs the exact
-    recursion y_end(e) = (1-α)^{n_e}·y_end(e-1) + B_e runs over the
-    EPOCH SUMMARIES — a table with rows/key = history/epoch_rows, tiny
-    relative to the data — inside one ``applyInPandas`` per key. The
-    carry joins back on (key, epoch) and each row finishes with
-    y = (1-α)^k·carry + α(1-α)^k·S_k (one local window). So: two keyed
-    window shuffles + one vanishing-size grouped pass + one keyed join;
-    state per task = one epoch, exact to the sequential recursion at
-    any length (test: 5,000-row series where the plain closed form is
-    inf/NaN).
+    A thin specialization of :func:`affine_scan`: y_i = (1-α)·y_{i-1}
+    + α·x_i with the seed y_1 = x_1 encoded as b_1 = x_1 (a_1 applies
+    to the zero carry, so the first row passes through). Exact to the
+    sequential recursion at any length (test: 5,000-row series where
+    the plain closed form is inf/NaN).
     """
-    import pandas as pd
-
     r = 1.0 - alpha
-    pcols = list(partition_cols)
-    w = Window.partitionBy(*pcols).orderBy(*order_cols)
-    staged = df.withColumn("_g", F.row_number().over(w))
-    staged = staged.withColumn(
-        "_epoch", ((F.col("_g") - 1) / epoch_rows).cast("long")
-    ).withColumn("_k", (F.col("_g") - 1) % epoch_rows + 1)
-    wl = Window.partitionBy(*pcols, "_epoch").orderBy(*order_cols)
-    wlf = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # S_k = Σ_{j≤k} x_j (1-α)^{-j} with j the LOCAL index (≤ epoch_rows)
-    staged = staged.withColumn(
-        "_s",
-        F.sum(
-            F.col(value_col) * F.pow(F.lit(1.0 / r), F.col("_k"))
-        ).over(wlf),
-    ).withColumn("_c1", F.first(value_col).over(wlf))
-
-    # per-epoch summary: row count n_e and the end-of-epoch local term
-    summaries = staged.groupBy(*pcols, "_epoch").agg(
-        F.count("*").alias("_n"),
-        F.max(F.struct("_k", "_s")).getField("_s").alias("_t"),
-        F.min("_c1").alias("_c1e"),
-    )
-
-    # carry table schema: partition cols keep their input types
-    ftypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    carry_schema = ", ".join(
-        f"`{c}` {ftypes[c]}" for c in pcols
-    ) + ", _epoch long, _carry double"
-
-    def _carries(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_epoch")
-        out, y = [], 0.0
-        for e, n, t, c1 in zip(
-            pdf["_epoch"], pdf["_n"], pdf["_t"], pdf["_c1e"]
-        ):
-            out.append(y)  # carry INTO epoch e
-            n = int(n)
-            if e == 0:
-                # seed epoch: y_1 = x_1
-                y = r ** (n - 1) * c1 + alpha * r**n * (t - c1 / r)
-            else:
-                y = (r**n) * y + alpha * (r**n) * t
-        res = pdf[pcols + ["_epoch"]].copy()
-        res["_carry"] = out
-        return res
-
-    carries = summaries.groupBy(*pcols).applyInPandas(
-        _carries,
-        schema=carry_schema,
-    )
-    joined = staged.join(carries, pcols + ["_epoch"])
-    k, s, c1 = F.col("_k"), F.col("_s"), F.col("_c1")
-    y_seed = (
-        F.pow(F.lit(r), k - 1) * c1
-        + F.lit(alpha) * F.pow(F.lit(r), k) * (s - c1 / F.lit(r))
-    )
-    y_carry = F.pow(F.lit(r), k) * F.col("_carry") + F.lit(
-        alpha
-    ) * F.pow(F.lit(r), k) * s
-    return joined.withColumn(
-        out_name, F.when(F.col("_epoch") == 0, y_seed).otherwise(y_carry)
-    ).drop("_g", "_epoch", "_k", "_s", "_c1", "_carry")
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    prepped = df.withColumn(
+        "_ewma_b",
+        F.when(
+            F.row_number().over(w) == 1, F.col(value_col)
+        ).otherwise(F.lit(alpha) * F.col(value_col)),
+    ).withColumn("_ewma_a", F.lit(r))
+    return affine_scan(
+        prepped,
+        partition_cols,
+        order_cols,
+        "_ewma_a",
+        "_ewma_b",
+        epoch_rows=epoch_rows,
+        out_name=out_name,
+    ).drop("_ewma_a", "_ewma_b")

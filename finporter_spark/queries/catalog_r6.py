@@ -777,3 +777,91 @@ def w11b_ewma_unbounded(spark, sf_dir):
     return smoothed.select(
         "event_type", "day", F.round("ewma", 6).alias("ewma")
     )
+
+
+# =====================================================================
+# W13 — compound balance (exact distributed scan of an affine
+# recurrence with PER-ROW coefficients)
+# =====================================================================
+
+
+@query(
+    "w13_compound_balance",
+    """
+    WITH t AS (
+      SELECT event_type, event_id, ts, value,
+             1.0 + (CAST(floor(value * 100) AS BIGINT) % 5 - 2) / 1000.0
+               AS a,
+             value - 50.0 AS b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), lg AS (
+      SELECT event_type, event_id, a, b, i,
+             SUM(ln(a)) OVER (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS L
+      FROM t
+    ), y AS (
+      SELECT event_type, event_id, i,
+             exp(L) * SUM(b * exp(-L)) OVER (
+               PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS balance
+      FROM lg
+    )
+    SELECT event_type, event_id, CAST(i AS BIGINT) AS i,
+           round(balance, 2) AS balance
+    FROM y WHERE i % 97 = 0
+    """,
+)
+def w13_compound_balance(spark, sf_dir):
+    """W13: running compounded balance with PER-ROW rates — the affine
+    recurrence y_i = a_i·y_{i-1} + b_i (a_i = 1 + tick-derived rate,
+    b_i = net flow) that no Spark built-in expresses (window sums only
+    handle CONSTANT decay via the EWMA closed form). Runs on
+    `operators/timeseries.affine_scan`: the Blelloch prefix scan over
+    the affine-map monoid — per-epoch exact local scans in parallel
+    (applyInPandas, task state = one 512-row epoch), a vanishing-size
+    carry recursion over epoch summaries, a keyed join-back, and a JVM
+    finish. The ORACLE computes the same series by a genuinely
+    different algorithm — the log-space closed form
+    y_i = exp(L_i)·Σ b_j·exp(−L_j), SQL-expressible because a_i > 0 —
+    so the hash match cross-validates two independent formulations.
+    Output sampled every 97th row per key (deterministic), balance
+    rounded to 2 dp (the log-space path carries ~1 ulp exp/ln noise)."""
+    from finporter_spark.operators.timeseries import affine_scan
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (
+            1.0
+            + (
+                F.floor(F.col("value") * 100).cast("bigint") % 5 - 2
+            )
+            / 1000.0
+        ).alias("_a"),
+        (F.col("value") - 50.0).alias("_b"),
+        F.row_number().over(w).alias("i"),
+    )
+    scanned = affine_scan(
+        t,
+        ["event_type"],
+        ["ts", "event_id"],
+        "_a",
+        "_b",
+        epoch_rows=512,
+        out_name="_bal",
+    )
+    return (
+        scanned.filter(F.col("i") % 97 == 0)
+        .select(
+            "event_type",
+            "event_id",
+            F.col("i").cast("bigint").alias("i"),
+            F.round("_bal", 2).alias("balance"),
+        )
+    )

@@ -312,3 +312,32 @@ def test_ewma_unbounded_exact_where_closed_form_overflows(spark):
     for i in range(n):
         y = vals[i] if y is None else a * vals[i] + (1 - a) * y
         assert got[i] == pytest.approx(y, rel=1e-9, abs=1e-9), i
+
+
+def test_w13_matches_sequential_recursion(spark, sf_dir):
+    """The distributed affine scan == the literal per-row recursion
+    y_i = a_i*y_{i-1} + b_i applied sequentially per instrument."""
+    import math
+
+    rows = CATALOG["w13_compound_balance"][0](spark, sf_dir).collect()
+    evs = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(evs, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        series.setdefault(r.event_type, []).append(r)
+    expect = {}
+    for et, pts in series.items():
+        y = 0.0
+        for i, r in enumerate(pts, start=1):
+            a = 1.0 + (int(math.floor(r.value * 100)) % 5 - 2) / 1000.0
+            y = a * y + (r.value - 50.0)
+            if i % 97 == 0:
+                expect[(et, i)] = y
+    assert len(rows) == len(expect) and rows
+    for r in rows:
+        assert r.balance == pytest.approx(
+            expect[(r.event_type, r.i)], abs=5e-2
+        )
