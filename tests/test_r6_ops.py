@@ -341,3 +341,44 @@ def test_w13_matches_sequential_recursion(spark, sf_dir):
         assert r.balance == pytest.approx(
             expect[(r.event_type, r.i)], abs=5e-2
         )
+
+
+def test_affine_scan_property_random_coefficients(spark):
+    """Property: affine_scan == sequential recursion for arbitrary
+    per-row coefficients — including NEGATIVE a (sign-alternating
+    recurrences the log-space oracle can't express), multiple keys,
+    and an epoch size that forces several carries."""
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for k in ("k1", "k2", "k3"):
+        for t in range(137):  # prime-ish, not a multiple of epoch_rows
+            rows.append(
+                (
+                    k,
+                    t,
+                    rng.uniform(-1.1, 1.1),
+                    rng.uniform(-10.0, 10.0),
+                )
+            )
+    from finporter_spark.operators.timeseries import affine_scan
+
+    df = spark.createDataFrame(
+        rows, "k string, t int, a double, b double"
+    ).repartition(7)
+    got = {
+        (r.k, r.t): r.y
+        for r in affine_scan(
+            df, ["k"], ["t"], "a", "b", epoch_rows=16
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    series: dict = {}
+    for k, t, a, b in rows:
+        series.setdefault(k, []).append((t, a, b))
+    for k, pts in series.items():
+        y = 0.0
+        for t, a, b in sorted(pts):
+            y = a * y + b
+            assert got[(k, t)] == pytest.approx(y, rel=1e-9, abs=1e-9)
