@@ -234,13 +234,20 @@ def l29_inverted_index(spark, sf_dir):
     """L29: inverted-index build — the posting-list materialization a
     retrieval/dedup stack runs once per corpus drop: per (term, doc)
     the sorted 1-based positions and term frequency, plus corpus
-    document frequency. One tokenize+posexplode (map-only), ONE shuffle
-    on (term, doc_id) for the posting aggregation, then df as a window
-    count over the same term key (sort-only, no second exchange of the
-    wide rows). Bounded to doc_id < {_L29_DOC_BOUND} by contract (the
-    oracle re-aggregates the whole output); the operator itself is
-    corpus-size linear. Positions make the index phrase-query-capable,
-    which plain tf materialization (l8 TF-IDF) is not."""
+    document frequency. SKEW-SAFE plan: the posting aggregation is
+    keyed on (term, doc_id) — the composite key spreads a Zipf-hot
+    term's postings across tasks, where a term-only partitioning (e.g.
+    a df window over term) would pin the whole 'the' posting list on
+    one task. df then comes from a map-combined vocabulary-sized
+    re-aggregation joined back on term — small enough that Catalyst
+    broadcasts it (no shuffle of the wide posting rows; at a 100M-term
+    vocabulary the same plan degrades gracefully to a shuffled join
+    with AQE skew splitting). Plan-asserted: no Window, df agg
+    partial-combined, posting rows exchanged exactly once. Bounded to
+    doc_id < {_L29_DOC_BOUND} by contract (the oracle re-aggregates
+    the whole output); the operator itself is corpus-size linear.
+    Positions make the index phrase-query-capable, which plain tf
+    materialization (l8 TF-IDF) is not."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _L29_DOC_BOUND)
@@ -252,25 +259,17 @@ def l29_inverted_index(spark, sf_dir):
         )
         .filter(F.col("term") != "")
     )
-    # ONE shuffle: partition on term up front — HashPartitioning(term)
-    # satisfies both the (term, doc_id) aggregation's clustering and
-    # the df window's partitioning, so neither inserts an exchange
-    # (partial-agg for collect_list barely combines, so nothing is lost)
-    tf = d.repartition("term").groupBy("term", "doc_id").agg(
+    tf = d.groupBy("term", "doc_id").agg(
         F.concat_ws(
             ",", F.sort_array(F.collect_list(F.col("pos") + 1))
         ).alias("positions"),
         F.count("*").cast("bigint").alias("tf"),
     )
-    return tf.select(
-        "term",
-        "doc_id",
-        "positions",
-        "tf",
-        F.count("*")
-        .over(Window.partitionBy("term"))
-        .cast("bigint")
-        .alias("df"),
+    df_counts = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    return tf.join(df_counts, "term").select(
+        "term", "doc_id", "positions", "tf", "df"
     )
 
 

@@ -102,10 +102,14 @@ def test_l29_inverted_index_properties(spark, sf_dir):
     ascending and 1-based, df == number of docs carrying the term, and
     a term's posting reconstructs the document's token occurrences."""
     out = CATALOG["l29_inverted_index"][0](spark, sf_dir)
-    # scale contract: ONE shuffle (term partitioning serves the agg
-    # and the df window alike)
+    # scale contract: postings aggregate on the SKEW-SPREADING
+    # (term, doc_id) key — never a term-only Window (a Zipf-hot term
+    # would pin its whole posting list on one task); df is a
+    # map-combined re-agg joined back (broadcast at this scale)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan  # df agg map-side combined
+    assert "BroadcastHashJoin" in plan, plan
     bad_tf = out.filter(
         F.size(F.split("positions", ",")) != F.col("tf")
     ).count()
