@@ -64,6 +64,7 @@ def affine_scan(
     b_col: str,
     epoch_rows: int = 512,
     out_name: str = "y",
+    row_index_col: str | None = None,
 ) -> DataFrame:
     """Exact distributed prefix scan for the affine recurrence
     y_i = a_i·y_{i-1} + b_i (seed y_0 = 0; encode a different seed in
@@ -85,15 +86,41 @@ def affine_scan(
     interest/balance (a_i = 1 + rate_i), decayed counters, Kalman-style
     scalar filters. Task state = one epoch; every stage is a keyed
     shuffle or a vanishing-size pass — the unbounded-history scale
-    path. Numeric contract: |Π a| within an epoch must stay inside
-    double range (|a| ≈ 1 in every named use; bound epoch_rows
-    accordingly for exotic coefficients).
+    path. The local-scan output is persisted (tagged releasable via
+    ``caching.owns_cache``): it feeds both the carry branch and the
+    final join, and without the persist the full-data Python scan
+    would execute twice. Contracts: |Π a| within an epoch must stay
+    inside double range (|a| ≈ 1 in every named use; bound epoch_rows
+    accordingly for exotic coefficients); per-key history ≤ 2^31 rows
+    (row_number's IntegerType — beyond that a window-ordered
+    formulation is off the table in Spark anyway); partition keys may
+    be NULL (treated as one group, matching groupBy/Window semantics);
+    ``row_index_col`` may name a precomputed DENSE 1-based per-key
+    index to avoid a redundant window pass.
     """
     import pandas as pd
 
+    from finporter_spark.caching import owns_cache
+
     pcols = list(partition_cols)
-    w = Window.partitionBy(*pcols).orderBy(*order_cols)
-    staged = df.withColumn("_g", F.row_number().over(w)).withColumn(
+    reserved = {"_g", "_epoch", "_P", "_Q", "_A", "_B", "_carry",
+                "_last", out_name}
+    clash = reserved.intersection(df.columns) - (
+        {row_index_col} if row_index_col else set()
+    )
+    if clash:
+        raise ValueError(
+            f"affine_scan: input columns {sorted(clash)} collide with "
+            "internal/output names — rename them first"
+        )
+    if row_index_col:
+        staged = df.withColumn("_g", F.col(row_index_col).cast("long"))
+    else:
+        w = Window.partitionBy(*pcols).orderBy(*order_cols)
+        staged = df.withColumn(
+            "_g", F.row_number().over(w).cast("long")
+        )
+    staged = staged.withColumn(
         "_epoch", ((F.col("_g") - 1) / epoch_rows).cast("long")
     )
     row_schema = ", ".join(
@@ -115,9 +142,11 @@ def affine_scan(
         pdf["_Q"] = Qs
         return pdf
 
+    # persisted: consumed by BOTH the summaries/carries branch and the
+    # final join — without it the full-data Python scan runs twice
     local = staged.groupBy(*pcols, "_epoch").applyInPandas(
         _local, schema=row_schema
-    )
+    ).persist()
     summaries = local.groupBy(*pcols, "_epoch").agg(
         F.max(F.struct("_g", "_P", "_Q")).alias("_last")
     ).select(
@@ -144,13 +173,27 @@ def affine_scan(
     carries = summaries.groupBy(*pcols).applyInPandas(
         _carries, schema=carry_schema
     )
-    return (
-        local.join(carries, pcols + ["_epoch"])
+    # null-SAFE join keys: groupBy/Window treat a NULL key as a real
+    # group, and a plain equi-join would silently drop those rows
+    cr = carries.select(
+        *[F.col(c).alias(f"_cr_{c}") for c in pcols],
+        F.col("_epoch").alias("_cr_epoch"),
+        "_carry",
+    )
+    cond = F.col("_epoch") == F.col("_cr_epoch")
+    for c in pcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_cr_{c}"))
+    out = (
+        local.join(cr, cond)
         .withColumn(
             out_name, F.col("_P") * F.col("_carry") + F.col("_Q")
         )
-        .drop("_g", "_epoch", "_P", "_Q", "_carry")
+        .drop(
+            "_g", "_epoch", "_P", "_Q", "_carry", "_cr_epoch",
+            *[f"_cr_{c}" for c in pcols],
+        )
     )
+    return owns_cache(out, local)
 
 
 def ewma_unbounded(
@@ -174,12 +217,16 @@ def ewma_unbounded(
     """
     r = 1.0 - alpha
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    prepped = df.withColumn(
-        "_ewma_b",
-        F.when(
-            F.row_number().over(w) == 1, F.col(value_col)
-        ).otherwise(F.lit(alpha) * F.col(value_col)),
-    ).withColumn("_ewma_a", F.lit(r))
+    prepped = (
+        df.withColumn("_ewma_i", F.row_number().over(w))
+        .withColumn(
+            "_ewma_b",
+            F.when(
+                F.col("_ewma_i") == 1, F.col(value_col)
+            ).otherwise(F.lit(alpha) * F.col(value_col)),
+        )
+        .withColumn("_ewma_a", F.lit(r))
+    )
     return affine_scan(
         prepped,
         partition_cols,
@@ -188,4 +235,5 @@ def ewma_unbounded(
         "_ewma_b",
         epoch_rows=epoch_rows,
         out_name=out_name,
-    ).drop("_ewma_a", "_ewma_b")
+        row_index_col="_ewma_i",  # reuse the one window pass
+    ).drop("_ewma_a", "_ewma_b", "_ewma_i")

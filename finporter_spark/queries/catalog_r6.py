@@ -242,8 +242,10 @@ def l29_inverted_index(spark, sf_dir):
     re-aggregation joined back on term — small enough that Catalyst
     broadcasts it (no shuffle of the wide posting rows; at a 100M-term
     vocabulary the same plan degrades gracefully to a shuffled join
-    with AQE skew splitting). Plan-asserted: no Window, df agg
-    partial-combined, posting rows exchanged exactly once. Bounded to
+    with AQE skew splitting). The postings aggregate is persisted so
+    the df branch reuses it rather than re-tokenizing the corpus.
+    Plan-asserted: no Window, df agg partial-combined, broadcast
+    join-back, and ONE corpus scan. Bounded to
     doc_id < {_L29_DOC_BOUND} by contract (the oracle re-aggregates
     the whole output); the operator itself is corpus-size linear.
     Positions make the index phrase-query-capable, which plain tf
@@ -259,18 +261,24 @@ def l29_inverted_index(spark, sf_dir):
         )
         .filter(F.col("term") != "")
     )
+    from finporter_spark.caching import owns_cache
+
+    # persisted: df is a re-aggregation of the MATERIALIZED postings —
+    # without the persist Catalyst column-prunes df_counts into a
+    # second full scan+tokenize+explode of the corpus
     tf = d.groupBy("term", "doc_id").agg(
         F.concat_ws(
             ",", F.sort_array(F.collect_list(F.col("pos") + 1))
         ).alias("positions"),
         F.count("*").cast("bigint").alias("tf"),
-    )
+    ).persist()
     df_counts = tf.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
     )
-    return tf.join(df_counts, "term").select(
+    out = tf.join(df_counts, "term").select(
         "term", "doc_id", "positions", "tf", "df"
     )
+    return owns_cache(out, tf)
 
 
 # =====================================================================
@@ -854,6 +862,7 @@ def w13_compound_balance(spark, sf_dir):
         "_b",
         epoch_rows=512,
         out_name="_bal",
+        row_index_col="i",  # reuse the ranking window already computed
     )
     return (
         scanned.filter(F.col("i") % 97 == 0)

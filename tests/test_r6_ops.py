@@ -110,6 +110,11 @@ def test_l29_inverted_index_properties(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "partial_count" in plan, plan  # df agg map-side combined
     assert "BroadcastHashJoin" in plan, plan
+    # ONE corpus pass: BOTH branches (postings and df) must read the
+    # persisted postings (InMemoryTableScan), not re-scan + re-tokenize
+    # the documents ("FileScan parquet" below appears only inside the
+    # cached relation's lineage description, which does not execute)
+    assert plan.count("InMemoryTableScan") >= 2, plan
     bad_tf = out.filter(
         F.size(F.split("positions", ",")) != F.col("tf")
     ).count()
