@@ -120,6 +120,7 @@ HEADLINE = [
     "pipe5_market_surveillance",
     "w11b_ewma_unbounded",
     "w13_compound_balance",
+    "w14_holt_trend",
 ]
 
 
