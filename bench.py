@@ -121,6 +121,7 @@ HEADLINE = [
     "w11b_ewma_unbounded",
     "w13_compound_balance",
     "w14_holt_trend",
+    "o18_weighted_sample",
 ]
 
 

@@ -915,3 +915,66 @@ def w14_holt_trend(spark, sf_dir):
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
     )
+
+
+# =====================================================================
+# O18 — deterministic weighted sampling (Efraimidis–Spirakis)
+# =====================================================================
+
+
+@query(
+    "o18_weighted_sample",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             0.1 + (n_chars % 97) / 97.0 AS w,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents
+    ), k AS (
+      SELECT lang, doc_id, w, pow(u, 1.0 / w) AS key,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT lang, doc_id, round(w, 6) AS w, round(key, 6) AS key
+    FROM k WHERE rk <= 50
+    """,
+)
+def o18_weighted_sample(spark, sf_dir):
+    """O18: weighted sampling WITHOUT replacement, deterministic — the
+    Efraimidis–Spirakis exponential race: each doc draws u from the
+    md5 of its key (identical hex on every engine — the repo's
+    sampling convention) and competes with priority u^(1/w); the top-k
+    per stratum IS a weighted sample without replacement. This is how
+    a training mix upsamples high-quality documents reproducibly —
+    rerun-stable, engine-stable, no RNG state anywhere. One window
+    shuffle per stratum; the rank<=k predicate triggers Spark's
+    WindowGroupLimit (plan-asserted), which pre-prunes each map
+    partition to its local top-k before the shuffle — the two-phase
+    top-k that keeps a Zipf-hot stratum from pinning a full sort on
+    one task."""
+    d = _t(spark, sf_dir, "documents")
+    w_col = 0.1 + (F.col("n_chars") % 97) / 97.0
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    key = F.pow(u, 1.0 / w_col)
+    win = Window.partitionBy("lang").orderBy(
+        F.desc("key"), F.col("doc_id")
+    )
+    t = d.select(
+        "lang", "doc_id", w_col.alias("w"), key.alias("key")
+    ).withColumn("rk", F.row_number().over(win))
+    return t.filter(F.col("rk") <= 50).select(
+        "lang",
+        "doc_id",
+        F.round("w", 6).alias("w"),
+        F.round("key", 6).alias("key"),
+    )

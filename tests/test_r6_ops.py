@@ -479,3 +479,31 @@ def test_holt_trend_matches_sequential_recursion(spark, sf_dir):
                 l = l_new
             assert got[(et, day)][0] == pytest.approx(l, abs=1e-8)
             assert got[(et, day)][1] == pytest.approx(t, abs=1e-8)
+
+
+def test_o18_weighted_sample_properties(spark, sf_dir):
+    """WindowGroupLimit in the plan (two-phase top-k), exactly 50 per
+    populated stratum (or all docs when a stratum is smaller), and
+    higher-weight docs are overrepresented vs a uniform draw."""
+    out = CATALOG["o18_weighted_sample"][0](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r.lang for r in rows)
+    totals = Counter(
+        r.lang
+        for r in _t(spark, sf_dir, "documents").select("lang").collect()
+    )
+    for lang, n in per.items():
+        assert n == min(50, totals[lang])
+    # weight bias: the sampled docs' mean weight exceeds the corpus mean
+    sampled_w = sum(r.w for r in rows) / len(rows)
+    corpus = (
+        _t(spark, sf_dir, "documents")
+        .select((0.1 + (F.col("n_chars") % 97) / 97.0).alias("w"))
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert sampled_w > corpus
