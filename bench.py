@@ -122,6 +122,8 @@ HEADLINE = [
     "w13_compound_balance",
     "w14_holt_trend",
     "o18_weighted_sample",
+    "f1_rebalance_drift",
+    "f2_fifo_realized_gains",
 ]
 
 

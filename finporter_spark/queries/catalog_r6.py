@@ -978,3 +978,299 @@ def o18_weighted_sample(spark, sf_dir):
         F.round("w", 6).alias("w"),
         F.round("key", 6).alias("key"),
     )
+
+
+# =====================================================================
+# F1 — rebalance drift (the openalloc domain core)
+# =====================================================================
+
+
+@query(
+    "f1_rebalance_drift",
+    f"""
+    WITH holdings AS (
+      SELECT 'acc' || CAST(l_suppkey AS VARCHAR) AS accountID,
+             'SEC' || CAST(l_partkey AS VARCHAR) AS securityID,
+             l_quantity AS shares
+      FROM lineitem
+    ), securities AS (
+      SELECT 'SEC' || CAST(p_partkey AS VARCHAR) AS securityID,
+             p_brand AS assetID, p_retailprice AS sharePrice
+      FROM part
+    ), accounts AS (
+      SELECT 'acc' || CAST(s_suppkey AS VARCHAR) AS accountID,
+             'strat' || CAST(s_nationkey AS VARCHAR) AS strategyID
+      FROM supplier
+    ), target_assets AS (
+      SELECT assetID, row_number() OVER (ORDER BY assetID) AS rk
+      FROM (SELECT DISTINCT p_brand AS assetID FROM part)
+    ), allocations AS (
+      SELECT 'strat' || CAST(n_nationkey AS VARCHAR) AS strategyID,
+             assetID, 0.25 AS targetPct
+      FROM nation, target_assets WHERE rk <= 4
+    ), pos AS (
+      SELECT h.accountID, s.assetID,
+             {DSUM('h.shares * s.sharePrice')} AS value
+      FROM holdings h JOIN securities s USING (securityID)
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT accountID, SUM(value) AS total FROM pos GROUP BY 1
+    ), tgt AS (
+      SELECT a.accountID, al.assetID, al.targetPct
+      FROM accounts a JOIN allocations al USING (strategyID)
+    ), universe AS (
+      SELECT COALESCE(p.accountID, g.accountID) AS accountID,
+             COALESCE(p.assetID, g.assetID) AS assetID,
+             COALESCE(p.value, 0.0) AS value,
+             COALESCE(g.targetPct, 0.0) AS target_pct
+      FROM pos p FULL JOIN tgt g
+        ON p.accountID = g.accountID AND p.assetID = g.assetID
+    )
+    SELECT accountID, assetID,
+           round(value / total, 6) AS cur_pct,
+           round(target_pct, 6) AS target_pct,
+           round(value / total - target_pct, 6) AS drift
+    FROM universe JOIN tot USING (accountID)
+    WHERE abs(value / total - target_pct) > 0.05
+    """,
+)
+def f1_rebalance_drift(spark, sf_dir):
+    """F1: rebalance drift — THE openalloc domain computation (the
+    reference's sibling apps exist to feed it): mark each account's
+    positions to market, roll them up per asset class, compare against
+    the account strategy's target allocation, and flag classes drifted
+    more than 5 points — including classes the target names but the
+    account doesn't hold (underweight from zero). Entity derivations
+    are the 7-entity pipeline's own (holdings/securities/accounts/
+    allocations from lineitem/part/supplier/nation). Plan: two
+    map-combined keyed aggregations (position rollup through DECIMAL,
+    account totals), a broadcast strategy/target join (dim-sized), and
+    one outer join per (account, asset) — no shuffle carries more than
+    the position rollup."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    holdings = l.select(
+        F.concat(F.lit("acc"), F.col("l_suppkey")).alias("accountID"),
+        F.concat(F.lit("SEC"), F.col("l_partkey")).alias("securityID"),
+        F.col("l_quantity").alias("shares"),
+    )
+    securities = p.select(
+        F.concat(F.lit("SEC"), F.col("p_partkey")).alias("securityID"),
+        F.col("p_brand").alias("assetID"),
+        F.col("p_retailprice").alias("sharePrice"),
+    )
+    accounts = sup.select(
+        F.concat(F.lit("acc"), F.col("s_suppkey")).alias("accountID"),
+        F.concat(F.lit("strat"), F.col("s_nationkey")).alias("strategyID"),
+    )
+    target_assets = (
+        p.select(F.col("p_brand").alias("assetID"))
+        .distinct()
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("assetID"))
+        )
+        .filter(F.col("rk") <= 4)
+        .select("assetID")
+    )
+    allocations = n.crossJoin(F.broadcast(target_assets)).select(
+        F.concat(F.lit("strat"), F.col("n_nationkey")).alias("strategyID"),
+        "assetID",
+        F.lit(0.25).alias("targetPct"),
+    )
+    pos = (
+        holdings.join(securities, "securityID")
+        .groupBy("accountID", "assetID")
+        .agg(dsum(F.col("shares") * F.col("sharePrice")).alias("value"))
+    )
+    tot = pos.groupBy("accountID").agg(F.sum("value").alias("total"))
+    tgt = accounts.join(F.broadcast(allocations), "strategyID").select(
+        "accountID", "assetID", "targetPct"
+    )
+    universe = pos.alias("p").join(
+        tgt.alias("g"),
+        (F.col("p.accountID") == F.col("g.accountID"))
+        & (F.col("p.assetID") == F.col("g.assetID")),
+        "full",
+    ).select(
+        F.coalesce(F.col("p.accountID"), F.col("g.accountID")).alias(
+            "accountID"
+        ),
+        F.coalesce(F.col("p.assetID"), F.col("g.assetID")).alias(
+            "assetID"
+        ),
+        F.coalesce(F.col("p.value"), F.lit(0.0)).alias("value"),
+        F.coalesce(F.col("g.targetPct"), F.lit(0.0)).alias("target_pct"),
+    )
+    cur = F.col("value") / F.col("total")
+    return (
+        universe.join(tot, "accountID")
+        .filter(F.abs(cur - F.col("target_pct")) > 0.05)
+        .select(
+            "accountID",
+            "assetID",
+            F.round(cur, 6).alias("cur_pct"),
+            F.round("target_pct", 6).alias("target_pct"),
+            F.round(cur - F.col("target_pct"), 6).alias("drift"),
+        )
+    )
+
+
+# =====================================================================
+# F2 — FIFO lot relief / realized gains (set-based, no row loop)
+# =====================================================================
+
+
+@query(
+    "f2_fifo_realized_gains",
+    f"""
+    WITH base AS (
+      SELECT * FROM lineitem WHERE l_suppkey < 10
+    ), t AS (
+      SELECT 'acc' || CAST(l_suppkey AS VARCHAR) AS accountID,
+             'SEC' || CAST(l_partkey AS VARCHAR) AS securityID,
+             'BUY' AS action, l_shipdate AS at,
+             l_orderkey, l_linenumber,
+             l_quantity AS qty,
+             l_extendedprice / l_quantity AS price
+      FROM base
+      UNION ALL
+      SELECT 'acc' || CAST(l_suppkey AS VARCHAR),
+             'SEC' || CAST(l_partkey AS VARCHAR),
+             'SELL', l_shipdate + INTERVAL 30 DAY,
+             l_orderkey, l_linenumber,
+             l_quantity / 2,
+             l_extendedprice / l_quantity * 1.02
+      FROM base WHERE l_returnflag = 'R'
+    ), buys AS (
+      SELECT accountID, securityID, price,
+             SUM(qty) OVER w - qty AS lo, SUM(qty) OVER w AS hi
+      FROM t WHERE action = 'BUY'
+      WINDOW w AS (PARTITION BY accountID, securityID
+                   ORDER BY at, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), sells AS (
+      SELECT accountID, securityID, l_orderkey, l_linenumber, price,
+             SUM(qty) OVER w - qty AS lo, SUM(qty) OVER w AS hi
+      FROM t WHERE action = 'SELL'
+      WINDOW w AS (PARTITION BY accountID, securityID
+                   ORDER BY at, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT s.accountID, s.securityID,
+           CAST(s.l_orderkey AS BIGINT) AS sell_orderkey,
+           CAST(s.l_linenumber AS BIGINT) AS sell_linenumber,
+           round(COALESCE(SUM(least(b.hi, s.hi) - greatest(b.lo, s.lo)),
+                          0.0), 6) AS matched_qty,
+           round(COALESCE({DSUM(
+               '(least(b.hi, s.hi) - greatest(b.lo, s.lo))'
+               ' * (s.price - b.price)')}, 0.0), 2) AS realized_gain
+    FROM sells s LEFT JOIN buys b
+      ON b.accountID = s.accountID AND b.securityID = s.securityID
+     AND b.lo < s.hi AND s.lo < b.hi
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def f2_fifo_realized_gains(spark, sf_dir):
+    """F2: FIFO lot relief — the realized-gain computation the
+    reference's transaction entity carries fields for
+    (MTransaction.realizedGainShort/Long) and its row-at-a-time
+    ecosystem computes lot by lot. Here it is SET-BASED: on the
+    cumulative-quantity axis per (account, security), buy lot j covers
+    interval [CB_{{j-1}}, CB_j) and sell s consumes [CS_{{s-1}}, CS_s);
+    FIFO matching IS interval intersection on that axis, so one keyed
+    equi-join with a range residual (never a nested loop — the key
+    carries the locality) computes every (sell, lot) match and its
+    gain = overlap × (sell price − lot basis) in two window passes +
+    one join. The equivalence to literal lot-queue FIFO holds exactly
+    when the ledger is FEASIBLE (cumulative sells never exceed
+    cumulative buys at any prefix — i.e. no naked shorts), which the
+    derivation guarantees: every R-flagged purchase spawns a
+    half-quantity sale 30 days later, so each sell's backing lots
+    predate it (proven == a literal FIFO simulation in
+    tests/test_r6_ops.py). Bounded to 10 accounts by contract (the
+    oracle re-derives the whole ledger); gain sums route through
+    DECIMAL."""
+    base = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    acct = F.concat(F.lit("acc"), F.col("l_suppkey")).alias("accountID")
+    sec = F.concat(F.lit("SEC"), F.col("l_partkey")).alias("securityID")
+    px = F.col("l_extendedprice") / F.col("l_quantity")
+    t = base.select(
+        acct,
+        sec,
+        F.lit("BUY").alias("action"),
+        F.col("l_shipdate").alias("at"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        px.alias("price"),
+    ).unionAll(
+        base.filter(F.col("l_returnflag") == "R").select(
+            acct,
+            sec,
+            F.lit("SELL").alias("action"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")).alias(
+                "at"
+            ),
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity") / 2).alias("qty"),
+            (px * 1.02).alias("price"),
+        )
+    )
+    w = (
+        Window.partitionBy("accountID", "securityID")
+        .orderBy("at", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("qty").over(w)
+
+    def ranged(df):
+        return df.withColumn("hi", cum).withColumn(
+            "lo", F.col("hi") - F.col("qty")
+        )
+
+    buys = ranged(t.filter(F.col("action") == "BUY")).select(
+        "accountID", "securityID", "price", "lo", "hi"
+    )
+    sells = ranged(t.filter(F.col("action") == "SELL")).select(
+        "accountID",
+        "securityID",
+        "l_orderkey",
+        "l_linenumber",
+        "price",
+        "lo",
+        "hi",
+    )
+    matched = F.least(F.col("b.hi"), F.col("s.hi")) - F.greatest(
+        F.col("b.lo"), F.col("s.lo")
+    )
+    gain = matched * (F.col("s.price") - F.col("b.price"))
+    return (
+        sells.alias("s")
+        .join(
+            buys.alias("b"),
+            (F.col("b.accountID") == F.col("s.accountID"))
+            & (F.col("b.securityID") == F.col("s.securityID"))
+            & (F.col("b.lo") < F.col("s.hi"))
+            & (F.col("s.lo") < F.col("b.hi")),
+            "left",
+        )
+        .groupBy(
+            F.col("s.accountID").alias("accountID"),
+            F.col("s.securityID").alias("securityID"),
+            F.col("s.l_orderkey").cast("bigint").alias("sell_orderkey"),
+            F.col("s.l_linenumber").cast("bigint").alias(
+                "sell_linenumber"
+            ),
+        )
+        .agg(
+            F.round(
+                F.coalesce(F.sum(matched), F.lit(0.0)), 6
+            ).alias("matched_qty"),
+            F.round(F.coalesce(dsum(gain), F.lit(0.0)), 2).alias(
+                "realized_gain"
+            ),
+        )
+    )

@@ -507,3 +507,75 @@ def test_o18_weighted_sample_properties(spark, sf_dir):
         .first()[0]
     )
     assert sampled_w > corpus
+
+
+def test_f2_interval_matching_is_literal_fifo(spark, sf_dir):
+    """The cumulative-interval formulation must equal a literal FIFO
+    lot-queue simulation: per (account, security), sells pop buy lots
+    in order; realized gain per sell = sum over consumed lots of
+    qty*(sell price - lot basis)."""
+    rows = CATALOG["f2_fifo_realized_gains"][0](spark, sf_dir).collect()
+    got = {
+        (r.accountID, r.securityID, r.sell_orderkey, r.sell_linenumber): (
+            r.matched_qty,
+            r.realized_gain,
+        )
+        for r in rows
+    }
+    import datetime
+
+    led = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            "l_returnflag",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .collect()
+    )
+    from collections import defaultdict, deque
+
+    ledger = defaultdict(list)
+    for r in led:
+        key = (f"acc{r.l_suppkey}", f"SEC{r.l_partkey}")
+        px = r.l_extendedprice / r.l_quantity
+        ledger[key].append(
+            ("BUY", r.l_shipdate, r.l_orderkey, r.l_linenumber,
+             r.l_quantity, px)
+        )
+        if r.l_returnflag == "R":
+            ledger[key].append(
+                ("SELL", r.l_shipdate + datetime.timedelta(days=30),
+                 r.l_orderkey, r.l_linenumber, r.l_quantity / 2,
+                 px * 1.02)
+            )
+    expect = {}
+    for (acct, sec), txns in ledger.items():
+        txns.sort(key=lambda r: (r[1], r[2], r[3]))
+        lots: deque = deque()
+        for action, _at, ok, ln, qty, price in txns:
+            if action == "BUY":
+                lots.append([qty, price])
+            else:  # SELL: consume FIFO
+                need, gain, matched = qty, 0.0, 0.0
+                while need > 1e-12 and lots:
+                    q, basis = lots[0]
+                    take = min(q, need)
+                    gain += take * (price - basis)
+                    matched += take
+                    need -= take
+                    if q - take <= 1e-12:
+                        lots.popleft()
+                    else:
+                        lots[0][0] = q - take
+                expect[(acct, sec, ok, ln)] = (matched, gain)
+    assert len(got) == len(expect)
+    for k, (mq, rg) in expect.items():
+        assert got[k][0] == pytest.approx(mq, abs=1e-6), k
+        assert got[k][1] == pytest.approx(rg, abs=0.02), k
