@@ -1133,7 +1133,8 @@ def f1_rebalance_drift(spark, sf_dir):
              'BUY' AS action, l_shipdate AS at,
              l_orderkey, l_linenumber,
              l_quantity AS qty,
-             l_extendedprice / l_quantity AS price
+             (CAST(floor(l_extendedprice) AS BIGINT) % 9000) / 10.0 + 5.0
+               AS price
       FROM base
       UNION ALL
       SELECT 'acc' || CAST(l_suppkey AS VARCHAR),
@@ -1141,7 +1142,7 @@ def f1_rebalance_drift(spark, sf_dir):
              'SELL', l_shipdate + INTERVAL 30 DAY,
              l_orderkey, l_linenumber,
              l_quantity / 2,
-             l_extendedprice / l_quantity * 1.02
+             (CAST(floor(l_extendedprice) AS BIGINT) % 9000) / 10.0 + 6.0
       FROM base WHERE l_returnflag = 'R'
     ), buys AS (
       SELECT accountID, securityID, price,
@@ -1163,9 +1164,9 @@ def f1_rebalance_drift(spark, sf_dir):
            CAST(s.l_linenumber AS BIGINT) AS sell_linenumber,
            round(COALESCE(SUM(least(b.hi, s.hi) - greatest(b.lo, s.lo)),
                           0.0), 6) AS matched_qty,
-           round(COALESCE({DSUM(
-               '(least(b.hi, s.hi) - greatest(b.lo, s.lo))'
-               ' * (s.price - b.price)')}, 0.0), 2) AS realized_gain
+           round(COALESCE(SUM(
+               (least(b.hi, s.hi) - greatest(b.lo, s.lo))
+               * (s.price - b.price)), 0.0), 2) AS realized_gain
     FROM sells s LEFT JOIN buys b
       ON b.accountID = s.accountID AND b.securityID = s.securityID
      AND b.lo < s.hi AND s.lo < b.hi
@@ -1187,15 +1188,26 @@ def f2_fifo_realized_gains(spark, sf_dir):
     when the ledger is FEASIBLE (cumulative sells never exceed
     cumulative buys at any prefix — i.e. no naked shorts), which the
     derivation guarantees: every R-flagged purchase spawns a
-    half-quantity sale 30 days later, so each sell's backing lots
-    predate it (proven == a literal FIFO simulation in
+    half-quantity sale 30 days later at a flat +1.00 markup over a
+    1-dp-exact price (prices avoid division entirely: divided or
+    percentage-marked prices land gains EXACTLY on half-cent rounding
+    boundaries, where 1-ulp double noise decides the direction per
+    engine), so each sell's backing lots predate it (proven == a literal FIFO simulation in
     tests/test_r6_ops.py). Bounded to 10 accounts by contract (the
-    oracle re-derives the whole ledger); gain sums route through
-    DECIMAL."""
+    oracle re-derives the whole ledger). Per-sell gain sums span only
+    a handful of lots, so a plain double sum (noise ~1e-13) is the
+    cross-engine-safe route here — a DECIMAL(28,6) term cast injects
+    1e-6 rounding-mode noise, enough to flip a half-cent boundary."""
     base = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
     acct = F.concat(F.lit("acc"), F.col("l_suppkey")).alias("accountID")
     sec = F.concat(F.lit("SEC"), F.col("l_partkey")).alias("securityID")
-    px = F.col("l_extendedprice") / F.col("l_quantity")
+    # 1-dp-exact prices (no division): every gain term is then
+    # decimal-exact at 2 dp — a divided price makes gains land ON the
+    # half-cent rounding boundary, where 1-ulp double noise decides
+    # the direction per engine (observed at both SFs)
+    px = (
+        F.floor(F.col("l_extendedprice")).cast("bigint") % 9000
+    ) / 10.0 + 5.0
     t = base.select(
         acct,
         sec,
@@ -1216,7 +1228,7 @@ def f2_fifo_realized_gains(spark, sf_dir):
             "l_orderkey",
             "l_linenumber",
             (F.col("l_quantity") / 2).alias("qty"),
-            (px * 1.02).alias("price"),
+            (px + 1.0).alias("price"),  # flat markup: 1-dp sale price
         )
     )
     w = (
@@ -1269,7 +1281,7 @@ def f2_fifo_realized_gains(spark, sf_dir):
             F.round(
                 F.coalesce(F.sum(matched), F.lit(0.0)), 6
             ).alias("matched_qty"),
-            F.round(F.coalesce(dsum(gain), F.lit(0.0)), 2).alias(
+            F.round(F.coalesce(F.sum(gain), F.lit(0.0)), 2).alias(
                 "realized_gain"
             ),
         )

@@ -544,7 +544,9 @@ def test_f2_interval_matching_is_literal_fifo(spark, sf_dir):
     ledger = defaultdict(list)
     for r in led:
         key = (f"acc{r.l_suppkey}", f"SEC{r.l_partkey}")
-        px = r.l_extendedprice / r.l_quantity
+        import math as _m
+
+        px = (int(_m.floor(r.l_extendedprice)) % 9000) / 10.0 + 5.0
         ledger[key].append(
             ("BUY", r.l_shipdate, r.l_orderkey, r.l_linenumber,
              r.l_quantity, px)
@@ -553,7 +555,7 @@ def test_f2_interval_matching_is_literal_fifo(spark, sf_dir):
             ledger[key].append(
                 ("SELL", r.l_shipdate + datetime.timedelta(days=30),
                  r.l_orderkey, r.l_linenumber, r.l_quantity / 2,
-                 px * 1.02)
+                 px + 1.0)
             )
     expect = {}
     for (acct, sec), txns in ledger.items():
