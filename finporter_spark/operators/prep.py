@@ -181,6 +181,20 @@ def fuzzy_decontaminate(
     return df.join(contaminated, id_col, "left_anti")
 
 
+def sample_u(key) -> "Column":
+    """Deterministic uniform draw in [0, 1) from the md5 of a key —
+    the engine-portable sibling of :func:`sample_bucket` (same hex
+    prefix and width, divided instead of moduloed). Single-sources the
+    convention for weighted draws (o18's Efraimidis-Spirakis race)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+
+
 def sample_bucket(key: Column, buckets: int = 10000) -> Column:
     """Deterministic, engine-portable bucket in [0, buckets) for a key:
     first 8 hex chars of ``md5(key as string)``. Reruns, retries, and

@@ -954,17 +954,16 @@ def o18_weighted_sample(spark, sf_dir):
     WindowGroupLimit (plan-asserted), which pre-prunes each map
     partition to its local top-k before the shuffle — the two-phase
     top-k that keeps a Zipf-hot stratum from pinning a full sort on
-    one task."""
+    one task. pow() is libm-dependent (<=1 ulp across engines): a rank
+    flip needs two priorities within 1e-16 of each other at the k
+    boundary and a 6dp hash flip needs a key within 1e-16 of a half
+    boundary — both negligible against the md5 draw's ~1e-2 spacing,
+    and ties proper are broken by doc_id."""
     d = _t(spark, sf_dir, "documents")
     w_col = 0.1 + (F.col("n_chars") % 97) / 97.0
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / 4294967296.0
-    )
+    from finporter_spark.operators.prep import sample_u
+
+    u = sample_u(F.col("doc_id"))
     key = F.pow(u, 1.0 / w_col)
     win = Window.partitionBy("lang").orderBy(
         F.desc("key"), F.col("doc_id")
@@ -1014,7 +1013,7 @@ def o18_weighted_sample(spark, sf_dir):
       FROM holdings h JOIN securities s USING (securityID)
       GROUP BY 1, 2
     ), tot AS (
-      SELECT accountID, SUM(value) AS total FROM pos GROUP BY 1
+      SELECT accountID, {DSUM('value')} AS total FROM pos GROUP BY 1
     ), tgt AS (
       SELECT a.accountID, al.assetID, al.targetPct
       FROM accounts a JOIN allocations al USING (strategyID)
@@ -1084,7 +1083,9 @@ def f1_rebalance_drift(spark, sf_dir):
         .groupBy("accountID", "assetID")
         .agg(dsum(F.col("shares") * F.col("sharePrice")).alias("value"))
     )
-    tot = pos.groupBy("accountID").agg(F.sum("value").alias("total"))
+    tot = pos.groupBy("accountID").agg(
+        dsum(F.col("value")).alias("total")
+    )
     tgt = accounts.join(F.broadcast(allocations), "strategyID").select(
         "accountID", "assetID", "targetPct"
     )
@@ -1149,14 +1150,14 @@ def f1_rebalance_drift(spark, sf_dir):
              SUM(qty) OVER w - qty AS lo, SUM(qty) OVER w AS hi
       FROM t WHERE action = 'BUY'
       WINDOW w AS (PARTITION BY accountID, securityID
-                   ORDER BY at, l_orderkey, l_linenumber
+                   ORDER BY at, l_orderkey, l_linenumber, qty, price
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), sells AS (
       SELECT accountID, securityID, l_orderkey, l_linenumber, price,
              SUM(qty) OVER w - qty AS lo, SUM(qty) OVER w AS hi
       FROM t WHERE action = 'SELL'
       WINDOW w AS (PARTITION BY accountID, securityID
-                   ORDER BY at, l_orderkey, l_linenumber
+                   ORDER BY at, l_orderkey, l_linenumber, qty, price
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT s.accountID, s.securityID,
@@ -1194,7 +1195,12 @@ def f2_fifo_realized_gains(spark, sf_dir):
     boundaries, where 1-ulp double noise decides the direction per
     engine), so each sell's backing lots predate it (proven == a literal FIFO simulation in
     tests/test_r6_ops.py). Bounded to 10 accounts by contract (the
-    oracle re-derives the whole ledger). Per-sell gain sums span only
+    oracle re-derives the whole ledger). The generator draws
+    (l_orderkey, l_linenumber) randomly, so the window order carries
+    (qty, price) tiebreakers: partial duplicates order
+    deterministically, and FULL duplicates are interchangeable (their
+    merged per-(orderkey, linenumber) output is assignment-invariant).
+    Per-sell gain sums span only
     a handful of lots, so a plain double sum (noise ~1e-13) is the
     cross-engine-safe route here — a DECIMAL(28,6) term cast injects
     1e-6 rounding-mode noise, enough to flip a half-cent boundary."""
@@ -1233,7 +1239,7 @@ def f2_fifo_realized_gains(spark, sf_dir):
     )
     w = (
         Window.partitionBy("accountID", "securityID")
-        .orderBy("at", "l_orderkey", "l_linenumber")
+        .orderBy("at", "l_orderkey", "l_linenumber", "qty", "price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("qty").over(w)

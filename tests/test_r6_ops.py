@@ -496,8 +496,8 @@ def test_o18_weighted_sample_properties(spark, sf_dir):
         r.lang
         for r in _t(spark, sf_dir, "documents").select("lang").collect()
     )
-    for lang, n in per.items():
-        assert n == min(50, totals[lang])
+    for lang, total in totals.items():
+        assert per.get(lang, 0) == min(50, total)
     # weight bias: the sampled docs' mean weight exceeds the corpus mean
     sampled_w = sum(r.w for r in rows) / len(rows)
     corpus = (
@@ -576,7 +576,9 @@ def test_f2_interval_matching_is_literal_fifo(spark, sf_dir):
                         lots.popleft()
                     else:
                         lots[0][0] = q - take
-                expect[(acct, sec, ok, ln)] = (matched, gain)
+                k = (acct, sec, ok, ln)
+                pm, pg = expect.get(k, (0.0, 0.0))
+                expect[k] = (pm + matched, pg + gain)
     assert len(got) == len(expect)
     for k, (mq, rg) in expect.items():
         assert got[k][0] == pytest.approx(mq, abs=1e-6), k
