@@ -303,6 +303,17 @@ def _vectorized_frame(text: str, where: str):
                 r = r.fillna(
                     pd.to_datetime(s, format=fmt, errors="coerce")
                 )
+            # pd.to_datetime targets ns, whose range is 1677..2262 —
+            # valid-but-ancient dates coerce to NaT there even though
+            # the pa.timestamp('us') output type represents them; widen
+            # to us and row-decode only the values ns could not hold
+            # (same semantics as _parse_ts, exercised rarely)
+            r = r.astype("datetime64[us]")
+            left = s.ne("") & r.isna()
+            if left.any():
+                r.loc[left] = (
+                    s[left].map(_parse_ts).astype("datetime64[us]")
+                )
             out[name] = r
         elif name in _REQUIRED_STR:
             out[name] = filled
@@ -398,7 +409,10 @@ class FinportReader(DataSourceReader):
             else {n: [] for n in _HEADER}
         )
         for n in _TS:
-            pdf[n] = pd.to_datetime(pdf[n], errors="coerce")
+            # straight object(datetime|None) -> us, NOT pd.to_datetime:
+            # the ns intermediate silently NaT-s years outside
+            # 1677..2262 that _parse_ts decoded correctly
+            pdf[n] = pdf[n].astype("datetime64[us]")
         for n in _DOUBLE:
             pdf[n] = pdf[n].astype("float64")
         return pdf
@@ -474,7 +488,15 @@ def _golden_field(v, delimiter: str = ",") -> str:
     """Pure-Python mirror of ``encoder.format_field`` (DelimitedEncoder
     semantics: escape " as \\" always, quote only when the field contains
     the delimiter or a newline; nil -> empty; doubles shortest-roundtrip;
-    timestamps ISO-Z; booleans true/false)."""
+    timestamps ISO-Z; booleans true/false).
+
+    One guard the CLI-parity encoder does not have: a QUOTED field whose
+    escaped form ends in a backslash encodes as ``"...\\"`` — bytes the
+    dialect itself cannot decode (the trailing ``\\"`` is
+    indistinguishable from an escaped quote, so ``_parse_golden`` raises
+    'unterminated quoted field'). A writer must not emit bytes its own
+    reader rejects, so that corner raises HERE, at encode time, with the
+    offending value named."""
     if v is None:
         return ""
     if isinstance(v, bool):
@@ -487,6 +509,12 @@ def _golden_field(v, delimiter: str = ",") -> str:
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     s = str(v).replace('"', '\\"')
     if delimiter in s or "\n" in s or "\r" in s:
+        if s.endswith("\\"):
+            raise ValueError(
+                "finport: field value ending in a backslash and "
+                "containing the delimiter or a newline is not "
+                f"representable in the golden dialect: {v!r}"
+            )
         return f'"{s}"'
     return s
 
@@ -535,6 +563,14 @@ def _golden_encode_column(arr, delimiter: str = ","):
         | esc.str.contains("\n", regex=False)
         | esc.str.contains("\r", regex=False)
     )
+    # same undecodable-corner guard as the scalar _golden_field
+    bad = need & esc.str.endswith("\\")
+    if bad.any():
+        raise ValueError(
+            "finport: field value ending in a backslash and containing "
+            "the delimiter or a newline is not representable in the "
+            f"golden dialect: {filled[bad].iloc[0]!r}"
+        )
     return pd.Series(np.where(need, '"' + esc + '"', esc))
 
 
@@ -640,12 +676,35 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
     deterministic even for files that have since grown (exactly-once on
     top of the checkpoint log). Files must be append-only while under
     the watched directory (rewriting consumed bytes in place breaks any
-    file-tailing source's replay contract, including Spark's own)."""
+    file-tailing source's replay contract, including Spark's own).
+
+    Legacy file-granular offsets (``{"seen": [names]}``) migrate on
+    first contact: each listed file's current last-complete-record
+    boundary is pinned into the new offset, so later appends flow and
+    replay ranges are deterministic from that batch on. A tail stuck
+    inside an unterminated quoted field fails loudly once it can no
+    longer be a legitimate in-progress multi-line field (see
+    ``_check_open_quote``) instead of silently stalling the file."""
+
+    # a file whose tail sits inside an open quoted field is normally a
+    # producer mid-append of a legitimate multi-line quoted field — but
+    # an UNTERMINATED quote (malformed input) would otherwise stall that
+    # file silently forever, contradicting the fail-loudly contract the
+    # batch reader enforces for the same bytes. Fail loudly once the
+    # open-quote tail outgrows any plausible field: more than
+    # _OPEN_QUOTE_MAX_BYTES accumulated past the stuck boundary, or the
+    # file grew on _OPEN_QUOTE_MAX_TICKS consecutive triggers while the
+    # quote never closed. (Counters are in-memory; after a driver
+    # restart the still-growing file re-trips them.)
+    _OPEN_QUOTE_MAX_BYTES = 1 << 20
+    _OPEN_QUOTE_MAX_TICKS = 8
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("finport: .load(path) directory is required")
+        # name -> (stuck record boundary, file size last tick, growth ticks)
+        self._open_quote: dict = {}
 
     def _files(self):
         return sorted(
@@ -689,6 +748,49 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
             for row in (_typed_tuple(r, full) for r in recs)
         ]
 
+    def _migrated_boundary(self, name: str) -> int:
+        """First contact with a legacy whole-file offset: pin the file's
+        CURRENT last-complete-record byte boundary into the migrated
+        offset (one O(file) parse, once per legacy file). Pinning makes
+        every later replay range deterministic and lets subsequent
+        read() calls consume appends the legacy format would have
+        skipped forever. Bytes appended between the legacy offset's
+        commit and this migration are treated as consumed — the legacy
+        format recorded no boundary to distinguish them, and it would
+        never have emitted them either."""
+        full = os.path.join(self.path, name)
+        with open(full, "rb") as fh:
+            data = fh.read()
+        text = _utf8_prefix(data)
+        records, _tail, _q = _parse_golden(text)
+        if not records:
+            return 0
+        return len(text[: records[-1][1]].encode("utf-8"))
+
+    def _check_open_quote(self, name: str, boundary: int, size: int):
+        """Track a file whose unconsumed tail is inside an open quoted
+        field; raise once the tail can no longer be a legitimate
+        in-progress multi-line field (see class constants)."""
+        prev_b, prev_size, ticks = self._open_quote.get(
+            name, (boundary, size, 0)
+        )
+        if prev_b != boundary:  # progress was made: restart tracking
+            prev_size, ticks = size, 0
+        if size > prev_size:
+            ticks += 1
+        self._open_quote[name] = (boundary, size, ticks)
+        if (
+            size - boundary > self._OPEN_QUOTE_MAX_BYTES
+            or ticks >= self._OPEN_QUOTE_MAX_TICKS
+        ):
+            raise ValueError(
+                f"finport: {os.path.join(self.path, name)}: unterminated "
+                f"quoted field opened after byte {boundary} — "
+                f"{size - boundary} bytes accumulated across {ticks} "
+                "growth triggers without the quote closing; malformed "
+                "input (the file would otherwise stall silently forever)"
+            )
+
     def read(self, start: dict):
         seen = self._seen(start)
         end = dict(seen)
@@ -698,22 +800,34 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
         rows: list = []
         for name in self._files():
             prev = seen.get(name, 0)
-            if prev < 0:  # legacy whole-file offset: fully consumed
-                continue
+            if prev < 0:  # legacy whole-file offset: migrate by pinning
+                end[name] = self._migrated_boundary(name)
+                continue  # consumed-whole under the old format: no rows
             full = os.path.join(self.path, name)
             # per-trigger cost must be O(new bytes), not O(file): stat
             # first (skip unchanged files without opening), then seek to
             # the recorded boundary and read/parse ONLY the suffix —
             # prev is always a record boundary, so the suffix parses
             # standalone (header expected only when prev == 0)
-            if os.path.getsize(full) <= prev:
+            size = os.path.getsize(full)
+            if size <= prev:
+                self._open_quote.pop(name, None)
                 continue
             with open(full, "rb") as fh:
                 fh.seek(prev)
                 data = fh.read()
             text = _utf8_prefix(data)
-            records, _tail, _q = _parse_golden(text)
+            records, _tail, open_q = _parse_golden(text)
             recs = [f for f, _ in records]
+            boundary = prev + (
+                len(text[: records[-1][1]].encode("utf-8"))
+                if records
+                else 0
+            )
+            if open_q:
+                self._check_open_quote(name, boundary, size)
+            else:
+                self._open_quote.pop(name, None)
             if not recs:
                 continue  # no complete record yet
             if prev == 0:
@@ -723,9 +837,7 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
                 tuple(row[n] for n in _HEADER)
                 for row in (_typed_tuple(r, full) for r in recs)
             )
-            end[name] = prev + len(
-                text[: records[-1][1]].encode("utf-8")
-            )
+            end[name] = boundary
         return iter(rows), {"seen": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -738,11 +850,17 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
                     # legacy offset in BOTH: the file was consumed in an
                     # earlier batch — this batch replays none of it
                     continue
-                # legacy end only: the recorded batch consumed the file
-                # whole under the old file-granular format
-                lo, hi = 0, os.path.getsize(
-                    os.path.join(self.path, name)
-                )
+                # legacy end only: a batch recorded by the OLD
+                # file-granular format consumed the file whole. No byte
+                # boundary was recorded, so replay to the last
+                # complete-record boundary as of NOW — the one replay
+                # range that cannot be pinned (documented migration
+                # cost; every offset written since pins byte ranges)
+                lo, hi = 0, self._migrated_boundary(name)
+            elif lo < 0:
+                # the MIGRATION batch: it pinned the boundary and
+                # emitted no rows for this file — replay none
+                continue
             if hi > max(lo, 0):
                 rows.extend(self._decode_range(name, max(lo, 0), hi))
         return iter(rows)

@@ -431,10 +431,12 @@ def test_finport_writer_append_preserves_previous_parts(spark, tmp_path):
 def test_golden_parser_inverts_encoder_property():
     """Property: for any list of rows of arbitrary strings (quotes,
     delimiters, newlines, backslashes), _parse_golden(_golden_field
-    encoding) recovers the rows exactly — except the one documented
-    ambiguity: a quoted field whose content ends with a backslash
-    encodes as '...\\"' whose tail is indistinguishable from an escaped
-    quote (the reference dialect's own lossy corner, skipped here)."""
+    encoding) recovers the rows exactly — OR _golden_field RAISES on
+    the one value shape the dialect cannot represent (a quoted field
+    whose escaped form ends in a backslash: its tail '...\\"' is
+    indistinguishable from an escaped quote, so the writer refuses to
+    emit bytes its own reader would reject)."""
+    import pytest
     from hypothesis import given, settings, strategies as st
 
     from finporter_spark.sources.finport_datasource import (
@@ -457,6 +459,9 @@ def test_golden_parser_inverts_encoder_property():
     @given(rows)
     def check(rs):
         if any(ambiguous(v) for r in rs for v in r):
+            bad = next(v for r in rs for v in r if ambiguous(v))
+            with pytest.raises(ValueError, match="not representable"):
+                _golden_field(bad)
             return
         text = "".join(
             ",".join(_golden_field(v) for v in r) + "\n" for r in rs
@@ -501,3 +506,156 @@ def test_finport_stream_legacy_offset_compat(tmp_path):
     rows2 = list(it2)
     assert [r[1] for r in rows2] == ["S2"]
     assert list(rdr.readBetweenOffsets(legacy, o2)) == rows2
+
+
+def test_finport_stream_open_quote_fails_loudly(tmp_path):
+    """ADVICE (medium): an unterminated quoted field must not stall a
+    file silently forever. A legitimate multi-line quoted field
+    mid-append is tolerated (and consumed once the quote closes); a
+    quote that stays open while the file keeps growing raises after the
+    tick bound, and a tail past the byte bound raises immediately."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+
+    # 1) legit multi-line quoted field: mid-append reads are quiet,
+    #    the closing quote releases the record
+    d1 = tmp_path / "legit"
+    d1.mkdir()
+    f1 = d1 / "a.csv"
+    f1.write_text(hdr + 'a1,"multi\nline')
+    rdr = FinportStreamReader({"path": str(d1)})
+    rows, o1 = rdr.read(rdr.initialOffset())
+    assert list(rows) == []  # open quote: nothing complete yet
+    with open(f1, "a") as fh:
+        fh.write('\nstill",L1,1.0,,\n')
+    rows2, o2 = rdr.read(o1)
+    assert [r[1] for r in rows2] == ["multi\nline\nstill"]
+
+    # 2) malformed: quote never closes while complete lines accumulate
+    d2 = tmp_path / "stuck"
+    d2.mkdir()
+    f2 = d2 / "b.csv"
+    f2.write_text(hdr + 'a1,"never closed\n')
+    rdr2 = FinportStreamReader({"path": str(d2)})
+    off = rdr2.initialOffset()
+    with pytest.raises(ValueError, match="unterminated quoted field"):
+        for _ in range(12):
+            _, off = rdr2.read(off)
+            with open(f2, "a") as fh:
+                fh.write("x,y,z\n")
+
+    # 3) byte bound: a single huge open-quote tail raises on first sight
+    d3 = tmp_path / "huge"
+    d3.mkdir()
+    f3 = d3 / "c.csv"
+    f3.write_text(hdr + 'a1,"' + "x" * (2 << 20))
+    rdr3 = FinportStreamReader({"path": str(d3)})
+    with pytest.raises(ValueError, match="unterminated quoted field"):
+        rdr3.read(rdr3.initialOffset())
+
+
+def test_finport_stream_legacy_offset_migration_pins(tmp_path):
+    """ADVICE (low): first contact with a legacy whole-file offset pins
+    the file's current record boundary into the migrated offset, so (a)
+    later appends ARE consumed (the old code skipped them forever) and
+    (b) replaying the migration batch after the file grows emits
+    nothing (the old code replayed whatever getsize said NOW)."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    f = d / "a.csv"
+    f.write_text(hdr + "a1,S1,L1,1.0,,\n")
+    rdr = FinportStreamReader({"path": str(d)})
+
+    legacy = {"seen": ["a.csv"]}
+    rows, mig = rdr.read(legacy)
+    assert list(rows) == []
+    assert mig["seen"]["a.csv"] == f.stat().st_size  # pinned boundary
+
+    # the file grows: the delta (and ONLY the delta) is consumed
+    with open(f, "a") as fh:
+        fh.write("a2,S2,L2,2.0,,\n")
+    rows2, o2 = rdr.read(mig)
+    assert [r[1] for r in rows2] == ["S2"]
+
+    # replaying the migration batch after growth: still empty
+    assert list(rdr.readBetweenOffsets(legacy, mig)) == []
+    # replaying the delta batch: exactly the delta
+    assert [r[1] for r in rdr.readBetweenOffsets(mig, o2)] == ["S2"]
+
+
+def test_finport_reader_ancient_timestamps(tmp_path):
+    """ADVICE (low): timestamps outside pandas' ns range (years <1677 or
+    >2262) must decode on BOTH Arrow paths — the vectorized quote-free
+    fast path and the state-machine slow path — not silently null."""
+    from datetime import datetime
+
+    from finporter_spark.sources.finport_datasource import FinportReader
+
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    d = tmp_path / "data"
+    d.mkdir()
+    # fast path: no quotes anywhere
+    (d / "fast.csv").write_text(
+        hdr
+        + "a1,S1,L1,1.0,,1500-01-01\n"
+        + "a2,S2,L2,2.0,,2500-06-01T12:00:00Z\n"
+        + "a3,S3,L3,3.0,,2021-03-01T00:00:00Z\n"
+        + "a4,S4,L4,4.0,,notadate\n"
+    )
+    # slow path: a quoted field forces the state machine
+    (d / "slow.csv").write_text(
+        hdr + 'a5,"S,5",L5,5.0,,1500-01-01\n'
+    )
+    rdr = FinportReader({"path": str(d)})
+    parts = rdr.partitions()
+    got = {}
+    for p in parts:
+        for batch in rdr.read(p):
+            for row in batch.to_pylist():
+                got[row["accountID"]] = row["acquiredAt"]
+    assert got["a1"] == datetime(1500, 1, 1)
+    assert got["a2"] == datetime(2500, 6, 1, 12, 0, 0)
+    assert got["a3"] == datetime(2021, 3, 1)
+    assert got["a4"] is None  # invalid stays null, as before
+    assert got["a5"] == datetime(1500, 1, 1)  # slow path too
+
+
+def test_finport_writer_rejects_undecodable_corner(spark, tmp_path):
+    """ADVICE (low): the writer must not emit bytes its own reader
+    rejects — a quoted field whose escaped form ends in a backslash
+    raises at encode time (scalar and vectorized paths)."""
+    import pyarrow as pa
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+        _golden_encode_column,
+        _golden_field,
+    )
+
+    with pytest.raises(ValueError, match="not representable"):
+        _golden_field("a,b\\")
+    with pytest.raises(ValueError, match="not representable"):
+        _golden_encode_column(pa.array(["ok", "a,b\\"]))
+    # fine without the delimiter (not quoted) or without the backslash
+    assert _golden_field("ab\\") == "ab\\"
+    assert _golden_field("a,b") == '"a,b"'
+
+    spark.dataSource.register(FinportDataSource)
+    df = spark.createDataFrame(
+        [("a1", "bad,\\", "L1", 1.0, None, None)],
+        "accountID string, securityID string, lotID string, "
+        "shareCount double, shareBasis double, acquiredAt timestamp",
+    )
+    out = str(tmp_path / "out")
+    with pytest.raises(Exception, match="not representable"):
+        df.write.format("finport").mode("overwrite").option(
+            "path", out
+        ).save()
