@@ -389,6 +389,163 @@ def write_zordered(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    fractions: Sequence[float],
+    buckets: int = 8192,
+) -> DataFrame:
+    """Exact interpolated percentiles (``quantile_cont`` semantics: with
+    the group's non-null values sorted ``v_1..v_n``, ``p = 1+q*(n-1)``,
+    ``k = floor(p)``, ``d = p-k``, result ``v_k + d*(v_{k+1}-v_k)``)
+    WITHOUT a per-group value buffer.
+
+    ``F.percentile`` materializes and sorts each group's full value set
+    inside ONE aggregation task — at corpus scale with few groups that
+    is ~N/G rows in one task's memory, a scale-killer. This is the
+    two-phase distributed rank-select instead:
+
+    1. one stats pass (min/max/count per group — map-combinable, tiny);
+    2. rows bucket by a DETERMINISTIC monotone value map (uniform-width
+       cells between the group's min/max — derived from the stats pass,
+       never sampled, so retries and both engines agree), and a
+       ``groupBy(group, bucket)`` count builds a cumulative ladder of at
+       most ``buckets`` rows per group;
+    3. the target ranks ``k``/``k+1`` locate their bucket on the ladder
+       (stats-sized data); ONLY those buckets' rows — ≤ 2·|fractions|
+       buckets per group, ~N·2|q|/(G·buckets) rows — are rank-picked
+       with a window partitioned by (group, bucket). A bucket whose
+       min == max (massive ties: one value dominating the group) is
+       answered from the ladder directly, no sort at all.
+
+    No task ever holds more than one bucket's rows; the corpus is
+    scanned (column-pruned) but never fully shuffled. Groups whose
+    values are all NULL are absent from the output (callers wanting
+    SQL's NULL-row convention outer-join against their group domain).
+
+    Returns long form: ``(*group_cols, fraction, value)``.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    d0 = df.select(
+        *g, F.col(value_col).cast("double").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    stats = d0.groupBy(*g).agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count("_v").alias("_n"),
+    )
+    # target ranks per (group, fraction) — stats-sized
+    t = (
+        stats.select(
+            *g,
+            "_n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in fractions])
+            ).alias("_q"),
+        )
+        .withColumn(
+            "_p",
+            F.lit(1.0) + F.col("_q") * (F.col("_n") - 1).cast("double"),
+        )
+        .withColumn("_k", F.floor("_p").cast("long"))
+        .withColumn("_d", F.col("_p") - F.col("_k"))
+        .withColumn("_rlo", F.col("_k"))
+        .withColumn("_rhi", F.least(F.col("_k") + 1, F.col("_n")))
+    )
+    ranks = t.select(
+        *g, "_q", "_d", F.col("_rlo").alias("_r"), F.lit("lo").alias("_s")
+    ).unionByName(
+        t.select(
+            *g, "_q", "_d", F.col("_rhi").alias("_r"),
+            F.lit("hi").alias("_s"),
+        )
+    )
+    # deterministic monotone bucketing (broadcast stats onto the rows)
+    db = (
+        d0.join(F.broadcast(stats), g)
+        .withColumn(
+            "_b",
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(buckets - 1),
+                    F.floor(
+                        (F.col("_v") - F.col("_mn"))
+                        / (F.col("_mx") - F.col("_mn"))
+                        * buckets
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .select(*g, "_v", "_b")
+    )
+    ladder = db.groupBy(*g, "_b").agg(
+        F.count("*").alias("_cnt"),
+        F.min("_v").alias("_bmn"),
+        F.max("_v").alias("_bmx"),
+    )
+    ladder = ladder.withColumn(
+        "_cum",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.partitionBy(*g)
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    need = ranks.join(ladder, g).where(
+        (F.col("_r") > F.col("_cum"))
+        & (F.col("_r") <= F.col("_cum") + F.col("_cnt"))
+    )
+    # single-value buckets: the value AT any rank inside is the bucket's
+    # min — answered from the ladder, the corpus is never touched
+    direct = need.where(F.col("_bmn") == F.col("_bmx")).select(
+        *g, "_q", "_d", "_s", F.col("_bmn").alias("_val")
+    )
+    todo = need.where(F.col("_bmn") != F.col("_bmx")).select(
+        *g, "_b", "_q", "_d", "_s", "_r", "_cum"
+    )
+    picked = db.join(
+        F.broadcast(todo.select(*g, "_b").distinct()), g + ["_b"]
+    ).withColumn(
+        "_lr",
+        F.row_number().over(
+            Window.partitionBy(*g, "_b").orderBy("_v")
+        ),
+    )
+    vals = (
+        picked.join(F.broadcast(todo), g + ["_b"])
+        .where(F.col("_lr") == F.col("_r") - F.col("_cum"))
+        .select(*g, "_q", "_d", "_s", F.col("_v").alias("_val"))
+    )
+    out = (
+        direct.unionByName(vals)
+        .groupBy(*g, "_q", "_d")
+        .agg(
+            F.max(F.when(F.col("_s") == "lo", F.col("_val"))).alias(
+                "_vlo"
+            ),
+            F.max(F.when(F.col("_s") == "hi", F.col("_val"))).alias(
+                "_vhi"
+            ),
+        )
+    )
+    return out.select(
+        *g,
+        F.col("_q").alias("fraction"),
+        (
+            F.col("_vlo")
+            + F.col("_d") * (F.col("_vhi") - F.col("_vlo"))
+        ).alias("value"),
+    )
+
+
 def hex_order_index(
     df: DataFrame,
     hex_col: Column,

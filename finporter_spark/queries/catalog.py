@@ -921,18 +921,22 @@ def a6_collect_sorted(spark, sf_dir):
     """,
 )
 def a7_percentiles(spark, sf_dir):
-    # one percentile aggregate with an array of fractions: the per-group
-    # value buffer is built and sorted ONCE instead of once per fraction
-    # (3 separate exact-percentile aggs triple the agg buffer memory)
+    # EXACT interpolated percentiles via the distributed two-phase
+    # rank-select (operators/scale.exact_percentiles) — F.percentile
+    # would buffer and sort each group's full value set in one task
+    # (~N/3 rows per task here: 3 groups), a memory scale-killer at
+    # corpus size; rank-select sorts only the ≤6 ladder buckets that
+    # contain a target rank
+    from finporter_spark.operators.scale import exact_percentiles
+
     l = _t(spark, sf_dir, "lineitem")
-    pct = l.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias("ps")
+    long = exact_percentiles(
+        l, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75]
     )
-    return pct.select(
-        "l_returnflag",
-        F.col("ps")[0].alias("p25"),
-        F.col("ps")[1].alias("p50"),
-        F.col("ps")[2].alias("p75"),
+    return long.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("fraction") == 0.25, F.col("value"))).alias("p25"),
+        F.max(F.when(F.col("fraction") == 0.5, F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("fraction") == 0.75, F.col("value"))).alias("p75"),
     )
 
 

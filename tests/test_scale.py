@@ -481,3 +481,58 @@ def test_z4_splits_hot_shingle_induced_join_skew(spark, hot_shingle_corpus):
         assert got == want and len(got) == hot_shingle_corpus.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_exact_percentiles_matches_percentile_agg(spark):
+    """The distributed two-phase rank-select must equal F.percentile
+    (quantile_cont semantics) exactly on adversarial shapes: multiple
+    groups, heavy ties, n=1 groups, an all-equal group, nulls, and
+    bucket counts smaller than the group size."""
+    import random
+
+    from finporter_spark.operators.scale import exact_percentiles
+
+    random.seed(7)
+    rows = []
+    # group A: 1001 uniform values; B: heavy ties (85% the same value);
+    # C: a single row; D: all rows equal; E: values + nulls
+    rows += [("A", random.uniform(-50, 900)) for _ in range(1001)]
+    rows += [
+        ("B", 42.5 if random.random() < 0.85 else random.uniform(0, 100))
+        for _ in range(800)
+    ]
+    rows += [("C", 3.14)]
+    rows += [("D", 7.0) for _ in range(250)]
+    rows += [("E", None), ("E", 1.0), ("E", None), ("E", 9.0), ("E", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.61, 0.75, 1.0]
+    got = {
+        (r.g, r.fraction): r.value
+        for r in exact_percentiles(df, ["g"], "v", qs, buckets=16).collect()
+    }
+    want_rows = (
+        df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.percentile("v", F.lit(qs)).alias("ps"))
+        .collect()
+    )
+    want = {
+        (r.g, q): r.ps[i] for r in want_rows for i, q in enumerate(qs)
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12, abs=1e-12), k
+
+
+def test_a7_plan_has_no_percentile_buffer(spark, sf_dir):
+    """A7's plan must contain no `percentile` aggregate (the per-group
+    value buffer + sort is the scale-killer the rank-select replaces)
+    and no un-partitioned window (every window partitions by group or
+    (group, bucket), so no task sees the whole corpus)."""
+    from finporter_spark.queries.catalog import a7_percentiles
+
+    p = plan(a7_percentiles(spark, sf_dir))
+    assert "percentile" not in p.lower()
+    # the global-sort window shape would appear as a SinglePartition
+    # exchange feeding a Window node
+    assert "Exchange SinglePartition" not in p
