@@ -1237,58 +1237,25 @@ def f2_fifo_realized_gains(spark, sf_dir):
             (px + 1.0).alias("price"),  # flat markup: 1-dp sale price
         )
     )
-    w = (
-        Window.partitionBy("accountID", "securityID")
-        .orderBy("at", "l_orderkey", "l_linenumber", "qty", "price")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("qty").over(w)
+    # the matching itself is the grid-bounded interval intersection
+    # (operators/finance.fifo_lot_gains): candidates pair per
+    # (key, quantity-grid cell), so a hot instrument costs ∝ true
+    # overlaps, never buys × sells per key; cell=64 ≥ the max lot size
+    # (l_quantity ≤ 50) keeps per-interval fan-out ≤ 2
+    from finporter_spark.operators.finance import fifo_lot_gains
 
-    def ranged(df):
-        return df.withColumn("hi", cum).withColumn(
-            "lo", F.col("hi") - F.col("qty")
-        )
-
-    buys = ranged(t.filter(F.col("action") == "BUY")).select(
-        "accountID", "securityID", "price", "lo", "hi"
+    out = fifo_lot_gains(
+        t,
+        keys=["accountID", "securityID"],
+        sell_ids=["l_orderkey", "l_linenumber"],
+        order_by=["at", "l_orderkey", "l_linenumber", "qty", "price"],
+        cell=64.0,
     )
-    sells = ranged(t.filter(F.col("action") == "SELL")).select(
+    return out.select(
         "accountID",
         "securityID",
-        "l_orderkey",
-        "l_linenumber",
-        "price",
-        "lo",
-        "hi",
-    )
-    matched = F.least(F.col("b.hi"), F.col("s.hi")) - F.greatest(
-        F.col("b.lo"), F.col("s.lo")
-    )
-    gain = matched * (F.col("s.price") - F.col("b.price"))
-    return (
-        sells.alias("s")
-        .join(
-            buys.alias("b"),
-            (F.col("b.accountID") == F.col("s.accountID"))
-            & (F.col("b.securityID") == F.col("s.securityID"))
-            & (F.col("b.lo") < F.col("s.hi"))
-            & (F.col("s.lo") < F.col("b.hi")),
-            "left",
-        )
-        .groupBy(
-            F.col("s.accountID").alias("accountID"),
-            F.col("s.securityID").alias("securityID"),
-            F.col("s.l_orderkey").cast("bigint").alias("sell_orderkey"),
-            F.col("s.l_linenumber").cast("bigint").alias(
-                "sell_linenumber"
-            ),
-        )
-        .agg(
-            F.round(
-                F.coalesce(F.sum(matched), F.lit(0.0)), 6
-            ).alias("matched_qty"),
-            F.round(F.coalesce(F.sum(gain), F.lit(0.0)), 2).alias(
-                "realized_gain"
-            ),
-        )
+        F.col("l_orderkey").cast("bigint").alias("sell_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("sell_linenumber"),
+        F.round("matched_qty", 6).alias("matched_qty"),
+        F.round("realized_gain", 2).alias("realized_gain"),
     )
