@@ -220,6 +220,67 @@ def write_delimited_single_file(
     return path
 
 
+def write_json_single_file(
+    df: DataFrame,
+    path: str,
+    columns: Sequence[str] | None = None,
+) -> str:
+    """Distributed twin of ``export(JSON)`` — the same
+    ``[{row},{row},...]`` bytes (FINporter.swift:53-59 JSON export
+    semantics) WITHOUT ``toJSON().collect()``.
+
+    Rows serialize JVM-side via ``to_json(struct(cols))`` — the same
+    JacksonGenerator ``toJSON()`` uses, so each element's bytes match
+    the collect path exactly (null fields omitted, same timestamp
+    shapes) — into per-partition text parts, which are then streamed
+    into one file in part order with the array punctuation added
+    between elements. Part order = partition order = ``collect()``'s
+    row order, so the concatenation is order-deterministic, and driver
+    memory is O(one line), never O(rows). Same shared-FS assumption as
+    :func:`write_delimited_single_file` (object stores would compose
+    parts server-side). Returns ``path``.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    names = list(columns) if columns is not None else df.columns
+    staging = tempfile.mkdtemp(
+        prefix="json_parts_",
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+    )
+    parts_dir = os.path.join(staging, "parts")
+    try:
+        (
+            df.select(
+                F.to_json(
+                    F.struct(*[F.col(n) for n in names])
+                ).alias("line")
+            )
+            .write.mode("overwrite")
+            .text(parts_dir)
+        )
+        parts = sorted(glob.glob(os.path.join(parts_dir, "part-*")))
+        with open(path, "wb") as out:
+            out.write(b"[")
+            first = True
+            for p in parts:
+                with open(p, "rb") as src:
+                    for line in src:
+                        line = line.rstrip(b"\r\n")
+                        if not line:
+                            continue
+                        if not first:
+                            out.write(b",")
+                        out.write(line)
+                        first = False
+            out.write(b"]")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
 def export(
     df: DataFrame,
     fmt: "str | None" = None,

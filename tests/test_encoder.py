@@ -126,3 +126,43 @@ def test_single_file_export_matches_collect_path(spark, tmp_path, sf_dir):
         df, out, "\t", line_separator="\r\n", header=False
     )
     assert open(out, "rb").read() == want2.encode()
+
+
+def test_json_single_file_matches_collect_path(spark, tmp_path, sf_dir):
+    """Distributed JSON export twin: per-partition to_json parts +
+    ordered concat must produce bytes IDENTICAL to export(JSON)'s
+    toJSON().collect() path on a multi-partition DataFrame — including
+    null-field omission, embedded quotes, timestamps, and doubles."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.encoder import export, write_json_single_file
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .limit(3000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),  # null fields must be omitted identically
+            F.concat(F.col("o_orderpriority"), F.lit(' "q,\\x')).alias(
+                "pri"
+            ),  # JSON string escaping parity
+            "o_totalprice",
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+        .repartition(8)
+    )
+    want = export(df, "json")
+    out = str(tmp_path / "export.json")
+    write_json_single_file(df, out)
+    got = open(out, "rb").read()
+    assert got == want.encode()
+    # column subset + order control matches too
+    want2 = export(df, "json", columns=["pri", "o_orderkey"])
+    write_json_single_file(df, out, columns=["pri", "o_orderkey"])
+    assert open(out, "rb").read() == want2.encode()
+    # and it is valid JSON with every row present
+    import json
+
+    assert len(json.loads(got)) == df.count()
