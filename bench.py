@@ -124,6 +124,10 @@ HEADLINE = [
     "o18_weighted_sample",
     "f1_rebalance_drift",
     "f2_fifo_realized_gains",
+    # round-7 additions
+    "a7_percentiles",
+    "a16_event_value_percentiles",
+    "l30_chain_components",
 ]
 
 
@@ -189,13 +193,47 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    total = 0.0
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    # Each query is timed REPS times and the MINIMUM is reported: in a
+    # shared JVM the 102-query catalog evicts block-cache/codegen state
+    # between queries, so a single timing mixes plan cost with whatever
+    # the previous queries evicted (the round-6 q1/l25 ±0.4 s phantom
+    # regressions). The min of two back-to-back runs reloads any
+    # evicted state on run 1 and measures the steady-state plan on run
+    # 2 — round-over-round deltas then reflect plan changes, not cache
+    # residency. A q1 probe at suite start/middle/end reports the
+    # remaining noise floor.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    probe = "q1_pricing_summary"
+
+    def measure(name: str) -> float:
+        return min(run_once(name) for _ in range(reps))
+
+    # the staging block above just evicted the scan/codegen state the
+    # warm-up pass established — re-warm once untimed so the first
+    # probe measures the same steady state as the mid/end probes
+    run_once(probe)
+
+    # the probe uses the SAME min-of-reps measurement as the reported
+    # timings, so spread_pct is the noise floor of the reported metric
+    probe_runs = [round(measure(probe), 3)]
+    total = 0.0
+    for i, name in enumerate(HEADLINE):
+        dt = measure(name)
         timings[name] = round(dt, 3)
         total += dt
+        if i == len(HEADLINE) // 2:
+            probe_runs.append(round(measure(probe), 3))
+    probe_runs.append(round(measure(probe), 3))
+    spread_pct = round(
+        100.0 * (max(probe_runs) - min(probe_runs)) / min(probe_runs), 1
+    )
 
     print(
         json.dumps(
@@ -205,6 +243,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "noise": {
+                    "probe": probe,
+                    "runs": probe_runs,
+                    "spread_pct": spread_pct,
+                },
             }
         )
     )

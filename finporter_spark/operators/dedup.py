@@ -549,10 +549,19 @@ def connected_components(
     This is the step that turns pairwise near-dup output (L2/L9/L10) into
     "keep one doc per duplicate group". Each round is one join + one
     groupBy (label flows along edges); rounds needed = graph diameter,
-    which for near-dup clusters is tiny (dup groups are dense). The
+    which for near-dup clusters is tiny (dup groups are dense) — for
+    HIGH-diameter graphs (chains, provenance trails) use
+    :func:`finporter_spark.operators.graph.connected_components_star`,
+    which converges in O(log diameter) alternations instead. The
     convergence check collects a single count per round. GraphX/GraphFrames
     would provide this wholesale, but a few DataFrame rounds keep it
     dependency-free and the shuffle pattern explicit.
+
+    Label state is localCheckpointed (not cached) per round: an
+    iterative plan that only caches still GROWS its logical tree every
+    round — each analysis re-walks the whole join-on-join history, and
+    past ~20 rounds the ANALYZER itself OOMs the driver even on a
+    300-node graph (observed; the same reason pagerank checkpoints).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -564,7 +573,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -580,7 +589,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -588,16 +597,8 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        # the count above materialized new_labels; the previous round's
-        # cache is now dead weight — free it instead of accumulating one
-        # cached table per iteration
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
-    from finporter_spark.caching import owns_cache
-
-    return owns_cache(
-        labels.select(F.col("id"), F.col("label").alias("cluster")), labels
-    )
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))

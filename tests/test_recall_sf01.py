@@ -134,16 +134,18 @@ def test_lsh_knn_recall_at_sf01(spark, emb01):
     exact = {
         (r.q_id, r.vec_id) for r in brute_force_knn(q, emb01, k=5).collect()
     }
-    cfg = dict(dim=64, k=5, n_planes=8, n_tables=5, n_probes=18)
+    cfg = dict(dim=64, k=5, n_planes=9, n_tables=7, n_probes=26)
     approx = {
         (r.q_id, r.vec_id)
         for r in lsh_bucket_knn(q, emb01, **cfg).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # margin-ordered multi-probe x 5 tables: measured 0.87 — more than
-    # +0.3 over the blind Hamming-1 single-table config at the SAME
-    # candidate budget (0.54 @ 0.32)
-    assert recall >= 0.8, f"lsh knn sf0.1 recall {recall}"
+    # margin-ordered multi-probe x 7 tables: measured 0.89 @ 0.319 —
+    # the round-7 equal-budget sweep's best point (configs reaching
+    # 0.90 need fraction >=0.35, over budget; vs 0.54 @ 0.32 for blind
+    # Hamming-1 single-table probing). 0.89 is the measured ceiling at
+    # the <=0.33 budget on this corpus; exact l19 covers higher recall.
+    assert recall >= 0.85, f"lsh knn sf0.1 recall {recall}"
     # candidate-budget ceiling: the recall gain must NOT come from
     # scoring more pairs — fraction of the |Q| x |N| pair space scored
     # stays within the old blind-probing budget (~0.32)

@@ -77,6 +77,17 @@ QUERIES = [
     "z1_bucketed_join",
     "z2_salted_agg",
     "z4_salted_join",
+    # round-7: the ten steepest 0.1->1 entries from SCALING.md measured
+    # one decade further (VERDICT r6 #5), plus the reworked f2
+    "u5_udtf_bigrams",
+    "x6_stateful_running_totals",
+    "j8_interval_join",
+    "l25_span_dedup",
+    "l5_language_id",
+    "l6_fingerprint",
+    "l6_rolling_hash",
+    "p12_json",
+    "f2_fifo_realized_gains",
 ]
 
 
