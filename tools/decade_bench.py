@@ -102,13 +102,19 @@ def main() -> None:
                      "--sf", sf],
                     check=True,
                 )
+    out_path = os.path.join(REPO, "DECADE_BENCH.json")
+    results: dict[str, dict[str, float]] = {}
+    if "--resume" in sys.argv and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
     spark = get_session("decade-bench")
     qs = catalog_queries()
     qs["q1_pricing_summary"](spark, SFS[0][1]).write.format("noop").mode(
         "overwrite"
     ).save()
-    results: dict[str, dict[str, float]] = {}
     for name in QUERIES:
+        if name in results:
+            continue
         results[name] = {}
         for sf, d in SFS:
             # first call may stage fixtures; run twice, time the second
@@ -126,8 +132,9 @@ def main() -> None:
             f"{r['1']/max(r['0.1'],0.001):>5.1f}x {r['10']/max(r['1'],0.001):>5.1f}x",
             flush=True,
         )
-    with open(os.path.join(REPO, "DECADE_BENCH.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        # incremental write: a killed run resumes with --resume
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
     print("wrote DECADE_BENCH.json")
 
 
