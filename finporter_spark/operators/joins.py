@@ -29,6 +29,114 @@ def range_join(
     return left.join(right, on=condition, how=how)
 
 
+def count_exceeding(
+    left: DataFrame,
+    left_keys: Sequence[str],
+    left_val: str,
+    right: DataFrame,
+    right_val: str,
+    bands: int = 1024,
+) -> DataFrame:
+    """For every left row, the COUNT of right rows whose ``right_val`` is
+    strictly greater than the left row's ``left_val`` — the rank/CDF
+    formulation of the inequality join ``R.v > L.v``, with ZERO row
+    pairs materialized.
+
+    The banded-pair decomposition (equi-join on a coarse band + residual
+    filter) divides the |L|·|R| quadratic by a constant band count — it
+    still measured 61.6× for 10× data at the sf1→sf10 decade. This
+    replaces the pair join entirely with a merge:
+
+    1. both sides band on a deterministic uniform grid over the global
+       [min, max] (one broadcast 1-row bounds agg, stays lazy);
+    2. right rows and left rows UNION into one stream; a single window
+       per band, ordered by value DESC (left markers before right rows
+       on ties, so the count is strict), running-sums the right-row
+       count each left row has already passed — the classic sort-merge
+       rank, one shuffle keyed by band, each task sorting ~N/bands rows;
+    3. a bands-row ladder (right-count per band, suffix-summed over the
+       densified 0..bands-1 spine — constant-bounded single-partition
+       window) broadcasts back the strictly-higher-band counts.
+
+    Work is O(|L|+|R|) rows through one keyed shuffle + per-band sorts —
+    linear in the corpus; ``bands`` is the merge parallelism and should
+    scale with corpus/partition-size at 100 TB (value-uniform grids keep
+    bands balanced; for skewed values raise ``bands``). NULL values are
+    excluded on both sides (SQL comparison semantics).
+
+    Returns the left rows (``left_keys``) + ``n_greater`` (long ≥ 0).
+    """
+    lv = (
+        left.select(*left_keys, F.col(left_val).alias("_bal"))
+        .where(F.col("_bal").isNotNull())
+    )
+    rv = (
+        right.select(F.col(right_val).alias("_bal"))
+        .where(F.col("_bal").isNotNull())
+    )
+    bounds = (
+        lv.select("_bal")
+        .unionAll(rv.select("_bal"))
+        .agg(F.min("_bal").alias("_lo"), F.max("_bal").alias("_hi"))
+    )
+
+    def _band(col: Column) -> Column:
+        width = (F.col("_hi") - F.col("_lo")) / bands
+        return F.least(
+            F.lit(bands - 1),
+            F.floor((col - F.col("_lo")) / width).cast("int"),
+        )
+
+    lp = lv.crossJoin(F.broadcast(bounds)).select(
+        *left_keys,
+        "_bal",
+        _band(F.col("_bal")).alias("_band"),
+        F.lit(1).alias("_is_left"),
+        F.lit(0).cast("long").alias("_cnt"),
+    )
+    rp = rv.crossJoin(F.broadcast(bounds)).select(
+        *[F.lit(None).cast(lv.schema[k].dataType).alias(k) for k in left_keys],
+        "_bal",
+        _band(F.col("_bal")).alias("_band"),
+        F.lit(0).alias("_is_left"),
+        F.lit(1).cast("long").alias("_cnt"),
+    )
+    # within-band strict-greater count: rows preceding a left marker in
+    # (value DESC, left-first-on-ties) order are exactly the right rows
+    # with a strictly greater value in the same band
+    w = (
+        Window.partitionBy("_band")
+        .orderBy(F.col("_bal").desc(), F.col("_is_left").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = lp.unionByName(rp).withColumn(
+        "_n_within", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    )
+    # suffix ladder over the DENSIFIED band spine: a band with no right
+    # rows must still inherit the higher bands' counts
+    spine = F.broadcast(
+        lp.sparkSession.range(bands).select(F.col("id").cast("int").alias("_band"))
+    )
+    per_band = rp.groupBy("_band").agg(F.count("*").alias("_n_band"))
+    wb = Window.orderBy(F.col("_band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    above = spine.join(per_band, "_band", "left").select(
+        "_band",
+        F.coalesce(
+            F.sum(F.coalesce(F.col("_n_band"), F.lit(0))).over(wb), F.lit(0)
+        ).alias("_n_above"),
+    )
+    return (
+        within.where(F.col("_is_left") == 1)
+        .join(F.broadcast(above), "_band")
+        .select(
+            *left_keys,
+            (F.col("_n_within") + F.col("_n_above")).alias("n_greater"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -643,3 +643,27 @@ def test_star_cc_chain_converges_in_log_rounds(spark):
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
     assert stats["rounds"] <= 16, stats  # log2(4096)=12 alternations max
+
+
+def test_count_exceeding_ties_nulls_sparse_bands(spark):
+    """count_exceeding: strict inequality on ties, NULLs excluded both
+    sides (SQL comparison semantics), and a left band with zero right
+    rows still inherits the higher bands' counts through the densified
+    spine (with few bands the value grid leaves most bands empty)."""
+    from finporter_spark.operators.joins import count_exceeding
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 10.0), (4, 0.0), (5, None), (6, 99.0)],
+        "id int, v double",
+    )
+    right = spark.createDataFrame(
+        [(10.0,), (10.0,), (7.0,), (0.5,), (None,), (100.0,)], "v double"
+    )
+    out = {
+        r["id"]: r["n_greater"]
+        for r in count_exceeding(
+            left, ["id"], "v", right, "v", bands=8
+        ).collect()
+    }
+    # brute force: count of right v' > left v, nulls out
+    assert out == {1: 4, 2: 1, 3: 1, 4: 5, 6: 1}

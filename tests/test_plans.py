@@ -277,26 +277,34 @@ def test_j6c_asof_plan_single_equijoin_plus_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3
 
 
-def test_j5_banded_inequality_join_avoids_nested_loop(spark, sf_dir):
-    """j5's count-richer-than inequality is decomposed into a band
-    equi-join + per-band suffix counts: the plan must contain NO
-    nested-loop over |S|x|C| (the naive theta-join shape) even with
-    broadcasts disabled on the row sides."""
+def test_j5_rank_merge_materializes_no_pairs(spark, sf_dir):
+    """j5's count-richer-than inequality is the rank/CDF merge
+    (operators/joins.count_exceeding): the plan must materialize NO
+    row pairs at all — no cartesian, no SortMergeJoin or
+    ShuffledHashJoin anywhere (every join is a broadcast of either the
+    1-row bounds agg or the constant-size band ladder), and the heavy
+    op is the single window partitioned by band."""
     import re
 
     df = CATALOG["j5_range_join"][0](spark, sf_dir)
     p = plan(df)
     assert "CartesianProduct" not in p
-    # the only BNLJ allowed is the bounded 1-row min/max bounds
-    # crossJoin; the S x C pairing itself must be an equi-join on band
-    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p)) >= 1
-    for line in p.splitlines():
-        if "BroadcastNestedLoopJoin" in line:
-            continue  # tree line; detail asserted below
-    # any BNLJ node must be the 1-row bounds broadcast, never the C side
-    details = re.findall(r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\)|\Z)", p)
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    # the residual-pair equi-join is GONE: every remaining join is a
+    # broadcast (bounds / ladder), never both-sides corpus-sized
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", p)
+    assert joins, p
+    assert all(j.startswith("Broadcast") for j in joins), joins
+    # any BNLJ node must be the 1-row bounds broadcast, never a pairing
+    details = re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\)|\Z)", p
+    )
     for d in details:
         assert "c_acctbal > s_acctbal" not in d, d
+    # exactly one corpus-sized window (the per-band merge) + the
+    # bands-row ladder window
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 2
 
 
 def test_o12_epoch_shuffle_no_global_window(spark, sf_dir):
