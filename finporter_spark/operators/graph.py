@@ -57,7 +57,17 @@ def connected_components_star(
     Convergence when the edge multiset stops changing, checked by a
     (count, xxhash64-sum) scalar pair per round (two tiny aggregates,
     same pattern as pagerank's dangling-mass scalar); state is
-    localCheckpointed per round so lineage stays flat.
+    localCheckpointed per round so lineage stays flat. The checkpoint
+    is LAZY: the signature aggregate is the materializing action, so
+    each round costs exactly one job — on local mode the round cost is
+    fixed job overhead, and halving the job count halved the measured
+    wall time (8.3 s → ~4 s at sf0.1 for l30).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without the
+    signature stabilizing (wrong labels must never come back silently);
+    at the default 50 that needs an effective diameter beyond 2^50 —
+    unreachable. ``stats['converged']``/``stats['rounds']`` record the
+    outcome for callers that pass a stats dict.
 
     Returns (node, component) for every node incident to an edge, with
     component = min node id in the component — the same canonical label
@@ -72,12 +82,14 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df):
         # decimal(38,0) sum: a plain long sum of 2^63-range hashes
         # overflows under ANSI mode on graphs of any real size
+        # (this aggregate is also the action that materializes the
+        # round's lazy localCheckpoint — one job per round)
         r = df.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
@@ -85,6 +97,7 @@ def connected_components_star(
         return r["n"], r["h"]
 
     sig = _sig(e)
+    converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -111,15 +124,22 @@ def connected_components_star(
             .where(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(small)
         e = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: edge signature not stable after "
+            f"max_iter={max_iter} rounds — labels would be wrong"
+        )
     # converged: e is a star forest (node -> component min); roots
     # appear only on the v side and label themselves
     roots = e.select(F.col("v").alias("node")).distinct().join(

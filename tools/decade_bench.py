@@ -88,6 +88,8 @@ QUERIES = [
     "l6_rolling_hash",
     "p12_json",
     "f2_fifo_realized_gains",
+    # round-8: the two rewritten-contract queries (verdict r7 asks #1/#2)
+    "p16b_er_clusters",
 ]
 
 
