@@ -93,6 +93,25 @@ def format_field(col: Column, dtype: DataType, delimiter: str) -> Column:
     return F.coalesce(rendered, F.lit(""))  # nil -> empty (:138)
 
 
+def _ordered_parts(parts_dir: str) -> list[str]:
+    """Part files ordered by their NUMERIC task index. A lexicographic
+    sort breaks past 99,999 partitions (Spark zero-pads the index to 5
+    digits, so 'part-100000' sorts before 'part-99999'), silently
+    breaking the byte-parity-with-collect guarantee of the single-file
+    writers."""
+    import glob
+    import os
+    import re
+
+    def idx(p: str) -> int:
+        m = re.match(r"part-(\d+)", os.path.basename(p))
+        if m is None:  # never emitted by Spark's text sink
+            raise ValueError(f"unrecognized part file name: {p}")
+        return int(m.group(1))
+
+    return sorted(glob.glob(os.path.join(parts_dir, "part-*")), key=idx)
+
+
 def encode_header(columns: Sequence[str], delimiter: str = ",") -> str:
     """Header line from declared attribute names (DelimitedEncoder.swift:39-48)."""
     return delimiter.join(columns)
@@ -206,7 +225,7 @@ def write_delimited_single_file(
             .option("lineSep", line_separator)
             .text(parts_dir)
         )
-        parts = sorted(glob.glob(os.path.join(parts_dir, "part-*")))
+        parts = _ordered_parts(parts_dir)
         with open(path, "wb") as out:
             if header:
                 out.write(
@@ -261,7 +280,7 @@ def write_json_single_file(
             .write.mode("overwrite")
             .text(parts_dir)
         )
-        parts = sorted(glob.glob(os.path.join(parts_dir, "part-*")))
+        parts = _ordered_parts(parts_dir)
         with open(path, "wb") as out:
             out.write(b"[")
             first = True

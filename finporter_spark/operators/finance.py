@@ -51,6 +51,13 @@ def fifo_lot_gains(
 
     ``cell`` is the quantity-grid width: pick ≈ the max single-lot
     quantity so each interval spans ≤ 2 cells.
+
+    Correctness assumes a FEASIBLE ledger (cumulative sells never
+    exceed cumulative buys at any prefix in ``order_by`` order); on an
+    infeasible prefix a sell can match a LATER buy with no signal.
+    Callers that cannot assume feasibility run
+    :func:`fifo_feasibility_violations` first (same window shape,
+    linear) and quarantine or assert on the violating keys.
     """
     w = (
         Window.partitionBy(*keys)
@@ -114,4 +121,39 @@ def fifo_lot_gains(
             F.coalesce(F.col("_mq"), F.lit(0.0)).alias("matched_qty"),
             F.coalesce(F.col("_rg"), F.lit(0.0)).alias("realized_gain"),
         )
+    )
+
+
+def fifo_feasibility_violations(
+    txns: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Keys whose ledger violates the FEASIBILITY contract
+    :func:`fifo_lot_gains` depends on (documented there): at some
+    prefix of the ledger order, cumulative sold quantity exceeds
+    cumulative bought. On such a prefix a sell interval can match a buy
+    that occurs LATER in ledger time, producing nonzero gains instead
+    of the 0.0 convention — silently, since the matcher has no ordering
+    guard. Callers that cannot assume feasibility (e.g. ingesting
+    third-party ledgers) run this check first and quarantine or assert.
+
+    One window per key over the ledger order (same shuffle shape as the
+    matcher's cumulative sums — linear, no pairs). Returns one row per
+    violating key: ``*keys, max_oversell`` (the worst prefix excess,
+    > 0) — empty means feasible.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signed = F.when(F.col("action") == "SELL", F.col("qty")).otherwise(
+        -F.col("qty")
+    )
+    return (
+        txns.withColumn("_net_sold", F.sum(signed).over(w))
+        .groupBy(*keys)
+        .agg(F.max("_net_sold").alias("max_oversell"))
+        .filter(F.col("max_oversell") > 0)
     )

@@ -693,9 +693,11 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
     # batch reader enforces for the same bytes. Fail loudly once the
     # open-quote tail outgrows any plausible field: more than
     # _OPEN_QUOTE_MAX_BYTES accumulated past the stuck boundary, or the
-    # file grew on _OPEN_QUOTE_MAX_TICKS consecutive triggers while the
-    # quote never closed. (Counters are in-memory; after a driver
-    # restart the still-growing file re-trips them.)
+    # quote stayed open across _OPEN_QUOTE_MAX_TICKS consecutive read
+    # triggers — whether or not the file grew: a producer that STOPPED
+    # mid-quote is just as malformed as one that keeps appending, and
+    # must fail rather than stall. (Counters are in-memory; after a
+    # driver restart the still-stuck file re-trips them.)
     _OPEN_QUOTE_MAX_BYTES = 1 << 20
     _OPEN_QUOTE_MAX_TICKS = 8
 
@@ -771,13 +773,14 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
         """Track a file whose unconsumed tail is inside an open quoted
         field; raise once the tail can no longer be a legitimate
         in-progress multi-line field (see class constants)."""
-        prev_b, prev_size, ticks = self._open_quote.get(
+        prev_b, _prev_size, ticks = self._open_quote.get(
             name, (boundary, size, 0)
         )
         if prev_b != boundary:  # progress was made: restart tracking
-            prev_size, ticks = size, 0
-        if size > prev_size:
-            ticks += 1
+            ticks = 0
+        # every trigger without boundary progress counts — growing or
+        # not: a producer that stopped mid-quote must also fail loudly
+        ticks += 1
         self._open_quote[name] = (boundary, size, ticks)
         if (
             size - boundary > self._OPEN_QUOTE_MAX_BYTES
@@ -787,7 +790,7 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
                 f"finport: {os.path.join(self.path, name)}: unterminated "
                 f"quoted field opened after byte {boundary} — "
                 f"{size - boundary} bytes accumulated across {ticks} "
-                "growth triggers without the quote closing; malformed "
+                "read triggers without the quote closing; malformed "
                 "input (the file would otherwise stall silently forever)"
             )
 
@@ -855,8 +858,11 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
                 # boundary was recorded, so replay to the last
                 # complete-record boundary as of NOW — the one replay
                 # range that cannot be pinned (documented migration
-                # cost; every offset written since pins byte ranges)
-                lo, hi = 0, self._migrated_boundary(name)
+                # cost; every offset written since pins byte ranges).
+                # lo is kept when non-negative: a byte-boundary start
+                # paired with a legacy end (version downgrade/upgrade)
+                # must not replay rows before lo a second time
+                hi = self._migrated_boundary(name)
             elif lo < 0:
                 # the MIGRATION batch: it pinned the boundary and
                 # emitted no rows for this file — replay none

@@ -659,3 +659,49 @@ def test_finport_writer_rejects_undecodable_corner(spark, tmp_path):
         df.write.format("finport").mode("overwrite").option(
             "path", out
         ).save()
+
+
+def test_finport_stream_open_quote_stall_without_growth(tmp_path):
+    """ADVICE r7: a malformed file whose producer STOPS appending (tail
+    under the byte bound, no further growth) must still trip the tick
+    bound — non-progress triggers count whether or not the file grew."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    d = tmp_path / "stalled"
+    d.mkdir()
+    (d / "a.csv").write_text(hdr + 'a1,"never closed\n')
+    rdr = FinportStreamReader({"path": str(d)})
+    off = rdr.initialOffset()
+    with pytest.raises(ValueError, match="unterminated quoted field"):
+        for _ in range(FinportStreamReader._OPEN_QUOTE_MAX_TICKS + 2):
+            _, off = rdr.read(off)  # file never grows
+
+
+def test_finport_replay_byte_start_with_legacy_end(tmp_path):
+    """ADVICE r7: readBetweenOffsets with a byte-boundary START and a
+    legacy whole-file END (version downgrade after an upgrade) must
+    replay only [lo, migrated_boundary) — never the rows before lo a
+    second time."""
+    from finporter_spark.sources.finport_datasource import (
+        FinportStreamReader,
+    )
+
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    d = tmp_path / "downgrade"
+    d.mkdir()
+    f = d / "a.csv"
+    f.write_text(hdr)
+    rdr = FinportStreamReader({"path": str(d)})
+    o0 = rdr.initialOffset()
+    with open(f, "a") as fh:
+        fh.write("a1,S1,L1,1.0,,\n")
+    rows1, o1 = rdr.read(o0)  # consumes row S1; o1 pins a byte boundary
+    assert [r[1] for r in list(rows1)] == ["S1"]
+    with open(f, "a") as fh:
+        fh.write("a1,S2,L2,2.0,,\n")
+    legacy_end = {"seen": ["a.csv"]}  # downgraded writer: whole-file
+    replayed = [r[1] for r in rdr.readBetweenOffsets(o1, legacy_end)]
+    assert replayed == ["S2"]  # S1 must NOT replay

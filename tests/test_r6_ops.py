@@ -647,3 +647,30 @@ def test_fifo_grid_bounds_hot_instrument_fanout(spark, sf_dir):
         got_m, got_g = rows[i]
         assert got_m == pytest.approx(matched, abs=1e-6), i
         assert got_g == pytest.approx(gain, abs=1e-4), i
+
+
+def test_fifo_feasibility_check_flags_oversold_prefix(spark):
+    """fifo_feasibility_violations: a key whose ledger sells ahead of
+    its buys is flagged with the worst prefix excess; feasible keys
+    (including an exactly-balanced one) are silent. ADVICE r7: callers
+    get a signal for the contract fifo_lot_gains depends on."""
+    from finporter_spark.operators.finance import (
+        fifo_feasibility_violations,
+    )
+
+    txns = spark.createDataFrame(
+        [
+            # feasible: buy 10, sell 10 (exact balance is fine)
+            ("A", 1, "BUY", 10.0, 5.0),
+            ("A", 2, "SELL", 10.0, 6.0),
+            # infeasible: sells 7 with only 4 bought at that prefix
+            ("B", 1, "BUY", 4.0, 5.0),
+            ("B", 2, "SELL", 7.0, 6.0),
+            ("B", 3, "BUY", 5.0, 5.5),
+        ],
+        "acct string, seq int, action string, qty double, price double",
+    )
+    out = fifo_feasibility_violations(txns, ["acct"], ["seq"]).collect()
+    assert len(out) == 1
+    assert out[0]["acct"] == "B"
+    assert out[0]["max_oversell"] == 3.0
