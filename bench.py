@@ -133,6 +133,9 @@ HEADLINE = [
     "a17_funnel_conversion",
     "a18_event_correlation",
     "p16b_er_clusters",
+    "l31_triangle_count",
+    "w15_interval_coverage",
+    "x13_stream_semi_join",
 ]
 
 
@@ -191,6 +194,7 @@ def main() -> None:
         "m12_scene_cut",
         "s13_datasource_roundtrip",
         "l28_containment_pairs",
+        "x13_stream_semi_join",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -326,8 +326,9 @@ def stream_interval_join(
     ts_right: str,
     within: str = "6 hours",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """X7: stream-stream inner join on ``key`` where the right event lands
+    """X7/X13: stream-stream join on ``key`` where the right event lands
     in ``[ts_left, ts_left + within]`` (view→purchase attribution shape).
 
     Both sides carry watermarks + the interval condition, which is what
@@ -338,7 +339,19 @@ def stream_interval_join(
     the result; a drain-style run (availableNow over a bounded backlog,
     as the x7 catalog entry does) passes a retention larger than the data
     span so the drained output is exactly the batch join.
+
+    ``how``: 'inner' (X7, every matching pair) or 'left_semi' (X13,
+    each left row at most once — existence, not enumeration: the
+    attribution-fanout-free shape). Semi drains are exactly the batch
+    semi join under a retention larger than the data span; OUTER
+    stream-stream joins are deliberately NOT offered through this
+    drain-oriented helper — their null-side rows emit only when the
+    watermark passes, which an availableNow drain with drain-style
+    retention never reaches, so the drained result would silently equal
+    the inner join.
     """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"unsupported stream join type: {how}")
     lw = left.withWatermark(ts_left, watermark)
     rw = right.withWatermark(ts_right, watermark)
     cond = (
@@ -346,6 +359,8 @@ def stream_interval_join(
         & (rw[ts_right] >= lw[ts_left])
         & (rw[ts_right] <= lw[ts_left] + F.expr(f"INTERVAL {within}"))
     )
+    if how == "left_semi":
+        return lw.join(rw, cond, "left_semi")
     return lw.join(rw, cond).drop(rw[key])
 
 

@@ -90,6 +90,13 @@ QUERIES = [
     "f2_fifo_realized_gains",
     # round-8: the two rewritten-contract queries (verdict r7 asks #1/#2)
     "p16b_er_clusters",
+    # round-8: sf10 decade evidence for the streaming family (verdict
+    # r7 ask #8) — expected near-flat (micro-batch drain/commit-bound)
+    "x7_stream_stream_join",
+    "x11_stream_budget_gate",
+    "x12_datasource_stream",
+    "l31_triangle_count",
+    "w15_interval_coverage",
 ]
 
 
@@ -121,7 +128,9 @@ def main() -> None:
         for sf, d in SFS:
             # first call may stage fixtures; run twice, time the second
             if name in ("z1_bucketed_join", "l2_minhash_near_dup",
-                        "l21_bpe_tokenize", "l13_decontaminate"):
+                        "l21_bpe_tokenize", "l13_decontaminate",
+                        "x7_stream_stream_join", "x11_stream_budget_gate",
+                        "x12_datasource_stream"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
