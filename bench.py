@@ -136,6 +136,8 @@ HEADLINE = [
     "l31_triangle_count",
     "w15_interval_coverage",
     "x13_stream_semi_join",
+    "a19_kmv_intersection",
+    "a20_cuped_metric",
 ]
 
 

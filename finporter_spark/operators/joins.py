@@ -81,10 +81,15 @@ def count_exceeding(
     )
 
     def _band(col: Column) -> Column:
+        # zero-width grid (all values equal): everything is band 0 — an
+        # unguarded division raises DIVIDE_BY_ZERO under ANSI mode
+        # (caught by the brute-force property test)
         width = (F.col("_hi") - F.col("_lo")) / bands
-        return F.least(
-            F.lit(bands - 1),
-            F.floor((col - F.col("_lo")) / width).cast("int"),
+        return F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(bands - 1),
+                F.floor((col - F.col("_lo")) / width).cast("int"),
+            )
         )
 
     lp = lv.crossJoin(F.broadcast(bounds)).select(
@@ -113,9 +118,11 @@ def count_exceeding(
         "_n_within", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
     )
     # suffix ladder over the DENSIFIED band spine: a band with no right
-    # rows must still inherit the higher bands' counts
-    spine = F.broadcast(
-        lp.sparkSession.range(bands).select(F.col("id").cast("int").alias("_band"))
+    # rows must still inherit the higher bands' counts. No broadcast
+    # hint here — the spine is the LEFT of a left join (not build-able);
+    # both sides are ≤ bands rows, constant-bounded
+    spine = lp.sparkSession.range(bands).select(
+        F.col("id").cast("int").alias("_band")
     )
     per_band = rp.groupBy("_band").agg(F.count("*").alias("_n_band"))
     wb = Window.orderBy(F.col("_band").desc()).rowsBetween(

@@ -123,8 +123,9 @@ def p16b_er_clusters(spark, sf_dir):
     WITH op AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ), e AS (
-      SELECT DISTINCT a.p AS u, b.p AS v
+      SELECT a.p AS u, b.p AS v
       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
     ), t AS (
       SELECT COUNT(*) AS n_triangles
       FROM e e1
@@ -152,6 +153,14 @@ def l31_triangle_count(spark, sf_dir):
     a wedge whose far endpoints are themselves an oriented edge (one
     equi-join on the pair). Work is O(m^1.5) worst-case, hub-proof.
 
+    Edges carry the classic MIN-SUPPORT filter (co-occurring in ≥ 2
+    orders — one map-combinable pair count): "bought together" means
+    repeatedly, and support is also the density dial that keeps exact
+    counting feasible. Without it the sf10 co-occurrence graph has
+    ~40M edges and m^1.5 ≈ 1e11 wedge work — inherent to EXACT triangle
+    counting on any engine (measured: heap death locally); with wide
+    pair distributions the supported edge set grows sublinearly.
+
     All keyed equi-joins + map-combinable aggs; the per-order pair
     expansion is bounded by order size (≤ ~13 parts). The oracle counts
     the same triangles with the id-ordered 3-way self-join — the count
@@ -164,9 +173,19 @@ def l31_triangle_count(spark, sf_dir):
         op.alias("a")
         .join(op.alias("b"), "o")
         .where(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
     )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(_count_triangles(e))
+
+
+def _count_triangles(e):
+    """Degree-ordered triangle count of a distinct undirected edge set
+    ``(u, v)`` with u < v — the reusable core of l31 (unit-tested on
+    K4/cycle/hub-star fixtures in tests/test_r8_ops.py)."""
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -193,11 +212,9 @@ def l31_triangle_count(spark, sf_dir):
     closing = oriented.select(
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
-    tri = wedges.join(closing, ["b", "c"]).agg(
+    return wedges.join(closing, ["b", "c"]).agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
-    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
-    return n_edges.crossJoin(tri)
 
 
 # =====================================================================
@@ -363,3 +380,260 @@ def x13_stream_semi_join(spark, sf_dir):
     )
     out = run_stream_to_memory(joined, "x13_mem", output_mode="append")
     return out.select("view_id", "user_id", F.col("view_ts"))
+
+
+# =====================================================================
+# A19 — KMV (theta-sketch) set-intersection estimate, deterministic
+# =====================================================================
+
+_KMV_K = 256
+_HEX13 = float(1 << 52)  # 13 hex digits = 52 bits, exact as double
+
+
+@query(
+    "a19_kmv_intersection",
+    f"""
+    WITH tu AS (
+      SELECT DISTINCT event_type AS t, user_id FROM events
+    ), hs AS (
+      SELECT DISTINCT t,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                       AS BIGINT) AS DOUBLE) / {_HEX13!r} AS h
+      FROM tu
+    ), sk AS (
+      SELECT t, h FROM (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM hs
+      ) WHERE rn <= {_KMV_K}
+    ), ts AS (
+      SELECT DISTINCT t FROM sk
+    ), tp AS (
+      SELECT a.t AS ta, b.t AS tb FROM ts a JOIN ts b ON a.t < b.t
+    ), uh AS (
+      SELECT ta, tb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        SELECT tp.ta, tp.tb, s.h, 1 AS ia, 0 AS ib
+        FROM tp JOIN sk s ON s.t = tp.ta
+        UNION ALL
+        SELECT tp.ta, tp.tb, s.h, 0, 1
+        FROM tp JOIN sk s ON s.t = tp.tb
+      ) GROUP BY ta, tb, h
+    ), r AS (
+      SELECT ta, tb, h, ia, ib,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY ta, tb) AS cu
+      FROM uh
+    ), kk AS (
+      SELECT ta, tb,
+             MAX(CASE WHEN rn <= {_KMV_K} THEN h END) AS kth,
+             MAX(cu) AS cu,
+             SUM(CASE WHEN rn <= {_KMV_K} AND ia = 1 AND ib = 1
+                 THEN 1 ELSE 0 END) AS m
+      FROM r GROUP BY ta, tb
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(m AS DOUBLE)
+             / (CASE WHEN cu >= {_KMV_K} THEN kth ELSE 1.0 END)
+             AS est_common_users
+    FROM kk
+    """,
+)
+def a19_kmv_intersection(spark, sf_dir):
+    """A19: pairwise audience-overlap estimates via KMV / theta
+    sketches (Beyer et al., SIGMOD'07) — |users(a) ∩ users(b)| for
+    every event-type pair from k-minimum-value sketches, the sketch
+    family HLL cannot provide (HLL unions; it cannot intersect).
+
+    Each set keeps its k smallest hash values; for a pair, θ = the
+    k-th smallest of the UNION of the two sketches and m = values ≤ θ
+    present in both → estimate m/θ (sketches shorter than k are the
+    whole set: θ = 1, exact). The corpus-sized work is one distinct
+    over (type, user) — one keyed shuffle, map-combinable; everything
+    after runs on k·|types| rows. At 100 TB the sketches are the ONLY
+    thing that crosses the wire.
+
+    The hash is md5 (identical hex in Spark and DuckDB, the catalog's
+    deterministic-sampling pattern; 13 hex digits = 52 bits, exact as
+    a double), so this APPROXIMATE sketch is nonetheless bit-identical
+    cross-engine — the oracle runs the same estimator and the gate is
+    a full hash match. Accuracy vs exact intersections is the pytest
+    threshold test (tests/test_r8_ops.py), not the oracle."""
+    k = _KMV_K
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    hs = tu.select(
+        "t",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+                16, 10,
+            ).cast("double")
+            / F.lit(_HEX13)
+        ).alias("h"),
+    ).distinct()
+    wt = Window.partitionBy("t").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= k)
+        .select("t", "h")
+    )
+    ts_ = sk.select("t").distinct()
+    tp = (
+        ts_.alias("a")
+        .join(ts_.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    ua = tp.join(sk, sk.t == tp.ta).select(
+        "ta", "tb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    ub = tp.join(sk, sk.t == tp.tb).select(
+        "ta", "tb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    uh = (
+        ua.unionByName(ub)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    r = uh.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "cu", F.count("*").over(Window.partitionBy("ta", "tb"))
+    )
+    kk = r.groupBy("ta", "tb").agg(
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("kth"),
+        F.max("cu").alias("cu"),
+        F.sum(
+            F.when(
+                (F.col("rn") <= k) & (F.col("ia") == 1) & (F.col("ib") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("m"),
+    )
+    return kk.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        (
+            F.col("m").cast("double")
+            / F.when(F.col("cu") >= k, F.col("kth")).otherwise(F.lit(1.0))
+        ).alias("est_common_users"),
+    )
+
+
+# =====================================================================
+# A20 — CUPED variance-reduced experiment metric
+# =====================================================================
+
+_CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "a20_cuped_metric",
+    f"""
+    WITH m AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_CUTOFF}'
+                      THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                      THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END)
+                  AS DOUBLE) AS y,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy
+      FROM m
+    ), th AS (
+      SELECT (sxy / n - (sx / n) * (sy / n))
+               / (sxx / n - (sx / n) * (sx / n)) AS theta,
+             sx / n AS xbar
+      FROM g
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS mean_y,
+           CAST(SUM(CAST(y - th.theta * (x - th.xbar) AS DECIMAL(28,6)))
+                AS DOUBLE) / COUNT(*) AS mean_y_cuped
+    FROM m, th GROUP BY variant, th.theta, th.xbar
+    """,
+)
+def a20_cuped_metric(spark, sf_dir):
+    """A20: CUPED variance reduction (Deng et al., WSDM'13) — the
+    experimentation-platform staple: per-user post-period metric y is
+    adjusted by the pre-period covariate x, ŷ = y − θ(x − x̄) with
+    θ = cov(x, y)/var(x), shrinking variance by the x↔y correlation²
+    without biasing the A/B delta. Variant assignment is the md5
+    bucket of user_id (deterministic cross-engine).
+
+    Plan shape: one corpus-sized map-combinable groupBy(user) builds
+    (x, y); θ comes from ONE global aggregate over users (decimal-
+    routed moment sums, so both engines agree bit-for-bit — covar_pop
+    would drift past the 9 dp gate on summation order); the adjusted
+    means are a second user-level aggregate with the 1-row θ broadcast.
+    Nothing beyond the user table ever re-shuffles."""
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    m = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cutoff, dec(F.col("value"))).otherwise(
+                F.lit(0).cast("decimal(28,6)")
+            )
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cutoff, dec(F.col("value"))).otherwise(
+                F.lit(0).cast("decimal(28,6)")
+            )
+        )
+        .cast("double")
+        .alias("y"),
+    ).withColumn(
+        "variant",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    g = m.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).cast("double").alias("sxy"),
+    )
+    th = g.select(
+        (
+            (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+            / (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+    )
+    adj = m.crossJoin(F.broadcast(th))
+    return adj.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        (F.sum(dec(F.col("y"))).cast("double") / F.count("*")).alias(
+            "mean_y"
+        ),
+        (
+            F.sum(
+                dec(
+                    F.col("y")
+                    - F.col("theta") * (F.col("x") - F.col("xbar"))
+                )
+            ).cast("double")
+            / F.count("*")
+        ).alias("mean_y_cuped"),
+    )

@@ -14,6 +14,7 @@ the key set ages out instead of growing forever.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -139,11 +140,19 @@ def run_stream_to_memory(
     sdf: DataFrame,
     query_name: str,
     output_mode: str = "append",
-    timeout_s: float = 120.0,
+    timeout_s: float | None = None,
     state_partitions: int | None = STATE_PARTITIONS,
 ) -> DataFrame:
     """Drive a stream to completion (availableNow) into an in-memory sink
-    and return the materialized result — the batch-equivalence harness."""
+    and return the materialized result — the batch-equivalence harness.
+
+    ``timeout_s`` defaults to $SPARK_GRAFT_STREAM_TIMEOUT (else 120 s):
+    the guard exists to fail a WEDGED drain loudly, not to bound honest
+    work — big-SF sweeps (the sf10 decade bench draining 60M rows
+    through a Python stateful operator) raise the env knob instead of
+    editing call sites."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "120"))
     with _state_partitions(sdf.sparkSession, state_partitions):
         q = (
             sdf.writeStream.format("memory")

@@ -247,3 +247,54 @@ def test_mp3_metadata_property(brs, sr, id3v2, id3v1):
     assert m["total_samples"] == len(brs) * 1152
     assert m["duration_ms"] == len(brs) * 1152 * 1000 // sr
     assert m["vbr"] == (len(set(brs)) > 1)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    left=st.lists(
+        st.one_of(
+            st.floats(-100, 100, allow_nan=False), st.none()
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.one_of(
+            st.floats(-100, 100, allow_nan=False), st.none()
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    bands=st.sampled_from([1, 2, 7, 64]),
+)
+def test_count_exceeding_matches_brute_force(spark, left, right, bands):
+    """count_exceeding (the j5 rank/CDF merge engine) == brute-force
+    strict-greater counts for arbitrary values incl. duplicates, ties
+    across sides, NULLs, and degenerate band counts (bands=1 forces
+    everything through one merge partition; the all-equal-values corner
+    exercises the zero-width grid path)."""
+    from finporter_spark.operators.joins import count_exceeding
+
+    ldf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(left)], "id int, v double"
+    )
+    rdf = spark.createDataFrame([(v,) for v in right], "v double")
+    got = {
+        r["id"]: r["n_greater"]
+        for r in count_exceeding(
+            ldf, ["id"], "v", rdf, "v", bands=bands
+        ).collect()
+    }
+    want = {
+        i: sum(1 for w in right if w is not None and w > v)
+        for i, v in enumerate(left)
+        if v is not None
+    }
+    assert got == want
