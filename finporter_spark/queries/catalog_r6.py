@@ -317,17 +317,34 @@ def j8_interval_join(spark, sf_dir):
     both sides are [t0, t1] ranges and the predicate is mutual overlap.
 
     Naively this is a nested loop (Catalyst: BNLJ) — quadratic at two
-    large sides. The grid decomposition makes it an EQUI-join: every
-    interval replicates to the fixed-width time-grid cells it spans
-    (`sequence()` + explode, fan-out = interval length / cell width,
-    bounded here by 8d/4d <= 3 cells), candidates pair up per shared
-    cell via a hash join, the exact overlap predicate filters
-    residually, and each true pair is kept exactly once — in the FIRST
-    cell both intervals occupy (cell == max(first_l, first_r)), the
-    standard dedup that avoids a distinct over the pair blowup. Work
-    scales with overlaps + replication, never |L|x|R|; plan-asserted
-    NLJ-free. Spark's own range-join hints don't exist in OSS 4.x, so
-    this composition is THE way to run overlap joins at 100 TB."""
+    large sides. Two compositions fix it:
+
+    1. **Grid decomposition** makes it an EQUI-join: every interval
+       replicates to the fixed-width time-grid cells it spans
+       (`sequence()` + explode, fan-out = interval length / cell
+       width, bounded here by 8d/4d <= 3 cells), candidates pair up
+       per shared cell via a hash join, the exact overlap predicate
+       filters residually, and each true pair is kept exactly once —
+       in the FIRST cell both intervals occupy
+       (cell == max(first_l, first_r)), the standard dedup that
+       avoids a distinct over the pair blowup.
+    2. **Shape compression** (the round-8 fix for the 45x sf1→sf10
+       decade blowup): with a bounded time domain, per-cell density
+       grows linearly with SF, so pairing RAW rows is quadratic in
+       density even through the grid. But per-left aggregates
+       (COUNT, MAX overlap) only depend on the right side's DISTINCT
+       interval shapes — so the right side is first aggregated to
+       (t0, t1, cnt), the interval histogram, and the grid join runs
+       against that. n_overlaps = SUM(cnt); max_overlap_days is a
+       plain MAX over matched shapes. Work = |L| x cells +
+       |distinct shapes| — linear in |L| at every SF. When shapes
+       don't repeat the histogram degenerates to R and nothing is
+       lost; when density grows (the 100 TB case: bounded timestamp
+       grain, unbounded rows) the compression is the whole ballgame.
+
+    Plan-asserted NLJ-free. Spark's own range-join hints don't exist
+    in OSS 4.x, so this composition is THE way to run overlap
+    aggregations at 100 TB."""
     cell = 4  # days per grid cell — ~interval length keeps fan-out ~2
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -352,10 +369,15 @@ def j8_interval_join(spark, sf_dir):
             )
         )
         .select(
-            "o_orderkey",
             F.col("o_orderdate").cast("date").alias("t0"),
             F.date_add(F.col("o_orderdate").cast("date"), 2).alias("t1"),
         )
+        # shape compression: per-left COUNT/MAX only see distinct
+        # (t0, t1) interval shapes — collapse the corpus-sized right
+        # side to its interval histogram (bounded by the time-domain
+        # grain squared, here <= 60 rows at ANY scale factor)
+        .groupBy("t0", "t1")
+        .agg(F.count("*").alias("cnt"))
     )
 
     def gridded(df):
@@ -379,17 +401,15 @@ def j8_interval_join(spark, sf_dir):
         )
         + 1
     )
-    # aggregate per left interval: pair enumeration is quadratic in
-    # data DENSITY (an unkeyed overlap join's true output), so the
-    # catalog entry returns the per-shipment overlap profile — output
-    # linear in |L| at every SF while the grid join underneath still
-    # enumerates and dedups every true pair
+    # aggregate per left interval over the SHAPE histogram: each
+    # (left row, shape) match contributes cnt overlaps — output and
+    # work both linear in |L| at every SF
     return (
         a.join(b, "cell")
         .filter(overlap & first_shared)
         .groupBy("l_orderkey", "l_linenumber")
         .agg(
-            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum("cnt").cast("bigint").alias("n_overlaps"),
             F.max(overlap_days).cast("bigint").alias("max_overlap_days"),
         )
     )

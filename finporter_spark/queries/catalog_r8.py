@@ -637,3 +637,64 @@ def a20_cuped_metric(spark, sf_dir):
             / F.count("*")
         ).alias("mean_y_cuped"),
     )
+
+
+# =====================================================================
+# X6b — running totals via the BUILT-IN streaming aggregation (the
+# JVM-state twin of x6's applyInPandasWithState demonstrator)
+# =====================================================================
+
+
+@query(
+    "x6b_builtin_running_totals",
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY user_id",
+)
+def x6b_builtin_running_totals(spark, sf_dir):
+    """X6b: per-key running counts as a BUILT-IN streaming aggregation
+    (groupBy().count() in update mode) — the JVM-state twin of x6.
+
+    x6 exists to demonstrate the custom-state escape hatch
+    (applyInPandasWithState), but that API invokes Python ONCE PER KEY
+    per batch: at the sf10 decade (~1.5M keys) the callback overhead
+    alone is ~4 min (DECADE_BENCH x6: 5.6/19.6/250 s — mildly
+    super-linear because per-batch state-store I/O grows with the key
+    count). When the stateful semantics ARE expressible as an
+    aggregation — running counts/sums/min/max per key — the built-in
+    streaming agg keeps all state updates in the JVM state store with
+    map-side partial aggregation and no Python boundary. This entry
+    pins that guidance with a measured twin: same staged CSV drop,
+    same single availableNow drain (update mode emits exactly one row
+    per key, equal to the batch aggregate the oracle runs), same
+    32-way state partitioning. The 100 TB rule it encodes: reach for
+    applyInPandasWithState only for semantics aggregation can't
+    express (conditional resets, multi-counter transitions, custom
+    eviction); otherwise the built-in agg is the scale path.
+    """
+    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    path = _stage_once(
+        sf_dir,
+        "x6",  # same drop as x6: identical layout, staged once
+        lambda p: _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .csv(p, header=True),
+        "events",
+    )
+    sdf = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("header", True)
+        .csv(path)
+    )
+    agg = sdf.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    out = run_stream_to_memory(
+        agg, "x6b_mem", output_mode="update", state_partitions=32
+    )
+    return out.select("user_id", "n")

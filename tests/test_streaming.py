@@ -253,6 +253,25 @@ def test_x6_stateful_totals_equal_batch(spark, sf_dir):
         assert abs(totals[u] - t) < 1e-6
 
 
+def test_x6b_builtin_agg_equals_custom_state(spark, sf_dir):
+    """The JVM built-in streaming agg twin (x6b) emits exactly the
+    per-key counts of the custom-state operator (x6) and of the batch
+    aggregate — the measured scale-path alternative for
+    aggregation-expressible stateful semantics."""
+    from finporter_spark.queries.catalog import CATALOG, _t
+
+    out = CATALOG["x6b_builtin_running_totals"][0](spark, sf_dir)
+    got = {r.user_id: r.n for r in out.collect()}
+    want = {
+        r.user_id: r.n
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_x6_state_survives_across_batches(spark, tmp_path):
     """Two micro-batches (two availableNow runs, shared checkpoint): the
     second run's emitted state must include the first run's counts."""

@@ -97,6 +97,9 @@ QUERIES = [
     "x12_datasource_stream",
     "l31_triangle_count",
     "w15_interval_coverage",
+    # round-8: the JVM built-in streaming-agg twin of x6 — the measured
+    # scale-path alternative to per-key Python callbacks
+    "x6b_builtin_running_totals",
 ]
 
 
