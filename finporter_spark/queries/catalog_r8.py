@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from finporter_spark.queries.catalog import _t, query
+from finporter_spark.queries.catalog import _t, _TOKS, query
 
 
 # =====================================================================
@@ -698,3 +698,330 @@ def x6b_builtin_running_totals(spark, sf_dir):
         agg, "x6b_mem", output_mode="update", state_partitions=32
     )
     return out.select("user_id", "n")
+
+
+# =====================================================================
+# W16 — OHLC bar resampling (finance-native time-bucket aggregation)
+# =====================================================================
+
+
+@query(
+    "w16_ohlc_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             ts, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS notional
+    FROM b GROUP BY 1, 2
+    """,
+)
+def w16_ohlc_bars(spark, sf_dir):
+    """W16: OHLC candlestick resampling — the canonical financial
+    time-bucket aggregation (reference domain: the importers feed
+    price/txn history; OHLC is how that history is consumed). Per
+    (event_type, day): open = value at the earliest (ts, event_id),
+    close = at the latest, high/low = extrema, volume = row count,
+    notional = decimal-routed sum.
+
+    Spark shape: ONE map-combinable keyed aggregation — open/close use
+    ``min_by``/``max_by`` over a (ts, event_id) struct (total order, so
+    ties are deterministic; structs compare lexicographically and both
+    partial and final aggregation keep the single smallest/largest
+    witness — no window, no second shuffle, no per-group buffering).
+    The oracle spells the same witness selection as two ROW_NUMBER
+    windows because DuckDB's arg_min lacks composite ordering keys.
+    At 100 TB this is the textbook partial-agg pattern: every executor
+    emits one (open, close, hi, lo, n, sum) tuple per local group.
+    """
+    e = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").cast("bigint").alias("volume"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("notional"),
+        )
+    )
+
+
+# =====================================================================
+# F3 — maximum drawdown over per-user cumulative equity curves
+# =====================================================================
+
+
+@query(
+    "f3_max_drawdown",
+    """
+    WITH eq AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS equity
+      FROM events
+    ), dd AS (
+      SELECT user_id, equity,
+             MAX(equity) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak
+      FROM eq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(peak - equity) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_equity
+    FROM dd GROUP BY user_id
+    """,
+)
+def f3_max_drawdown(spark, sf_dir):
+    """F3: maximum drawdown — the standard portfolio risk statistic
+    (largest peak-to-trough drop of the cumulative equity curve;
+    reference domain: MTransaction histories become equity curves the
+    moment a consumer charts them). Treats each user's event values as
+    signed cash flows: equity = running decimal sum ordered by
+    (ts, event_id); peak = running max of equity in the SAME time
+    order; drawdown = peak - equity; output = per-user max.
+
+    ONE window shuffle: both running aggregates share the identical
+    (partition, ordering, ROWS frame), so Catalyst stacks them in a
+    single Window stage after one exchange+sort — the second pass
+    reuses the first's sort, no extra shuffle (running max OVER a
+    running sum needs two Window nodes only because the max reads a
+    derived column). Then a map-combinable groupBy takes the max gap.
+    DECIMAL end-to-end (running sums and maxima exact; the final cast
+    to double is the hash surface), so the result is bit-identical to
+    the oracle at any SF.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).alias("equity"),
+    )
+    dd = eq.select(
+        "user_id",
+        "equity",
+        F.max("equity").over(w).alias("peak"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.col("peak") - F.col("equity"))
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_equity"),
+    )
+
+
+# =====================================================================
+# A21 — closed-form grouped OLS (per-group trend fit from exact sums)
+# =====================================================================
+
+_OLS_EPOCH0 = "2024-01-01 00:00:00"
+
+
+@query(
+    "a21_grouped_ols",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(epoch(TIMESTAMP '{_OLS_EPOCH0}') AS BIGINT) AS x,
+             value AS y
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM g
+    """,
+)
+def a21_grouped_ols(spark, sf_dir):
+    """A21: per-group least-squares trend (value vs time) in closed
+    form — slope/intercept per event_type from the five classical
+    sums (n, Σx, Σy, Σx², Σxy).
+
+    This is the scale-correct shape for grouped regression: ONE
+    map-combinable keyed aggregation (each executor contributes
+    partial sums; no per-group row buffering, no iterative solver),
+    then O(groups) scalar arithmetic. x is centered on a fixed epoch
+    (2024-01-01) BEFORE squaring so the decimal products stay ~1e13
+    instead of ~1e18 — centering changes the intercept's origin (it
+    is reported at the centered origin) but not the slope, and keeps
+    Σx² inside DECIMAL(38,12) headroom at any SF. Sums are
+    decimal-exact on both engines; the slope/intercept division runs
+    in double on identical inputs, so the hash matches bit-for-bit.
+    (Spark's built-in regr_slope/regr_intercept double-sum in
+    engine-specific order — fine numerically, but not hash-stable
+    across engines; the explicit decimal sums are.)
+    """
+    e = _t(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    x = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit(_OLS_EPOCH0).cast("timestamp"))
+    ).alias("x")
+    p = e.select("event_type", x, F.col("value").alias("y"))
+    g = p.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+
+
+# =====================================================================
+# L32 — cross-source contamination matrix (shared-shingle counts)
+# =====================================================================
+
+
+@query(
+    "l32_contamination_matrix",
+    f"""
+    WITH toks AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ), grams AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[i:i+7], ' ')) AS g
+      FROM (
+        SELECT source, toks,
+               unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM toks WHERE len(toks) >= 8
+      )
+    ), totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams
+      GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           CAST(s.n_shared AS DOUBLE)
+             / least(ta.n_grams, tb.n_grams) AS containment
+    FROM shared s
+    JOIN totals ta ON ta.source = s.source_a
+    JOIN totals tb ON tb.source = s.source_b
+    """,
+)
+def l32_contamination_matrix(spark, sf_dir):
+    """L32: pairwise cross-source contamination — for every source
+    pair, how many distinct word 8-grams they share, and the
+    containment ratio (shared / smaller side's distinct-gram count).
+    The corpus-level view of l13's train-vs-eval decontamination:
+    before mixing sources into a training set, this matrix is how a
+    pipeline finds which sources are partial mirrors of each other.
+
+    Plan: explode 8-gram spans keyed by 16-byte md5 digests (the l25
+    span machinery), distinct (source, gram) — ONE shuffle that also
+    shrinks the data to unique grams per source — then a self-equi-join
+    on the gram key produces pair evidence with fan-out bounded by
+    (distinct sources containing that gram)², i.e. by the SOURCE
+    DOMAIN (a config-sized set: 20 here, maybe thousands at 100 TB),
+    never by corpus size; a map-combinable pair count and a broadcast
+    join of the per-source totals finish it. Nothing all-pairs over
+    documents exists anywhere in the plan.
+    """
+    from finporter_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n = 8
+    toks = d.select(
+        "source", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.unhex(
+                    F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    totals = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    ta = F.broadcast(totals).alias("ta")
+    tb = F.broadcast(totals).alias("tb")
+    return (
+        shared.join(ta, F.col("source_a") == F.col("ta.source"))
+        .join(tb, F.col("source_b") == F.col("tb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("ta.n_grams"), F.col("tb.n_grams"))
+            ).alias("containment"),
+        )
+    )

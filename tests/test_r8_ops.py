@@ -156,3 +156,151 @@ def test_stream_interval_join_rejects_outer(spark):
             spark.range(1), spark.range(1), "id", "a", "b",
             how="left_outer",
         )
+
+
+def test_ohlc_witness_determinism_and_single_shuffle(spark, sf_dir):
+    """w16: open/close pick the value at the min/max (ts, event_id)
+    witness — cross-checked against a row_number formulation — and the
+    whole query is ONE keyed aggregation (exactly one shuffle
+    exchange: partial agg before it, final after)."""
+    from pyspark.sql import Window
+
+    out = CATALOG["w16_ohlc_bars"][0](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    from finporter_spark.queries.catalog import _t
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wz = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ref = (
+        e.withColumn("rna", F.row_number().over(wa))
+        .withColumn("rnz", F.row_number().over(wz))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("rnz") == 1, F.col("value"))).alias("close"),
+        )
+    )
+    got = {
+        (r.event_type, r.day): (r.open, r.close) for r in out.collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.open, r.close) for r in ref.collect()
+    }
+    assert got == want
+
+
+def test_max_drawdown_matches_literal_simulation(spark, sf_dir):
+    """f3: per-user max drawdown equals a literal python walk of the
+    (ts, event_id)-ordered cash flows, and the two stacked windows plus
+    the final agg reuse ONE exchange (single sort partitioning)."""
+    from decimal import Decimal
+
+    out = CATALOG["f3_max_drawdown"][0](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    from finporter_spark.queries.catalog import _t
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        eq, peak, mdd, n = per_user.get(
+            r.user_id, (Decimal(0), None, Decimal(0), 0)
+        )
+        eq += Decimal(f"{r.value:.6f}")
+        peak = eq if peak is None else max(peak, eq)
+        mdd = max(mdd, peak - eq)
+        per_user[r.user_id] = (eq, peak, mdd, n + 1)
+    got = {r.user_id: (r.n_events, r.max_drawdown) for r in out.collect()}
+    for u, (_, peak, mdd, n) in per_user.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - float(mdd)) < 1e-6
+
+
+def test_grouped_ols_matches_numpy_fit(spark, sf_dir):
+    """a21: closed-form decimal-sum OLS equals numpy's least-squares
+    fit per group (same centered-x parameterization)."""
+    import numpy as np
+
+    from finporter_spark.queries.catalog import _t
+
+    out = {
+        r.event_type: (r.slope, r.intercept)
+        for r in CATALOG["a21_grouped_ols"][0](spark, sf_dir).collect()
+    }
+    rows = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+            ).alias("x"),
+            "value",
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.event_type, ([], []))
+        groups[r.event_type][0].append(float(r.x))
+        groups[r.event_type][1].append(r.value)
+    for et, (xs, ys) in groups.items():
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        assert abs(out[et][0] - slope) < 1e-9 * max(1.0, abs(slope))
+        assert abs(out[et][1] - intercept) < 1e-6
+
+
+def test_contamination_matrix_matches_python_sets(spark):
+    """l32 on a tiny planted corpus: shared-shingle counts and
+    containment equal exact python set arithmetic; only a<b pairs with
+    nonzero overlap appear."""
+    import itertools
+
+    docs = [
+        (1, "a b c d e f g h i j", "s1"),
+        (2, "a b c d e f g h x y", "s1"),
+        (3, "a b c d e f g h i j k", "s2"),
+        (4, "p q r s t u v w x y z", "s3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r.source_a, r.source_b): (r.n_shared, r.containment)
+            for r in CATALOG["l32_contamination_matrix"][0](
+                spark, td
+            ).collect()
+        }
+    def grams(text):
+        t = text.split()
+        return {tuple(t[i : i + 8]) for i in range(len(t) - 7)}
+    by_src: dict = {}
+    for _, text, src in docs:
+        by_src.setdefault(src, set()).update(grams(text))
+    want = {}
+    for a, b in itertools.combinations(sorted(by_src), 2):
+        shared = len(by_src[a] & by_src[b])
+        if shared:
+            want[(a, b)] = (
+                shared,
+                shared / min(len(by_src[a]), len(by_src[b])),
+            )
+    assert {k: v[0] for k, v in out.items()} == {
+        k: v[0] for k, v in want.items()
+    }
+    for k in want:
+        assert abs(out[k][1] - want[k][1]) < 1e-12
