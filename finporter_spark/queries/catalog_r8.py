@@ -1025,3 +1025,173 @@ def l32_contamination_matrix(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+# =====================================================================
+# A22 — hierarchical rollup: coarse grains re-aggregated from partials
+# =====================================================================
+
+
+@query(
+    "a22_hierarchical_rollup",
+    """
+    SELECT event_type,
+           strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d')
+             AS week,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a22_hierarchical_rollup(spark, sf_dir):
+    """A22: hierarchical (hypertable-style) rollup — weekly aggregates
+    REBUILT FROM DAILY PARTIALS, never from raw rows. The continuous-
+    aggregate pattern every timeseries store runs at scale: maintain
+    the finest grain once, derive every coarser grain by re-aggregating
+    partials (count→sum, sum→sum, min→min, max→max; avg carried as
+    sum/count so it stays exactly re-aggregable — the classic
+    algebraic-aggregate decomposition).
+
+    At 100 TB the difference is structural: raw→weekly rescans the
+    corpus per grain, daily→weekly touches ~1/7000th (the daily rows).
+    The day agg is one map-combinable shuffle over raw; the week agg
+    shuffles only the day-grain rows. The oracle aggregates raw→weekly
+    directly — the hash match IS the proof that the partial
+    composition is lossless (decimal sums make it exact, not
+    approximately-associative doubles).
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("total"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd")
+            .alias("week"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("total").alias("total_dec"),
+            F.min("lo").cast("double").alias("lo"),
+            F.max("hi").cast("double").alias("hi"),
+        )
+        .select(
+            "event_type",
+            "week",
+            "n",
+            F.col("total_dec").cast("double").alias("total"),
+            "lo",
+            "hi",
+            (F.col("total_dec").cast("double") / F.col("n")).alias("mean"),
+        )
+    )
+
+
+# =====================================================================
+# Z5 — skew diagnostic: distributed top-k heavy hitters with shares
+# =====================================================================
+
+
+@query(
+    "z5_skew_report",
+    """
+    WITH c AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+    SELECT key, cnt, CAST(cnt AS DOUBLE) / total AS share
+    FROM c, t
+    ORDER BY cnt DESC, key ASC LIMIT 10
+    """,
+)
+def z5_skew_report(spark, sf_dir):
+    """Z5: join-key skew diagnostic — the top-k heaviest keys of a
+    prospective join column with their corpus share, the report that
+    decides between a plain shuffle join, salting (z4), or an AQE skew
+    split BEFORE running the join at 100 TB.
+
+    The scale trap in "top 10 keys": a global window
+    (row_number() OVER (ORDER BY cnt DESC)) sorts the ENTIRE key-count
+    table on one task. The right physical shape is Spark's
+    TakeOrderedAndProject — every partition keeps its local top-k heap,
+    the driver merges k×partitions rows — which `orderBy().limit(k)`
+    lowers to automatically (plan-asserted in tests). One
+    map-combinable count shuffle + a 1-row total broadcast; ties broken
+    by key so the report is deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    total = li.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+# =====================================================================
+# L33 — token-length histogram (power-of-two buckets, exact integers)
+# =====================================================================
+
+
+@query(
+    "l33_length_histogram",
+    f"""
+    WITH n AS (
+      SELECT lang, len({_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT lang,
+           CAST(length(printf('%b', n_tokens)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM n WHERE n_tokens > 0 GROUP BY 1, 2
+    """,
+)
+def l33_length_histogram(spark, sf_dir):
+    """L33: document length distribution in power-of-two buckets per
+    language — the length histogram every training-data pipeline
+    checks before packing (l17) and curriculum mixing (o13): truncation
+    losses, short-doc floods, and tokenizer blowups all show up here
+    first.
+
+    Bucket = bit length of the token count (floor(log2)+1) computed by
+    INTEGER bit arithmetic (`bin()` string length), not floating
+    log2 — exact at powers of two on every engine, so the hash can't
+    flap on 5.9999 vs 6.0. One map-combinable keyed agg over
+    (lang, bucket); token counts reuse the l4/l7 tokenizer so the
+    histogram describes exactly what downstream operators consume.
+    """
+    from finporter_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.select(
+        "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return n.groupBy(
+        "lang",
+        F.length(F.bin(F.col("n_tokens"))).cast("int").alias("bucket"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )

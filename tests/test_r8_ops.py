@@ -304,3 +304,68 @@ def test_contamination_matrix_matches_python_sets(spark):
     }
     for k in want:
         assert abs(out[k][1] - want[k][1]) < 1e-12
+
+
+def test_skew_report_uses_distributed_topk(spark, sf_dir):
+    """z5: orderBy().limit(k) must lower to TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort or a
+    single-partition window."""
+    out = CATALOG["z5_skew_report"][0](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    rows = out.collect()
+    assert len(rows) == 10
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert abs(sum(r.share for r in rows)) <= 1.0 + 1e-9
+
+
+def test_hierarchical_rollup_equals_raw_aggregation(spark, sf_dir):
+    """a22: weekly-from-daily-partials == weekly-from-raw computed in
+    Spark itself (the oracle proves it cross-engine; this pins the
+    partial-composition algebra within the engine, including decimal
+    sum exactness)."""
+    from finporter_spark.queries.catalog import _t
+
+    out = {
+        (r.event_type, r.week): (r.n, r.total, r.lo, r.hi, r.mean)
+        for r in CATALOG["a22_hierarchical_rollup"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    e = _t(spark, sf_dir, "events")
+    raw = (
+        e.groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("week", F.col("ts").cast("date")), "yyyy-MM-dd"
+            ).alias("week"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .collect()
+    )
+    for r in raw:
+        n, total, lo, hi, mean = out[(r.event_type, r.week)]
+        assert (n, lo, hi) == (r.n, r.lo, r.hi)
+        assert abs(total - r.total) < 1e-9
+        assert abs(mean - r.total / r.n) < 1e-9
+
+
+def test_length_histogram_buckets_are_bit_lengths(spark, sf_dir):
+    """l33: bucket == n.bit_length() for every doc, and per-bucket
+    bounds sit inside [2^(b-1), 2^b - 1]."""
+    rows = CATALOG["l33_length_histogram"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        lo_bound = 1 << (r.bucket - 1)
+        hi_bound = (1 << r.bucket) - 1
+        assert lo_bound <= r.min_tokens <= r.max_tokens <= hi_bound
+        assert r.min_tokens.bit_length() == r.bucket
