@@ -1195,3 +1195,367 @@ def l33_length_histogram(spark, sf_dir):
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+# =====================================================================
+# Z6 — distributed global rank (TeraSort-style, no single-task window)
+# =====================================================================
+
+
+@query(
+    "z6_global_rank",
+    """
+    WITH r AS (
+      SELECT event_id, value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk,
+             COUNT(*) OVER () AS total
+      FROM events
+    )
+    SELECT event_id, value, CAST(rnk AS BIGINT) AS rnk,
+           CAST(rnk AS DOUBLE) / total AS pct
+    FROM r
+    """,
+)
+def z6_global_rank(spark, sf_dir):
+    """Z6: global rank / quantile-normalization of a corpus-sized
+    column WITHOUT the single-task trap. ``row_number() OVER (ORDER BY
+    ...)`` with no PARTITION BY — what the oracle runs — physically
+    sorts the entire dataset on ONE task in Spark: the classic
+    100 TB-killer hiding in innocuous SQL.
+
+    The distributed formulation is TeraSort's ranking step:
+
+    1. ``repartitionByRange(value, event_id)`` — Spark's sampled range
+       exchange: partition i holds keys strictly below partition i+1,
+       every partition sorts in parallel;
+    2. per-partition row counts (ONE tiny agg job — the range shuffle
+       is reused, not recomputed) collected to the driver: bounded
+       state, one bigint per partition;
+    3. global rank = local row_number within ``spark_partition_id()``
+       (a PARALLEL window — 32 concurrent sorts) + the partition's
+       cumulative offset mapped in as a literal.
+
+    ``_pid`` is materialized as a column BEFORE the window's hash
+    exchange (spark_partition_id is nondeterminism-tagged, so Catalyst
+    cannot reorder it past the exchange), which is what makes the
+    local ranks line up with the range order. Ties are impossible:
+    (value, event_id) is a total order. pct = rank/total gives the
+    exact empirical CDF — the quantile-normalized feature column.
+    """
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    nparts = 32
+    ranked = (
+        e.repartitionByRange(nparts, F.col("value"), F.col("event_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        # PIN the range boundaries: repartitionByRange SAMPLES the
+        # input per job, and Spark 4's sampling is nondeterministic
+        # across jobs (measured: two counts of the same lineage moved
+        # rows between partitions) — the counts job and the final job
+        # MUST see identical boundaries or the offsets are wrong.
+        # localCheckpoint materializes the shuffle output once; both
+        # consumers read the same partitions (the same executor-pinned
+        # truncation the iterative graph ops use).
+        .localCheckpoint(eager=True)
+    )
+    # tiny job: per-partition counts -> cumulative offsets (driver-side,
+    # bounded at one row per partition); the range shuffle is reused
+    counts = {
+        r._pid: r.cnt
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offs, acc = {}, 0
+    for pid in sorted(counts):
+        offs[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy("value", "event_id")
+    return ranked.select(
+        "event_id",
+        "value",
+        (
+            F.row_number().over(w)
+            + F.element_at(off_expr, F.col("_pid")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rnk"),
+    ).withColumn(
+        "pct", F.col("rnk").cast("double") / F.lit(float(total))
+    )
+
+
+# =====================================================================
+# L34 — exact Jaccard threshold join via prefix filtering (PPJoin-lite)
+# =====================================================================
+
+_JACCARD_TAU = 0.6
+
+
+@query(
+    "l34_jaccard_join",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i:i+2], ' ')) AS g
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM toks WHERE len(toks) >= 3
+      )
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b, i AS n_shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da
+    JOIN sz sb ON sb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_TAU}
+    """,
+)
+def l34_jaccard_join(spark, sf_dir):
+    """L34: EXACT all-pairs Jaccard >= tau join over 3-gram shingle
+    sets via prefix filtering (Chaudhuri et al. ICDE'06 / Xiao et al.
+    PPJoin) — completing the dedup family: l9 is the quadratic
+    small-SF baseline, l2 is approximate MinHash, l28 is containment
+    on rare-shingle blocks; this is the exact-threshold SCALABLE path.
+
+    The prefix-filter lemma: order every set by a single global token
+    order (ascending document frequency, tie by token — rarest first);
+    if J(A,B) >= tau then the first |X| - ceil(tau*|X|) + 1 elements
+    of each set (its PREFIX) must share at least one token. So
+    candidates come from an equi-join on PREFIX tokens only — rare
+    tokens by construction, tiny fan-out per token — never from the
+    corpus-sized all-pairs space; completeness is a theorem, not a
+    heuristic (and the oracle's full intersection-table recompute
+    verifies it: a missed pair fails the hash).
+
+    Pipeline: distinct (doc, gram) -> gram df counts (map-combined) ->
+    per-doc rank by (df, g) window -> prefix explode -> candidate
+    equi-join + size window filter [tau*|A| <= |B| <= |A|/tau] ->
+    exact intersection counts restricted to candidates -> threshold.
+    Every join keyed, nothing all-pairs."""
+    import math as _math
+
+    from finporter_spark.operators.text import tokens
+
+    tau = _JACCARD_TAU
+    n = 3
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i + 1, n))
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        g.join(df_counts, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .join(sz, "doc_id")
+        # prefix length: |d| - ceil(tau*|d|) + 1
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
+        )
+        .select("doc_id", "g", "n")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # size filter: tau*|A| <= |B| <= |A|/tau
+        .filter(
+            (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(tau)))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(tau)))
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("da"), "g")
+    gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(ga, "da")
+        .join(
+            gb,
+            (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
+        )
+        .groupBy("da", "db", "size_a", "size_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    )
+    return inter.filter(jac >= tau).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "n_shared",
+        "size_a",
+        "size_b",
+        jac.alias("jaccard"),
+    )
+
+
+# =====================================================================
+# A23 — first-order Markov transition matrix over per-user sequences
+# =====================================================================
+
+
+@query(
+    "a23_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS prob
+    FROM c
+    """,
+)
+def a23_markov_transitions(spark, sf_dir):
+    """A23: first-order Markov transition matrix of user event
+    sequences — P(next event type | current), the behavioral model
+    behind session simulation, anomaly scoring, and attribution.
+
+    One window shuffle (per-user lag in (ts, event_id) order) + one
+    map-combinable pair count. The normalizing row sums run as a
+    window over the AGGREGATED transition table — |types|² rows, a
+    config-sized domain, so the per-prev partition is trivially small
+    at any corpus size (the same distinction z5 makes: windows over
+    aggregates are fine, windows over the corpus are not).
+    """
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type"))
+        ).alias("prob"),
+    )
+
+
+# =====================================================================
+# L35 — dedup with a KEEP-BEST survivor policy (not keep-first)
+# =====================================================================
+
+_STOPLIST = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+@query(
+    "l35_dedup_keep_best",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_filter({_TOKS},
+               t -> t NOT IN {_STOPLIST!r}), ' ')) AS k
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, k,
+             ROW_NUMBER() OVER (
+               PARTITION BY k ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM keyed
+    )
+    SELECT r.doc_id,
+           s.doc_id AS survivor_id,
+           r.doc_id = s.doc_id AS is_survivor
+    FROM ranked r JOIN ranked s ON s.k = r.k AND s.rn = 1
+    """,
+)
+def l35_dedup_keep_best(spark, sf_dir):
+    """L35: content dedup with a KEEP-BEST survivor policy. l1/l25
+    keep the first (min-id) copy — the right default for reproducible
+    corpus ordering — but production dedup usually keeps the BEST
+    copy: here, groups are keyed by the stopword-stripped normalized
+    token stream (variants differing only in function words collapse
+    together), and the survivor is the LONGEST variant (max n_chars,
+    min doc_id tie) — the most complete rendition of the content.
+
+    Spark shape: ONE keyed aggregation with a `max_by` struct witness
+    ((n_chars, -doc_id) — same deterministic-witness pattern as w16's
+    open/close, no window over the corpus, no per-group buffering),
+    then one linear join back to label every row with its survivor.
+    The oracle spells the witness as a ROW_NUMBER window.
+    """
+    from finporter_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in _STOPLIST])
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    tokens(F.col("text")),
+                    lambda t: ~F.array_contains(stop, t),
+                ),
+            )
+        ).alias("k"),
+    )
+    best = keyed.groupBy("k").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_neg"))
+        ).alias("survivor_id")
+    )
+    return keyed.join(best, "k").select(
+        "doc_id",
+        F.col("survivor_id").cast("bigint").alias("survivor_id"),
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+    )

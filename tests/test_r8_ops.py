@@ -369,3 +369,124 @@ def test_length_histogram_buckets_are_bit_lengths(spark, sf_dir):
         hi_bound = (1 << r.bucket) - 1
         assert lo_bound <= r.min_tokens <= r.max_tokens <= hi_bound
         assert r.min_tokens.bit_length() == r.bucket
+
+
+def test_global_rank_is_parallel_and_correct(spark, sf_dir):
+    """z6: the corpus-sized window partitions by _pid (32 parallel
+    sorts), never an empty-partition global window; ranks equal the
+    naive global row_number."""
+    from pyspark.sql import Window
+
+    out = CATALOG["z6_global_rank"][0](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan
+    assert "Exchange SinglePartition" not in plan
+    from finporter_spark.queries.catalog import _t
+
+    want = {
+        r.event_id: i + 1
+        for i, r in enumerate(
+            _t(spark, sf_dir, "events")
+            .select("event_id", "value")
+            .orderBy("value", "event_id")
+            .collect()
+        )
+    }
+    got = {r.event_id: r.rnk for r in out.collect()}
+    assert got == want
+
+
+def test_jaccard_prefix_filter_is_complete(spark):
+    """l34's prefix filter on a planted corpus: every pair with
+    J >= tau survives (completeness is the PPJoin lemma — this pins
+    it against brute force), and nothing below tau leaks through."""
+    import itertools
+    import os
+    import tempfile
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = [
+        (1, base, "en", "s", 1),
+        (2, base + " w13", "en", "s", 1),          # near-dup of 1
+        (3, "w5 w6 w7 w8 w9 w10 w11 w12 w14 w15", "en", "s", 1),
+        (4, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "en", "s", 1),
+        (5, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z11", "en", "s", 1),  # near-dup of 4
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in CATALOG["l34_jaccard_join"][0](spark, td).collect()
+        }
+
+    def shingles(text):
+        t = text.split()
+        return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t, *_ in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.6:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """a23: outgoing probabilities sum to 1 per prev state; counts
+    equal a literal python pass over the ordered sequences."""
+    from collections import Counter
+
+    from finporter_spark.queries.catalog import _t
+
+    rows = CATALOG["a23_markov_transitions"][0](spark, sf_dir).collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.prob
+    for p, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-9
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    want: Counter = Counter()
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        prev = by_user.get(r.user_id)
+        if prev is not None:
+            want[(prev, r.event_type)] += 1
+        by_user[r.user_id] = r.event_type
+    got = {(r.prev_type, r.next_type): r.n for r in rows}
+    assert got == dict(want)
+
+
+def test_dedup_keep_best_survivor_policy(spark, sf_dir):
+    """l35: the survivor is the longest variant (max n_chars, min
+    doc_id tie) of each stopword-stripped content group, and exactly
+    one survivor exists per group."""
+    out = CATALOG["l35_dedup_keep_best"][0](spark, sf_dir).collect()
+    survivors = {r.survivor_id for r in out}
+    assert {r.doc_id for r in out if r.is_survivor} == survivors
+    by_surv: dict = {}
+    for r in out:
+        by_surv.setdefault(r.survivor_id, []).append(r.doc_id)
+    from finporter_spark.queries.catalog import _t
+
+    n_chars = {
+        r.doc_id: r.n_chars
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for surv, members in by_surv.items():
+        best = max(members, key=lambda d: (n_chars[d], -d))
+        assert surv == best
