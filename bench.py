@@ -138,6 +138,20 @@ HEADLINE = [
     "x13_stream_semi_join",
     "a19_kmv_intersection",
     "a20_cuped_metric",
+    "x6b_builtin_running_totals",
+    "w16_ohlc_bars",
+    "f3_max_drawdown",
+    "a21_grouped_ols",
+    "l32_contamination_matrix",
+    "a22_hierarchical_rollup",
+    "z5_skew_report",
+    "l33_length_histogram",
+    "z6_global_rank",
+    "l34_jaccard_join",
+    "a23_markov_transitions",
+    "l35_dedup_keep_best",
+    "a24_chi_square",
+    "pipe6_corpus_curation",
 ]
 
 

@@ -797,13 +797,17 @@ def w16_ohlc_bars(spark, sf_dir):
     """,
 )
 def f3_max_drawdown(spark, sf_dir):
-    """F3: maximum drawdown — the standard portfolio risk statistic
-    (largest peak-to-trough drop of the cumulative equity curve;
-    reference domain: MTransaction histories become equity curves the
-    moment a consumer charts them). Treats each user's event values as
-    signed cash flows: equity = running decimal sum ordered by
-    (ts, event_id); peak = running max of equity in the SAME time
-    order; drawdown = peak - equity; output = per-user max.
+    """F3: maximum drawdown of the CUMULATIVE equity curve — the
+    cash-flow sibling of w10 (w10 takes relative drawdown value/peak-1
+    over the RAW value series; F3 integrates the values into an
+    equity curve first — the portfolio-accounting view, and the one
+    that can be DECIMAL-exact end-to-end because no division enters
+    until the final cast; reference domain: MTransaction histories
+    become equity curves the moment a consumer charts them). Treats
+    each user's event values as signed cash flows: equity = running
+    decimal sum ordered by (ts, event_id); peak = running max of
+    equity in the SAME time order; drawdown = peak - equity; output =
+    per-user max.
 
     ONE window shuffle: both running aggregates share the identical
     (partition, ordering, ROWS frame), so Catalyst stacks them in a
@@ -1558,4 +1562,268 @@ def l35_dedup_keep_best(spark, sf_dir):
         "doc_id",
         F.col("survivor_id").cast("bigint").alias("survivor_id"),
         (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+    )
+
+
+# =====================================================================
+# A24 — chi-square independence test (event mix vs experiment cohort)
+# =====================================================================
+
+
+@query(
+    "a24_chi_square",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, variant, n,
+             SUM(n) OVER (PARTITION BY event_type) AS row_n,
+             SUM(n) OVER (PARTITION BY variant) AS col_n,
+             SUM(n) OVER () AS tot
+      FROM obs
+    )
+    SELECT event_type, variant, n,
+           CAST(row_n AS DOUBLE) * col_n / tot AS expected,
+           (n - CAST(row_n AS DOUBLE) * col_n / tot)
+             * (n - CAST(row_n AS DOUBLE) * col_n / tot)
+             / (CAST(row_n AS DOUBLE) * col_n / tot) AS contrib
+    FROM m
+    """,
+)
+def a24_chi_square(spark, sf_dir):
+    """A24: chi-square independence test — is the event-type mix
+    independent of the experiment cohort? (The guardrail check run
+    next to a20's CUPED readout: a significant chi-square on the mix
+    means the randomization is broken, not the metric.) Cohort =
+    deterministic md5 split, same as a20.
+
+    One map-combinable contingency count (|types|x|variants| cells —
+    config-sized), then the marginals run as windows over the
+    AGGREGATED cell table (the z5/a23 rule: windows over aggregates,
+    never the corpus). Counts are exact integers on both engines, the
+    expected/contrib arithmetic is the identical double expression on
+    identical inputs, so even the test statistic's components
+    hash-match; the pytest sums contribs against scipy-free python.
+    """
+    e = _t(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    obs = e.groupBy(
+        "event_type", variant.alias("variant")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("variant")
+    wt = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "variant",
+        "n",
+        F.sum("n").over(wr).alias("row_n"),
+        F.sum("n").over(wc).alias("col_n"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    expected = (
+        F.col("row_n").cast("double") * F.col("col_n") / F.col("tot")
+    )
+    return m.select(
+        "event_type",
+        "variant",
+        "n",
+        expected.alias("expected"),
+        ((F.col("n") - expected) * (F.col("n") - expected) / expected).alias(
+            "contrib"
+        ),
+    )
+
+
+# =====================================================================
+# PIPE6 — corpus curation: keep-best dedup → length gate → exact
+# near-dup sweep (the round-8 operators composed end-to-end)
+# =====================================================================
+
+
+@query(
+    "pipe6_corpus_curation",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(list_filter({_TOKS},
+               t -> t NOT IN {_STOPLIST!r}), ' ')) AS k,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    ), surv AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY k ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    ), gated AS (
+      SELECT * FROM surv WHERE n_tokens BETWEEN 16 AND 127
+    ), toks AS (
+      SELECT d.doc_id, {_TOKS} AS toks
+      FROM documents d JOIN gated USING (doc_id)
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[i:i+2], ' ')) AS g
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM toks WHERE len(toks) >= 3
+      )
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+    ), dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      JOIN sz sa ON sa.doc_id = a.doc_id
+      JOIN sz sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*))
+             >= {_JACCARD_TAU}
+    )
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens
+    FROM gated s LEFT JOIN dup ON dup.doc_id = s.doc_id
+    WHERE dup.doc_id IS NULL
+    GROUP BY s.lang
+    """,
+)
+def pipe6_corpus_curation(spark, sf_dir):
+    """PIPE6: the round-8 curation operators composed into one corpus
+    pass — what an LLM data pipeline actually runs before packing:
+
+    1. keep-BEST exact dedup (l35): stopword-stripped content groups,
+       longest variant survives;
+    2. length gate (l33's distribution informs the [16, 127]-token
+       band — one predicate, no extra shuffle);
+    3. exact near-dup sweep (l34's prefix-filtered Jaccard >= 0.6 on
+       3-gram shingles over the SURVIVOR set): any doc matching a
+       lower-id survivor is dropped (the deterministic keep-min edge
+       policy — no transitive chase, every decision is pairwise
+       against a kept-or-dropped smaller id, same convention as l25);
+    4. report: per-language doc and token counts of the final corpus.
+
+    Stage order matters at 100 TB: the cheap exact dedup and the
+    length predicate shrink the corpus BEFORE the shingle explosion —
+    the prefix-filter join runs on survivors only. Every stage is the
+    already-tested operator's machinery; the oracle chains the same
+    stages as CTEs, so the hash gate certifies the COMPOSITION
+    (including the drop-policy edge cases), not just the parts.
+    """
+    import math as _math
+
+    from finporter_spark.operators.text import tokens
+
+    tau = _JACCARD_TAU
+    d = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in _STOPLIST])
+    toks_col = tokens(F.col("text"))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.filter(toks_col, lambda t: ~F.array_contains(stop, t)),
+            )
+        ).alias("k"),
+        F.size(toks_col).alias("n_tokens"),
+    )
+    surv = (
+        keyed.groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "lang", "n_tokens"),
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_n")),
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.lang", "s.n_tokens")
+    )
+    gated = surv.filter(F.col("n_tokens").between(16, 127))
+    # exact near-dup sweep over survivors (l34 machinery, n=3 shingles)
+    n = 3
+    dt = d.join(gated.select("doc_id"), "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    g = dt.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i + 1, n))
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        g.join(df_counts, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .join(sz, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
+        )
+        .select("doc_id", "g", "n")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(tau)))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(tau)))
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("da"), "g")
+    gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
+    dup = (
+        cand.join(ga, "da")
+        .join(
+            gb,
+            (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
+        )
+        .groupBy("da", "db", "size_a", "size_b")
+        .agg(F.count("*").cast("bigint").alias("i"))
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("i"))
+            >= tau
+        )
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    kept = gated.join(dup, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )

@@ -490,3 +490,51 @@ def test_dedup_keep_best_survivor_policy(spark, sf_dir):
     for surv, members in by_surv.items():
         best = max(members, key=lambda d: (n_chars[d], -d))
         assert surv == best
+
+
+def test_chi_square_contribs_match_python(spark, sf_dir):
+    """a24: cells reconstruct the contingency table exactly and the
+    summed statistic matches a literal python chi-square."""
+    from finporter_spark.queries.catalog import _t
+
+    rows = CATALOG["a24_chi_square"][0](spark, sf_dir).collect()
+    import hashlib
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    obs: dict = {}
+    for r in ev:
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        v = "A" if int(h[:8], 16) % 2 == 0 else "B"
+        obs[(r.event_type, v)] = obs.get((r.event_type, v), 0) + 1
+    assert {(r.event_type, r.variant): r.n for r in rows} == obs
+    tot = sum(obs.values())
+    row_n: dict = {}
+    col_n: dict = {}
+    for (t, v), n in obs.items():
+        row_n[t] = row_n.get(t, 0) + n
+        col_n[v] = col_n.get(v, 0) + n
+    chi2 = sum(
+        (n - row_n[t] * col_n[v] / tot) ** 2 / (row_n[t] * col_n[v] / tot)
+        for (t, v), n in obs.items()
+    )
+    assert abs(sum(r.contrib for r in rows) - chi2) < 1e-9
+
+
+def test_pipe6_stages_shrink_monotonically(spark, sf_dir):
+    """pipe6: the curated corpus is a subset of the keep-best
+    survivors, which are a subset of the documents; every kept doc
+    respects the length gate."""
+    from finporter_spark.queries.catalog import _t
+
+    out = CATALOG["pipe6_corpus_curation"][0](spark, sf_dir).collect()
+    n_docs = _t(spark, sf_dir, "documents").count()
+    n_surv = (
+        CATALOG["l35_dedup_keep_best"][0](spark, sf_dir)
+        .filter("is_survivor")
+        .count()
+    )
+    kept = sum(r.n_docs for r in out)
+    assert 0 < kept <= n_surv <= n_docs
+    # tokens per kept doc respect the [16, 127] gate on average bounds
+    toks = sum(r.total_tokens for r in out)
+    assert 16 * kept <= toks <= 127 * kept

@@ -100,6 +100,22 @@ QUERIES = [
     # round-8: the JVM built-in streaming-agg twin of x6 — the measured
     # scale-path alternative to per-key Python callbacks
     "x6b_builtin_running_totals",
+    # round-8 batch 2/3: new operators measured at both decades from
+    # birth (the j8/l31 lesson: first sf10 measurement finds the
+    # super-linear shapes)
+    "w16_ohlc_bars",
+    "f3_max_drawdown",
+    "a21_grouped_ols",
+    "l32_contamination_matrix",
+    "a22_hierarchical_rollup",
+    "z5_skew_report",
+    "l33_length_histogram",
+    "z6_global_rank",
+    "l34_jaccard_join",
+    "a23_markov_transitions",
+    "l35_dedup_keep_best",
+    "a24_chi_square",
+    "pipe6_corpus_curation",
 ]
 
 
