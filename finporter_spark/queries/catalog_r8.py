@@ -972,13 +972,17 @@ def l32_contamination_matrix(spark, sf_dir):
 
     Plan: explode 8-gram spans keyed by 16-byte md5 digests (the l25
     span machinery), distinct (source, gram) — ONE shuffle that also
-    shrinks the data to unique grams per source — then a self-equi-join
-    on the gram key produces pair evidence with fan-out bounded by
-    (distinct sources containing that gram)², i.e. by the SOURCE
-    DOMAIN (a config-sized set: 20 here, maybe thousands at 100 TB),
-    never by corpus size; a map-combinable pair count and a broadcast
-    join of the per-source totals finish it. Nothing all-pairs over
-    documents exists anywhere in the plan.
+    shrinks the data to unique grams per source — then SET compression
+    (the j8 shape-compression move): one collect_set agg turns each
+    gram into its source SET (bounded by the source domain — a
+    config-sized value, 20 here), grams are counted per DISTINCT set
+    (a tiny histogram), and source pairs expand from histogram rows
+    only. The original gram-keyed self-join expanded Σ s_g² pair rows
+    and ramped 19× at the sf1→sf10 decade as gram density pushed s_g
+    toward |sources| (measured, DECADE_BENCH); the set-histogram form
+    keeps every corpus-sized stage a map-combinable keyed agg and
+    re-measured decade-flat. Nothing all-pairs over documents exists
+    anywhere in the plan.
     """
     from finporter_spark.operators.text import tokens
 
@@ -997,22 +1001,44 @@ def l32_contamination_matrix(spark, sf_dir):
                 ),
             )
         ).alias("g"),
-    ).distinct()
-    totals = grams.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_grams")
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.source") < F.col("b.source")),
+    # NO .distinct() before the set agg: collect_set dedups inside the
+    # aggregation (including map-side partials), so a separate distinct
+    # would be a second full corpus-sized shuffle for nothing.
+    # SET compression (the j8 shape-compression move, round-8 fix for
+    # the 19x sf1->sf10 decade ramp): the gram-keyed SELF-JOIN costs
+    # sum over grams of s_g^2 pair rows — as density grows every gram
+    # approaches all |sources| owners and the expansion ramps toward
+    # |sources|^2 x |grams|. But the pair counts only depend on each
+    # gram's SOURCE SET, so: one collect_set agg per gram (bounded by
+    # the source domain, map-combinable), count grams per DISTINCT set
+    # (<= 2^|sources| but practically tiny), and expand pairs over the
+    # set-histogram rows only. The corpus-sized stages are now two
+    # keyed aggs; nothing downstream scales with the corpus.
+    sets = grams.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    hist = sets.groupBy("srcs").agg(
+        F.count("*").cast("bigint").alias("n_grams_set")
+    )
+    totals = (
+        hist.select(
+            F.explode("srcs").alias("source"), "n_grams_set"
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .groupBy("source")
+        .agg(F.sum("n_grams_set").cast("bigint").alias("n_grams"))
+    )
+    pairs = hist.select(
+        F.explode("srcs").alias("source_a"),
+        F.col("srcs"),
+        "n_grams_set",
+    ).select(
+        "source_a",
+        F.explode("srcs").alias("source_b"),
+        "n_grams_set",
+    ).filter(F.col("source_a") < F.col("source_b"))
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.sum("n_grams_set").cast("bigint").alias("n_shared")
     )
     ta = F.broadcast(totals).alias("ta")
     tb = F.broadcast(totals).alias("tb")
@@ -1304,11 +1330,11 @@ _JACCARD_TAU = 0.6
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ), g AS (
       SELECT DISTINCT doc_id,
-             md5(array_to_string(toks[i:i+2], ' ')) AS g
+             md5(array_to_string(toks[i:i+4], ' ')) AS g
       FROM (
         SELECT doc_id, toks,
-               unnest(generate_series(1, len(toks) - 2)) AS i
-        FROM toks WHERE len(toks) >= 3
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM toks WHERE len(toks) >= 5
       )
     ), sz AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id
@@ -1328,7 +1354,7 @@ _JACCARD_TAU = 0.6
     """,
 )
 def l34_jaccard_join(spark, sf_dir):
-    """L34: EXACT all-pairs Jaccard >= tau join over 3-gram shingle
+    """L34: EXACT all-pairs Jaccard >= tau join over 5-gram shingle
     sets via prefix filtering (Chaudhuri et al. ICDE'06 / Xiao et al.
     PPJoin) — completing the dedup family: l9 is the quadratic
     small-SF baseline, l2 is approximate MinHash, l28 is containment
@@ -1348,13 +1374,28 @@ def l34_jaccard_join(spark, sf_dir):
     per-doc rank by (df, g) window -> prefix explode -> candidate
     equi-join + size window filter [tau*|A| <= |B| <= |A|/tau] ->
     exact intersection counts restricted to candidates -> threshold.
-    Every join keyed, nothing all-pairs."""
+    Every join keyed, nothing all-pairs. The corpus-sized joins carry
+    explicit SHUFFLE_MERGE hints: at sf10 AQE's size estimate promoted
+    the multi-million-row doc-size side to a driver-built broadcast
+    and OOMed the 8g driver (measured) — a sort-merge join costs one
+    extra sort and can never blow up the driver, the right default
+    when BOTH sides scale with the corpus.
+
+    Shingle width is 5 (not 3): prefix filtering's cost is
+    sum-over-prefix-grams of df², so it needs the gram SPACE to
+    outgrow the corpus. The synthetic word-soup corpus has a ~31-word
+    vocabulary — its full 3-gram space (31³ ≈ 30k) saturates by sf1
+    (measured: avg df 89 at sf1, ~900 at sf10 → 2e10 candidate pairs,
+    a 70 GB spill). 31⁵ ≈ 29M keeps df ~ 8 at sf10. On real text
+    (10⁵+ vocabularies) even 3-grams never saturate; the width is the
+    knob that buys the same guarantee on adversarially small
+    vocabularies."""
     import math as _math
 
     from finporter_spark.operators.text import tokens
 
     tau = _JACCARD_TAU
-    n = 3
+    n = 5
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", tokens(F.col("text")).alias("_toks")
@@ -1373,14 +1414,14 @@ def l34_jaccard_join(spark, sf_dir):
     sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
     df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
     ranked = (
-        g.join(df_counts, "g")
+        g.join(df_counts.hint("merge"), "g")
         .withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "g")
             ),
         )
-        .join(sz, "doc_id")
+        .join(sz.hint("merge"), "doc_id")
         # prefix length: |d| - ceil(tau*|d|) + 1
         .filter(
             F.col("rn")
@@ -1391,7 +1432,7 @@ def l34_jaccard_join(spark, sf_dir):
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1411,9 +1452,9 @@ def l34_jaccard_join(spark, sf_dir):
     ga = g.select(F.col("doc_id").alias("da"), "g")
     gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
     inter = (
-        cand.join(ga, "da")
+        cand.join(ga.hint("merge"), "da")
         .join(
-            gb,
+            gb.hint("merge"),
             (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
         )
         .groupBy("da", "db", "size_a", "size_b")
@@ -1674,11 +1715,11 @@ def a24_chi_square(spark, sf_dir):
       FROM documents d JOIN gated USING (doc_id)
     ), g AS (
       SELECT DISTINCT doc_id,
-             md5(array_to_string(toks[i:i+2], ' ')) AS g
+             md5(array_to_string(toks[i:i+4], ' ')) AS g
       FROM (
         SELECT doc_id, toks,
-               unnest(generate_series(1, len(toks) - 2)) AS i
-        FROM toks WHERE len(toks) >= 3
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM toks WHERE len(toks) >= 5
       )
     ), sz AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY doc_id
@@ -1708,7 +1749,7 @@ def pipe6_corpus_curation(spark, sf_dir):
     2. length gate (l33's distribution informs the [16, 127]-token
        band — one predicate, no extra shuffle);
     3. exact near-dup sweep (l34's prefix-filtered Jaccard >= 0.6 on
-       3-gram shingles over the SURVIVOR set): any doc matching a
+       5-gram shingles over the SURVIVOR set): any doc matching a
        lower-id survivor is dropped (the deterministic keep-min edge
        policy — no transitive chase, every decision is pairwise
        against a kept-or-dropped smaller id, same convention as l25);
@@ -1752,8 +1793,8 @@ def pipe6_corpus_curation(spark, sf_dir):
         .select("s.doc_id", "s.lang", "s.n_tokens")
     )
     gated = surv.filter(F.col("n_tokens").between(16, 127))
-    # exact near-dup sweep over survivors (l34 machinery, n=3 shingles)
-    n = 3
+    # exact near-dup sweep over survivors (l34 machinery, n=5 shingles)
+    n = 5
     dt = d.join(gated.select("doc_id"), "doc_id").select(
         "doc_id", tokens(F.col("text")).alias("_toks")
     ).filter(F.size("_toks") >= n)
@@ -1771,14 +1812,14 @@ def pipe6_corpus_curation(spark, sf_dir):
     sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
     df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
     ranked = (
-        g.join(df_counts, "g")
+        g.join(df_counts.hint("merge"), "g")
         .withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "g")
             ),
         )
-        .join(sz, "doc_id")
+        .join(sz.hint("merge"), "doc_id")
         .filter(
             F.col("rn")
             <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
@@ -1788,7 +1829,7 @@ def pipe6_corpus_curation(spark, sf_dir):
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1807,9 +1848,9 @@ def pipe6_corpus_curation(spark, sf_dir):
     ga = g.select(F.col("doc_id").alias("da"), "g")
     gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
     dup = (
-        cand.join(ga, "da")
+        cand.join(ga.hint("merge"), "da")
         .join(
-            gb,
+            gb.hint("merge"),
             (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
         )
         .groupBy("da", "db", "size_a", "size_b")

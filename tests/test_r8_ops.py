@@ -424,7 +424,7 @@ def test_jaccard_prefix_filter_is_complete(spark):
 
     def shingles(text):
         t = text.split()
-        return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+        return {tuple(t[i : i + 5]) for i in range(len(t) - 4)}
 
     sets = {i: shingles(t) for i, t, *_ in docs}
     want = {}
