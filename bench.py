@@ -152,6 +152,7 @@ HEADLINE = [
     "l35_dedup_keep_best",
     "a24_chi_square",
     "pipe6_corpus_curation",
+    "l36_bfs_reachability",
 ]
 
 

@@ -1868,3 +1868,101 @@ def pipe6_corpus_curation(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# =====================================================================
+# L36 — multi-source BFS reachability (bounded hops, iterative joins)
+# =====================================================================
+
+_BFS_HOPS = 3
+
+
+@query(
+    "l36_bfs_reachability",
+    f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), d0 AS (
+      SELECT DISTINCT p AS node FROM op WHERE p % 100 = 0
+    ), d1 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN d0 ON e.u = d0.node
+    ), d2 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN d1 ON e.u = d1.node
+    ), d3 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN d2 ON e.u = d2.node
+    ), un AS (
+      SELECT node, 0 AS dist FROM d0
+      UNION ALL SELECT node, 1 FROM d1
+      UNION ALL SELECT node, 2 FROM d2
+      UNION ALL SELECT node, 3 FROM d3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(dist) AS INT) AS dist
+    FROM un GROUP BY node
+    """,
+)
+def l36_bfs_reachability(spark, sf_dir):
+    """L36: multi-source BFS over the co-purchase graph — min-hop
+    distance from a seed set (every part with id % 100 == 0) within
+    3 hops, the reachability primitive under blast-radius
+    analysis, recall expansion, and features like "distance to a
+    recalled part". Completes the graph family: PageRank (l18),
+    connected components (l30), triangles (l31), BFS (l36).
+
+    Frontier BFS, not matrix powers: each round joins the CURRENT
+    frontier (only nodes first reached last round) against the edge
+    list — one keyed shuffle per round, work ∝ edges touched, never
+    nodes². The visited set and frontier are localCheckpointed per
+    round (flat lineage, the l30 pattern). Rounds are FIXED at
+    3 (_BFS_HOPS), so unlike CC there is no convergence loop — the operator
+    is deterministic-depth by contract. Edges reuse l31's min-support
+    co-purchase graph (support >= 2), symmetrized. The oracle unrolls
+    the same 3 frontier expansions as chained CTEs with a final
+    min — hash-exact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e0 = (
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .where(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        op.select(F.col("p").alias("node"))
+        .where(F.col("p") % 100 == 0)
+        .distinct()
+    )
+    visited = seeds.withColumn("dist", F.lit(0)).localCheckpoint(
+        eager=False
+    )
+    frontier = visited.select("node")
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            e.join(frontier, e.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )

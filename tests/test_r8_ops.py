@@ -538,3 +538,33 @@ def test_pipe6_stages_shrink_monotonically(spark, sf_dir):
     # tokens per kept doc respect the [16, 127] gate on average bounds
     toks = sum(r.total_tokens for r in out)
     assert 16 * kept <= toks <= 127 * kept
+
+
+def test_bfs_distances_on_known_graph(spark, tmp_path):
+    """l36's frontier loop on a hand-built chain + branch: exact
+    min-hop distances, unreachable nodes absent, 3-hop cutoff
+    enforced."""
+    import os
+
+    # orders: parts co-occurring >= 2x form edges.
+    # chain: 100-1-2-3-4 (100 is a seed: % 100 == 0), plus island 7-8
+    def pairs(*ps):
+        return [(oid, p) for oid, p in ps]
+
+    rows = []
+    oid = 0
+    for a, b in [(100, 1), (1, 2), (2, 3), (3, 4), (7, 8)]:
+        for _ in range(2):  # min-support 2
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    path = os.path.join(str(tmp_path), "lineitem.parquet")
+    df.write.parquet(path)
+    got = {
+        r.node: r.dist
+        for r in CATALOG["l36_bfs_reachability"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # seed 100 at dist 0; 1,2,3 at 1,2,3; 4 beyond cutoff; 7,8 unreachable
+    assert got == {100: 0, 1: 1, 2: 2, 3: 3}
