@@ -153,6 +153,7 @@ HEADLINE = [
     "a24_chi_square",
     "pipe6_corpus_curation",
     "l36_bfs_reachability",
+    "w17_mad_anomaly",
 ]
 
 

@@ -1966,3 +1966,80 @@ def l36_bfs_reachability(spark, sf_dir):
         F.col("node").cast("bigint").alias("node"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+# =====================================================================
+# W17 — robust anomaly detection (median / MAD, exact distributed)
+# =====================================================================
+
+
+@query(
+    "w17_mad_anomaly",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(ANY_VALUE(d.med) AS DOUBLE) AS med,
+           CAST(ANY_VALUE(m.mad) AS DOUBLE) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def w17_mad_anomaly(spark, sf_dir):
+    """W17: robust anomaly counting via median/MAD — the outlier gate
+    that survives the outliers it hunts (w12's rolling z-score uses
+    mean/stddev, which heavy tails corrupt; median absolute deviation
+    does not). Per event_type: median, MAD, and the count of values
+    beyond 3 robust sigmas (MAD x 1.4826, the normal-consistency
+    constant).
+
+    Both medians run through ``operators/scale.exact_percentiles`` —
+    the distributed two-phase rank-select (stats pass -> deterministic
+    uniform buckets -> one bucket's values interpolated), NEVER a
+    per-group sort buffer: the a7 machinery reused twice, once over
+    raw values and once over absolute deviations (which needs the
+    first median joined back in — a broadcast of |groups| rows). The
+    flag pass is a map-side predicate against the broadcast med/MAD
+    table. Exact quantile_cont semantics on both engines -> hash-green
+    at every SF, which approx_percentile could never give.
+    """
+    from finporter_spark.operators.scale import exact_percentiles
+
+    e = _t(spark, sf_dir, "events")
+    med = exact_percentiles(e, ["event_type"], "value", [0.5]).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = exact_percentiles(dev, ["event_type"], "adev", [0.5]).select(
+        "event_type", F.col("value").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("adev") > 3 * 1.4826 * F.col("mad"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )

@@ -568,3 +568,35 @@ def test_bfs_distances_on_known_graph(spark, tmp_path):
     }
     # seed 100 at dist 0; 1,2,3 at 1,2,3; 4 beyond cutoff; 7,8 unreachable
     assert got == {100: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_mad_anomaly_matches_python_robust_stats(spark, sf_dir):
+    """w17: median, MAD, and anomaly counts equal a literal python
+    computation (statistics.median uses the same interpolation-free
+    semantics for odd n; quantile_cont for even n — replicate it)."""
+    from finporter_spark.queries.catalog import _t
+
+    def qc_median(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        p = 0.5 * (n - 1)
+        k = int(p)
+        d = p - k
+        return vs[k] + d * (vs[min(k + 1, n - 1)] - vs[k])
+
+    rows = _t(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    out = {
+        r.event_type: r
+        for r in CATALOG["w17_mad_anomaly"][0](spark, sf_dir).collect()
+    }
+    for et, vals in by_type.items():
+        med = qc_median(vals)
+        mad = qc_median([abs(v - med) for v in vals])
+        anom = sum(1 for v in vals if abs(v - med) > 3 * 1.4826 * mad)
+        r = out[et]
+        assert r.med == pytest.approx(med, abs=1e-9)
+        assert r.mad == pytest.approx(mad, abs=1e-9)
+        assert (r.n, r.n_anomalies) == (len(vals), anom)

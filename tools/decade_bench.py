@@ -117,6 +117,7 @@ QUERIES = [
     "a24_chi_square",
     "pipe6_corpus_curation",
     "l36_bfs_reachability",
+    "w17_mad_anomaly",
 ]
 
 
