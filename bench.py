@@ -154,6 +154,7 @@ HEADLINE = [
     "pipe6_corpus_curation",
     "l36_bfs_reachability",
     "w17_mad_anomaly",
+    "a25_conversion_latency",
 ]
 
 

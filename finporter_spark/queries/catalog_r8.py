@@ -2043,3 +2043,95 @@ def w17_mad_anomaly(spark, sf_dir):
         .cast("bigint")
         .alias("n_anomalies"),
     )
+
+
+# =====================================================================
+# A25 — conversion-latency percentiles per experiment cohort
+# =====================================================================
+
+
+@query(
+    "a25_conversion_latency",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT fv.user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(fv.user_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(floor(epoch(fp.first_purchase)) AS BIGINT)
+               - CAST(floor(epoch(fv.first_view)) AS BIGINT) AS latency_s
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    )
+    SELECT variant, 0.5 AS fraction,
+           quantile_cont(latency_s, 0.5) AS latency_s
+    FROM lat GROUP BY variant
+    UNION ALL
+    SELECT variant, 0.9, quantile_cont(latency_s, 0.9)
+    FROM lat GROUP BY variant
+    UNION ALL
+    SELECT variant, 0.99, quantile_cont(latency_s, 0.99)
+    FROM lat GROUP BY variant
+    """,
+)
+def a25_conversion_latency(spark, sf_dir):
+    """A25: view→purchase conversion-latency percentiles per
+    experiment cohort — the metric an A/B readout actually reports
+    next to a17's conversion RATE (did the variant make buyers
+    FASTER, not just more numerous). Latency = first purchase at or
+    after the user's first view; cohort = the a20/a24 md5 split.
+
+    Two map-combinable min-aggs (first view per user; first
+    qualifying purchase per user via one keyed join — no window over
+    the corpus), then the p50/p90/p99 ladder through
+    `operators/scale.exact_percentiles` (the a7 rank-select: exact
+    quantile_cont interpolation, no per-group buffer — per-cohort
+    latencies at 100 TB are millions of rows, exactly the case
+    approx_percentile would silently fuzz and a sort-buffer
+    percentile would OOM). Latencies are integer-second epoch deltas
+    (unix_timestamp truncation on both engines), so interpolated
+    percentiles hash bit-for-bit.
+    """
+    from finporter_spark.operators.scale import exact_percentiles
+
+    e = _t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    lat = (
+        fv.join(fp, "user_id")
+        .select(
+            variant.alias("variant"),
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_view")
+            )
+            .cast("double")
+            .alias("latency_s"),
+        )
+    )
+    out = exact_percentiles(lat, ["variant"], "latency_s", [0.5, 0.9, 0.99])
+    return out.select(
+        "variant", "fraction", F.col("value").alias("latency_s")
+    )

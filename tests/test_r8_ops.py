@@ -600,3 +600,46 @@ def test_mad_anomaly_matches_python_robust_stats(spark, sf_dir):
         assert r.med == pytest.approx(med, abs=1e-9)
         assert r.mad == pytest.approx(mad, abs=1e-9)
         assert (r.n, r.n_anomalies) == (len(vals), anom)
+
+
+def test_conversion_latency_percentiles_match_python(spark, sf_dir):
+    """a25: cohort latency percentiles equal a literal python
+    quantile_cont over the same first-view→first-purchase deltas."""
+    import hashlib
+
+    from finporter_spark.queries.catalog import _t
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_timestamp("ts").alias("s"))
+        .collect()
+    )
+    fv: dict = {}
+    for r in ev:
+        if r.event_type == "view":
+            fv[r.user_id] = min(fv.get(r.user_id, r.s), r.s)
+    fp: dict = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in fv and r.s >= fv[r.user_id]:
+            fp[r.user_id] = min(fp.get(r.user_id, r.s), r.s)
+    lat: dict = {"A": [], "B": []}
+    for u, p in fp.items():
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        v = "A" if int(h[:8], 16) % 2 == 0 else "B"
+        lat[v].append(float(p - fv[u]))
+
+    def qc(vals, q):
+        vs = sorted(vals)
+        n = len(vs)
+        p = q * (n - 1)
+        k = int(p)
+        d = p - k
+        return vs[k] + d * (vs[min(k + 1, n - 1)] - vs[k])
+
+    got = {
+        (r.variant, r.fraction): r.latency_s
+        for r in CATALOG["a25_conversion_latency"][0](spark, sf_dir).collect()
+    }
+    for v in ("A", "B"):
+        for q in (0.5, 0.9, 0.99):
+            assert got[(v, q)] == pytest.approx(qc(lat[v], q), abs=1e-9)
