@@ -1390,8 +1390,6 @@ def l34_jaccard_join(spark, sf_dir):
     (10⁵+ vocabularies) even 3-grams never saturate; the width is the
     knob that buys the same guarantee on adversarially small
     vocabularies."""
-    import math as _math
-
     from finporter_spark.operators.text import tokens
 
     tau = _JACCARD_TAU
@@ -1762,8 +1760,6 @@ def pipe6_corpus_curation(spark, sf_dir):
     stages as CTEs, so the hash gate certifies the COMPOSITION
     (including the drop-policy edge cases), not just the parts.
     """
-    import math as _math
-
     from finporter_spark.operators.text import tokens
 
     tau = _JACCARD_TAU
