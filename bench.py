@@ -155,6 +155,7 @@ HEADLINE = [
     "l36_bfs_reachability",
     "w17_mad_anomaly",
     "a25_conversion_latency",
+    "x14_datasource_stream_parallel",
 ]
 
 
@@ -214,6 +215,7 @@ def main() -> None:
         "s13_datasource_roundtrip",
         "l28_containment_pairs",
         "x13_stream_semi_join",
+        "x14_datasource_stream_parallel",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -2131,3 +2131,55 @@ def a25_conversion_latency(spark, sf_dir):
     return out.select(
         "variant", "fraction", F.col("value").alias("latency_s")
     )
+
+
+# =====================================================================
+# X14 — executor-parallel Python DataSource stream (finportp)
+# =====================================================================
+
+
+@query(
+    "x14_datasource_stream_parallel",
+    """
+    SELECT 'acct-' || CAST(p_partkey % 7 AS VARCHAR) AS accountID,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_size AS DOUBLE)) AS DOUBLE) AS total_shares
+    FROM part
+    GROUP BY 1
+    """,
+)
+def x14_datasource_stream_parallel(spark, sf_dir):
+    """X14: the finport connector's PARTITION-PARALLEL streaming tier
+    (`spark.readStream.format("finportp")`, a Spark 4
+    DataSourceStreamReader): the driver only advances byte-granular
+    offsets (O(new bytes) boundary scan per trigger, no row typing);
+    each micro-batch plans one (file, byte-range) slice per grown file
+    and the EXECUTORS decode slices into Arrow RecordBatches — the
+    scale tier x12's docstring promises (the Simple* API routes every
+    decoded row through the driver BY DESIGN; right for drop-folder
+    tailing, wrong for bulk backfill). Same offsets, same exactly-once
+    replay contract (partitions(start, end) IS the replay range), same
+    fail-loud unterminated-quote bounds — by composition with the
+    simple reader, not by copy. Drains the same staged s12 fixture in
+    complete mode, so the drained answer equals the batch relational
+    oracle under any micro-batch split; DECADE_BENCH carries the
+    x12-vs-x14 throughput comparison."""
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.sources.finport_datasource import (
+        FinportParallelDataSource,
+    )
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    CATALOG["s12_python_datasource"][0](spark, sf_dir).limit(1).collect()
+    in_path = _io_dir(sf_dir, "s12")
+    try:
+        spark.dataSource.register(FinportParallelDataSource)
+    except Exception:
+        pass
+    sdf = spark.readStream.format("finportp").option("path", in_path).load()
+    agg = sdf.groupBy("accountID").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("shareCount").cast("double").alias("total_shares"),
+    )
+    return run_stream_to_memory(agg, "x14_mem", output_mode="complete")

@@ -705,3 +705,105 @@ def test_finport_replay_byte_start_with_legacy_end(tmp_path):
     legacy_end = {"seen": ["a.csv"]}  # downgraded writer: whole-file
     replayed = [r[1] for r in rdr.readBetweenOffsets(o1, legacy_end)]
     assert replayed == ["S2"]  # S1 must NOT replay
+
+
+def test_finportp_parallel_stream_offsets_and_slices(tmp_path):
+    """The partition-parallel stream reader: latestOffset advances by
+    complete-record boundaries only (torn tails excluded), partitions()
+    plans exactly the grown byte ranges (the replay contract), read()
+    decodes a slice to a typed Arrow batch on what would be an
+    executor, and legacy file-granular offsets are rejected loudly."""
+    import pytest
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportParallelStreamReader,
+    )
+
+    d = tmp_path / "pstream"
+    d.mkdir()
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    (d / "a.csv").write_text(hdr + "a1,S1,L1,1.0,,\na2,S2,L2,2.0,,\nTORN")
+    rdr = FinportParallelStreamReader({"path": str(d)})
+
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    full = hdr + "a1,S1,L1,1.0,,\na2,S2,L2,2.0,,\n"
+    assert o1["seen"]["a.csv"] == len(full.encode())  # torn tail excluded
+
+    parts = rdr.partitions(o0, o1)
+    assert [(p.lo, p.hi) for p in parts] == [(0, len(full.encode()))]
+    [batch] = list(rdr.read(parts[0]))
+    pdf = batch.to_pandas()
+    assert list(pdf["securityID"]) == ["S1", "S2"]
+    assert list(pdf["shareCount"]) == [1.0, 2.0]
+
+    # the tail completes + a second file arrives: only deltas are planned
+    (d / "a.csv").write_text(
+        hdr + "a1,S1,L1,1.0,,\na2,S2,L2,2.0,,\nTORN,S3,L3,3.0,,\n"
+    )
+    (d / "b.csv").write_text(hdr + "b1,S4,L4,4.0,,\n")
+    o2 = rdr.latestOffset()
+    parts2 = sorted(
+        rdr.partitions(o1, o2), key=lambda p: p.path
+    )
+    assert len(parts2) == 2
+    [ba] = list(rdr.read(parts2[0]))  # a.csv delta: the completed line
+    assert list(ba.to_pandas()["securityID"]) == ["S3"]
+    [bb] = list(rdr.read(parts2[1]))  # b.csv from 0: header stripped
+    assert list(bb.to_pandas()["securityID"]) == ["S4"]
+
+    # replay determinism: same (start, end) -> same slices
+    assert [(p.path, p.lo, p.hi) for p in rdr.partitions(o1, o2)] == [
+        (p.path, p.lo, p.hi) for p in rdr.partitions(o1, o2)
+    ]
+
+    with pytest.raises(ValueError, match="legacy file-granular"):
+        rdr.partitions({"seen": ["a.csv"]}, o2)
+
+
+def test_finportp_drain_equals_batch(spark, tmp_path):
+    """End-to-end through Spark: format('finportp') drained with
+    availableNow equals the batch reader's aggregate over the same
+    directory."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.sources.finport_datasource import (
+        FinportDataSource,
+        FinportParallelDataSource,
+    )
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    d = tmp_path / "pdrop"
+    d.mkdir()
+    hdr = "accountID,securityID,lotID,shareCount,shareBasis,acquiredAt\n"
+    for i in range(4):
+        (d / f"f{i}.csv").write_text(
+            hdr
+            + "".join(
+                f"acct-{j % 3},S{j},L{j},{float(j)},,\n" for j in range(25)
+            )
+        )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    for src in (FinportDataSource, FinportParallelDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+    sdf = (
+        spark.readStream.format("finportp").option("path", str(d)).load()
+    )
+    agg = sdf.groupBy("accountID").agg(
+        F.count("*").alias("n"), F.sum("shareCount").alias("s")
+    )
+    out = run_stream_to_memory(agg, "fpp_parity_mem", output_mode="complete")
+    got = {(r.accountID): (r.n, r.s) for r in out.collect()}
+    want = {
+        (r.accountID): (r.n, r.s)
+        for r in spark.read.format("finport")
+        .option("path", str(d))
+        .load()
+        .groupBy("accountID")
+        .agg(F.count("*").alias("n"), F.sum("shareCount").alias("s"))
+        .collect()
+    }
+    assert got == want

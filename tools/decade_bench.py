@@ -119,6 +119,7 @@ QUERIES = [
     "l36_bfs_reachability",
     "w17_mad_anomaly",
     "a25_conversion_latency",
+    "x14_datasource_stream_parallel",
 ]
 
 
@@ -156,7 +157,8 @@ def main() -> None:
             if name in ("z1_bucketed_join", "l2_minhash_near_dup",
                         "l21_bpe_tokenize", "l13_decontaminate",
                         "x7_stream_stream_join", "x11_stream_budget_gate",
-                        "x12_datasource_stream"):
+                        "x12_datasource_stream",
+                        "x14_datasource_stream_parallel"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
