@@ -941,13 +941,12 @@ class FinportParallelStreamReader(DataSourceStreamReader):
             with open(full, "rb") as fh:
                 fh.seek(prev)
                 data = fh.read()
-            text = _utf8_prefix(data)
-            records, _t, open_q = _parse_golden(text)
-            boundary = prev + (
-                len(text[: records[-1][1]].encode("utf-8"))
-                if records
-                else 0
-            )
+            # byte-level vectorized boundary scan (NOT the record
+            # parser): offset discovery needs only the last complete
+            # boundary, and _scan_boundary finds it at numpy speed —
+            # property-tested against _parse_golden
+            rel, open_q = _scan_boundary(data)
+            boundary = prev + rel
             if open_q:
                 self._tail._check_open_quote(name, boundary, size)
             else:
@@ -1037,3 +1036,76 @@ class FinportParallelDataSource(FinportDataSource):
 
     def streamReader(self, schema):
         return FinportParallelStreamReader(self.options)
+
+
+def _scan_boundary(data: bytes, delimiter: bytes = b",") -> tuple:
+    """Vectorized last-complete-record boundary scan over a suffix that
+    STARTS at a record boundary. Returns ``(boundary, open_q)`` where
+    ``boundary`` is the byte offset just past the last record-terminating
+    newline (0 if none) and ``open_q`` is True when EOF sits inside an
+    unterminated quoted span.
+
+    This is the driver's per-trigger offset-discovery cost for the
+    parallel stream reader: the simple reader must parse every record
+    anyway (it returns the rows), but the parallel tier only needs the
+    BOUNDARY — running the char-level automaton (`_parse_golden`) just
+    to throw the fields away made the driver scan the bottleneck at
+    sf10 (measured: 39 s, ~60% in boundary discovery). The dialect
+    makes a numpy byte scan exact:
+
+    - quotes/newlines/backslashes are ASCII, and UTF-8 continuation
+      bytes never collide with ASCII — byte-level positions are safe
+      (and the result is a BYTE offset directly: no re-encode);
+    - ``\\"`` is a literal quote everywhere, and escape pairs are
+      exactly (backslash, quote) — so a quote is escaped iff its
+      immediately preceding byte is a backslash (that backslash can
+      never itself be consumed by an earlier pair, because pairs only
+      end at quotes);
+    - a structural quote CLOSES a span whenever one is open; it OPENS
+      one only at field start, which is locally checkable — the
+      previous byte is the delimiter or a newline (or suffix start).
+      Anywhere else it is literal content (`_parse_golden`'s
+      ``at_field_start`` rule). The state walk is over STRUCTURAL
+      QUOTES ONLY — O(#quotes) python on data that is usually
+      quote-free, never O(bytes) python.
+
+    Wrong-boundary inputs cannot corrupt silently: executors re-parse
+    each recorded slice and raise if it does not end on a record
+    boundary, and the property test drives this scanner against
+    `_parse_golden` on adversarial quote/escape/newline soups.
+    """
+    import numpy as np
+
+    if not data:
+        return 0, False
+    b = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(b == 0x0A)  # \n
+    q = np.flatnonzero(b == 0x22)  # "
+    if q.size:
+        esc = np.zeros(q.shape, dtype=bool)
+        nz = q > 0
+        esc[nz] = b[q[nz] - 1] == 0x5C  # \ immediately before
+        structural = q[~esc]
+    else:
+        structural = q
+    delim = delimiter[0]
+    spans = []  # closed [open, close) quoted spans
+    open_pos = None
+    for p in structural.tolist():
+        if open_pos is not None:
+            spans.append((open_pos, p))
+            open_pos = None
+        elif p == 0 or b[p - 1] == delim or b[p - 1] == 0x0A:
+            open_pos = p
+        # else: literal mid-field quote outside any span — content
+    if nl.size and spans:
+        starts = np.array([s for s, _ in spans])
+        ends = np.array([e for _, e in spans])
+        # a newline is literal iff some span (s, e) has s < nl < e
+        idx = np.searchsorted(starts, nl, side="right") - 1
+        inside = (idx >= 0) & (nl < ends[np.clip(idx, 0, None)])
+        nl = nl[~inside]
+    if open_pos is not None and nl.size:
+        nl = nl[nl < open_pos]  # newlines inside the open tail are literal
+    boundary = int(nl[-1]) + 1 if nl.size else 0
+    return boundary, open_pos is not None

@@ -807,3 +807,54 @@ def test_finportp_drain_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_scan_boundary_matches_parser_on_adversarial_soup():
+    """_scan_boundary (the parallel reader's vectorized offset scan)
+    agrees with _parse_golden's boundary + open-quote verdict on
+    hypothesis-generated quote/escape/delimiter/newline soups — the
+    exactness proof for replacing the record parser in latestOffset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finporter_spark.sources.finport_datasource import (
+        _parse_golden,
+        _scan_boundary,
+    )
+
+    alphabet = st.sampled_from(list('ab,"\\\n') + ["\r\n", '\\"', '",'])
+
+    def assert_safe_cut(text):
+        """The scanner's boundary must be a SAFE resumable cut wrt the
+        parser: (1) the prefix parses to whole records only (no torn
+        tail, no open quote), (2) the remainder holds NO complete
+        record (nothing is left behind past a trigger), (3) the
+        open-quote verdict matches the parser's. Boundaries may differ
+        from the parser's last-record end only by consuming trailing
+        BLANK lines — also a valid cut (the parser skips blank lines),
+        and the one that avoids rescanning them every trigger."""
+        data = text.encode()
+        got_boundary, got_open = _scan_boundary(data)
+        _recs, _tail, open_q = _parse_golden(text)
+        assert got_open == open_q, text
+        prefix = data[:got_boundary].decode()
+        p_recs, p_tail, p_open = _parse_golden(prefix)
+        assert p_tail is None and not p_open, text
+        rest = data[got_boundary:].decode()
+        r_recs, _rt, _ro = _parse_golden(rest)
+        assert r_recs == [], text
+        # completeness: every parser record ends at or before the cut
+        if _recs:
+            last_end = len(text[: _recs[-1][1]].encode())
+            assert got_boundary >= last_end, text
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(alphabet, max_size=60).map("".join))
+    def check(text):
+        assert_safe_cut(text)
+
+    check()
+
+    # unicode safety: multibyte chars around structure
+    for text in ("é,ü\n“q”,x\n", 'a,"é\né",b\nz,1,2\n', "é\\\"x,y\nTORN"):
+        assert_safe_cut(text)
