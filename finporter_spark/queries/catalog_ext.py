@@ -1340,6 +1340,26 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def _stage_x6_drop(spark, sf_dir):
+    """Stage the 8-way CSV drop x6 AND x6b drain (one writer, one
+    staging key — a layout change edits exactly one place, so the two
+    consumers can never silently diverge on a shared fixture)."""
+    return _stage_once(
+        sf_dir,
+        "x6",
+        lambda p: _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .csv(p, header=True),
+        "events",
+    )
+
+
 @query(
     "x6_stateful_running_totals",
     "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id",
@@ -1368,20 +1388,7 @@ def x6_stateful_running_totals(spark, sf_dir):
         stream_running_totals,
     )
 
-    path = _stage_once(
-        sf_dir,
-        "x6",
-        lambda p: _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-            "value",
-        )
-        .repartition(8)
-        .write.mode("overwrite")
-        .csv(p, header=True),
-        "events",
-    )
+    path = _stage_x6_drop(spark, sf_dir)
     sdf = (
         spark.readStream.schema("user_id bigint, ts timestamp, value double")
         .option("header", True)

@@ -671,23 +671,10 @@ def x6b_builtin_running_totals(spark, sf_dir):
     express (conditional resets, multi-counter transitions, custom
     eviction); otherwise the built-in agg is the scale path.
     """
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.catalog_ext import _stage_x6_drop
     from finporter_spark.streaming.pipeline import run_stream_to_memory
 
-    path = _stage_once(
-        sf_dir,
-        "x6",  # same drop as x6: identical layout, staged once
-        lambda p: _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-            "value",
-        )
-        .repartition(8)
-        .write.mode("overwrite")
-        .csv(p, header=True),
-        "events",
-    )
+    path = _stage_x6_drop(spark, sf_dir)  # same drop as x6, one writer
     sdf = (
         spark.readStream.schema("user_id bigint, ts timestamp, value double")
         .option("header", True)
@@ -1323,6 +1310,68 @@ def z6_global_rank(spark, sf_dir):
 _JACCARD_TAU = 0.6
 
 
+def _jaccard_threshold_pairs(g, tau):
+    """Prefix-filtered EXACT Jaccard >= tau pair join over a distinct
+    (doc_id, g) shingle table — the one implementation l34 and pipe6
+    share (the lemma arithmetic, size bounds, and the SHUFFLE_MERGE
+    hints that prevent the measured sf10 driver-broadcast OOM live
+    HERE and nowhere else). Returns (da, db, size_a, size_b, n_shared)
+    for every pair meeting the threshold."""
+    sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = (
+        g.join(df_counts.hint("merge"), "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .join(sz.hint("merge"), "doc_id")
+        # prefix length: |d| - ceil(tau*|d|) + 1
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
+        )
+        .select("doc_id", "g", "n")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # size filter: tau*|A| <= |B| <= |A|/tau
+        .filter(
+            (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(tau)))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(tau)))
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("da"), "g")
+    gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(ga.hint("merge"), "da")
+        .join(
+            gb.hint("merge"),
+            (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
+        )
+        .groupBy("da", "db", "size_a", "size_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    )
+    return inter.filter(jac >= tau)
+
+
 @query(
     "l34_jaccard_join",
     f"""
@@ -1409,59 +1458,11 @@ def l34_jaccard_join(spark, sf_dir):
             )
         ).alias("g"),
     ).distinct()
-    sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
-    df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
-    ranked = (
-        g.join(df_counts.hint("merge"), "g")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "g")
-            ),
-        )
-        .join(sz.hint("merge"), "doc_id")
-        # prefix length: |d| - ceil(tau*|d|) + 1
-        .filter(
-            F.col("rn")
-            <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
-        )
-        .select("doc_id", "g", "n")
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        # size filter: tau*|A| <= |B| <= |A|/tau
-        .filter(
-            (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(tau)))
-            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(tau)))
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.n").alias("size_a"),
-            F.col("b.n").alias("size_b"),
-        )
-        .distinct()
-    )
-    ga = g.select(F.col("doc_id").alias("da"), "g")
-    gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
-    inter = (
-        cand.join(ga.hint("merge"), "da")
-        .join(
-            gb.hint("merge"),
-            (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
-        )
-        .groupBy("da", "db", "size_a", "size_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-    )
+    pairs = _jaccard_threshold_pairs(g, tau)
     jac = F.col("n_shared").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("n_shared")
     )
-    return inter.filter(jac >= tau).select(
+    return pairs.select(
         F.col("da").alias("doc_a"),
         F.col("db").alias("doc_b"),
         "n_shared",
@@ -1805,57 +1806,8 @@ def pipe6_corpus_curation(spark, sf_dir):
             )
         ).alias("g"),
     ).distinct()
-    sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
-    df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
-    ranked = (
-        g.join(df_counts.hint("merge"), "g")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "g")
-            ),
-        )
-        .join(sz.hint("merge"), "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
-        )
-        .select("doc_id", "g", "n")
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(
-            (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(tau)))
-            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(tau)))
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.n").alias("size_a"),
-            F.col("b.n").alias("size_b"),
-        )
-        .distinct()
-    )
-    ga = g.select(F.col("doc_id").alias("da"), "g")
-    gb = g.select(F.col("doc_id").alias("_db2"), F.col("g").alias("gb"))
     dup = (
-        cand.join(ga.hint("merge"), "da")
-        .join(
-            gb.hint("merge"),
-            (F.col("db") == F.col("_db2")) & (F.col("g") == F.col("gb")),
-        )
-        .groupBy("da", "db", "size_a", "size_b")
-        .agg(F.count("*").cast("bigint").alias("i"))
-        .filter(
-            F.col("i").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("i"))
-            >= tau
-        )
+        _jaccard_threshold_pairs(g, tau)
         .select(F.col("db").alias("doc_id"))
         .distinct()
     )

@@ -423,8 +423,6 @@ class FinportReader(DataSourceReader):
         across the Python→JVM boundary instead of per-row pickling;
         quote-free files additionally decode via vectorized pandas ops
         (``_vectorized_frame``) rather than the per-char state machine."""
-        import pyarrow as pa
-
         with io.open(partition.path, encoding="utf-8", newline="") as fh:
             text = fh.read()
         pdf = _vectorized_frame(text, partition.path)
@@ -434,24 +432,7 @@ class FinportReader(DataSourceReader):
                 pdf = pdf[mask]
         else:
             pdf = self._slow_frame(text, partition.path)
-        schema = pa.schema(
-            [
-                pa.field(
-                    n,
-                    pa.float64()
-                    if n in _DOUBLE
-                    else pa.timestamp("us")
-                    if n in _TS
-                    else pa.string(),
-                )
-                for n in _HEADER
-            ]
-        )
-        for n in _TS:
-            pdf[n] = pdf[n].astype("datetime64[us]")
-        yield pa.RecordBatch.from_pandas(
-            pdf, schema=schema, preserve_index=False
-        )
+        yield _pdf_to_arrow(pdf)
 
 
 class FinportDataSource(DataSource):
@@ -663,6 +644,54 @@ def _utf8_prefix(data: bytes) -> str:
     )
 
 
+def _parse_complete_slice(text: str, start: int, end: int, where: str):
+    """Parse a recorded [start, end) slice that MUST consist of whole
+    records (both ends are boundaries a previous listing recorded):
+    raises the append-only violation otherwise, strips the header when
+    the slice starts at byte 0, returns the raw field lists. Shared by
+    the simple reader's replay path and the parallel reader's executor
+    decode so the replay contract has exactly one implementation."""
+    records, tail, open_q = _parse_golden(text)
+    if tail is not None or open_q:
+        raise ValueError(
+            f"finport: {where}: recorded offset range [{start},{end}) "
+            "no longer ends at a record boundary — consumed bytes "
+            "were rewritten in place (append-only contract)"
+        )
+    recs = [f for f, _ in records]
+    if start == 0 and recs:
+        _check_header(recs[0], where)
+        recs = recs[1:]
+    return recs
+
+
+def _pdf_to_arrow(pdf):
+    """Typed pandas frame -> one Arrow RecordBatch in the declared
+    HOLDING schema (the single place the dtype mapping lives)."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field(
+                n,
+                pa.float64()
+                if n in _DOUBLE
+                else pa.timestamp("us")
+                if n in _TS
+                else pa.string(),
+            )
+            for n in _HEADER
+        ]
+    )
+    for n in _TS:
+        pdf[n] = pdf[n].astype("datetime64[us]")
+    for n in _DOUBLE:
+        pdf[n] = pdf[n].astype("float64")
+    return pa.RecordBatch.from_pandas(
+        pdf, schema=schema, preserve_index=False
+    )
+
+
 class FinportStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch source over a growing directory of holding CSVs.
 
@@ -735,17 +764,7 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
         with open(full, "rb") as fh:
             fh.seek(start)
             data = fh.read(end - start)
-        records, tail, open_q = _parse_golden(data.decode("utf-8"))
-        if tail is not None or open_q:
-            raise ValueError(
-                f"finport: {full}: recorded offset range [{start},{end}) "
-                "no longer ends at a record boundary — consumed bytes "
-                "were rewritten in place (append-only contract)"
-            )
-        recs = [f for f, _ in records]
-        if start == 0 and recs:
-            _check_header(recs[0], full)
-            recs = recs[1:]
+        recs = _parse_complete_slice(data.decode("utf-8"), start, end, full)
         return [
             tuple(row[n] for n in _HEADER)
             for row in (_typed_tuple(r, full) for r in recs)
@@ -764,11 +783,13 @@ class FinportStreamReader(SimpleDataSourceStreamReader):
         full = os.path.join(self.path, name)
         with open(full, "rb") as fh:
             data = fh.read()
-        text = _utf8_prefix(data)
-        records, _tail, _q = _parse_golden(text)
-        if not records:
-            return 0
-        return len(text[: records[-1][1]].encode("utf-8"))
+        # validate encoding first (fail-loud contract: interior garbage
+        # raises here, a mid-multibyte truncated tail is tolerated),
+        # then take the boundary from the vectorized scan — decode is
+        # C-speed; only the record PARSE was the cost being avoided
+        _utf8_prefix(data)
+        boundary, _open_q = _scan_boundary(data)
+        return boundary
 
     def _check_open_quote(self, name: str, boundary: int, size: int):
         """Track a file whose unconsumed tail is inside an open quoted
@@ -944,7 +965,10 @@ class FinportParallelStreamReader(DataSourceStreamReader):
             # byte-level vectorized boundary scan (NOT the record
             # parser): offset discovery needs only the last complete
             # boundary, and _scan_boundary finds it at numpy speed —
-            # property-tested against _parse_golden
+            # property-tested against _parse_golden. Encoding is still
+            # validated first (fail-loud on interior garbage; a
+            # truncated multibyte tail is an in-progress append)
+            _utf8_prefix(data)
             rel, open_q = _scan_boundary(data)
             boundary = prev + rel
             if open_q:
@@ -976,49 +1000,37 @@ class FinportParallelStreamReader(DataSourceStreamReader):
 
     def read(self, partition):  # runs on an EXECUTOR
         import pandas as pd
-        import pyarrow as pa
 
         with open(partition.path, "rb") as fh:
             fh.seek(partition.lo)
             data = fh.read(partition.hi - partition.lo)
-        records, tail, open_q = _parse_golden(data.decode("utf-8"))
-        if tail is not None or open_q:
-            raise ValueError(
-                f"finportp: {partition.path}: recorded offset range "
-                f"[{partition.lo},{partition.hi}) no longer ends at a "
-                "record boundary — consumed bytes were rewritten in "
-                "place (append-only contract)"
+        text = data.decode("utf-8")
+        # quote-free slices take the batch reader's vectorized pandas
+        # path (_vectorized_frame) — the overwhelmingly common shape
+        # for machine-written drops; a header line is synthesized for
+        # mid-file slices since the dialect check needs one. The torn-
+        # tail guard stays: a slice not ending at a newline must go
+        # through the state machine, which raises the append-only
+        # violation (recorded slices always end at a boundary).
+        pdf = None
+        if text.endswith("\n"):
+            vtext = (
+                text
+                if partition.lo == 0
+                else ",".join(_HEADER) + "\n" + text
             )
-        recs = [f for f, _ in records]
-        if partition.lo == 0 and recs:
-            _check_header(recs[0], partition.path)
-            recs = recs[1:]
-        rows = [_typed_tuple(r, partition.path) for r in recs]
-        pdf = pd.DataFrame(
-            {n: [r[n] for r in rows] for n in _HEADER}
-            if rows
-            else {n: [] for n in _HEADER}
-        )
-        schema = pa.schema(
-            [
-                pa.field(
-                    n,
-                    pa.float64()
-                    if n in _DOUBLE
-                    else pa.timestamp("us")
-                    if n in _TS
-                    else pa.string(),
-                )
-                for n in _HEADER
-            ]
-        )
-        for n in _TS:
-            pdf[n] = pdf[n].astype("datetime64[us]")
-        for n in _DOUBLE:
-            pdf[n] = pdf[n].astype("float64")
-        yield pa.RecordBatch.from_pandas(
-            pdf, schema=schema, preserve_index=False
-        )
+            pdf = _vectorized_frame(vtext, partition.path)
+        if pdf is None:
+            recs = _parse_complete_slice(
+                text, partition.lo, partition.hi, partition.path
+            )
+            rows = [_typed_tuple(r, partition.path) for r in recs]
+            pdf = pd.DataFrame(
+                {n: [r[n] for r in rows] for n in _HEADER}
+                if rows
+                else {n: [] for n in _HEADER}
+            )
+        yield _pdf_to_arrow(pdf)
 
     def commit(self, end: dict) -> None:
         pass  # source files are append-only inputs; nothing to clean

@@ -548,9 +548,6 @@ def test_bfs_distances_on_known_graph(spark, tmp_path):
 
     # orders: parts co-occurring >= 2x form edges.
     # chain: 100-1-2-3-4 (100 is a seed: % 100 == 0), plus island 7-8
-    def pairs(*ps):
-        return [(oid, p) for oid, p in ps]
-
     rows = []
     oid = 0
     for a, b in [(100, 1), (1, 2), (2, 3), (3, 4), (7, 8)]:
