@@ -156,6 +156,14 @@ HEADLINE = [
     "w17_mad_anomaly",
     "a25_conversion_latency",
     "x14_datasource_stream_parallel",
+    "l37_edit_distance_join",
+    "a26_retention_cohorts",
+    "w18_autocorrelation",
+    "a27_basket_affinity",
+    "j9_band_count",
+    "a28_welch_ttest",
+    "w19_seasonal_profile",
+    "m14_rms_loudness",
 ]
 
 

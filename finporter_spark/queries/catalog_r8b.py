@@ -1,0 +1,737 @@
+"""Round-8 late catalog additions: exact edit-distance join (FastSS
+deletion neighborhoods), weekly retention cohorts, lag-1
+autocorrelation from decimal moment sums, and basket brand-affinity
+lift.
+
+Each query follows the catalog contract (`catalog.query` registration,
+DuckDB-runnable oracle, aliased output columns shared between engines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import _t, query
+
+
+# =====================================================================
+# L37 — exact edit-distance-1 join (FastSS deletion neighborhood)
+# =====================================================================
+
+
+@query(
+    "l37_edit_distance_join",
+    """
+    WITH n AS (
+      SELECT c_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer GROUP BY c_name
+    )
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+           a.n_rows AS n_a, b.n_rows AS n_b
+    FROM n a JOIN n b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+)
+def l37_edit_distance_join(spark, sf_dir):
+    """L37: EXACT edit-distance-1 self-join over distinct customer
+    names via FastSS deletion neighborhoods — the string-similarity
+    complement of l34's token-set Jaccard join.
+
+    The naive shape is a |V|x|V| levenshtein theta join (the oracle,
+    fine at sf0.01, quadratic at scale). The scale plan: every string
+    generates len(s)+1 variants — itself plus each single-character
+    deletion. Two strings are at edit distance <= 1 IFF they share a
+    variant (substitution at i: del_i(a) == del_i(b); insert/delete:
+    the shorter string IS a deletion variant of the longer; the only
+    false positives are distance-2 pairs from del_i(a) == del_j(b)
+    with i != j, removed by the final JVM `levenshtein` verify). So
+    candidates come from ONE equi-join on the variant key — work is
+    O(n * len) exploded rows, never all-pairs. A variant bucket of
+    length-L strings has at most |alphabet| * (L+1) members (each
+    member re-inserts one character somewhere), so per-bucket pair
+    fan-out is bounded by the alphabet and string length, not the
+    corpus. Both join sides scale with the corpus, hence the explicit
+    merge hint (the l34 lesson: AQE promoted a multi-million-row side
+    to a driver broadcast at sf10 and OOMed; sort-merge is the right
+    default when both sides scale).
+
+    Result shape is DISTINCT-NAME pairs with per-name multiplicities
+    (the p16b lesson: emit vocabulary-sized pairs, never row pairs).
+    Distance-0 duplicates are l1's job and excluded here (dist = 1
+    strictly)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    variants = F.array_union(
+        F.array(F.col("c_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("c_name")),
+            lambda i: F.concat(
+                F.substring("c_name", F.lit(1), i - 1),
+                F.substring("c_name", i + 1, F.length("c_name")),
+            ),
+        ),
+    )
+    v = c.select(
+        "c_name", "n_rows", F.explode(variants).alias("variant")
+    )
+    a = v.select(
+        F.col("variant"),
+        F.col("c_name").alias("name_a"),
+        F.col("n_rows").alias("n_a"),
+    )
+    b = v.select(
+        F.col("variant"),
+        F.col("c_name").alias("name_b"),
+        F.col("n_rows").alias("n_b"),
+    )
+    cand = (
+        a.join(b.hint("merge"), "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_a", "n_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+    ).filter(F.col("dist") == 1).select(
+        "name_a", "name_b", "dist", "n_a", "n_b"
+    )
+
+
+# =====================================================================
+# A26 — weekly retention cohorts
+# =====================================================================
+
+
+@query(
+    "a26_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS w0
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.w0,
+             CAST(floor(date_diff('day', f.w0, CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS wk
+      FROM events e JOIN f ON f.user_id = e.user_id
+    ), cs AS (
+      SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY w0
+    )
+    SELECT strftime(act.w0, '%Y-%m-%d') AS cohort_week,
+           act.wk AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           cs.cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+             AS retention
+    FROM act JOIN cs ON cs.w0 = act.w0
+    GROUP BY act.w0, act.wk, cs.cohort_size
+    """,
+)
+def a26_retention_cohorts(spark, sf_dir):
+    """A26: the classic N-week retention matrix — users grouped into
+    weekly signup cohorts by their FIRST event's week, then counted as
+    active at each later week offset (distinct users per
+    (cohort, offset) cell, plus the retention ratio against cohort
+    size).
+
+    Plan shape: one map-combinable keyed agg for first-seen (min date
+    per user), one corpus-scaled user-keyed equi-join back onto events
+    (merge-hinted: both sides scale), a distinct on
+    (cohort, offset, user) — one keyed exchange — and two small keyed
+    aggs. No windows over corpus-sized partitions, nothing all-pairs;
+    at 100 TB every stage is a keyed shuffle that AQE can re-balance.
+    Week truncation is Monday-based on BOTH engines (asserted by the
+    shared hash); offsets are computed from day arithmetic against the
+    cohort's week start, never by truncating each event to its own
+    week (which would mis-bin cohorts that start mid-week)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("d"))).alias("w0")
+    )
+    act = (
+        e.join(first.hint("merge"), "user_id")
+        .select(
+            "user_id",
+            "w0",
+            F.floor(F.datediff("d", "w0") / 7).cast("bigint").alias("wk"),
+        )
+        .distinct()
+    )
+    cs = first.groupBy("w0").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        act.groupBy("w0", "wk")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(cs), "w0")
+        .select(
+            # string-typed on both sides: a raw DATE hashes differently
+            # across the two engines' pandas conversions (DuckDB DATE ->
+            # midnight Timestamp)
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("wk").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+# =====================================================================
+# W18 — lag-1 autocorrelation of the daily value series
+# =====================================================================
+
+
+@query(
+    "w18_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT event_type, s AS y,
+             LAG(s) OVER (PARTITION BY event_type ORDER BY d) AS x
+      FROM daily
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy
+      FROM pairs WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf1
+    FROM g
+    """,
+)
+def w18_autocorrelation(spark, sf_dir):
+    """W18: lag-1 autocorrelation of each event type's DAILY value
+    series — the day-over-day persistence diagnostic a monitoring
+    pipeline runs before trusting a trend fit (a21's slope on a
+    near-unit-root series is noise; this is the check).
+
+    Scale shape: the corpus collapses to (type, day) in ONE
+    map-combinable keyed agg — the window after it runs over
+    time-domain-sized partitions (days per type), never corpus-sized
+    rows. Pearson r comes from the a21 closed-form playbook: daily
+    sums stay DECIMAL end-to-end (decimal-exact and identical on both
+    engines), the six moment sums are decimal-exact too, and only the
+    final O(groups) scalar formula runs in double — bit-identical
+    given identical inputs, so the hash matches. The daily statistic
+    is the decimal SUM, not the mean: a mean is a double division
+    whose re-cast to decimal would round engine-specifically, and
+    centering/scale cancel in r anyway (r(sum) == r(mean) when day
+    counts are equal; when they aren't, the sum series IS the declared
+    statistic). DECIMAL(18,6) keeps the x*y product at (37,12), inside
+    both engines' 38-digit ceiling (the a21 headroom rule)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("s")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type",
+        F.col("s").alias("y"),
+        F.lag("s").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    g = pairs.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (num / den).alias("acf1"),
+    )
+
+
+# =====================================================================
+# A27 — basket brand-affinity lift
+# =====================================================================
+
+
+@query(
+    "a27_basket_affinity",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), tot AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_orders FROM ob
+      GROUP BY p_brand
+    ), nn AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM ob
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT pairs.brand_a, pairs.brand_b, pairs.n_ab,
+           CAST(pairs.n_ab AS DOUBLE) * CAST(nn.n_total AS DOUBLE)
+             / (CAST(ta.n_orders AS DOUBLE) * CAST(tb.n_orders AS DOUBLE))
+             AS lift
+    FROM pairs
+    JOIN tot ta ON ta.p_brand = pairs.brand_a
+    JOIN tot tb ON tb.p_brand = pairs.brand_b
+    CROSS JOIN nn
+    """,
+)
+def a27_basket_affinity(spark, sf_dir):
+    """A27: market-basket brand affinity — for every brand pair
+    co-occurring in an order, the co-occurrence count and the lift
+    P(a,b) / (P(a) P(b)) — the signal a source-mixing or
+    recommendation stage ranks pairings by.
+
+    Scale shape: the corpus collapses to DISTINCT (order, brand)
+    first (one keyed exchange; the l32/j8 compress-before-pairing
+    rule). The within-order pair join fans out at most
+    C(brands_in_order, 2) per order — bounded by order WIDTH (a
+    schema constant, ~7 lines), not by SF — and aggregates straight
+    down to the brand-pair domain (<= |brands|^2 / 2 rows total, a
+    few hundred at ANY scale). Brand totals and the global order
+    count are two more keyed aggs; the scalar order count joins back
+    as a 1-row broadcast, the brand totals as a domain-sized
+    broadcast. Division runs in double on decimal-exact bigint counts
+    — hash-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    nn = ob.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_total")
+    )
+    a = ob.select(
+        "l_orderkey", F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        "l_orderkey", F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b.hint("merge"), "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ta = tot.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_orders").alias("na")
+    )
+    tb = tot.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_orders").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+# =====================================================================
+# J9 — band-count join (customers within ±δ of each supplier's balance)
+# =====================================================================
+
+_J9_DELTA = 50.0
+
+
+@query(
+    "j9_band_count",
+    f"""
+    SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_in_band
+    FROM supplier JOIN customer
+      ON c_acctbal >  s_acctbal - {_J9_DELTA}
+     AND c_acctbal <= s_acctbal + {_J9_DELTA}
+    GROUP BY s_suppkey
+    """,
+)
+def j9_band_count(spark, sf_dir):
+    """J9: numeric band join as a DIFFERENCE OF TWO RANK MERGES — for
+    every supplier, how many customers hold a balance within the
+    (s − δ, s + δ] band. The generic "align within tolerance" count
+    (sensor sync, price banding) that a naive engine writes as a
+    pair-materializing theta join.
+
+    n_band(s) = n_greater(s − δ) − n_greater(s + δ): two calls into
+    the j5 rank/CDF primitive (:func:`finporter_spark.operators.joins.
+    count_exceeding`) with the supplier value shifted by ∓δ, joined on
+    the supplier key, subtracted. Zero row pairs materialized, work
+    O(|S| + |C|) per call through one keyed shuffle each — the
+    composition inherits j5's scale story by construction. The band is
+    half-open (strict lower, inclusive upper) because the primitive
+    counts STRICTLY greater on both calls; the oracle states the same
+    contract. Suppliers with an empty band are absent (inner-join
+    semantics), matching the oracle."""
+    from finporter_spark.operators.joins import count_exceeding
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = _t(spark, sf_dir, "customer").select("c_acctbal")
+    lo = count_exceeding(
+        s.select(
+            "s_suppkey", (F.col("s_acctbal") - _J9_DELTA).alias("v")
+        ),
+        ["s_suppkey"],
+        "v",
+        c,
+        "c_acctbal",
+    ).select("s_suppkey", F.col("n_greater").alias("n_lo"))
+    hi = count_exceeding(
+        s.select(
+            "s_suppkey", (F.col("s_acctbal") + _J9_DELTA).alias("v")
+        ),
+        ["s_suppkey"],
+        "v",
+        c,
+        "c_acctbal",
+    ).select("s_suppkey", F.col("n_greater").alias("n_hi"))
+    return (
+        lo.join(hi.hint("merge"), "s_suppkey")
+        .select(
+            "s_suppkey",
+            (F.col("n_lo") - F.col("n_hi")).cast("bigint").alias(
+                "n_in_band"
+            ),
+        )
+        .filter(F.col("n_in_band") > 0)
+    )
+
+
+# =====================================================================
+# A28 — Welch two-sample t-test between md5-split experiment arms
+# =====================================================================
+
+
+@query(
+    "a28_welch_ttest",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS DOUBLE)
+          AS na,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS DOUBLE)
+          AS nb,
+        CAST(SUM(CASE WHEN variant = 'A'
+                 THEN CAST(y AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE)
+          AS sa,
+        CAST(SUM(CASE WHEN variant = 'B'
+                 THEN CAST(y AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE)
+          AS sb,
+        CAST(SUM(CASE WHEN variant = 'A'
+                 THEN CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+                 ELSE 0 END) AS DOUBLE) AS ssa,
+        CAST(SUM(CASE WHEN variant = 'B'
+                 THEN CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+                 ELSE 0 END) AS DOUBLE) AS ssb
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           sa / na AS mean_a, sb / nb AS mean_b,
+           (sa / na - sb / nb)
+             / sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                    + ((ssb - sb * sb / nb) / (nb - 1)) / nb) AS t_stat,
+           (((ssa - sa * sa / na) / (na - 1)) / na
+            + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+           * (((ssa - sa * sa / na) / (na - 1)) / na
+              + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+           / ((((ssa - sa * sa / na) / (na - 1)) / na)
+              * (((ssa - sa * sa / na) / (na - 1)) / na) / (na - 1)
+              + (((ssb - sb * sb / nb) / (nb - 1)) / nb)
+                * (((ssb - sb * sb / nb) / (nb - 1)) / nb) / (nb - 1))
+             AS welch_df
+    FROM g
+    """,
+)
+def a28_welch_ttest(spark, sf_dir):
+    """A28: Welch's unequal-variance two-sample t — THE experiment
+    readout primitive (a20's CUPED reduces the variance; this is the
+    significance test it feeds). Arms split by md5(user_id) parity,
+    the engine-portable deterministic hash split a20 established.
+
+    Scale shape: one map-combinable keyed agg to per-user totals, then
+    ONE global agg of six conditional moment sums (map-side combined
+    down to a single row — no per-arm repartition, no collect), then
+    O(1) scalar arithmetic for t and the Welch–Satterthwaite df.
+    Moment sums are DECIMAL-exact on both engines (the a20/a21
+    pattern); the final formula runs in double on identical inputs, so
+    the hash matches bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    m = m.withColumn(
+        "variant",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                   16, 10).cast("bigint") % 2 == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    dy = F.col("y").cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    zsq = F.lit(0).cast("decimal(38,12)")
+    g = m.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(F.col("variant") == "A", dy).otherwise(zero))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("variant") == "B", dy).otherwise(zero))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(F.col("variant") == "A", dy * dy).otherwise(zsq))
+        .cast("double")
+        .alias("ssa"),
+        F.sum(F.when(F.col("variant") == "B", dy * dy).otherwise(zsq))
+        .cast("double")
+        .alias("ssb"),
+    )
+    va = ((F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+          / (F.col("na") - 1)) / F.col("na")
+    vb = ((F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
+          / (F.col("nb") - 1)) / F.col("nb")
+    return g.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (F.col("sa") / F.col("na")).alias("mean_a"),
+        (F.col("sb") / F.col("nb")).alias("mean_b"),
+        ((F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+         / F.sqrt(va + vb)).alias("t_stat"),
+        ((va + vb) * (va + vb)
+         / (va * va / (F.col("na") - 1)
+            + vb * vb / (F.col("nb") - 1))).alias("welch_df"),
+    )
+
+
+# =====================================================================
+# W19 — day-of-week seasonal profile of the daily value series
+# =====================================================================
+
+
+@query(
+    "w19_seasonal_profile",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), dow AS (
+      SELECT event_type, CAST(isodow(d) - 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(s) AS DECIMAL(28,6)) AS dow_total
+      FROM daily GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(SUM(dow_total) AS DECIMAL(28,6)) AS type_total
+      FROM dow GROUP BY event_type
+    )
+    SELECT dow.event_type, dow.dow, dow.n_days,
+           CAST(dow.dow_total AS DOUBLE) / CAST(dow.n_days AS DOUBLE)
+             AS mean_daily,
+           CAST(dow.dow_total AS DOUBLE) / CAST(tot.type_total AS DOUBLE)
+             AS share
+    FROM dow JOIN tot ON tot.event_type = dow.event_type
+    """,
+)
+def w19_seasonal_profile(spark, sf_dir):
+    """W19: day-of-week seasonality profile per event type — mean
+    daily value and share of the type's total by weekday (Monday = 0
+    on BOTH engines: Spark `weekday`, DuckDB `isodow - 1` — asserted
+    by the shared hash). The weekly-seasonality companion to w18's
+    persistence check: together they say whether a21's linear trend is
+    the right model at all.
+
+    Scale shape: corpus → (type, day) in one map-combinable keyed agg
+    (the w18 move), then two domain-sized aggs ((type, dow) ≤ 7·|types|
+    rows, type totals |types| rows) and one broadcast join. Daily and
+    dow sums stay DECIMAL end-to-end; only the final mean/share
+    divisions run in double."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    dow = daily.groupBy(
+        "event_type", F.weekday("d").cast("int").alias("dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("s").cast("decimal(28,6)").alias("dow_total"),
+    )
+    tot = dow.groupBy("event_type").agg(
+        F.sum("dow_total").cast("decimal(28,6)").alias("type_total")
+    )
+    return dow.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        (
+            F.col("dow_total").cast("double")
+            / F.col("n_days").cast("double")
+        ).alias("mean_daily"),
+        (
+            F.col("dow_total").cast("double")
+            / F.col("type_total").cast("double")
+        ).alias("share"),
+    )
+
+
+# =====================================================================
+# M14 — windowed RMS loudness over staged PCM WAV
+# =====================================================================
+
+
+def _window_rms(x, win: int):
+    """RMS per complete length-``win`` window of 1-D samples ``x``;
+    a trailing partial window is DROPPED (the m13 full-windows-only
+    contract). Vectorized: one reshape, one mean, one sqrt."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    nw = len(x) // win
+    if nw == 0:
+        return np.empty(0, dtype=np.float64)
+    frames = x[: nw * win].reshape(nw, win)
+    return np.sqrt(np.mean(frames * frames, axis=1))
+
+
+@query(
+    "m14_rms_loudness",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 1 + doc_id % 3)) AS window_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+           CAST(500 * (1 + (doc_id + window_idx) % 8) AS DOUBLE) AS rms
+    FROM w
+    """,
+)
+def m14_rms_loudness(spark, sf_dir):
+    """M14: windowed RMS loudness over real 16-bit PCM WAV — the
+    feature a speech-data pipeline computes to trim silence and gate
+    clipped/quiet clips before transcription. Each doc stages as a
+    square wave whose amplitude changes per 256-sample window
+    (A = 500·(1 + (doc_id + w) % 8), 2 + doc_id % 3 windows): every
+    sample in window w is ±A, so the window RMS is EXACTLY A — sqrt of
+    a perfect square of an exactly-representable integer is exact in
+    IEEE double, making the analytic oracle grid hash-exact, not
+    approximate.
+
+    The operator is the real path: `wav_decode` + vectorized numpy
+    square/mean/sqrt over all windows at once inside Arrow-batched
+    `mapInPandas` — samples never shuffle, only (doc_id, window_idx,
+    rms) triples leave the executor. Cites the m13 staging discipline
+    (32-part fixture layout so the Python decode parallelizes like a
+    production multi-file media table)."""
+    import numpy as np
+
+    from finporter_spark.operators.audio import wav_decode, wav_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nw = 2 + i % 3
+                parts = []
+                for w in range(nw):
+                    amp = 500 * (1 + (i + w) % 8)
+                    blk = np.full(256, amp, dtype=np.int64)
+                    blk[1::2] = -amp
+                    parts.append(blk)
+                content.append(
+                    wav_encode(np.concatenate(parts), 16000)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": content}
+            )
+
+    from finporter_spark.queries.catalog_ext import _stage_media
+
+    media = _stage_media(spark, sf_dir, "m14_media", _make)
+
+    def _rms(batches):
+        for pdf in batches:
+            ids, widx, vals = [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["content"]):
+                _rate, samples = wav_decode(bytes(b))
+                r = _window_rms(samples[:, 0], 256)
+                nw = len(r)
+                if nw == 0:
+                    continue
+                ids.extend([int(i)] * nw)
+                widx.extend(range(nw))
+                vals.extend(float(v) for v in r)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "window_idx": pd.array(widx, dtype="int32"),
+                    "rms": pd.array(vals, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _rms, "doc_id bigint, window_idx int, rms double"
+    )

@@ -1,0 +1,262 @@
+"""Round-8 late-addition tests: FastSS edit-distance join semantics,
+retention cohort binning, autocorrelation vs numpy, and basket-lift
+arithmetic. Catalog-query VALUE correctness is the DuckDB oracle gate
+(tools/oracle_check.py); these pin the properties the oracle can't
+express."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import CATALOG
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_complete_and_exact(spark, tmp_path):
+    """l37's deletion-neighborhood candidates on a planted vocabulary:
+    every distance-1 pair appears (substitution, insertion, deletion —
+    including length-changing pairs), distance-2 candidate collisions
+    (del_i(a) == del_j(b), i != j) are filtered, and multiplicities
+    count underlying rows. Verified against a literal Levenshtein over
+    all pairs."""
+    names = [
+        "alpha", "alpho",          # substitution (ed 1)
+        "alph", "alphax",          # deletion / double-insert vs alpha
+        "beta", "bta",             # "bta" = del(beta); ed 1
+        "ab", "ba",                # ed 2 BUT del_1(ab)="b"=del_2?... a
+                                   # classic false-positive candidate:
+                                   # del variants collide ("a"/"b")
+        "gamma",
+    ]
+    rows = [(n,) for n in names] + [("alpha",)]  # alpha twice -> n_a=2
+    df = spark.createDataFrame(rows, "c_name string")
+    p = str(tmp_path / "customer.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = {
+        (r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"])
+        for r in CATALOG["l37_edit_distance_join"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    vocab = sorted(set(names))
+    want = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1:]
+        if _lev(a, b) == 1
+    }
+    assert set(got) == want
+    # the planted pairs all verified at distance exactly 1
+    assert all(v[0] == 1 for v in got.values())
+    # ("ab","ba") is distance 2: candidate generation may surface it,
+    # the verify stage must drop it
+    assert ("ab", "ba") not in got
+    # multiplicity: "alpha" appears twice in the underlying rows
+    (na,) = {v[1] for k, v in got.items() if k[0] == "alpha"}
+    assert na == 2
+
+
+def test_retention_cohort_binning(spark, tmp_path):
+    """a26 on a hand fixture: a user whose first event is mid-week is
+    binned to that week's MONDAY cohort; day 6 after the week start is
+    offset 0, day 7 is offset 1; retention divides by cohort size."""
+    rows = [
+        # user 1: first event Wed 2024-01-03 -> cohort Mon 2024-01-01;
+        # active again Sun 2024-01-07 (offset 0) and Mon 2024-01-08
+        # (offset 1)
+        (1, "2024-01-03 10:00:00"),
+        (1, "2024-01-07 23:00:00"),
+        (1, "2024-01-08 00:30:00"),
+        # user 2: same cohort week, never returns
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(1).alias("event_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in CATALOG["a26_retention_cohorts"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+    }
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    """w18's closed-form decimal-sum acf1 equals numpy's corrcoef of
+    the lagged daily-sum series, per event type."""
+    np = pytest.importorskip("numpy")
+    got = {
+        r["event_type"]: (r["n_pairs"], r["acf1"])
+        for r in CATALOG["w18_autocorrelation"][0](spark, sf_dir).collect()
+    }
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(float(r["s"]))
+    for et, xs in series.items():
+        x, y = np.array(xs[:-1]), np.array(xs[1:])
+        n_pairs, acf1 = got[et]
+        assert n_pairs == len(x)
+        assert math.isclose(
+            acf1, float(np.corrcoef(x, y)[0, 1]), rel_tol=1e-9
+        )
+
+
+def test_basket_affinity_known_counts(spark, tmp_path):
+    """a27 on a 3-order fixture with hand-countable co-occurrence:
+    lift = n_ab * N / (n_a * n_b) over distinct (order, brand)."""
+    # order 1: brands A,B; order 2: brands A,B (B twice -> distinct);
+    # order 3: brand A only. N=3, n_A=3, n_B=2, n_AB=2.
+    li = [
+        (1, 10), (1, 20),
+        (2, 11), (2, 21), (2, 22),
+        (3, 12),
+    ]
+    parts = [
+        (10, "A"), (11, "A"), (12, "A"),
+        (20, "B"), (21, "B"), (22, "B"),
+    ]
+    spark.createDataFrame(
+        [(o, p, 1.0) for o, p in li],
+        "l_orderkey bigint, l_partkey bigint, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        parts, "p_partkey bigint, p_brand string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    rows = CATALOG["a27_basket_affinity"][0](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["brand_a"], r["brand_b"], r["n_ab"]) == ("A", "B", 2)
+    assert math.isclose(r["lift"], 2 * 3 / (3 * 2))
+
+
+def test_band_count_boundary_semantics(spark, tmp_path):
+    """j9's band is half-open (s - d, s + d]: a customer exactly at
+    s - d is EXCLUDED, one exactly at s + d is INCLUDED (delta = 50)."""
+    spark.createDataFrame(
+        [(1, 1000.0)], "s_suppkey bigint, s_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(950.0,), (950.0000001,), (1050.0,), (1050.0000001,), (700.0,)],
+        "c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    rows = CATALOG["j9_band_count"][0](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    # 950.0 out (strict lower), 950.0000001 in, 1050.0 in (inclusive
+    # upper), 1050.0000001 out, 700.0 out
+    assert rows[0]["n_in_band"] == 2
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    """a28's moment-sum t and Welch df equal the literal per-arm
+    numpy mean/var computation on the same per-user totals and md5
+    split."""
+    np = pytest.importorskip("numpy")
+    r = CATALOG["a28_welch_ttest"][0](spark, sf_dir).collect()[0]
+    m = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("y")
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2,
+        )
+        .collect()
+    )
+    a = np.array([x["y"] for x in m if x["variant"] == 0])
+    b = np.array([x["y"] for x in m if x["variant"] == 1])
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (
+        va**2 / (len(a) - 1) + vb**2 / (len(b) - 1)
+    )
+    assert math.isclose(r["mean_a"], a.mean(), rel_tol=1e-9)
+    assert math.isclose(r["t_stat"], t, rel_tol=1e-6)
+    assert math.isclose(r["welch_df"], df, rel_tol=1e-6)
+
+
+def test_seasonal_profile_weekday_binning(spark, tmp_path):
+    """w19 bins Monday to dow 0 and Sunday to dow 6, and shares sum
+    to 1 per event type."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),  # Monday
+        (2, "2024-01-07 10:00:00", 30.0),  # Sunday
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, value double"
+    ).select(
+        F.lit(1).alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["dow"]: (r["n_days"], r["mean_daily"], r["share"])
+        for r in CATALOG["w19_seasonal_profile"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {0: (1, 10.0, 0.25), 6: (1, 30.0, 0.75)}
+
+
+def test_window_rms_partial_window_and_nonsquare():
+    """m14's RMS helper drops a trailing partial window and computes
+    the literal sqrt-mean-square on a non-constant window."""
+    np = pytest.importorskip("numpy")
+    from finporter_spark.queries.catalog_r8b import _window_rms
+
+    x = np.concatenate([np.full(256, 3.0), np.full(256, 4.0),
+                        np.full(100, 99.0)])
+    r = _window_rms(x, 256)
+    assert r.tolist() == [3.0, 4.0]  # partial 100-sample tail dropped
+    assert _window_rms(np.arange(10), 256).size == 0
+    mixed = np.array([3.0] * 128 + [4.0] * 128)
+    assert math.isclose(
+        _window_rms(mixed, 256)[0], math.sqrt((9 + 16) / 2), rel_tol=1e-12
+    )
