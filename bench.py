@@ -164,6 +164,9 @@ HEADLINE = [
     "a28_welch_ttest",
     "w19_seasonal_profile",
     "m14_rms_loudness",
+    "l38_sorted_neighborhood",
+    "a29_decile_stats",
+    "w20_cusum_drift",
 ]
 
 

@@ -615,3 +615,60 @@ def hex_order_index(
         .withColumn(pos_col, (F.col("_off") + F.col("_local")).cast("bigint"))
         .drop("_bkt", "_hk", "_local", "_off")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    nparts: int = 32,
+) -> DataFrame:
+    """Global 1-based rank over ``order_cols`` WITHOUT the single-task
+    trap — the z6 TeraSort offset ladder as a reusable operator.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY sorts the
+    whole dataset on ONE task. Instead: ``repartitionByRange`` (sampled
+    range exchange — every partition sorts in parallel), one tiny
+    per-partition count job whose cumulative offsets are mapped back as
+    literals, and a PARALLEL window per partition id. The range shuffle
+    is ``localCheckpoint``-pinned before both consumers: Spark 4's range
+    sampling is nondeterministic ACROSS JOBS (measured — see
+    ``z6_global_rank``), so the counts job and the final job must read
+    the same materialized boundaries or the offsets are wrong.
+
+    ``order_cols`` must be a TOTAL order (no ties) — ranks are assigned
+    by sort position, and tied rows would rank nondeterministically.
+    Driver state is one bigint per partition (bounded). Returns ``df``
+    + ``rnk`` (bigint, 1-based) + ``n_total`` (bigint).
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    ranked = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r._pid: r.cnt
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offs, acc = {}, 0
+    for pid in sorted(counts):
+        offs[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranked.withColumn(
+            "rnk",
+            (
+                F.row_number().over(w)
+                + F.element_at(off_expr, F.col("_pid")).cast("bigint")
+            ).cast("bigint"),
+        )
+        .withColumn("n_total", F.lit(total).cast("bigint"))
+        .drop("_pid")
+    )

@@ -1259,47 +1259,20 @@ def z6_global_rank(spark, sf_dir):
     (value, event_id) is a total order. pct = rank/total gives the
     exact empirical CDF — the quantile-normalized feature column.
     """
+    from finporter_spark.operators.scale import global_rank
+
     e = _t(spark, sf_dir, "events").select("event_id", "value")
-    nparts = 32
-    ranked = (
-        e.repartitionByRange(nparts, F.col("value"), F.col("event_id"))
-        .withColumn("_pid", F.spark_partition_id())
-        # PIN the range boundaries: repartitionByRange SAMPLES the
-        # input per job, and Spark 4's sampling is nondeterministic
-        # across jobs (measured: two counts of the same lineage moved
-        # rows between partitions) — the counts job and the final job
-        # MUST see identical boundaries or the offsets are wrong.
-        # localCheckpoint materializes the shuffle output once; both
-        # consumers read the same partitions (the same executor-pinned
-        # truncation the iterative graph ops use).
-        .localCheckpoint(eager=True)
-    )
-    # tiny job: per-partition counts -> cumulative offsets (driver-side,
-    # bounded at one row per partition); the range shuffle is reused
-    counts = {
-        r._pid: r.cnt
-        for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    offs, acc = {}, 0
-    for pid in sorted(counts):
-        offs[pid] = acc
-        acc += counts[pid]
-    off_expr = F.create_map(
-        *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
-    )
-    w = Window.partitionBy("_pid").orderBy("value", "event_id")
-    return ranked.select(
+    # the ladder (range-pin, offset map, parallel window) lives in
+    # operators/scale.global_rank — shared with l38's sorted-neighborhood
+    # blocking
+    r = global_rank(e, ["value", "event_id"])
+    return r.select(
         "event_id",
         "value",
+        "rnk",
         (
-            F.row_number().over(w)
-            + F.element_at(off_expr, F.col("_pid")).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("rnk"),
-    ).withColumn(
-        "pct", F.col("rnk").cast("double") / F.lit(float(total))
+            F.col("rnk").cast("double") / F.col("n_total").cast("double")
+        ).alias("pct"),
     )
 
 

@@ -735,3 +735,251 @@ def m14_rms_loudness(spark, sf_dir):
     return media.mapInPandas(
         _rms, "doc_id bigint, window_idx int, rms double"
     )
+
+
+# =====================================================================
+# L38 — sorted-neighborhood ER blocking (positional candidate window)
+# =====================================================================
+
+_SNM_WINDOW = 3
+_SNM_MAX_DIST = 2
+
+
+@query(
+    "l38_sorted_neighborhood",
+    f"""
+    WITH n AS (SELECT DISTINCT c_name FROM customer),
+    r AS (SELECT c_name, ROW_NUMBER() OVER (ORDER BY c_name) AS rn FROM n)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM r a JOIN r b
+      ON b.rn - a.rn >= 1 AND b.rn - a.rn <= {_SNM_WINDOW}
+    WHERE levenshtein(a.c_name, b.c_name) <= {_SNM_MAX_DIST}
+    """,
+)
+def l38_sorted_neighborhood(spark, sf_dir):
+    """L38: sorted-neighborhood entity-resolution blocking — sort the
+    vocabulary once, compare each name only to its w positional
+    neighbors, keep pairs within edit distance 2. The third blocking
+    family in the repo (l34: token-set prefix filter; l37: deletion
+    neighborhoods; l38: positional windows — the classic SNM choice
+    when the match key clusters lexically, e.g. serial-numbered or
+    prefix-structured identifiers).
+
+    The naive shape is ``row_number() OVER (ORDER BY name)`` — a
+    single-task global sort (the z6 100 TB-killer). Positions come
+    from :func:`finporter_spark.operators.scale.global_rank` (the z6
+    TeraSort offset ladder: parallel range sort + bounded driver
+    offsets) instead; neighbor pairs are then an EQUI-join on
+    rank + gap (gap exploded 1..w) — one keyed shuffle, w rows per
+    name, never all-pairs. The levenshtein gate runs JVM-side on the
+    w·|V| candidates. Oracle states the identical contract with the
+    single-partition SQL window DuckDB can afford at sf0.01."""
+    from finporter_spark.operators.scale import global_rank
+
+    names = (
+        _t(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    r = global_rank(names, ["c_name"]).select("c_name", "rnk")
+    a = r.select(
+        F.col("c_name").alias("name_a"),
+        F.col("rnk").alias("rn_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_SNM_WINDOW))
+        ).alias("gap"),
+    ).withColumn("rn_b", F.col("rn_a") + F.col("gap"))
+    b = r.select(
+        F.col("c_name").alias("name_b"), F.col("rnk").alias("rn_b")
+    )
+    return (
+        a.join(b.hint("merge"), "rn_b")
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= _SNM_MAX_DIST)
+        .select(
+            "name_a", "name_b", F.col("gap").cast("bigint").alias("gap"),
+            "dist",
+        )
+    )
+
+
+# =====================================================================
+# A29 — per-type decile statistics via exact quantile boundaries
+# =====================================================================
+
+
+@query(
+    "a29_decile_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.1) AS b1, quantile_cont(value, 0.2) AS b2,
+             quantile_cont(value, 0.3) AS b3, quantile_cont(value, 0.4) AS b4,
+             quantile_cont(value, 0.5) AS b5, quantile_cont(value, 0.6) AS b6,
+             quantile_cont(value, 0.7) AS b7, quantile_cont(value, 0.8) AS b8,
+             quantile_cont(value, 0.9) AS b9
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type,
+             CAST((e.value > b.b1)::INT + (e.value > b.b2)::INT
+                + (e.value > b.b3)::INT + (e.value > b.b4)::INT
+                + (e.value > b.b5)::INT + (e.value > b.b6)::INT
+                + (e.value > b.b7)::INT + (e.value > b.b8)::INT
+                + (e.value > b.b9)::INT AS INT) AS decile,
+             e.value
+      FROM events e JOIN b ON b.event_type = e.event_type
+    )
+    SELECT event_type, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM d GROUP BY event_type, decile
+    """,
+)
+def a29_decile_stats(spark, sf_dir):
+    """A29: per-type decile statistics WITHOUT ntile's corpus window —
+    the scale-safe quantile histogram. ``ntile(10) OVER (PARTITION BY
+    type ORDER BY value)`` sorts each type's full corpus slice in one
+    task; instead the nine exact decile boundaries come from the a7
+    distributed rank-select (`operators/scale.exact_percentiles` — no
+    per-group buffer, hash-exact `quantile_cont` semantics), broadcast
+    back as a 9·|types|-row dim, and each row's decile is the COUNT OF
+    BOUNDARIES BELOW IT (a map-side 9-term predicate sum — boundary
+    banding, not rank assignment, so ties at a boundary land
+    deterministically and identically on both engines). One keyed agg
+    finishes: n, decimal-exact mean, min/max per (type, decile).
+    Deciles can be empty under heavy ties (no row strictly above a
+    repeated boundary) — absent rows match the oracle's inner
+    grouping."""
+    from finporter_spark.operators.scale import exact_percentiles
+
+    e = _t(spark, sf_dir, "events")
+    fr = [round(0.1 * i, 1) for i in range(1, 10)]
+    bounds = (
+        exact_percentiles(e, ["event_type"], "value", fr)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("value")).alias("bs"))
+    )
+    d = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("value") > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# =====================================================================
+# W20 — CUSUM drift detection over the daily value series
+# =====================================================================
+
+
+@query(
+    "w20_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+      SELECT event_type,
+             CAST(SUM(s) AS DECIMAL(28,6)) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ), y AS (
+      SELECT daily.event_type, daily.d,
+             CAST(CAST(daily.s AS DECIMAL(28,6)) * tot.n_days
+                  - tot.total AS DECIMAL(38,6)) AS y,
+             tot.n_days
+      FROM daily JOIN tot ON tot.event_type = daily.event_type
+    ), c AS (
+      SELECT event_type, d, n_days,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum
+      FROM y
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(cum - least(CAST(0 AS DECIMAL(38,6)),
+                            MIN(cum) OVER (PARTITION BY event_type
+                                           ORDER BY d
+                                           ROWS UNBOUNDED PRECEDING))
+                AS DOUBLE)
+             / CAST(n_days AS DOUBLE) AS cusum
+    FROM c
+    """,
+)
+def w20_cusum_drift(spark, sf_dir):
+    """W20: one-sided CUSUM drift detection on each type's daily value
+    series — the change-point monitor a data pipeline runs on ingest
+    volume before a silent upstream shift poisons a training mix.
+    CUSUM's recurrence S_t = max(0, S_{t-1} + y_t) is not plain SQL,
+    but it IS window algebra via the prefix trick:
+    S_t = cum_t − min(0, min_{j≤t} cum_j) — one running sum and one
+    running min, both over TIME-DOMAIN-sized partitions (days per
+    type), never corpus rows (the corpus collapses to (type, day)
+    in one map-combinable agg first — the w18/w19 move).
+
+    Exactness: the mean-centering y_t = s_t − mean would need a
+    double division; instead the whole series is SCALED BY n_days —
+    y_t = n·s_t − total stays DECIMAL-exact end-to-end (Σy = 0 by
+    construction), and the single division by n happens once, in
+    double, at output. Same detector, exact cross-engine hash."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("s").cast("decimal(28,6)").alias("total"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    y = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        (
+            F.col("s").cast("decimal(28,6)") * F.col("n_days")
+            - F.col("total")
+        )
+        .cast("decimal(38,6)")
+        .alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = y.withColumn(
+        "cum", F.sum("y").over(w).cast("decimal(38,6)")
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return c.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (
+            (
+                F.col("cum")
+                - F.least(zero, F.min("cum").over(w))
+            ).cast("double")
+            / F.col("n_days").cast("double")
+        ).alias("cusum"),
+    )

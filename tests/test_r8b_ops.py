@@ -260,3 +260,106 @@ def test_window_rms_partial_window_and_nonsquare():
     assert math.isclose(
         _window_rms(mixed, 256)[0], math.sqrt((9 + 16) / 2), rel_tol=1e-12
     )
+
+
+def test_sorted_neighborhood_window_bound(spark, tmp_path):
+    """l38 compares only within the w=3 positional window: a
+    distance-1 pair at sorted gap 4 must NOT appear, pairs within the
+    window appear with their gap, and dist > 2 neighbors are gated."""
+    # sorted order: aa1, aa2, bb9, zz1, zz2 (gap aa1->zz1 is 3; plant
+    # aa-vs-zz across gap 4 via an extra row)
+    names = ["aa1", "aa2", "bb8", "bb9", "aa3"]
+    # sorted: aa1 aa2 aa3 bb8 bb9 -> (aa1,aa3) gap 2 dist 1 in;
+    # (aa1,bb9) gap 4 excluded even though dist 3 > 2 anyway;
+    # (aa2,bb8) gap 2 dist 3 -> gated by MAX_DIST
+    spark.createDataFrame(
+        [(n,) for n in names], "c_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r["name_a"], r["name_b"]): (r["gap"], r["dist"])
+        for r in CATALOG["l38_sorted_neighborhood"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        ("aa1", "aa2"): (1, 1),
+        ("aa1", "aa3"): (2, 1),
+        ("aa2", "aa3"): (1, 1),
+        ("bb8", "bb9"): (1, 1),
+    }
+
+
+def test_decile_boundary_and_partition(spark, sf_dir):
+    """a29: decile = count of strict-greater boundaries (a value EQUAL
+    to a boundary lands in the lower decile), deciles partition the
+    corpus (counts sum to the type's row count), and each decile's
+    [min, max] nests inside the boundary band."""
+    rows = CATALOG["a29_decile_stats"][0](spark, sf_dir).collect()
+    per_type: dict[str, int] = {}
+    for r in rows:
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n"]
+        assert 0 <= r["decile"] <= 9
+        assert r["min_value"] <= r["mean_value"] <= r["max_value"]
+    totals = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_type == totals
+    # boundary tie rule on a planted frame: with values 1..10, the
+    # 0.1-quantile boundary is 1.9; value 1 (== below) -> decile 0,
+    # and exactly n/10 rows land in decile 0
+    import tempfile, os
+
+    td = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, float(i), "t", 1, "2024-01-01", "{}") for i in range(1, 11)],
+        "event_id bigint, value double, event_type string, "
+        "user_id bigint, ts_s string, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+    small = {
+        (r["decile"]): (r["n"], r["min_value"], r["max_value"])
+        for r in CATALOG["a29_decile_stats"][0](spark, td).collect()
+    }
+    assert small[0] == (1, 1.0, 1.0)
+    assert small[9] == (1, 10.0, 10.0)
+    assert sum(v[0] for v in small.values()) == 10
+
+
+def test_cusum_matches_literal_recurrence(spark, sf_dir):
+    """w20's prefix-trick CUSUM equals the literal
+    S_t = max(0, S_{t-1} + y_t) walk over the per-type daily series
+    (scaled by n_days exactly as the query does)."""
+    got = {
+        (r["event_type"], r["day"]): r["cusum"]
+        for r in CATALOG["w20_cusum_drift"][0](spark, sf_dir).collect()
+    }
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["s"]))
+    for et, pts in series.items():
+        n = len(pts)
+        total = sum(s for _, s in pts)
+        s_run = 0
+        for d, s in pts:
+            y = s * n - total  # exact Decimal arithmetic
+            s_run = max(0, s_run + y)
+            assert math.isclose(
+                got[(et, d.strftime("%Y-%m-%d"))],
+                float(s_run) / n,
+                rel_tol=1e-9,
+                abs_tol=1e-9,
+            )

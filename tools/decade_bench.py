@@ -128,6 +128,9 @@ QUERIES = [
     "j9_band_count",
     "a28_welch_ttest",
     "w19_seasonal_profile",
+    "l38_sorted_neighborhood",
+    "a29_decile_stats",
+    "w20_cusum_drift",
 ]
 
 
