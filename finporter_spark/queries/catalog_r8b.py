@@ -22,6 +22,48 @@ from finporter_spark.queries.catalog import _t, query
 # =====================================================================
 
 
+def _ed1_name_pairs(c):
+    """FastSS deletion-neighborhood candidate generation + JVM
+    levenshtein verify over a distinct-name frame ``(c_name, n_rows)``
+    — the one implementation l37 and its hypothesis brute-force parity
+    test share. Returns (name_a, name_b, dist=1, n_a, n_b) for every
+    distinct-name pair at edit distance exactly 1."""
+    variants = F.array_union(
+        F.array(F.col("c_name")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("c_name")),
+            lambda i: F.concat(
+                F.substring("c_name", F.lit(1), i - 1),
+                F.substring("c_name", i + 1, F.length("c_name")),
+            ),
+        ),
+    )
+    v = c.select("c_name", "n_rows", F.explode(variants).alias("variant"))
+    a = v.select(
+        F.col("variant"),
+        F.col("c_name").alias("name_a"),
+        F.col("n_rows").alias("n_a"),
+    )
+    b = v.select(
+        F.col("variant"),
+        F.col("c_name").alias("name_b"),
+        F.col("n_rows").alias("n_b"),
+    )
+    cand = (
+        a.join(b.hint("merge"), "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") == 1)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
 @query(
     "l37_edit_distance_join",
     """
@@ -68,40 +110,7 @@ def l37_edit_distance_join(spark, sf_dir):
         .groupBy("c_name")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
     )
-    variants = F.array_union(
-        F.array(F.col("c_name")),
-        F.transform(
-            F.sequence(F.lit(1), F.length("c_name")),
-            lambda i: F.concat(
-                F.substring("c_name", F.lit(1), i - 1),
-                F.substring("c_name", i + 1, F.length("c_name")),
-            ),
-        ),
-    )
-    v = c.select(
-        "c_name", "n_rows", F.explode(variants).alias("variant")
-    )
-    a = v.select(
-        F.col("variant"),
-        F.col("c_name").alias("name_a"),
-        F.col("n_rows").alias("n_a"),
-    )
-    b = v.select(
-        F.col("variant"),
-        F.col("c_name").alias("name_b"),
-        F.col("n_rows").alias("n_b"),
-    )
-    cand = (
-        a.join(b.hint("merge"), "variant")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b", "n_a", "n_b")
-        .distinct()
-    )
-    return cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b").cast("bigint")
-    ).filter(F.col("dist") == 1).select(
-        "name_a", "name_b", "dist", "n_a", "n_b"
-    )
+    return _ed1_name_pairs(c)
 
 
 # =====================================================================
@@ -823,13 +832,18 @@ def l38_sorted_neighborhood(spark, sf_dir):
       FROM events GROUP BY event_type
     ), d AS (
       SELECT e.event_type,
-             CAST((e.value > b.b1)::INT + (e.value > b.b2)::INT
-                + (e.value > b.b3)::INT + (e.value > b.b4)::INT
-                + (e.value > b.b5)::INT + (e.value > b.b6)::INT
-                + (e.value > b.b7)::INT + (e.value > b.b8)::INT
-                + (e.value > b.b9)::INT AS INT) AS decile,
+             CAST((v > CAST(b.b1 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b2 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b3 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b4 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b5 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b6 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b7 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b8 AS DECIMAL(18,6)))::INT
+                + (v > CAST(b.b9 AS DECIMAL(18,6)))::INT AS INT) AS decile,
              e.value
-      FROM events e JOIN b ON b.event_type = e.event_type
+      FROM (SELECT *, CAST(value AS DECIMAL(18,6)) AS v FROM events) e
+      JOIN b ON b.event_type = e.event_type
     )
     SELECT event_type, decile,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -853,7 +867,18 @@ def a29_decile_stats(spark, sf_dir):
     finishes: n, decimal-exact mean, min/max per (type, decile).
     Deciles can be empty under heavy ties (no row strictly above a
     repeated boundary) — absent rows match the oracle's inner
-    grouping."""
+    grouping.
+
+    Boundaries AND values are quantized to DECIMAL(18,6) before the
+    comparison — a defect the sf1 sweep caught (sf0.01 was green):
+    in the all-ties interpolation case (v_k == v_{k+1} == 20.13)
+    Spark's rank-select returns 20.13 exactly while DuckDB's
+    quantile_cont lerps a*(1-d)+b*d and returns 20.129999999999995;
+    a strict `>` against the raw double amplified that 1-ulp
+    discrepancy into a 14-row decile shift. 6-decimal quantization is
+    coarser than any engine ulp and finer than the data's 2-decimal
+    resolution, so the banding is identical cross-engine by
+    construction."""
     from finporter_spark.operators.scale import exact_percentiles
 
     e = _t(spark, sf_dir, "events")
@@ -861,7 +886,11 @@ def a29_decile_stats(spark, sf_dir):
     bounds = (
         exact_percentiles(e, ["event_type"], "value", fr)
         .groupBy("event_type")
-        .agg(F.array_sort(F.collect_list("value")).alias("bs"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("value").cast("decimal(18,6)"))
+            ).alias("bs")
+        )
     )
     d = e.join(F.broadcast(bounds), "event_type").select(
         "event_type",
@@ -870,7 +899,9 @@ def a29_decile_stats(spark, sf_dir):
             "bs",
             F.lit(0),
             lambda acc, b: acc
-            + F.when(F.col("value") > b, F.lit(1)).otherwise(F.lit(0)),
+            + F.when(
+                F.col("value").cast("decimal(18,6)") > b, F.lit(1)
+            ).otherwise(F.lit(0)),
         )
         .cast("int")
         .alias("decile"),

@@ -363,3 +363,84 @@ def test_cusum_matches_literal_recurrence(spark, sf_dir):
                 rel_tol=1e-9,
                 abs_tol=1e-9,
             )
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SHORT = st.text(alphabet="ab", min_size=0, max_size=4)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(names=st.lists(_SHORT, min_size=1, max_size=8, unique=True))
+def test_fastss_pairs_equal_brute_force(spark, names):
+    """FastSS candidate generation + verify == the literal all-pairs
+    Levenshtein over adversarial short strings on a 2-letter alphabet
+    (maximal deletion-variant collisions: inserts, deletes, empty
+    strings, shared variants between distance-2 pairs)."""
+    from finporter_spark.queries.catalog_r8b import _ed1_name_pairs
+
+    c = spark.createDataFrame(
+        [(n, 1) for n in names], "c_name string, n_rows bigint"
+    )
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in _ed1_name_pairs(c).collect()
+    }
+    vocab = sorted(names)
+    want = {
+        (x, y)
+        for i, x in enumerate(vocab)
+        for y in vocab[i + 1:]
+        if _lev(x, y) == 1
+    }
+    assert got == want
+
+
+from tests.test_plans import plan as _plan  # noqa: E402  (shared helper)
+
+
+def test_l38_no_single_task_global_sort(spark, sf_dir):
+    """l38's positions come from the global_rank ladder: every window
+    in the plan is partitioned (by _pid), never a bare ORDER BY over
+    the whole vocabulary on one task."""
+    import re
+
+    p = _plan(CATALOG["l38_sorted_neighborhood"][0](spark, sf_dir))
+    wins = re.findall(
+        r"\(\d+\) Window[\s\S]*?(?=\n\(\d+\)|\Z)", p
+    )
+    assert wins, p
+    for w in wins:
+        assert "partitionBy" in w.replace(" ", "") or "_pid" in w, w
+
+
+def test_a29_no_per_group_percentile_buffer(spark, sf_dir):
+    """a29's boundaries come from the rank-select ladder: the plan
+    must contain no `percentile(` aggregate (the per-group value
+    buffer) and no cartesian product."""
+    p = _plan(CATALOG["a29_decile_stats"][0](spark, sf_dir))
+    assert "percentile(" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_a26_and_j9_no_pair_materialization(spark, sf_dir):
+    """a26 is keyed joins + aggs only (no cartesian/NLJ); j9 inherits
+    j5's no-pair plan — no SortMergeJoin of two corpus-sized sides
+    carrying an inequality condition, no cartesian."""
+    import re
+
+    for name in ("a26_retention_cohorts", "j9_band_count"):
+        p = _plan(CATALOG[name][0](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        nlj = re.findall(
+            r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?(?=\n\(\d+\)|\Z)", p
+        )
+        for d in nlj:
+            assert "acctbal" not in d, (name, d)
