@@ -1014,3 +1014,167 @@ def w20_cusum_drift(spark, sf_dir):
             / F.col("n_days").cast("double")
         ).alias("cusum"),
     )
+
+
+# =====================================================================
+# PIPE7 — master-data dedup: FastSS pairs -> CC -> keep-best survivor
+# =====================================================================
+
+
+@query(
+    "pipe7_master_data_dedup",
+    r"""
+    WITH RECURSIVE n AS (
+      SELECT c_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer GROUP BY c_name
+    ), pr AS (
+      SELECT a.c_name AS name_l, b.c_name AS name_r
+      FROM n a JOIN n b
+        ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+    ), e AS (
+      SELECT name_l AS src, name_r AS dst FROM pr
+      UNION SELECT name_r, name_l FROM pr
+    ), reach AS (
+      SELECT c_name AS id, c_name AS lab FROM n
+      UNION
+      SELECT e.dst, reach.lab FROM reach JOIN e ON e.src = reach.id
+    ), comp AS (
+      SELECT id AS c_name, min(lab) AS component FROM reach GROUP BY id
+    ), m AS (
+      SELECT comp.component,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             MAX(n.n_rows) AS best_rows
+      FROM comp JOIN n ON n.c_name = comp.c_name
+      GROUP BY comp.component
+    ), surv AS (
+      SELECT comp.component, MIN(n.c_name) AS canonical
+      FROM comp JOIN n ON n.c_name = comp.c_name
+      JOIN m ON m.component = comp.component AND n.n_rows = m.best_rows
+      GROUP BY comp.component
+    )
+    SELECT comp.c_name AS name, surv.canonical, m.cluster_size,
+           n.n_rows
+    FROM comp
+    JOIN n ON n.c_name = comp.c_name
+    JOIN m ON m.component = comp.component
+    JOIN surv ON surv.component = comp.component
+    """,
+)
+def pipe7_master_data_dedup(spark, sf_dir):
+    """PIPE7: end-to-end master-data deduplication — the composition
+    this session's pieces exist for. Stage 1: FastSS deletion-
+    neighborhood candidate generation + levenshtein verify over the
+    distinct-name vocabulary (`_ed1_name_pairs`, the l37 core — one
+    variant-key equi-join, never all-pairs). Stage 2: connected
+    components over the ed-1 name graph (`operators/dedup.
+    connected_components` — min-label, right for these lattice-shaped
+    low-diameter clusters). Stage 3: keep-best survivorship — the
+    canonical record is the name with the HIGHEST multiplicity
+    (most-observed spelling wins, the MDM convention), ties broken by
+    min name; two vocabulary-sized aggs, no window over corpus rows.
+
+    Everything after the corpus-collapsing first agg runs on
+    VOCABULARY-sized data; a 10x bigger corpus with the same
+    vocabulary re-scores nothing (the p16b linearity argument). The
+    oracle chains the same stages: quadratic levenshtein pair CTE
+    (small-SF affordable), recursive-CTE closure, the same two-step
+    survivor selection — so the hash certifies the COMPOSITION, not
+    just the parts."""
+    from finporter_spark.operators.dedup import connected_components
+
+    n = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    pairs = _ed1_name_pairs(n).select("name_a", "name_b")
+    comp = connected_components(pairs, "name_a", "name_b")
+    labeled = n.join(comp, n.c_name == comp.id, "left").select(
+        "c_name",
+        "n_rows",
+        F.coalesce(F.col("cluster"), F.col("c_name")).alias("component"),
+    )
+    m = labeled.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.max("n_rows").alias("best_rows"),
+    )
+    surv = (
+        labeled.join(F.broadcast(m), "component")
+        .filter(F.col("n_rows") == F.col("best_rows"))
+        .groupBy("component")
+        .agg(F.min("c_name").alias("canonical"))
+    )
+    return (
+        labeled.join(F.broadcast(m), "component")
+        .join(F.broadcast(surv), "component")
+        .select(
+            F.col("c_name").alias("name"),
+            "canonical",
+            "cluster_size",
+            "n_rows",
+        )
+    )
+
+
+# =====================================================================
+# W21 — rolling 7-day median of the daily value series
+# =====================================================================
+
+
+@query(
+    "w21_rolling_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(s AS DOUBLE) AS daily_value,
+           quantile_cont(s, 0.5) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM daily
+    """,
+)
+def w21_rolling_median(spark, sf_dir):
+    """W21: rolling 7-day MEDIAN of each type's daily value — the
+    robust rolling baseline (w11's EWMA and w12's z-score both lean on
+    means; one outlier day drags them, the median shrugs). Spark has
+    no percentile window function; the frame is TIME-DOMAIN-sized
+    (≤ 7 of the per-day rows, after the corpus collapses in one
+    map-combinable agg — the w18/w19/w20 move), so `collect_list` over
+    the frame + `array_sort` + closed-form interpolation is bounded
+    work per row, not a corpus buffer.
+
+    Cross-engine exactness: the daily sums stay DECIMAL; the median of
+    an ODD window is an exact decimal cast to double, and for an EVEN
+    window both engines halve exactly — DuckDB's lerp a·(1−d)+b·d at
+    d = 0.5 is fl(a/2 + b/2) with both halves exact (power-of-two
+    scaling), which equals Spark's fl((a+b)/2) — one rounding each,
+    same result, so the all-ties lerp hazard a29 hit cannot occur at
+    the 0.5 fraction."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col("s").cast("double")).over(w))
+    k = F.size(arr)
+    lo = F.element_at(arr, ((k + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (k / 2 + 1).cast("int"))
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("s").cast("double").alias("daily_value"),
+        F.when(k % 2 == 1, lo)
+        .otherwise(lo / 2 + hi / 2)
+        .alias("rolling_median"),
+    )

@@ -444,3 +444,66 @@ def test_a26_and_j9_no_pair_materialization(spark, sf_dir):
         )
         for d in nlj:
             assert "acctbal" not in d, (name, d)
+
+
+def test_master_data_dedup_survivorship(spark, tmp_path):
+    """pipe7 on a planted cluster: {cat, bat, bit} chain into ONE
+    component (cat-bat, bat-bit are ed-1; cat-bit is ed-2 but
+    connected transitively); the survivor is the highest-multiplicity
+    spelling, ties broken by min name; singletons self-canonicalize."""
+    rows = (
+        [("cat",)] * 3 + [("bat",)] * 5 + [("bit",)] * 2
+        + [("zebra",)]
+        + [("dog",)] * 2 + [("dot",)] * 2   # tie at 2 -> min name "dog"
+    )
+    spark.createDataFrame(rows, "c_name string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        r["name"]: (r["canonical"], r["cluster_size"], r["n_rows"])
+        for r in CATALOG["pipe7_master_data_dedup"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "cat": ("bat", 3, 3),
+        "bat": ("bat", 3, 5),
+        "bit": ("bat", 3, 2),
+        "zebra": ("zebra", 1, 1),
+        "dog": ("dog", 2, 2),
+        "dot": ("dog", 2, 2),
+    }
+
+
+def test_rolling_median_odd_even_windows(spark, tmp_path):
+    """w21 on a planted 4-day series: day 1 median = the value itself,
+    day 2 = mean of two, day 3 = middle of three, day 4 = mean of the
+    two middles of four."""
+    rows = [
+        ("t", "2024-01-01 00:00:00", 10.0),
+        ("t", "2024-01-02 00:00:00", 30.0),
+        ("t", "2024-01-03 00:00:00", 20.0),
+        ("t", "2024-01-04 00:00:00", 100.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select(
+        F.lit(1).alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1).alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["day"]: r["rolling_median"]
+        for r in CATALOG["w21_rolling_median"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "2024-01-01": 10.0,
+        "2024-01-02": 20.0,   # (10+30)/2
+        "2024-01-03": 20.0,   # middle of 10,20,30
+        "2024-01-04": 25.0,   # (20+30)/2 of 10,20,30,100
+    }

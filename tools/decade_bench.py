@@ -131,6 +131,8 @@ QUERIES = [
     "l38_sorted_neighborhood",
     "a29_decile_stats",
     "w20_cusum_drift",
+    "pipe7_master_data_dedup",
+    "w21_rolling_median",
 ]
 
 
