@@ -169,6 +169,9 @@ HEADLINE = [
     "w20_cusum_drift",
     "pipe7_master_data_dedup",
     "w21_rolling_median",
+    "a30_constrained_funnel",
+    "w22_seasonal_anomaly",
+    "m15_image_histogram",
 ]
 
 

@@ -1178,3 +1178,272 @@ def w21_rolling_median(spark, sf_dir):
         .otherwise(lo / 2 + hi / 2)
         .alias("rolling_median"),
     )
+
+
+# =====================================================================
+# A30 — time-constrained funnel (view -> click <=1h -> purchase <=24h)
+# =====================================================================
+
+_A30_CLICK_US = 3_600_000_000
+_A30_BUY_US = 86_400_000_000
+
+
+@query(
+    "a30_constrained_funnel",
+    f"""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v.v_us
+        AND epoch_us(e.ts) <= v.v_us + {_A30_CLICK_US}
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.c_us
+        AND epoch_us(e.ts) <= c.c_us + {_A30_BUY_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM c)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM v) AS click_rate,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM p)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM c) AS purchase_rate
+    """,
+)
+def a30_constrained_funnel(spark, sf_dir):
+    """A30: the TIME-CONSTRAINED funnel — a17 counts ordered
+    view→click→purchase; real funnels also bound the gaps (click
+    within 1 h of the first view, purchase within 24 h of that
+    click). Deadlines change the answer: a user who clicks a day
+    later converts in a17 but not here.
+
+    Scale shape: three map-combinable first-event aggs chained by
+    user-keyed equi-joins (merge-hinted: both sides corpus-scaled),
+    each stage shrinking the key set — never a corpus window, never a
+    pair join. Gap arithmetic runs on MICROSECOND BIGINTS
+    (`unix_micros` / `epoch_us`) — integer-exact on both engines, no
+    interval-type or timezone semantics in the hash path. Output is
+    one row of stage counts + conversion rates (double division of
+    exact bigints)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.hint("merge"), "user_id")
+        .filter(
+            (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + _A30_CLICK_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.hint("merge"), "user_id")
+        .filter(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + _A30_BUY_US)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_click_1h"))
+    np_ = p.agg(F.count("*").cast("bigint").alias("n_purchase_24h"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_1h",
+            "n_purchase_24h",
+            (
+                F.col("n_click_1h").cast("double")
+                / F.col("n_view").cast("double")
+            ).alias("click_rate"),
+            (
+                F.col("n_purchase_24h").cast("double")
+                / F.col("n_click_1h").cast("double")
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+# =====================================================================
+# W22 — seasonality-normalized volume ratio (anomaly screen)
+# =====================================================================
+
+
+@query(
+    "w22_seasonal_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), dow AS (
+      SELECT event_type, CAST(isodow(d) - 1 AS INT) AS dow,
+             CAST(SUM(s) AS DECIMAL(28,6)) AS dow_total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT daily.event_type, strftime(daily.d, '%Y-%m-%d') AS day,
+           CAST(daily.s AS DOUBLE) * CAST(dow.n_days AS DOUBLE)
+             / CAST(dow.dow_total AS DOUBLE) AS seasonal_ratio,
+           (CAST(daily.s AS DOUBLE) * CAST(dow.n_days AS DOUBLE)
+             / CAST(dow.dow_total AS DOUBLE) > 1.5
+            OR CAST(daily.s AS DOUBLE) * CAST(dow.n_days AS DOUBLE)
+             / CAST(dow.dow_total AS DOUBLE) < 0.5) AS is_anomaly
+    FROM daily
+    JOIN dow ON dow.event_type = daily.event_type
+            AND dow.dow = CAST(isodow(daily.d) - 1 AS INT)
+    """,
+)
+def w22_seasonal_anomaly(spark, sf_dir):
+    """W22: seasonality-NORMALIZED volume screen — each day's value
+    divided by its own weekday's mean (w19's profile applied back),
+    flagging days off by more than ±50%. The screen w12's plain
+    z-score gets wrong on weekly-seasonal data: a normal Saturday
+    looks anomalous against the all-days mean, and a broken Saturday
+    hides inside the all-days variance. Completes the time-series QA
+    set: trend (a21), persistence (w18), profile (w19), drift (w20),
+    robust outliers (w17), rolling baseline (w21), seasonal screen
+    (w22).
+
+    Exactness: ratio = s·n_dow / dow_total keeps every input
+    DECIMAL-exact (no mean is materialized — the w20 scaling trick);
+    the one double expression evaluates on identical operands, so the
+    ratio and the threshold booleans hash identically cross-engine.
+    The corpus collapses to (type, day) in one map-combinable agg;
+    everything after is domain-sized with a broadcast profile join."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    dow = daily.groupBy(
+        "event_type", F.weekday("d").cast("int").alias("dow")
+    ).agg(
+        F.sum("s").cast("decimal(28,6)").alias("dow_total"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    ratio = (
+        F.col("s").cast("double")
+        * F.col("n_days").cast("double")
+        / F.col("dow_total").cast("double")
+    )
+    return (
+        daily.withColumn("dow", F.weekday("d").cast("int"))
+        .join(F.broadcast(dow), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            ratio.alias("seasonal_ratio"),
+            ((ratio > 1.5) | (ratio < 0.5)).alias("is_anomaly"),
+        )
+    )
+
+
+# =====================================================================
+# M15 — per-channel 16-bin image histograms over staged PNG
+# =====================================================================
+
+
+@query(
+    "m15_image_histogram",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest([0, 1, 2]) AS channel FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(channel AS INT) AS channel,
+             (doc_id + channel) % 16 AS ba,
+             (doc_id + 7 * channel + 5) % 16 AS bb
+      FROM ch
+    )
+    SELECT doc_id, channel, CAST(ba AS INT) AS bin,
+           CAST(CASE WHEN ba = bb THEN 256 ELSE 128 END AS BIGINT) AS n
+    FROM b
+    UNION ALL
+    SELECT doc_id, channel, CAST(bb AS INT), CAST(128 AS BIGINT)
+    FROM b WHERE ba <> bb
+    """,
+)
+def m15_image_histogram(spark, sf_dir):
+    """M15: per-channel 16-bin luminance histograms over REAL PNG —
+    the image-quality gate feature (flat/blown-out/bimodal exposure
+    shows up directly in the bins; a curation pipeline thresholds on
+    them before spending decode budget downstream). Each doc stages as
+    a 16x16 RGB PNG whose top half is solid tone A(doc, channel) and
+    bottom half solid tone B — the analytic oracle enumerates exactly
+    which two bins (or one, when A and B collide) hold 128 (or 256)
+    pixels.
+
+    The operator is the real path: full `png_decode` (zlib inflate +
+    unfilter) + ONE vectorized `np.bincount` per image over
+    `pixels >> 4`, inside Arrow-batched `mapInPandas`; pixels never
+    shuffle — only (doc_id, channel, bin, n) rows leave the executor,
+    and zero bins are omitted (sparse histogram contract, matching
+    the oracle's inner shape)."""
+    import numpy as np
+
+    from finporter_spark.operators.multimodal import png_decode, png_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                px = np.zeros((16, 16, 3), dtype=np.uint8)
+                for c in range(3):
+                    px[:8, :, c] = ((i + c) % 16) * 16 + 8
+                    px[8:, :, c] = ((i + 7 * c + 5) % 16) * 16 + 3
+                content.append(png_encode(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": content}
+            )
+
+    from finporter_spark.queries.catalog_ext import _stage_media
+
+    media = _stage_media(spark, sf_dir, "m15_media", _make)
+
+    def _hist(batches):
+        for pdf in batches:
+            ids, chans, bins, ns = [], [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["content"]):
+                px = png_decode(bytes(b))
+                for c in range(px.shape[2]):
+                    counts = np.bincount(
+                        (px[:, :, c] >> 4).ravel(), minlength=16
+                    )
+                    nz = np.nonzero(counts)[0]
+                    ids.extend([int(i)] * len(nz))
+                    chans.extend([c] * len(nz))
+                    bins.extend(int(x) for x in nz)
+                    ns.extend(int(counts[x]) for x in nz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "channel": pd.array(chans, dtype="int32"),
+                    "bin": pd.array(bins, dtype="int32"),
+                    "n": pd.array(ns, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _hist, "doc_id bigint, channel int, bin int, n bigint"
+    )

@@ -507,3 +507,82 @@ def test_rolling_median_odd_even_windows(spark, tmp_path):
         "2024-01-03": 20.0,   # middle of 10,20,30
         "2024-01-04": 25.0,   # (20+30)/2 of 10,20,30,100
     }
+
+
+def test_constrained_funnel_deadline_boundaries(spark, tmp_path):
+    """a30's gap bounds are exact microsecond integers: a click at
+    EXACTLY view+1h converts, one microsecond later does not; a
+    purchase before the click never counts."""
+    rows = [
+        # user 1: click exactly at +1h -> counts; purchase at +24h
+        # after click -> counts
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-02 01:00:00"),
+        # user 2: click 1 microsecond past the deadline -> out
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-01 01:00:00.000001"),
+        # user 3: purchase BEFORE its click -> click counts, buy not
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "purchase", "2024-01-01 00:10:00"),
+        (3, "click", "2024-01-01 00:30:00"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts_s string"
+    ).select(
+        F.lit(1).alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = CATALOG["a30_constrained_funnel"][0](spark, str(tmp_path)).collect()[0]
+    assert (r["n_view"], r["n_click_1h"], r["n_purchase_24h"]) == (3, 2, 1)
+
+
+def test_seasonal_anomaly_flags_planted_day(spark, tmp_path):
+    """w22 flags a 10x-volume day against its own weekday's mean and
+    leaves the normal weeks unflagged."""
+    rows = []
+    # four normal Saturdays at 100, one blown-out Saturday at 1000
+    for day, val in [
+        ("2024-01-06", 100.0), ("2024-01-13", 100.0),
+        ("2024-01-20", 100.0), ("2024-01-27", 100.0),
+        ("2024-02-03", 1000.0),
+    ]:
+        rows.append(("t", f"{day} 12:00:00", val))
+    spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select(
+        F.lit(1).alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1).alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["day"]: (round(r["seasonal_ratio"], 6), r["is_anomaly"])
+        for r in CATALOG["w22_seasonal_anomaly"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # dow mean = 1400/5 = 280; normal ratio 100/280, planted 1000/280
+    assert out["2024-02-03"] == (round(1000 / 280, 6), True)
+    assert out["2024-01-06"] == (round(100 / 280, 6), True)  # < 0.5 side
+    assert all(d in out for d in (
+        "2024-01-13", "2024-01-20", "2024-01-27"))
+
+
+def test_image_histogram_invariants(spark, sf_dir):
+    """m15: sparse bins only (n > 0), bins in [0, 16), and every
+    (doc, channel)'s counts sum to the full 256-pixel image."""
+    rows = CATALOG["m15_image_histogram"][0](spark, sf_dir).collect()
+    assert rows
+    sums: dict[tuple, int] = {}
+    for r in rows:
+        assert 0 <= r["bin"] < 16 and r["n"] > 0
+        k = (r["doc_id"], r["channel"])
+        sums[k] = sums.get(k, 0) + r["n"]
+    assert set(sums.values()) == {256}

@@ -133,6 +133,8 @@ QUERIES = [
     "w20_cusum_drift",
     "pipe7_master_data_dedup",
     "w21_rolling_median",
+    "a30_constrained_funnel",
+    "w22_seasonal_anomaly",
 ]
 
 
