@@ -172,6 +172,7 @@ HEADLINE = [
     "a30_constrained_funnel",
     "w22_seasonal_anomaly",
     "m15_image_histogram",
+    "f4_portfolio_concentration",
 ]
 
 

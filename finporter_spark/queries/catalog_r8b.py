@@ -1447,3 +1447,76 @@ def m15_image_histogram(spark, sf_dir):
     return media.mapInPandas(
         _hist, "doc_id bigint, channel int, bin int, n bigint"
     )
+
+
+# =====================================================================
+# F4 — portfolio concentration (Herfindahl index per customer)
+# =====================================================================
+
+
+@query(
+    "f4_portfolio_concentration",
+    """
+    WITH spend AS (
+      SELECT o.o_custkey,
+             p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS s
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_brands,
+             CAST(SUM(CAST(s AS DECIMAL(28,6)) * CAST(s AS DECIMAL(28,6)))
+                  AS DOUBLE) AS ssq,
+             CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS tot
+      FROM spend GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_brands, ssq / (tot * tot) AS hhi
+    FROM agg
+    """,
+)
+def f4_portfolio_concentration(spark, sf_dir):
+    """F4: portfolio concentration — the Herfindahl–Hirschman index of
+    each customer's spend across brands (Σ share² ∈ (1/n_brands, 1];
+    1 = everything in one brand). The diversification readout a
+    portfolio tool pairs with f1's rebalance drift: drift says you
+    moved off target, HHI says how concentrated you've become.
+
+    Exactness: HHI = Σ(s_b/t)² would sum DOUBLES in engine-specific
+    order (non-associative, 1-ulp wobble); instead Σ s_b² and t stay
+    DECIMAL-exact through the aggs and the index is the SINGLE double
+    division Σs_b²/t² at the end — deterministic cross-engine on
+    identical operands (the w20/w22 no-materialized-division rule,
+    applied to a quadratic form). Plan: two map-combinable keyed aggs
+    ((cust, brand) spend, then per-cust moments) behind the standard
+    fact-dim joins — corpus never windows, fan-in bounded by the
+    25-brand domain."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    spend = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(p.hint("merge"), li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("s")
+        )
+    )
+    sd = F.col("s").cast("decimal(28,6)")
+    agg = spend.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_brands"),
+        F.sum(sd * sd).cast("double").alias("ssq"),
+        F.sum(sd).cast("double").alias("tot"),
+    )
+    return agg.select(
+        "o_custkey",
+        "n_brands",
+        (F.col("ssq") / (F.col("tot") * F.col("tot"))).alias("hhi"),
+    )

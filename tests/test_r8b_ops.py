@@ -586,3 +586,29 @@ def test_image_histogram_invariants(spark, sf_dir):
         k = (r["doc_id"], r["channel"])
         sums[k] = sums.get(k, 0) + r["n"]
     assert set(sums.values()) == {256}
+
+
+def test_hhi_known_portfolio(spark, tmp_path):
+    """f4 on a hand portfolio: 75/25 split -> HHI 0.625; single brand
+    -> exactly 1.0."""
+    li = [
+        (1, 10, 75.0), (1, 20, 25.0),   # cust A via order 1
+        (2, 10, 50.0),                   # cust B: one brand -> 1.0
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], "o_orderkey bigint, o_custkey bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "A"), (20, "B")], "p_partkey bigint, p_brand string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {
+        r["o_custkey"]: (r["n_brands"], r["hhi"])
+        for r in CATALOG["f4_portfolio_concentration"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[100] == (2, 0.625)  # 0.75^2 + 0.25^2
+    assert out[200] == (1, 1.0)

@@ -135,6 +135,7 @@ QUERIES = [
     "w21_rolling_median",
     "a30_constrained_funnel",
     "w22_seasonal_anomaly",
+    "f4_portfolio_concentration",
 ]
 
 
