@@ -173,6 +173,8 @@ HEADLINE = [
     "w22_seasonal_anomaly",
     "m15_image_histogram",
     "f4_portfolio_concentration",
+    "a31_cohort_ltv",
+    "w23_day_coverage",
 ]
 
 

@@ -1520,3 +1520,165 @@ def f4_portfolio_concentration(spark, sf_dir):
         "n_brands",
         (F.col("ssq") / (F.col("tot") * F.col("tot"))).alias("hhi"),
     )
+
+
+# =====================================================================
+# A31 — cumulative cohort LTV (revenue per user by cohort week/offset)
+# =====================================================================
+
+
+@query(
+    "a31_cohort_ltv",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE) AS w0
+      FROM events GROUP BY user_id
+    ), cs AS (
+      SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY w0
+    ), rev AS (
+      SELECT f.w0,
+             CAST(floor(date_diff('day', f.w0, CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS wk,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS revenue
+      FROM events e JOIN f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT w0, wk, revenue,
+             CAST(SUM(revenue) OVER (PARTITION BY w0 ORDER BY wk
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum_revenue
+      FROM rev
+    )
+    SELECT strftime(cum.w0, '%Y-%m-%d') AS cohort_week,
+           cum.wk AS week_offset,
+           CAST(cum.revenue AS DOUBLE) AS revenue,
+           CAST(cum.cum_revenue AS DOUBLE) AS cum_revenue,
+           CAST(cum.cum_revenue AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+             AS ltv_per_user
+    FROM cum JOIN cs ON cs.w0 = cum.w0
+    """,
+)
+def a31_cohort_ltv(spark, sf_dir):
+    """A31: cumulative lifetime value per weekly cohort — purchase
+    revenue accumulated across week offsets, normalized by cohort
+    size. The money companion to a26's retention matrix: retention
+    says who came back, LTV says what they were worth by week N.
+
+    Scale shape: a26's skeleton (first-seen keyed agg, merge-hinted
+    user-keyed join back, offsets by day arithmetic) with the revenue
+    agg collapsing straight to (cohort, offset) — the running sum then
+    windows over DOMAIN-sized partitions (≤ weeks² cells), never
+    corpus rows. Revenue stays DECIMAL through the agg AND the
+    cumulative window; per-user normalization is one double division
+    against the broadcast cohort sizes."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        "value",
+    )
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("d"))).alias("w0")
+    )
+    cs = first.groupBy("w0").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first.hint("merge"), "user_id")
+        .groupBy(
+            "w0",
+            F.floor(F.datediff("d", "w0") / 7).cast("bigint").alias("wk"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("w0")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn(
+        "cum_revenue", F.sum("revenue").over(w).cast("decimal(38,6)")
+    )
+    return cum.join(F.broadcast(cs), "w0").select(
+        F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("wk").alias("week_offset"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+        (
+            F.col("cum_revenue").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("ltv_per_user"),
+    )
+
+
+# =====================================================================
+# W23 — day-coverage completeness check against the date spine
+# =====================================================================
+
+
+@query(
+    "w23_day_coverage",
+    """
+    WITH daily AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events
+    ), span AS (
+      SELECT event_type, MIN(d) AS d0, MAX(d) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           strftime(d0, '%Y-%m-%d') AS first_day,
+           strftime(d1, '%Y-%m-%d') AS last_day,
+           CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_expected,
+           n_present,
+           CAST(date_diff('day', d0, d1) + 1 - n_present AS BIGINT)
+             AS n_missing,
+           CAST(n_present AS DOUBLE)
+             / CAST(date_diff('day', d0, d1) + 1 AS DOUBLE) AS coverage
+    FROM span
+    """,
+)
+def w23_day_coverage(spark, sf_dir):
+    """W23: data-completeness check — for each event type, the
+    expected day count across its own [first, last] span vs the days
+    actually present, with the gap count and coverage ratio. The
+    ingest-monitoring primitive a pipeline runs BEFORE trusting any
+    daily-series operator (w11/w17-w22 all assume the days they see
+    are the days there were; this is the check that says so).
+
+    Scale shape: the corpus collapses to DISTINCT (type, day) in one
+    keyed exchange; everything after is |types|-sized arithmetic —
+    day counting needs no spine materialization at all (expected =
+    span length, missing = expected − present), so nothing here even
+    allocates per-day state. Integer day arithmetic is exact on both
+    engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.select(
+        "event_type", F.to_date("ts").alias("d")
+    ).distinct()
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count("*").cast("bigint").alias("n_present"),
+    )
+    n_expected = (F.datediff("d1", "d0") + 1).cast("bigint")
+    return span.select(
+        "event_type",
+        F.date_format("d0", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("d1", "yyyy-MM-dd").alias("last_day"),
+        n_expected.alias("n_expected"),
+        "n_present",
+        (n_expected - F.col("n_present")).cast("bigint").alias("n_missing"),
+        (
+            F.col("n_present").cast("double")
+            / n_expected.cast("double")
+        ).alias("coverage"),
+    )

@@ -612,3 +612,63 @@ def test_hhi_known_portfolio(spark, tmp_path):
     }
     assert out[100] == (2, 0.625)  # 0.75^2 + 0.25^2
     assert out[200] == (1, 1.0)
+
+
+def test_cohort_ltv_accumulates(spark, tmp_path):
+    """a31 on a hand fixture: purchases accumulate across offsets and
+    normalize by cohort size; non-purchase events count toward the
+    cohort but not the revenue."""
+    rows = [
+        (1, "view", "2024-01-01 08:00:00", 999.0),      # cohort, no rev
+        (1, "purchase", "2024-01-02 08:00:00", 10.0),    # wk 0
+        (1, "purchase", "2024-01-09 08:00:00", 30.0),    # wk 1
+        (2, "view", "2024-01-03 08:00:00", 999.0),       # same cohort
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts_s string, value double"
+    ).select(
+        F.lit(1).alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["revenue"], r["cum_revenue"], r["ltv_per_user"]
+        )
+        for r in CATALOG["a31_cohort_ltv"][0](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (10.0, 10.0, 5.0),
+        ("2024-01-01", 1): (30.0, 40.0, 20.0),
+    }
+
+
+def test_day_coverage_counts_gaps(spark, tmp_path):
+    """w23 on a planted series with two missing days inside the span:
+    expected = span length, missing = 2, coverage = 3/5."""
+    rows = [
+        ("t", "2024-01-01 10:00:00"), ("t", "2024-01-02 10:00:00"),
+        # 01-03 and 01-04 missing
+        ("t", "2024-01-05 10:00:00"),
+        ("u", "2024-02-01 00:00:00"),  # single-day type: full coverage
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        F.lit(1).alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1).alias("user_id"),
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: (
+            r["n_expected"], r["n_present"], r["n_missing"], r["coverage"]
+        )
+        for r in CATALOG["w23_day_coverage"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"t": (5, 3, 2, 0.6), "u": (1, 1, 0, 1.0)}

@@ -136,6 +136,8 @@ QUERIES = [
     "a30_constrained_funnel",
     "w22_seasonal_anomaly",
     "f4_portfolio_concentration",
+    "a31_cohort_ltv",
+    "w23_day_coverage",
 ]
 
 
