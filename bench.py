@@ -175,6 +175,8 @@ HEADLINE = [
     "f4_portfolio_concentration",
     "a31_cohort_ltv",
     "w23_day_coverage",
+    "a32_path_trigrams",
+    "l39_char_entropy",
 ]
 
 

@@ -1682,3 +1682,124 @@ def w23_day_coverage(spark, sf_dir):
             / n_expected.cast("double")
         ).alias("coverage"),
     )
+
+
+# =====================================================================
+# A32 — user-journey path trigrams
+# =====================================================================
+
+
+@query(
+    "a32_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def a32_path_trigrams(spark, sf_dir):
+    """A32: user-journey path mining — every 3-step event-type
+    sequence a user walks, counted corpus-wide (the "view>click>
+    purchase vs view>view>view" shape question behind funnel design;
+    a17/a30 test ONE path, this surfaces which paths exist).
+
+    Scale shape: one window over per-user partitions (two LEADs on a
+    (ts, event_id) total order — map-side once the user shuffle lands;
+    the per-user partition is the same width w2/w6 already carry) and
+    one keyed agg landing on the |types|³-bounded path domain. No
+    collect_list — a hot user costs sort time, never memory (two
+    LEADs are constant per row where collecting the user's whole
+    history would not be)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# =====================================================================
+# L39 — character-entropy gibberish score per document
+# =====================================================================
+
+
+@query(
+    "l39_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ), cnt AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars
+      WHERE ch <> '' GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM cnt GROUP BY doc_id
+    ), ent AS (
+      SELECT cnt.doc_id,
+             SUM(-(CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * log2(CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+               AS entropy
+      FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+      GROUP BY cnt.doc_id
+    )
+    SELECT ent.doc_id, tot.n AS n_chars, tot.n_distinct,
+           round(ent.entropy, 9) AS entropy_bits
+    FROM ent JOIN tot ON tot.doc_id = ent.doc_id
+    """,
+)
+def l39_char_entropy(spark, sf_dir):
+    """L39: character-level Shannon entropy per document — the
+    gibberish/boilerplate screen (natural prose sits ~4 bits/char;
+    base64 blobs and key-mash spike toward log2|alphabet|, repeated
+    template filler collapses toward 0). Complements l4's ratio
+    heuristics and l26's trained classifier with a model-free signal.
+
+    Scale shape: explode to (doc, char) — linear in corpus chars,
+    exactly l7/l8's token-explode cost — then two keyed aggs; the
+    entropy sum runs over ≤|alphabet| rows per doc. The p·log2(p)
+    terms are double (log2 has no decimal form); per-doc summation
+    order is engine-specific, but the sum spans ≤ ~100 terms of
+    magnitude ≤ 1, so the wobble is ≤ ~1e-15 — both engines ROUND TO
+    9 DP inside the query (the comparator's own quantum, here made
+    part of the contract) so the hash is exact by construction."""
+    e = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cnt = (
+        e.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        cnt.join(tot.hint("merge"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(-p * F.log2(p)).alias("entropy"))
+    )
+    return ent.join(tot.hint("merge"), "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "n_distinct",
+        F.round("entropy", 9).alias("entropy_bits"),
+    )

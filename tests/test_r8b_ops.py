@@ -672,3 +672,43 @@ def test_day_coverage_counts_gaps(spark, tmp_path):
         ).collect()
     }
     assert out == {"t": (5, 3, 2, 0.6), "u": (1, 1, 0, 1.0)}
+
+
+def test_path_trigrams_ordering_and_count(spark, tmp_path):
+    """a32 walks each user's events in (ts, event_id) order: a 4-event
+    user yields exactly two overlapping trigrams; same-ts events break
+    ties by event_id."""
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:01"),
+        (1, 2, "b", "2024-01-01 00:00:02"),
+        (1, 3, "c", "2024-01-01 00:00:03"),
+        (1, 4, "d", "2024-01-01 00:00:03"),   # same ts as 3 -> after it
+        (2, 5, "x", "2024-01-01 00:00:01"),   # 1 event: no trigram
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, ts_s string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["path"]: r["n"]
+        for r in CATALOG["a32_path_trigrams"][0](spark, str(tmp_path)).collect()
+    }
+    assert out == {"a>b>c": 1, "b>c>d": 1}
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """l39 on hand strings: a single repeated char has entropy 0; a
+    perfectly uniform 2-char string has exactly 1 bit."""
+    rows = [(1, "aaaa", "en", "s", 4), (2, "abab", "en", "s", 4)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_chars"], r["n_distinct"], r["entropy_bits"])
+        for r in CATALOG["l39_char_entropy"][0](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (4, 1, 0.0), 2: (4, 2, 1.0)}
