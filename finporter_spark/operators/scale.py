@@ -672,3 +672,75 @@ def global_rank(
         .withColumn("n_total", F.lit(total).cast("bigint"))
         .drop("_pid")
     )
+
+
+def global_order_ffill(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "_ffill",
+    nparts: int = 32,
+) -> DataFrame:
+    """LAST_VALUE(... IGNORE NULLS) over a GLOBAL order without the
+    single-task window — forward-fill across a corpus-wide sort.
+
+    ``last_value(x ignore nulls) OVER (ORDER BY ...)`` with no
+    PARTITION BY is the same 100 TB-killer as global row_number: one
+    task sorts and scans everything. The distributed shape mirrors
+    :func:`global_rank`'s ladder: range-partition on the order
+    (parallel sorts), forward-fill WITHIN each partition with a plain
+    window, then carry each partition's LAST non-null value into every
+    later partition — per-partition lasts are one bounded driver
+    collect (``max_by`` over the order, deterministic), prefix-scanned
+    in driver Python, and mapped back as literals. The range shuffle is
+    ``localCheckpoint``-pinned (Spark 4's range sampling is
+    nondeterministic across jobs — the z6 lesson) so the carry job and
+    the fill job read identical partition boundaries.
+
+    ``order_cols`` must be a total order. Rows before the first
+    non-null value fill with NULL. Returns ``df`` + ``out_col``.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    ranked = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranked.withColumn(
+        "_local", F.last(value_col, ignorenulls=True).over(w)
+    )
+    lasts = {
+        r._pid: r.last_v
+        for r in ranked.filter(F.col(value_col).isNotNull())
+        .groupBy("_pid")
+        .agg(F.max_by(value_col, F.struct(*cols)).alias("last_v"))
+        .collect()
+    }
+    carry, running = {}, None
+    for pid in range(nparts):
+        carry[pid] = running
+        if pid in lasts:
+            running = lasts[pid]
+    items = [(pid, v) for pid, v in carry.items() if v is not None]
+    if items:
+        carry_expr = F.create_map(
+            *[F.lit(x) for pid, v in items for x in (pid, v)]
+        )
+        filled = local.withColumn(
+            "_carry", F.element_at(carry_expr, F.col("_pid"))
+        )
+    else:
+        filled = local.withColumn("_carry", F.lit(None))
+    return (
+        filled.withColumn(
+            out_col, F.coalesce(F.col("_local"), F.col("_carry"))
+        )
+        .drop("_pid", "_local", "_carry")
+    )

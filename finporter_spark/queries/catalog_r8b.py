@@ -1803,3 +1803,63 @@ def l39_char_entropy(spark, sf_dir):
         "n_distinct",
         F.round("entropy", 9).alias("entropy_bits"),
     )
+
+
+# =====================================================================
+# J11 — nearest-below value join (greatest customer balance <= each
+# supplier's balance) via distributed global forward-fill
+# =====================================================================
+
+
+@query(
+    "j11_nearest_below_join",
+    """
+    SELECT s_suppkey, s_acctbal,
+           (SELECT MAX(c_acctbal) FROM customer
+            WHERE c_acctbal <= s.s_acctbal) AS nearest_below
+    FROM supplier s
+    """,
+)
+def j11_nearest_below_join(spark, sf_dir):
+    """J11: nearest-value join — for every supplier, the greatest
+    customer balance at or below its own. The 1-D nearest-neighbor
+    alignment (price banding, sensor sync, quote-to-trade matching)
+    that a naive engine writes as a correlated MAX subquery — a
+    per-row corpus scan, the oracle's (small-SF-affordable) shape.
+
+    The scale plan is a MERGE: union both sides into one value-ordered
+    stream (customers sort BEFORE the supplier at an equal value —
+    encoded in the order key — so ties satisfy the <= contract), then
+    :func:`finporter_spark.operators.scale.global_order_ffill` carries
+    the last customer balance forward across the global order —
+    range-partitioned parallel sorts, per-partition windows, one
+    bounded driver carry ladder; no row pairs, no correlated scan,
+    O(|S|+|C|) through one range exchange. Suppliers below every
+    customer keep NULL (nothing to fill yet), matching the oracle's
+    empty-set MAX."""
+    from finporter_spark.operators.scale import global_order_ffill
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.col("s_acctbal").alias("v"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("cbal"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit(None).cast("bigint").alias("s_suppkey"),
+        F.lit(None).cast("double").alias("s_acctbal"),
+        F.col("c_acctbal").alias("v"),
+        F.lit(0).alias("side"),
+        F.col("c_acctbal").alias("cbal"),
+    )
+    merged = c.unionByName(s)
+    filled = global_order_ffill(
+        merged,
+        ["v", "side", "s_suppkey"],
+        "cbal",
+        out_col="nearest_below",
+    )
+    return filled.filter(F.col("side") == 1).select(
+        "s_suppkey", "s_acctbal", "nearest_below"
+    )

@@ -712,3 +712,48 @@ def test_char_entropy_known_values(spark, tmp_path):
         for r in CATALOG["l39_char_entropy"][0](spark, str(tmp_path)).collect()
     }
     assert out == {1: (4, 1, 0.0), 2: (4, 2, 1.0)}
+
+
+def test_global_order_ffill_carries_across_partitions(spark):
+    """global_order_ffill: with 8 range partitions over 200 rows and
+    only ONE non-null value near the start, every later row — in every
+    later partition — must receive the carried value, and rows before
+    it stay null. Equivalent single-partition window oracle inline."""
+    from finporter_spark.operators.scale import global_order_ffill
+
+    rows = [(i, 42.0 if i == 10 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, x double")
+    out = {
+        r["k"]: r["_ffill"]
+        for r in global_order_ffill(df, ["k"], "x", nparts=8).collect()
+    }
+    assert all(out[k] is None for k in range(10))
+    assert all(out[k] == 42.0 for k in range(10, 200))
+    # denser case: every 17th row non-null, value = its index
+    rows = [(i, float(i) if i % 17 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, x double")
+    out = {
+        r["k"]: r["_ffill"]
+        for r in global_order_ffill(df, ["k"], "x", nparts=8).collect()
+    }
+    for k in range(200):
+        assert out[k] == float(k - k % 17)
+
+
+def test_nearest_below_tie_and_empty(spark, tmp_path):
+    """j11: a customer balance EQUAL to the supplier's counts
+    (<= contract); a supplier below every customer gets NULL."""
+    spark.createDataFrame(
+        [(1, 500.0), (2, 100.0), (3, 2000.0)],
+        "s_suppkey bigint, s_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(500.0,), (450.0,), (1500.0,)], "c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        r["s_suppkey"]: r["nearest_below"]
+        for r in CATALOG["j11_nearest_below_join"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: 500.0, 2: None, 3: 1500.0}

@@ -140,6 +140,7 @@ QUERIES = [
     "w23_day_coverage",
     "a32_path_trigrams",
     "l39_char_entropy",
+    "j11_nearest_below_join",
 ]
 
 
