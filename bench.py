@@ -178,6 +178,8 @@ HEADLINE = [
     "a32_path_trigrams",
     "l39_char_entropy",
     "j11_nearest_below_join",
+    "a33_gini_coefficient",
+    "m16_silence_bounds",
 ]
 
 

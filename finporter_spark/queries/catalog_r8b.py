@@ -1863,3 +1863,165 @@ def j11_nearest_below_join(spark, sf_dir):
     return filled.filter(F.col("side") == 1).select(
         "s_suppkey", "s_acctbal", "nearest_below"
     )
+
+
+# =====================================================================
+# A33 — Gini coefficient of customer spend
+# =====================================================================
+
+
+@query(
+    "a33_gini_coefficient",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(28,4)) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM spend
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS total,
+             CAST(SUM(CAST(i AS DECIMAL(18,0)) * CAST(x AS DECIMAL(28,4)))
+                  AS DOUBLE) AS wsum
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           total AS total_spend,
+           2.0 * wsum / (n * total) - (n + 1.0) / n AS gini
+    FROM g
+    """,
+)
+def a33_gini_coefficient(spark, sf_dir):
+    """A33: Gini coefficient of customer spend — the inequality
+    readout (0 = everyone spends alike, →1 = one whale). Uses the
+    rank-weighted identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over
+    ascending-sorted spend, which needs a GLOBAL rank — the oracle's
+    `ROW_NUMBER() OVER (ORDER BY …)` is the single-task trap, and the
+    scale path is `operators/scale.global_rank`'s TeraSort ladder
+    (third composition of that primitive this round, after z6 and
+    l38). Σ i·xᵢ stays DECIMAL-exact (bigint rank × decimal spend);
+    the closed form runs once in double. Ties in spend break by
+    customer key on BOTH engines, making the rank — and therefore the
+    weighted sum — identical even though tied x values make G itself
+    tie-insensitive (equal x under different i sum to the same
+    total; the determinism is still pinned for the hash)."""
+    from finporter_spark.operators.scale import global_rank
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("x")
+    )
+    ranked = global_rank(spend, ["x", "o_custkey"])
+    g = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("total"),
+        F.sum(
+            F.col("rnk").cast("decimal(18,0)")
+            * F.col("x").cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("wsum"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("total").alias("total_spend"),
+        (
+            2.0 * F.col("wsum") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n")
+        ).alias("gini"),
+    )
+
+
+# =====================================================================
+# M16 — silence-bound trimming over staged PCM WAV
+# =====================================================================
+
+
+@query(
+    "m16_silence_bounds",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 3 + doc_id % 3)) AS wi
+      FROM documents
+    ), loud AS (
+      SELECT doc_id, wi FROM w WHERE (doc_id + wi) % 4 <> 0
+    )
+    SELECT doc_id,
+           CAST(MIN(wi) AS INT) AS first_loud,
+           CAST(MAX(wi) AS INT) AS last_loud,
+           CAST(COUNT(*) AS BIGINT) AS n_loud
+    FROM loud GROUP BY doc_id
+    """,
+)
+def m16_silence_bounds(spark, sf_dir):
+    """M16: silence-bound detection — the trim step a speech pipeline
+    runs after m14's RMS pass (leading/trailing silence wastes decode
+    and tokenizer budget downstream). Each doc stages as 4 + doc_id%3
+    windows of 256 samples where window w is SILENT (all zeros) when
+    (doc_id + w) % 4 == 0 and a ±800 square wave otherwise — so
+    first/last loud window and the loud count are analytic. Docs whose
+    windows are ALL silent would be absent (inner grouping); the
+    staging always leaves a loud window, and the operator's contract
+    (absent = fully silent clip) matches the oracle's.
+
+    Operator: `wav_decode` + the m14 `_window_rms` helper + one
+    threshold scan per clip in Arrow-batched `mapInPandas` — samples
+    never shuffle; (doc_id, first, last, count) is all that leaves."""
+    import numpy as np
+
+    from finporter_spark.operators.audio import wav_decode, wav_encode
+
+    def _make(batches):
+        for pdf in batches:
+            content = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nw = 4 + i % 3
+                parts = []
+                for w in range(nw):
+                    if (i + w) % 4 == 0:
+                        parts.append(np.zeros(256, dtype=np.int64))
+                    else:
+                        blk = np.full(256, 800, dtype=np.int64)
+                        blk[1::2] = -800
+                        parts.append(blk)
+                content.append(wav_encode(np.concatenate(parts), 16000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": content}
+            )
+
+    from finporter_spark.queries.catalog_ext import _stage_media
+
+    media = _stage_media(spark, sf_dir, "m16_media", _make)
+
+    def _bounds(batches):
+        for pdf in batches:
+            ids, firsts, lasts, ns = [], [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["content"]):
+                _rate, samples = wav_decode(bytes(b))
+                r = _window_rms(samples[:, 0], 256)
+                loud = np.nonzero(r > 1.0)[0]
+                if len(loud) == 0:
+                    continue  # fully silent clip: absent by contract
+                ids.append(int(i))
+                firsts.append(int(loud[0]))
+                lasts.append(int(loud[-1]))
+                ns.append(int(len(loud)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "first_loud": pd.array(firsts, dtype="int32"),
+                    "last_loud": pd.array(lasts, dtype="int32"),
+                    "n_loud": pd.array(ns, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _bounds,
+        "doc_id bigint, first_loud int, last_loud int, n_loud bigint",
+    )

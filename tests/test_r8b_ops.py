@@ -757,3 +757,39 @@ def test_nearest_below_tie_and_empty(spark, tmp_path):
         ).collect()
     }
     assert out == {1: 500.0, 2: None, 3: 1500.0}
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """a33 on hand distributions: equal spends -> Gini 0; the exact
+    rank-weighted value for a known unequal split."""
+    import os, tempfile
+
+    def run(spends):
+        td = tempfile.mkdtemp()
+        spark.createDataFrame(
+            [(i, i, float(s)) for i, s in enumerate(spends)],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        ).write.mode("overwrite").parquet(os.path.join(td, "orders.parquet"))
+        return CATALOG["a33_gini_coefficient"][0](spark, td).collect()[0]
+
+    r = run([100.0, 100.0, 100.0, 100.0])
+    assert r["n_customers"] == 4 and abs(r["gini"]) < 1e-12
+    # x = [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    r = run([1.0, 2.0, 3.0, 4.0])
+    assert math.isclose(r["gini"], 0.25, rel_tol=1e-12)
+
+
+def test_silence_bounds_trims_correctly(spark, sf_dir):
+    """m16: bounds sit inside the window range, first <= last, and the
+    loud count never exceeds the clip's window count (4 + doc_id%3)."""
+    rows = CATALOG["m16_silence_bounds"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        nw = 4 + r["doc_id"] % 3
+        assert 0 <= r["first_loud"] <= r["last_loud"] < nw
+        assert 1 <= r["n_loud"] <= nw
+        # staged pattern: exactly the windows with (doc+w) % 4 != 0
+        want = [w for w in range(nw) if (r["doc_id"] + w) % 4 != 0]
+        assert (r["first_loud"], r["last_loud"], r["n_loud"]) == (
+            want[0], want[-1], len(want)
+        )

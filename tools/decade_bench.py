@@ -141,6 +141,7 @@ QUERIES = [
     "a32_path_trigrams",
     "l39_char_entropy",
     "j11_nearest_below_join",
+    "a33_gini_coefficient",
 ]
 
 
