@@ -163,9 +163,7 @@ def a26_retention_cohorts(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    first = e.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("d"))).alias("w0")
-    )
+    first, cs = _user_cohorts(e)
     act = (
         e.join(first.hint("merge"), "user_id")
         .select(
@@ -174,9 +172,6 @@ def a26_retention_cohorts(spark, sf_dir):
             F.floor(F.datediff("d", "w0") / 7).cast("bigint").alias("wk"),
         )
         .distinct()
-    )
-    cs = first.groupBy("w0").agg(
-        F.count("*").cast("bigint").alias("cohort_size")
     )
     return (
         act.groupBy("w0", "wk")
@@ -196,6 +191,34 @@ def a26_retention_cohorts(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+def _daily_value_sums(e):
+    """Corpus → (event_type, day, DECIMAL(18,6) value sum): the ONE
+    map-combinable agg every time-series QA query (w18–w22) runs
+    first, kept in exactly one place so the daily statistic — decimal
+    width, date truncation — cannot drift between family members."""
+    return e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+
+
+def _user_cohorts(e):
+    """First-event weekly cohort per user + cohort sizes — the shared
+    skeleton of a26 (retention) and a31 (LTV). The cohort definition
+    (Monday week-trunc of the user's min event DATE) is a cross-query
+    contract; it lives here and nowhere else. ``e`` must carry
+    ``user_id`` and a date column ``d``. Returns (first, cohort_sizes):
+    (user_id, w0) and (w0, cohort_size)."""
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("d"))).alias("w0")
+    )
+    cs = first.groupBy("w0").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return first, cs
 
 
 # =====================================================================
@@ -616,11 +639,7 @@ def w19_seasonal_profile(spark, sf_dir):
     dow sums stay DECIMAL end-to-end; only the final mean/share
     divisions run in double."""
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(18,6)")
-        .alias("s")
-    )
+    daily = _daily_value_sums(e)
     dow = daily.groupBy(
         "event_type", F.weekday("d").cast("int").alias("dow")
     ).agg(
@@ -974,11 +993,7 @@ def w20_cusum_drift(spark, sf_dir):
     construction), and the single division by n happens once, in
     double, at output. Same detector, exact cross-engine hash."""
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(18,6)")
-        .alias("s")
-    )
+    daily = _daily_value_sums(e)
     tot = daily.groupBy("event_type").agg(
         F.sum("s").cast("decimal(28,6)").alias("total"),
         F.count("*").cast("bigint").alias("n_days"),
@@ -1156,11 +1171,7 @@ def w21_rolling_median(spark, sf_dir):
     same result, so the all-ties lerp hazard a29 hit cannot occur at
     the 0.5 fraction."""
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(18,6)")
-        .alias("s")
-    )
+    daily = _daily_value_sums(e)
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
@@ -1213,9 +1224,11 @@ _A30_BUY_US = 86_400_000_000
            (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h,
            (SELECT CAST(COUNT(*) AS DOUBLE) FROM c)
-             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM v) AS click_rate,
+             / nullif((SELECT CAST(COUNT(*) AS DOUBLE) FROM v), 0)
+             AS click_rate,
            (SELECT CAST(COUNT(*) AS DOUBLE) FROM p)
-             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM c) AS purchase_rate
+             / nullif((SELECT CAST(COUNT(*) AS DOUBLE) FROM c), 0)
+             AS purchase_rate
     """,
 )
 def a30_constrained_funnel(spark, sf_dir):
@@ -1232,7 +1245,10 @@ def a30_constrained_funnel(spark, sf_dir):
     (`unix_micros` / `epoch_us`) — integer-exact on both engines, no
     interval-type or timezone semantics in the hash path. Output is
     one row of stage counts + conversion rates (double division of
-    exact bigints)."""
+    exact bigints). Empty-stage rates are NULL via nullif on BOTH
+    sides — Spark returns NULL for double 0/0 while DuckDB returns
+    IEEE NaN, so an unguarded division would hash-diverge on a sparse
+    funnel (self-review finding, fixed before it could bite)."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -1273,11 +1289,11 @@ def a30_constrained_funnel(spark, sf_dir):
             "n_purchase_24h",
             (
                 F.col("n_click_1h").cast("double")
-                / F.col("n_view").cast("double")
+                / F.nullif(F.col("n_view").cast("double"), F.lit(0.0))
             ).alias("click_rate"),
             (
                 F.col("n_purchase_24h").cast("double")
-                / F.col("n_click_1h").cast("double")
+                / F.nullif(F.col("n_click_1h").cast("double"), F.lit(0.0))
             ).alias("purchase_rate"),
         )
     )
@@ -1331,11 +1347,7 @@ def w22_seasonal_anomaly(spark, sf_dir):
     The corpus collapses to (type, day) in one map-combinable agg;
     everything after is domain-sized with a broadcast profile join."""
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(18,6)")
-        .alias("s")
-    )
+    daily = _daily_value_sums(e)
     dow = daily.groupBy(
         "event_type", F.weekday("d").cast("int").alias("dow")
     ).agg(
@@ -1580,12 +1592,7 @@ def a31_cohort_ltv(spark, sf_dir):
         F.to_date("ts").alias("d"),
         "value",
     )
-    first = e.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("d"))).alias("w0")
-    )
-    cs = first.groupBy("w0").agg(
-        F.count("*").cast("bigint").alias("cohort_size")
-    )
+    first, cs = _user_cohorts(e)
     rev = (
         e.filter(F.col("event_type") == "purchase")
         .join(first.hint("merge"), "user_id")
