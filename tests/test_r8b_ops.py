@@ -793,3 +793,37 @@ def test_silence_bounds_trims_correctly(spark, sf_dir):
         assert (r["first_loud"], r["last_loud"], r["n_loud"]) == (
             want[0], want[-1], len(want)
         )
+
+
+def test_j11_and_a33_plan_shapes(spark, sf_dir):
+    """j11's merge plan has no cartesian/correlated scan and no
+    unpartitioned window; a33's rank windows all partition by _pid
+    (the global_rank ladder, never a single-task global sort)."""
+    import re
+
+    for name in ("j11_nearest_below_join", "a33_gini_coefficient"):
+        p = _plan(CATALOG[name][0](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        wins = re.findall(r"\(\d+\) Window[\s\S]*?(?=\n\(\d+\)|\Z)", p)
+        assert wins, (name, p)
+        for w in wins:
+            assert "_pid" in w, (name, w)
+
+
+def test_pipe7_stages_after_vocab_are_small(spark, sf_dir):
+    """pipe7's output is one row per distinct name with a canonical
+    from INSIDE its own component, the survivor has maximal
+    multiplicity within the cluster, and cluster sizes are
+    consistent."""
+    rows = CATALOG["pipe7_master_data_dedup"][0](spark, sf_dir).collect()
+    by_canon: dict[str, list] = {}
+    n_rows = {r["name"]: r["n_rows"] for r in rows}
+    for r in rows:
+        by_canon.setdefault(r["canonical"], []).append(r)
+    for canon, members in by_canon.items():
+        # canonical is itself a member of the cluster it canonicalizes
+        assert canon in {m["name"] for m in members}
+        (size,) = {m["cluster_size"] for m in members}
+        assert size == len(members)
+        best = max(n_rows[m["name"]] for m in members)
+        assert n_rows[canon] == best
