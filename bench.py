@@ -188,7 +188,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_session("finporter-bench")
+    # 150+ distinct queries generate 150+ whole-stage-codegen classes;
+    # the JVM's default 240 MB reserved code cache fills mid-suite, the
+    # JIT stops compiling, and everything after runs slower (measured:
+    # the q1 probe drifted 1.19 -> 1.55 s start-to-end once the suite
+    # passed ~150 queries; spread 6% at 131 queries, 30% at 156).
+    # A bigger code cache is the correct fix for a long-lived session
+    # running a wide query catalog — same knob a production driver
+    # would set.
+    spark = get_session(
+        "finporter-bench",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=768m"
+        },
+    )
     qs = catalog_queries()
     timings: dict[str, float] = {}
 
@@ -252,7 +265,17 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # release driver-side DataFrame refs promptly: the ladder ops
+        # (global_rank / global_order_ffill / graph rounds) pin eager
+        # localCheckpoint blocks until Python GC drops the frames, and
+        # retained blocks evict the block cache under later queries
+        # (measured as end-probe drift once the suite passed ~150
+        # queries). GC runs OUTSIDE the timed span.
+        import gc
+
+        gc.collect()
+        return dt
 
     # Each query is timed REPS times and the MINIMUM is reported: in a
     # shared JVM the 102-query catalog evicts block-cache/codegen state
