@@ -827,3 +827,81 @@ def test_pipe7_stages_after_vocab_are_small(spark, sf_dir):
         assert size == len(members)
         best = max(n_rows[m["name"]] for m in members)
         assert n_rows[canon] == best
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    lefts=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_count_exceeding_matches_brute_force(spark, lefts, rights):
+    """The j5/j9 rank-merge primitive == the literal strict-greater
+    count on adversarial floats (duplicates, all-equal, empty right,
+    negative values spanning the band grid)."""
+    from finporter_spark.operators.joins import count_exceeding
+
+    l = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lefts)], "k bigint, v double"
+    )
+    r = spark.createDataFrame(
+        [(v,) for v in rights], "w double"
+    ) if rights else spark.createDataFrame([], "w double")
+    got = {
+        row["k"]: row["n_greater"]
+        for row in count_exceeding(l, ["k"], "v", r, "w", bands=4).collect()
+    }
+    for i, v in enumerate(lefts):
+        assert got[i] == sum(1 for w in rights if w > v), (i, v, rights)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_global_order_ffill_matches_sequential_walk(spark, vals):
+    """global_order_ffill == the literal in-order forward-fill walk on
+    random null patterns (all-null, null-prefix, alternating) across
+    more partitions than rows."""
+    from finporter_spark.operators.scale import global_order_ffill
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k bigint, x double"
+    )
+    got = {
+        r["k"]: r["_ffill"]
+        for r in global_order_ffill(df, ["k"], "x", nparts=7).collect()
+    }
+    last = None
+    for i, v in enumerate(vals):
+        if v is not None:
+            last = v
+        assert got[i] == last, (i, vals)
