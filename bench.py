@@ -180,6 +180,7 @@ HEADLINE = [
     "j11_nearest_below_join",
     "a33_gini_coefficient",
     "m16_silence_bounds",
+    "l40_duplication_by_source",
 ]
 
 

@@ -2032,3 +2032,65 @@ def m16_silence_bounds(spark, sf_dir):
         _bounds,
         "doc_id bigint, first_loud int, last_loud int, n_loud bigint",
     )
+
+
+# =====================================================================
+# L40 — exact-duplication rate by source
+# =====================================================================
+
+
+@query(
+    "l40_duplication_by_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+    ), g AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY fp
+    )
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duped,
+           CAST(SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM h JOIN g ON g.fp = h.fp
+    GROUP BY h.source
+    """,
+)
+def l40_duplication_by_source(spark, sf_dir):
+    """L40: exact-duplication rate per source — what fraction of each
+    source's documents have a byte-identical twin ANYWHERE in the
+    corpus. The per-source health summary l1's row-level dedup and
+    l32's shingle-containment matrix both feed into: before fixing a
+    mixing ratio you ask WHICH source is recycled content.
+
+    Scale shape: md5 fingerprints (map-only), one fingerprint-keyed
+    count agg, one merge-hinted fingerprint join back (both sides
+    corpus-scaled), one source-keyed agg landing on the |sources| row
+    domain. The duplicate definition is corpus-wide (n > 1 across ALL
+    sources), so a source whose docs are copied BY another source is
+    correctly charged — the within-source-only variant would hide
+    mirror sites."""
+    h = _t(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("fp")
+    )
+    g = h.groupBy("fp").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        h.join(g.hint("merge"), "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_duped",
+            (
+                F.col("n_duped").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

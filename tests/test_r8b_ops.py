@@ -905,3 +905,27 @@ def test_global_order_ffill_matches_sequential_walk(spark, vals):
         if v is not None:
             last = v
         assert got[i] == last, (i, vals)
+
+
+def test_duplication_rate_cross_source_charging(spark, tmp_path):
+    """l40 charges BOTH sides of a cross-source copy: a doc duplicated
+    only in another source still counts as duped in its own source."""
+    rows = [
+        (1, "same text", "a"), (2, "same text", "b"),   # cross-source dup
+        (3, "unique a", "a"),
+        (4, "twin", "b"), (5, "twin", "b"),             # within-source dup
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), "source",
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: (r["n_docs"], r["n_duped"], r["dup_rate"])
+        for r in CATALOG["l40_duplication_by_source"][0](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"a": (2, 1, 0.5), "b": (3, 3, 1.0)}

@@ -142,6 +142,7 @@ QUERIES = [
     "l39_char_entropy",
     "j11_nearest_below_join",
     "a33_gini_coefficient",
+    "l40_duplication_by_source",
 ]
 
 
