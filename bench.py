@@ -1,9 +1,24 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": secs, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line:
+{"metric": ..., "value": secs, "unit": "sec", "queries": {...}, "sf": ...,
+ "stats": {"n": ..., "median_s": ..., "p90_s": ...}, "full_map": path}
+
+The stdout line is deliberately small: the suite is 157 queries and a
+157-entry per-query map makes the line long enough that log-capture
+pipelines clip it mid-JSON (round-8's committed artifact had
+"parsed": null for exactly this reason). So "queries" on stdout carries
+only the TOP_N slowest queries; the COMPLETE per-query map is written
+to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r9.json next to this
+file) and committed separately.
 
 Each query executes end-to-end into the `noop` sink (full plan runs, no
 driver collect), which is what a cluster deployment would measure.
+
+Knobs: SPARK_GRAFT_BENCH_REPS (default 2, min-of-N per query),
+SPARK_GRAFT_BENCH_PROBE_REPS (default 4), SPARK_GRAFT_CODE_CACHE
+(default "768m"; set to "default" to skip the ReservedCodeCacheSize
+override — used to reproduce the JIT code-cache-exhaustion noise
+measurement from round 8).
 """
 
 from __future__ import annotations
@@ -196,13 +211,15 @@ def main() -> None:
     # passed ~150 queries; spread 6% at 131 queries, 30% at 156).
     # A bigger code cache is the correct fix for a long-lived session
     # running a wide query catalog — same knob a production driver
-    # would set.
-    spark = get_session(
-        "finporter-bench",
-        extra_conf={
-            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=768m"
-        },
-    )
+    # would set. SPARK_GRAFT_CODE_CACHE=default skips the override so
+    # the exhaustion effect itself is reproducible from artifacts.
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "768m")
+    extra_conf = {}
+    if code_cache != "default":
+        extra_conf["spark.driver.extraJavaOptions"] = (
+            f"-XX:ReservedCodeCacheSize={code_cache}"
+        )
+    spark = get_session("finporter-bench", extra_conf=extra_conf)
     qs = catalog_queries()
     timings: dict[str, float] = {}
 
@@ -323,8 +340,22 @@ def main() -> None:
         100.0 * (max(probe_runs) - min(probe_runs)) / min(probe_runs), 1
     )
 
-    print(
-        json.dumps(
+    vals = sorted(timings.values())
+    n = len(vals)
+    median = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+    p90 = vals[min(n - 1, int(0.9 * n))]
+    noise = {"probe": probe, "runs": probe_runs, "spread_pct": spread_pct}
+
+    # full per-query map -> committed artifact (too big for one stdout
+    # line — log capture clips it)
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r9.json"
+        ),
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_suite_wall_seconds",
                 "value": round(total, 3),
@@ -332,11 +363,36 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
-                "noise": {
-                    "probe": probe,
-                    "runs": probe_runs,
-                    "spread_pct": spread_pct,
+                "code_cache": code_cache,
+                "noise": noise,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+
+    top_n = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_N", "12"))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "reps": reps,
+                "stats": {
+                    "n": n,
+                    "median_s": round(median, 3),
+                    "p90_s": round(p90, 3),
+                    "code_cache": code_cache,
                 },
+                "noise": noise,
+                "full_map": full_path,
             }
         )
     )

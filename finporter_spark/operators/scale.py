@@ -617,10 +617,31 @@ def hex_order_index(
     )
 
 
+def _resolve_nparts(df: DataFrame, nparts: int | None) -> int:
+    """Default range-partition count for the ladder operators.
+
+    A fixed default (the old 32) silently under-partitions at scale:
+    on a 1000-executor cluster each range task would sort ~3% of the
+    corpus, recreating a milder single-task trap. Derive instead from
+    max(spark.sql.shuffle.partitions, input partition count) so the
+    ladder inherits whatever parallelism the session/input already
+    carries; callers with better knowledge pass an explicit value.
+    """
+    if nparts is not None:
+        return nparts
+    try:
+        conf_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
+        conf_parts = 200
+    return max(conf_parts, df.rdd.getNumPartitions(), 1)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
-    nparts: int = 32,
+    nparts: int | None = None,
 ) -> DataFrame:
     """Global 1-based rank over ``order_cols`` WITHOUT the single-task
     trap — the z6 TeraSort offset ladder as a reusable operator.
@@ -642,6 +663,7 @@ def global_rank(
     """
     from pyspark.sql import Window
 
+    nparts = _resolve_nparts(df, nparts)
     cols = [F.col(c) for c in order_cols]
     ranked = (
         df.repartitionByRange(nparts, *cols)
@@ -679,7 +701,7 @@ def global_order_ffill(
     order_cols: Sequence[str],
     value_col: str,
     out_col: str = "_ffill",
-    nparts: int = 32,
+    nparts: int | None = None,
 ) -> DataFrame:
     """LAST_VALUE(... IGNORE NULLS) over a GLOBAL order without the
     single-task window — forward-fill across a corpus-wide sort.
@@ -702,6 +724,7 @@ def global_order_ffill(
     """
     from pyspark.sql import Window
 
+    nparts = _resolve_nparts(df, nparts)
     cols = [F.col(c) for c in order_cols]
     ranked = (
         df.repartitionByRange(nparts, *cols)

@@ -28,8 +28,11 @@ def _ed1_name_pairs(c):
     — the one implementation l37 and its hypothesis brute-force parity
     test share. Returns (name_a, name_b, dist=1, n_a, n_b) for every
     distinct-name pair at edit distance exactly 1."""
-    variants = F.array_union(
-        F.array(F.col("c_name")),
+    # sequence(1, 0) yields the DESCENDING [1, 0] (Spark defaults to
+    # step -1 when start > stop), so an empty name would emit spurious
+    # variants — guard with an explicit empty-array branch.
+    deletions = F.when(
+        F.length("c_name") > 0,
         F.transform(
             F.sequence(F.lit(1), F.length("c_name")),
             lambda i: F.concat(
@@ -37,7 +40,8 @@ def _ed1_name_pairs(c):
                 F.substring("c_name", i + 1, F.length("c_name")),
             ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    variants = F.array_union(F.array(F.col("c_name")), deletions)
     v = c.select("c_name", "n_rows", F.explode(variants).alias("variant"))
     a = v.select(
         F.col("variant"),
@@ -442,7 +446,15 @@ def j9_band_count(spark, sf_dir):
     half-open (strict lower, inclusive upper) because the primitive
     counts STRICTLY greater on both calls; the oracle states the same
     contract. Suppliers with an empty band are absent (inner-join
-    semantics), matching the oracle."""
+    semantics), matching the oracle.
+
+    Band-edge arithmetic: ``acctbal`` is stored as DOUBLE in the staged
+    parquet (both engines read the identical IEEE-754 bits), so
+    ``s_acctbal ± 50.0`` evaluates bit-identically in Spark and DuckDB
+    and an edge-sitting customer cannot flip across engines. If the
+    staged column were ever re-typed DECIMAL, recompute the shifted
+    bounds on a decimal cast (the a29 quantization pattern) before
+    comparing."""
     from finporter_spark.operators.joins import count_exceeding
 
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
