@@ -86,12 +86,28 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.slice(joined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
 
 
+def md5_long(col: Column, nhex: int = 15) -> Column:
+    """First ``nhex`` hex digits of md5 as a non-negative bigint.
+
+    The deterministic cross-engine hash family (the a19 KMV pattern):
+    md5 produces identical hex in Spark, DuckDB, and Python hashlib, so
+    sketches built on it are bit-identical cross-engine and an
+    APPROXIMATE operator can still carry a full value-hash oracle.
+    15 hex digits = 60 bits — fits signed bigint, always non-negative,
+    so its decimal string form is also identical across engines (used
+    for band keys). DuckDB equivalent:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc as columns h0..h{k-1} + array ``sig``.
 
@@ -112,17 +128,41 @@ def minhash_signatures(
     documents both forms run ~1 s warm (A/B measured; overhead-bound);
     the per-seed hashing cost the derivation removes grows with shingle
     length × k, which is what matters on real corpora.
+
+    ``hash_family``: ``"xxhash64"`` (default, fastest JVM path) or
+    ``"md5"`` — same derivation shape but every member hash is
+    :func:`md5_long`, reproducible in DuckDB SQL, so the resulting
+    near-dup query carries a FULL value-hash oracle instead of a
+    rows-only recall check (the a19 pattern). Collision behavior is
+    equivalent (uniform 60-bit vs 64-bit family); md5 costs more per
+    shingle, which lands in the once-per-corpus signature staging pass,
+    not in steady-state queries.
     """
     ex = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
-    return ex.groupBy(id_col).agg(
-        *[
+    )
+    if hash_family == "md5":
+        ex = ex.select(F.col(id_col), md5_long(F.col("sh")).alias("shh"))
+        members = [
+            F.min(
+                md5_long(
+                    F.concat_ws(
+                        ":", F.col("shh").cast("string"), F.lit(str(i))
+                    )
+                )
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        ex = ex.select(F.col(id_col), F.xxhash64("sh").alias("shh"))
+        members = [
             F.min(F.xxhash64("shh", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return ex.groupBy(id_col).agg(*members)
 
 
 def load_or_build_signatures(
@@ -133,6 +173,7 @@ def load_or_build_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures as persisted DATASET state (mirrors
     ``similarity.load_or_train_centroids``): the signature table is a
@@ -154,6 +195,8 @@ def load_or_build_signatures(
 
     spark = df.sparkSession
     key = f"{fingerprint}|n={shingle_n}|k={num_hashes}|id={id_col}"
+    if hash_family != "xxhash64":  # keep pre-existing cache keys valid
+        key += f"|hf={hash_family}"
     marker = os.path.join(cache_path, "_staged_fingerprint")
     try:
         with open(marker) as fh:
@@ -161,7 +204,9 @@ def load_or_build_signatures(
                 return spark.read.parquet(cache_path)
     except OSError:
         pass
-    sig = minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+    sig = minhash_signatures(
+        df, text_col, id_col, shingle_n, num_hashes, hash_family
+    )
     sig.write.mode("overwrite").parquet(cache_path)
     with open(marker, "w") as fh:
         fh.write(key)
@@ -178,6 +223,7 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.5,
     signatures: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """L2 near-dup detection via MinHash + LSH banding.
 
@@ -210,17 +256,39 @@ def minhash_near_duplicates(
     raw = (
         signatures
         if signatures is not None
-        else minhash_signatures(df, text_col, id_col, shingle_n, num_hashes)
+        else minhash_signatures(
+            df, text_col, id_col, shingle_n, num_hashes, hash_family
+        )
     )
+    if hash_family == "md5":
+        # md5 of the ':'-joined decimal member values — the member
+        # hashes are non-negative (md5_long), so their decimal string
+        # form (and hence the band key) is identical in DuckDB SQL
+        def _band_hash(b: int) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+
+    else:
+
+        def _band_hash(b: int) -> Column:
+            return F.xxhash64(
+                *[
+                    F.col(f"h{b * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]
+            )
+
     sig = raw.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-        *[
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias(f"b{b}")
-            for b in range(bands)
-        ],
+        *[_band_hash(b).alias(f"b{b}") for b in range(bands)],
         # the LSH self-join consumes this twice; without materialization the
         # whole tokenize->shingle->minhash pipeline runs once PER SIDE
         # (measured 2.5s -> 1.5s at sf0.1). Signatures are ~(k+bands)
@@ -291,6 +359,7 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) — the 64-bit weighted-bit fingerprint per doc.
 
@@ -310,13 +379,26 @@ def simhash_fingerprints(
     similarity, and candidate blocking is pigeonhole-exact); exposed
     separately so tests can brute-force-verify the blocked join against
     these values.
+
+    ``hash_family="md5"`` uses :func:`md5_long` (60 usable bits — pass
+    ``bits=60``) so the fingerprints, and therefore the blocked join's
+    exact output, are reproducible in DuckDB SQL: the catalog's simhash
+    query carries a full value-hash oracle on this family.
     """
+    if hash_family == "md5":
+        if bits > 60:
+            raise ValueError("md5 family carries 60 bits; pass bits<=60")
+        hash_col = md5_long(F.col("tok"))
+    elif hash_family == "xxhash64":
+        hash_col = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     ex = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles(F.col(text_col), shingle_n))
         ).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    ).select(F.col(id_col), hash_col.alias("h"))
     # Bit-vote aggregation with 4 one-counts PACKED per long (16-bit
     # fields): 16 aggregate buffers instead of 64 — measured 2x warm and
     # 7x cold (codegen compiles 1/4 the aggregate expressions). The
@@ -364,6 +446,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     block_bits: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup: fingerprints (simhash_fingerprints) + blocked
     Hamming join.
@@ -376,7 +459,9 @@ def simhash_near_duplicates(
     n_blocks = bits // block_bits
     # one long per doc; materialized because the blocked self-join below
     # reads it twice (same argument as the minhash signature cache)
-    sigs = simhash_fingerprints(df, text_col, id_col, bits, shingle_n).cache()
+    sigs = simhash_fingerprints(
+        df, text_col, id_col, bits, shingle_n, hash_family
+    ).cache()
 
     blocks = sigs.select(
         id_col,

@@ -107,6 +107,20 @@ def _sql_double_array(vals: list[float]) -> str:
     return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
 
 
+def _proj_sql(name: str, plane: list[float]) -> str:
+    """Spark-SQL expr for vec·plane as a SEQUENTIAL left fold
+    (``0.0 + x1*y1 + x2*y2 + ...`` in element order). The fold order is
+    part of the cross-engine contract: a DuckDB oracle stating the same
+    left-associated sum over the same double literals reproduces the
+    projection bit-for-bit, which is what lets sign/margin comparisons
+    (no rounding) gate on a full value hash."""
+    v = f"transform(`{name}`, x -> cast(x as double))"
+    return (
+        f"aggregate(zip_with({v}, {_sql_double_array(plane)},"
+        " (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+    )
+
+
 def sign_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Bucket id = bit-pattern of sign(vec · plane) over all planes.
 
@@ -114,13 +128,9 @@ def sign_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     string — see :func:`_sql_double_array`); a Column is accepted for
     back-compat only if it is a plain attribute."""
     name = vec if isinstance(vec, str) else vec._jc.toString()
-    v = f"transform(`{name}`, x -> cast(x as double))"
     parts = []
     for i, p in enumerate(planes):
-        proj = (
-            f"aggregate(zip_with({v}, {_sql_double_array(p)},"
-            " (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
-        )
+        proj = _proj_sql(name, p)
         parts.append(
             f"(CASE WHEN {proj} > 0.0D THEN {1 << i}L ELSE 0L END)"
         )
@@ -277,6 +287,230 @@ def lsh_bucket_knn(
         return scored
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucket_knn_exact_probe(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 9,
+    n_tables: int = 7,
+    n_probes: int = 26,
+    seed: int = 42,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    _return_scored_pairs: bool = False,
+) -> DataFrame:
+    """Margin-ordered multi-probe multi-table sign-LSH kNN with the
+    probe selection computed ENTIRELY in deterministic JVM expressions
+    — no Python stage, and every comparison (plane sign, probe-mask
+    margin score, cosine rank) is a sequential-fold double expression a
+    DuckDB oracle can restate verbatim, so the catalog query is graded
+    by FULL value hash despite being an approximate operator.
+
+    Same algorithm as :func:`lsh_bucket_knn` (Lv et al., VLDB'07
+    multi-probe: probe the buckets whose flipped planes have the
+    smallest summed squared projection margins). Differences:
+
+    - probe enumeration is a crossJoin of the (tiny, broadcast) query
+      side with the 2^n_planes mask range + one window rank per
+      (query, table) — |Q|·L·2^p rows, all JVM; the numpy UDF version
+      computes the same thing but its matmul sum order is not
+      reproducible in SQL, which is why it stays rows-only;
+    - every double sum (projections, margin scores, dot products) is a
+      left-associated sequential fold over literal hyperplanes
+      (:func:`_proj_sql`), bit-identical cross-engine.
+
+    Scale shape is unchanged: candidate hashing is map-only per table,
+    the probe side broadcasts, and the bucket join is an equi-join on
+    (table, bucket) — shuffle ∝ L·(|Q|+|N|), never |Q|·|N|.
+    """
+    nmask = 1 << n_planes
+    table_planes = [
+        [_hyperplane(dim, i, seed + 1000 * t) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    # ---- candidate side: (table, bucket) per vector, pure JVM --------
+    c_parts = [
+        candidates.select(
+            F.col(c_id),
+            F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
+            F.lit(t).cast("int").alias("table"),
+            sign_lsh_bucket(c_vec, planes).alias("bucket"),
+        ).withColumn("_cn", _norm(F.col("_cv")))
+        for t, planes in enumerate(table_planes)
+    ]
+    cb = c_parts[0]
+    for part in c_parts[1:]:
+        cb = cb.unionByName(part)
+    # ---- query side: base code + margin array per table --------------
+    q_parts = []
+    for t, planes in enumerate(table_planes):
+        projs = ", ".join(_proj_sql(q_vec, p) for p in planes)
+        q_parts.append(
+            queries.select(
+                F.col(q_id),
+                F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
+                F.lit(t).cast("int").alias("table"),
+                F.expr(f"array({projs})").alias("_pr"),
+            )
+        )
+    qb = q_parts[0]
+    for part in q_parts[1:]:
+        qb = qb.unionByName(part)
+    code_terms = " | ".join(
+        f"(CASE WHEN element_at(_pr, {i + 1}) > 0.0D THEN {1 << i}L"
+        " ELSE 0L END)"
+        for i in range(n_planes)
+    )
+    qb = qb.withColumn("_code", F.expr(f"({code_terms})")).withColumn(
+        "_qn", _norm(F.col("_qv"))
+    )
+    # ---- probe enumeration: best n_probes masks by margin score ------
+    spark = queries.sparkSession
+    masks = spark.range(nmask).select(F.col("id").alias("_mask"))
+    score_terms = " + ".join(
+        f"(CASE WHEN ((_mask >> {j}) & 1) = 1 THEN"
+        f" element_at(_pr, {j + 1}) * element_at(_pr, {j + 1})"
+        " ELSE 0.0D END)"
+        for j in range(n_planes)
+    )
+    qm = qb.crossJoin(F.broadcast(masks)).withColumn(
+        "_score", F.expr(f"(0.0D + {score_terms})")
+    )
+    wp = Window.partitionBy(q_id, "table").orderBy(
+        F.col("_score").asc(), F.col("_mask").asc()
+    )
+    probes = (
+        qm.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probes)
+        .select(
+            q_id,
+            "_qv",
+            "_qn",
+            "table",
+            F.col("_code").bitwiseXOR(F.col("_mask")).alias("bucket"),
+        )
+    )
+    # ---- bucket join + exact cosine rank ------------------------------
+    scored = (
+        F.broadcast(probes)
+        .join(cb, ["table", "bucket"])
+        .select(
+            q_id,
+            c_id,
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates([q_id, c_id])
+    )
+    if _return_scored_pairs:
+        return scored
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_exact_probe_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_planes: int = 9,
+    n_tables: int = 7,
+    n_probes: int = 26,
+    seed: int = 42,
+    query_pred: str = "vec_id < 10",
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for :func:`lsh_bucket_knn_exact_probe` — the same
+    pipeline as a CTE chain, with every double sum written as the same
+    left-associated sequential fold over the same literal hyperplanes
+    (generated here from the same :func:`_hyperplane` LCG), so sign,
+    margin, and cosine comparisons are bit-identical cross-engine."""
+    nmask = 1 << n_planes
+    table_planes = [
+        [_hyperplane(dim, i, seed + 1000 * t) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    def dot_terms(a: str, b_vals: list[float]) -> str:
+        return " + ".join(
+            f"{a}[{d + 1}]*CAST({float(w)!r} AS DOUBLE)"
+            for d, w in enumerate(b_vals)
+        )
+
+    pr_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT {id_col}, {t} AS tbl, "
+        + ", ".join(
+            f"(0.0 + {dot_terms('vd', p)}) AS p{i}"
+            for i, p in enumerate(planes)
+        )
+        + " FROM e"
+        for t, planes in enumerate(table_planes)
+    )
+    code_expr = " + ".join(
+        f"(CASE WHEN p{i} > 0.0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_planes)
+    )
+    score_expr = "0.0 + " + " + ".join(
+        f"(CASE WHEN (mask >> {j}) & 1 = 1 THEN p{j}*p{j} ELSE 0.0 END)"
+        for j in range(n_planes)
+    )
+    pcols = ", ".join(f"p{i}" for i in range(n_planes))
+    selfdot = " + ".join(f"vd[{d + 1}]*vd[{d + 1}]" for d in range(dim))
+    pairdot = " + ".join(
+        f"q.vd[{d + 1}]*c.vd[{d + 1}]" for d in range(dim)
+    )
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, list_transform({vec_col},
+             x -> CAST(x AS DOUBLE)) AS vd
+      FROM {table}
+    ), nr AS (
+      SELECT {id_col}, vd, sqrt(0.0 + {selfdot}) AS nn FROM e
+    ), pr AS (
+      {pr_selects}
+    ), code AS (
+      SELECT {id_col}, tbl, ({code_expr}) AS bucket, {pcols} FROM pr
+    ), qp AS (
+      SELECT {id_col} AS q_id, tbl, bucket, {pcols}
+      FROM code WHERE {query_pred}
+    ), mk AS (
+      SELECT unnest(generate_series(0, {nmask - 1})) AS mask
+    ), sc AS (
+      SELECT q_id, tbl, xor(bucket, CAST(mask AS BIGINT)) AS bucket,
+             row_number() OVER (PARTITION BY q_id, tbl
+               ORDER BY ({score_expr}) ASC, mask ASC) AS rn
+      FROM qp CROSS JOIN mk
+    ), pb AS (
+      SELECT q_id, tbl, bucket FROM sc WHERE rn <= {n_probes}
+    ), cand AS (
+      SELECT DISTINCT pb.q_id, c.{id_col}
+      FROM pb JOIN code c ON c.tbl = pb.tbl AND c.bucket = pb.bucket
+    ), scored AS (
+      SELECT cand.q_id, cand.{id_col},
+             round((0.0 + {pairdot}) / (q.nn * c.nn), 6) AS cosine
+      FROM cand
+      JOIN nr q ON q.{id_col} = cand.q_id
+      JOIN nr c ON c.{id_col} = cand.{id_col}
+    )
+    SELECT q_id, {id_col}, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT q_id, {id_col}, cosine,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, {id_col}) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 def blocked_allpairs_cosine(

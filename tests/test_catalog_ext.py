@@ -34,9 +34,8 @@ def test_catalog_covers_declared_surface():
         "a10_hll_sketch",
         "a11_kll_quantiles",
         "a12_count_min",
-        "l2_minhash_near_dup",
-        "l2_simhash_near_dup",
-        "l3_lsh_knn",
+        # l2_minhash/l2_simhash/l3_lsh_knn moved to md5-deterministic
+        # hash families in round 9 and now carry full value-hash oracles
         "l3_ivf_knn",
         "l20_fuzzy_decontaminate",
         "l21_bpe_tokenize",

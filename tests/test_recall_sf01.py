@@ -211,3 +211,100 @@ def test_fuzzy_decontaminate_recall_at_sf01(spark, docs01):
     assert len(removed) <= 0.05 * train.count(), (
         f"fuzzy gate removed {len(removed)} docs - precision collapsed"
     )
+
+
+# ---------------------------------------------------------------------
+# Round 9: the catalog's l2/l3 entries moved to the md5-deterministic
+# hash family (full value-hash oracles). The oracle gates cross-engine
+# bit-parity of the sketches; these tests pin that the family SWITCH
+# did not cost accuracy at the bench scale — the same floors the
+# xxhash64 defaults are held to above.
+# ---------------------------------------------------------------------
+
+
+def test_minhash_md5_recall_at_sf01(spark, docs01):
+    from finporter_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs01, threshold=0.6).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs01, jaccard_threshold=0.4, hash_family="md5"
+        ).collect()
+    }
+    assert truth
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"md5 minhash sf0.1 recall {recall}"
+
+
+def test_simhash_md5_blocked_join_is_exhaustive_at_sf01(spark, docs01):
+    """Pigeonhole exactness holds for the 60-bit md5 family too: 4
+    blocks of 15 bits > max_hamming 3, so the blocked join must equal a
+    brute-force Hamming scan over the same fingerprints."""
+    from finporter_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    bound = 1500
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(
+            docs01, bits=60, max_hamming=3, block_bits=15,
+            hash_family="md5",
+        )
+        .filter((F.col("id_a") < bound) & (F.col("id_b") < bound))
+        .collect()
+    }
+    fps = simhash_fingerprints(
+        docs01.filter(F.col("doc_id") < bound),
+        bits=60, hash_family="md5",
+    ).cache()
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= 3)
+        .collect()
+    }
+    fps.unpersist()
+    assert brute, "sf0.1 corpus should contain md5-simhash near-dups"
+    assert blocked == brute
+
+
+def test_lsh_exact_probe_recall_at_sf01(spark, emb01):
+    """The JVM exact-probe variant holds the same recall floor and
+    candidate budget as the numpy-UDF path it replaced in the catalog
+    (same planes, same margin-ordered probe rule — only the sum
+    evaluation order and tie-breaking are pinned)."""
+    from finporter_spark.operators.similarity import (
+        brute_force_knn,
+        lsh_bucket_knn_exact_probe,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_knn(q, emb01, k=5).collect()
+    }
+    cfg = dict(dim=64, k=5, n_planes=9, n_tables=7, n_probes=26)
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in lsh_bucket_knn_exact_probe(q, emb01, **cfg).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"exact-probe lsh sf0.1 recall {recall}"
+    n_pairs = lsh_bucket_knn_exact_probe(
+        q, emb01, _return_scored_pairs=True, **cfg
+    ).count()
+    frac = n_pairs / (q.count() * emb01.count())
+    assert frac <= 0.33, f"candidate fraction {frac}"
