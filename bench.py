@@ -230,15 +230,17 @@ def main() -> None:
 
     # ingest-time staging (not query time): the IVF coarse quantizer is
     # dataset state — trained once, persisted, reused by every l3_ivf
-    # query (similarity.load_or_train_centroids).
-    from finporter_spark.operators.similarity import load_or_train_centroids
+    # query (similarity.load_or_train_centroids_det since round 9).
+    from finporter_spark.operators.similarity import (
+        load_or_train_centroids_det,
+    )
     from finporter_spark.queries.catalog import _t
     from finporter_spark.queries.catalog_ext import _io_dir
 
-    load_or_train_centroids(
-        _t(spark, sf_dir, "embeddings"), dim=64, n_centroids=16, iters=3,
-        seed=42,
-        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_k16_d64_i3_s42"),
+    load_or_train_centroids_det(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, n_centroids=16, iters=3,
+        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
     )
 
     # Pre-stage queries whose first run writes a one-off input layout

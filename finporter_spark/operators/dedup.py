@@ -213,6 +213,19 @@ def load_or_build_signatures(
     return spark.read.parquet(cache_path)
 
 
+def band_hash(b: int, rows_per_band: int, hash_family: str) -> Column:
+    """Hash of band ``b``'s signature members (columns ``h{i}``).
+
+    md5 family: md5 of the ':'-joined decimal member values — members
+    are non-negative (:func:`md5_long`), so their decimal string form
+    (and hence the band key) is identical in DuckDB SQL. xxhash64
+    family: the multi-arg JVM hash (fast path)."""
+    cols = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+    if hash_family == "md5":
+        return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+    return F.xxhash64(*cols)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -260,35 +273,13 @@ def minhash_near_duplicates(
             df, text_col, id_col, shingle_n, num_hashes, hash_family
         )
     )
-    if hash_family == "md5":
-        # md5 of the ':'-joined decimal member values — the member
-        # hashes are non-negative (md5_long), so their decimal string
-        # form (and hence the band key) is identical in DuckDB SQL
-        def _band_hash(b: int) -> Column:
-            return F.md5(
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"h{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            )
-
-    else:
-
-        def _band_hash(b: int) -> Column:
-            return F.xxhash64(
-                *[
-                    F.col(f"h{b * rows_per_band + j}")
-                    for j in range(rows_per_band)
-                ]
-            )
-
     sig = raw.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-        *[_band_hash(b).alias(f"b{b}") for b in range(bands)],
+        *[
+            band_hash(b, rows_per_band, hash_family).alias(f"b{b}")
+            for b in range(bands)
+        ],
         # the LSH self-join consumes this twice; without materialization the
         # whole tokenize->shingle->minhash pipeline runs once PER SIDE
         # (measured 2.5s -> 1.5s at sf0.1). Signatures are ~(k+bands)

@@ -116,6 +116,7 @@ def fuzzy_decontaminate(
     est_jaccard_threshold: float = 0.5,
     signatures: DataFrame | None = None,
     bench_signatures: DataFrame | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup-AWARE eval decontamination: drop a training document when
     its MinHash signature agrees with some benchmark document's on
@@ -131,10 +132,13 @@ def fuzzy_decontaminate(
     family; pass persisted ``signatures`` /``bench_signatures`` (see
     ``dedup.load_or_build_signatures``) to skip even that.
 
-    ≈ operator: MinHash estimation is probabilistic — recall vs the
-    exact-Jaccard ground truth is threshold-tested, not oracle-hashed.
+    MinHash estimation is probabilistic — recall vs the exact-Jaccard
+    ground truth is threshold-tested in pytest regardless of family.
+    With ``hash_family="md5"`` the signatures (and hence the exact drop
+    set) are additionally reproducible in DuckDB SQL, so the catalog
+    query carries a full value-hash oracle (the a19 pattern).
     """
-    from finporter_spark.operators.dedup import minhash_signatures
+    from finporter_spark.operators.dedup import band_hash, minhash_signatures
 
     rows_per_band = num_hashes // bands
 
@@ -142,7 +146,9 @@ def fuzzy_decontaminate(
         s = (
             sig
             if sig is not None
-            else minhash_signatures(frame, text_col, id_col, shingle_n, num_hashes)
+            else minhash_signatures(
+                frame, text_col, id_col, shingle_n, num_hashes, hash_family
+            )
         )
         return s.select(
             F.col(id_col).alias(f"{side}_id"),
@@ -152,12 +158,7 @@ def fuzzy_decontaminate(
             F.posexplode(
                 F.array(
                     *[
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + j}")
-                                for j in range(rows_per_band)
-                            ]
-                        )
+                        band_hash(b, rows_per_band, hash_family)
                         for b in range(bands)
                     ]
                 )

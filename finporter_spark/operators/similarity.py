@@ -788,6 +788,127 @@ def _sq_dist_to_literal(vec_name: str, centroid: list[float]) -> Column:
     )
 
 
+def load_or_train_centroids_det(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 3,
+    cache_path: str | None = None,
+) -> list[list[float]]:
+    """Cross-engine-deterministic sibling of
+    :func:`load_or_train_centroids`: the quantizer is trained by
+    :func:`kmeans_fit` (smallest-id init, 6 dp-rounded distances and
+    means) so an independent engine unrolling the same Lloyd rounds in
+    SQL reproduces the centroids bit-for-bit — which is what lets the
+    IVF catalog query carry a full value-hash oracle. Same dataset-state
+    caching contract (tiny parquet, train once per corpus version)."""
+    spark = vectors.sparkSession
+    if cache_path:
+        try:
+            rows = spark.read.parquet(cache_path).collect()
+            if len(rows) == n_centroids:
+                out: list[list[float]] = [None] * n_centroids  # type: ignore
+                for r in rows:
+                    out[r.cid] = list(r.vec)
+                if all(v is not None and len(v) == dim for v in out):
+                    return out
+        except Exception:
+            pass  # absent/corrupt cache -> retrain below
+    centroids = kmeans_fit(vectors, id_col, vec_col, k=n_centroids, iters=iters)
+    if cache_path:
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cache_path)
+    return centroids
+
+
+def ivf_knn_det(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    _return_scored_pairs: bool = False,
+) -> DataFrame:
+    """IVF approximate kNN with every engine-dependent decision pinned:
+    assignment and probe selection use :func:`kmeans_assign`'s
+    6 dp-rounded distances with lowest-index tie-breaks (pure JVM
+    expressions — the numpy ``_assign_udf`` of :func:`ivf_knn` is the
+    fast-path sibling), so given :func:`kmeans_fit`-style centroids a
+    DuckDB oracle makes bit-identical probe/assign decisions and the
+    catalog query is graded by FULL value hash.
+
+    Scale shape is unchanged from :func:`ivf_knn`: candidate bucketing
+    is a map-only projection over centroid literals, queries broadcast,
+    and the probe join is an equi-join on list id.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            candidates, c_id, c_vec, k=n_centroids, iters=iters
+        )
+    cb = kmeans_assign(
+        candidates.select(
+            F.col(c_id),
+            F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
+        ),
+        centroids,
+        vec_col="_cv",
+        out_cluster="cid",
+        out_dist="_d",
+    ).drop("_d").withColumn("_cn", _norm(F.col("_cv")))
+    dists = F.array(
+        *[F.round(_sq_dist_to_literal("_qv", c), 6) for c in centroids]
+    )
+    qd = (
+        queries.select(
+            F.col(q_id),
+            F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
+        )
+        .withColumn("_qn", _norm(F.col("_qv")))
+        .select(
+            q_id, "_qv", "_qn", F.posexplode(dists).alias("cid", "_d")
+        )
+    )
+    wq = Window.partitionBy(q_id).orderBy(
+        F.col("_d").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select(q_id, "_qv", "_qn", "cid")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cb, "cid")
+        .select(
+            q_id,
+            c_id,
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates([q_id, c_id])
+    )
+    if _return_scored_pairs:
+        return scored
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1194,27 +1194,15 @@ def _md5l(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def _l2_minhash_oracle(
-    k: int = 32, bands: int = 8, thr: float = 0.5, shingle_n: int = 3
-) -> str:
-    rows = k // bands
+def _l2_sig_ctes(k: int = 32, shingle_n: int = 3) -> str:
+    """The shared signature CTE chain (tk/sh/hs/sig) — DuckDB mirror of
+    operators.dedup.minhash_signatures with hash_family='md5'. Reused
+    by the l2 near-dup and l20 fuzzy-decontamination oracles."""
     members = ",\n             ".join(
         "MIN(%s) AS h%d" % (_md5l(f"CAST(shh AS VARCHAR) || ':{i}'"), i)
         for i in range(k)
     )
-    band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(concat_ws(':', "
-        + ", ".join(
-            f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
-        )
-        + ")) AS bh FROM sig"
-        for b in range(bands)
-    )
-    eq = " + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
-    )
-    return f"""
-    WITH tk AS (
+    return f"""tk AS (
       SELECT doc_id, {_L2_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest({_l2_shingles_sql(shingle_n)}) AS sh FROM tk
@@ -1223,8 +1211,36 @@ def _l2_minhash_oracle(
     ), sig AS (
       SELECT doc_id, {members}
       FROM hs GROUP BY doc_id
-    ), band AS (
-      {band_selects}
+    )"""
+
+
+def _l2_band_union(k: int = 32, bands: int = 8) -> str:
+    """DuckDB mirror of operators.dedup.band_hash over the sig CTE."""
+    rows = k // bands
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws(':', "
+        + ", ".join(
+            f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        + ")) AS bh FROM sig"
+        for b in range(bands)
+    )
+
+
+def _l2_eq_sum(k: int = 32, a: str = "sa", b: str = "sb") -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}.h{i} = {b}.h{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+
+
+def _l2_minhash_oracle(
+    k: int = 32, bands: int = 8, thr: float = 0.5, shingle_n: int = 3
+) -> str:
+    eq = _l2_eq_sum(k)
+    return f"""
+    WITH {_l2_sig_ctes(k, shingle_n)}, band AS (
+      {_l2_band_union(k, bands)}
     ), pr AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM band a JOIN band b

@@ -1153,7 +1153,79 @@ def a4_cube(spark, sf_dir):
     )
 
 
-@query("l3_ivf_knn", None)  # ≈ operator: recall checked in tests
+def _ivf_dist_cte(src_c: str, d_name: str, a_name: str) -> str:
+    """One unrolled Lloyd assignment round (the l22 oracle pattern):
+    6 dp-rounded squared distances + lowest-index-tie argmin, mirroring
+    operators.similarity.kmeans_assign."""
+    return f"""
+    {d_name} AS (SELECT e.vec_id, c.cid,
+              ROUND(list_sum(list_transform(list_zip(e.emb, c.cen),
+                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
+       FROM e CROSS JOIN {src_c} c),
+    {a_name} AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                  AS rk
+         FROM {d_name}) WHERE rk = 1)"""
+
+
+def _ivf_mean_cte(a_name: str, prev_c: str, m_name: str, c_name: str) -> str:
+    """One centroid-update round: per-(cluster, dim) mean rounded to
+    6 dp (matching kmeans_fit); empty clusters keep their previous
+    centroid."""
+    return f"""
+    {m_name} AS (SELECT {a_name}.cid, g.i, ROUND(AVG(e.emb[g.i]), 6) AS v
+       FROM {a_name} JOIN e USING (vec_id)
+            CROSS JOIN generate_series(1, 64) AS g(i)
+       GROUP BY {a_name}.cid, g.i),
+    {c_name} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
+       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
+                          FROM {m_name} GROUP BY cid) mm USING (cid))"""
+
+
+def _l3_ivf_oracle(
+    n_centroids: int = 16, iters: int = 3, n_probe: int = 4, k: int = 5
+) -> str:
+    rounds = []
+    prev = "c0"
+    for r in range(1, iters + 1):
+        rounds.append(_ivf_dist_cte(prev, f"d{r}", f"a{r}"))
+        rounds.append(_ivf_mean_cte(f"a{r}", prev, f"m{r}", f"c{r}"))
+        prev = f"c{r}"
+    round_ctes = ",".join(rounds)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(emb, x -> ROUND(x, 6)) AS cen
+           FROM e WHERE vec_id < {n_centroids}),
+    {round_ctes},
+    {_ivf_dist_cte(prev, 'df', 'af')},
+    qp AS (SELECT vec_id AS q_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                  AS rk
+         FROM df WHERE vec_id < 10) WHERE rk <= {n_probe}),
+    cand AS (SELECT DISTINCT qp.q_id, af.vec_id
+             FROM qp JOIN af ON af.cid = qp.cid),
+    nr AS (SELECT vec_id, emb,
+                  sqrt(list_dot_product(emb, emb)) AS nn FROM e),
+    scored AS (SELECT cand.q_id, cand.vec_id,
+               round(list_dot_product(q.emb, c.emb) / (q.nn * c.nn), 6)
+                 AS cosine
+               FROM cand
+               JOIN nr q ON q.vec_id = cand.q_id
+               JOIN nr c ON c.vec_id = cand.vec_id)
+    SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("l3_ivf_knn", _l3_ivf_oracle())
 def l3_ivf_knn(spark, sf_dir):
     """L3 scale path #2: IVF (inverted-file) approximate kNN — coarse
     k-means quantizer + probe-nearest-lists (see operators/similarity.py).
@@ -1162,21 +1234,27 @@ def l3_ivf_knn(spark, sf_dir):
     a tiny parquet; repeat invocations skip the Lloyd rounds and go
     straight to assign+probe (the production shape: centroids are
     dataset state, like the bucketed tables of z1).
-    """
+
+    Round 9: the quantizer is the kmeans_fit deterministic trainer
+    (smallest-id init, 6 dp-rounded distances and means — the l22
+    pattern) and assign/probe run as rounded JVM expressions
+    (ivf_knn_det), so the oracle unrolls the SAME Lloyd rounds as CTEs
+    and the approximate operator is graded by full value hash. Recall
+    stays pytest's concern (tests/test_recall_sf01.py)."""
     from finporter_spark.operators.similarity import (
-        ivf_knn,
-        load_or_train_centroids,
+        ivf_knn_det,
+        load_or_train_centroids_det,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    cents = load_or_train_centroids(
-        emb, dim=64, n_centroids=16, iters=3, seed=42,
-        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_k16_d64_i3_s42"),
+    cents = load_or_train_centroids_det(
+        emb, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
+        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
     )
-    return ivf_knn(
+    return ivf_knn_det(
         q, emb, dim=64, k=5, n_centroids=16, n_probe=4, centroids=cents
     )
 

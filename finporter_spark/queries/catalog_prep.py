@@ -150,14 +150,48 @@ def l13_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, ngram_n=5).select("doc_id", "lang")
 
 
-@query("l20_fuzzy_decontaminate", None)  # ≈ operator: recall checked in tests
+def _l20_oracle() -> str:
+    from finporter_spark.queries.catalog import (
+        _l2_band_union,
+        _l2_eq_sum,
+        _l2_sig_ctes,
+    )
+
+    return f"""
+    WITH {_l2_sig_ctes()}, band AS (
+      {_l2_band_union()}
+    ), cand AS (
+      SELECT DISTINCT t.doc_id AS t_id, b.doc_id AS b_id
+      FROM band t JOIN band b
+        ON t.band_id = b.band_id AND t.bh = b.bh
+      WHERE t.doc_id % 37 <> 0 AND b.doc_id % 37 = 0
+    ), contaminated AS (
+      SELECT DISTINCT c.t_id AS doc_id
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.t_id
+      JOIN sig sb ON sb.doc_id = c.b_id
+      WHERE ({_l2_eq_sum()}) / 32.0 >= 0.5
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 37 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
+@query("l20_fuzzy_decontaminate", _l20_oracle())
 def l20_fuzzy_decontaminate(spark, sf_dir):
     """Near-dup-aware decontamination (l13's fuzzy sibling): a training
     doc is dropped when its estimated Jaccard vs any benchmark doc is
     ≥ 0.5, candidates via MinHash band collisions. Reuses the SAME
     persisted signature table as l2 (one signature pass per corpus
     snapshot serves dedup, clustering, and decontamination), split by
-    the benchmark predicate."""
+    the benchmark predicate.
+
+    Round 9: md5 hash family (operators/dedup.md5_long) — the sketch,
+    and therefore the exact drop set, is bit-identical in DuckDB, so
+    the oracle replays signatures -> banding -> verify -> anti-join and
+    the gate is a full value hash. Recall vs exact Jaccard remains the
+    pytest threshold test."""
     import os
 
     from finporter_spark.operators.dedup import load_or_build_signatures
@@ -168,11 +202,12 @@ def l20_fuzzy_decontaminate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = load_or_build_signatures(
         docs,
-        cache_path=_io_dir(sf_dir, "l2_sigs_n3_k32"),
+        cache_path=_io_dir(sf_dir, "l2_sigs_md5_n3_k32"),
         fingerprint=source_fingerprint(
             os.path.join(sf_dir, "documents.parquet")
         ),
         text_col="text", id_col="doc_id", shingle_n=3, num_hashes=32,
+        hash_family="md5",
     )
     bench_pred = F.col("doc_id") % 37 == 0
     survivors = fuzzy_decontaminate(
@@ -184,6 +219,7 @@ def l20_fuzzy_decontaminate(spark, sf_dir):
         est_jaccard_threshold=0.5,
         signatures=sigs.filter(~bench_pred),
         bench_signatures=sigs.filter(bench_pred),
+        hash_family="md5",
     )
     return survivors.select("doc_id", "lang")
 

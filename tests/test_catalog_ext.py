@@ -34,10 +34,9 @@ def test_catalog_covers_declared_surface():
         "a10_hll_sketch",
         "a11_kll_quantiles",
         "a12_count_min",
-        # l2_minhash/l2_simhash/l3_lsh_knn moved to md5-deterministic
-        # hash families in round 9 and now carry full value-hash oracles
-        "l3_ivf_knn",
-        "l20_fuzzy_decontaminate",
+        # l2_minhash/l2_simhash/l3_lsh_knn/l3_ivf_knn/l20 moved to
+        # deterministic (md5 / rounded-Lloyd) formulations in round 9
+        # and now carry full value-hash oracles
         "l21_bpe_tokenize",
         "a14_rolling_hll_rollup",
         # rows-only by declaration: 2-state matrix recurrence has no

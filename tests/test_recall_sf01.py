@@ -308,3 +308,63 @@ def test_lsh_exact_probe_recall_at_sf01(spark, emb01):
     ).count()
     frac = n_pairs / (q.count() * emb01.count())
     assert frac <= 0.33, f"candidate fraction {frac}"
+
+
+def test_ivf_det_recall_at_sf01(spark, emb01, tmp_path):
+    """The deterministic IVF path (kmeans_fit quantizer + rounded JVM
+    assign/probe — the catalog's l3_ivf_knn since round 9) holds the
+    same recall floor as the LCG/numpy fast path."""
+    from finporter_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn_det,
+        load_or_train_centroids_det,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_knn(q, emb01, k=5).collect()
+    }
+    cents = load_or_train_centroids_det(
+        emb01, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
+        cache_path=str(tmp_path / "cd"),
+    )
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_knn_det(
+            q, emb01, dim=64, k=5, n_centroids=16, n_probe=4,
+            centroids=cents,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ivf det sf0.1 recall {recall}"
+
+
+def test_fuzzy_decontaminate_md5_recall_at_sf01(spark, docs01):
+    """The md5 family (the catalog's l20 since round 9) keeps the same
+    contract: every truly-contaminated doc removed, precision guarded."""
+    from finporter_spark.operators.dedup import ngram_jaccard_pairs
+    from finporter_spark.operators.prep import fuzzy_decontaminate
+
+    bench_pred = F.col("doc_id") % 37 == 0
+    pairs = ngram_jaccard_pairs(docs01, threshold=0.5).collect()
+    truth = {
+        r.id_a if r.id_a % 37 != 0 else r.id_b
+        for r in pairs
+        if (r.id_a % 37 == 0) != (r.id_b % 37 == 0)
+    }
+    assert truth
+    train = docs01.filter(~bench_pred)
+    survivors = {
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            train, docs01.filter(bench_pred), est_jaccard_threshold=0.5,
+            hash_family="md5",
+        ).select("doc_id").collect()
+    }
+    removed = {r.doc_id for r in train.select("doc_id").collect()} - survivors
+    assert truth <= removed, f"missed contaminated docs: {truth - removed}"
+    assert len(removed) <= 0.05 * train.count(), (
+        f"md5 fuzzy gate removed {len(removed)} docs"
+    )
