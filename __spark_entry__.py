@@ -78,3 +78,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for ≈ ops)."""
     return catalog_oracles()
+
+
+def baselines() -> dict[str, str]:
+    """Declared small-SF baseline queries -> their scale-path twins.
+
+    Entries listed here (e.g. p16_fuzzy_join, x6_stateful_running_totals,
+    l9/l10 brute-force pair scans) are deliberately NOT 100 TB operators:
+    they validate or demo the twin named as the value. Production use
+    should pick the twin."""
+    from finporter_spark.queries.catalog import catalog_baselines
+
+    return catalog_baselines()

@@ -51,10 +51,24 @@ from finporter_spark.operators.text import (
 # name -> (spark_fn, oracle_sql | None)
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
+# baseline query name -> its scale-path twin. Entries here are
+# DELIBERATELY not 100 TB operators: they exist as small-SF oracle
+# baselines / semantics demos (e.g. an all-pairs join that validates
+# the blocked formulation, a per-key Python state demo twinned with the
+# JVM state store). Tooling (bench scale sweeps, docs) uses this to
+# keep users from mistaking a baseline for a scale path.
+BASELINES: dict[str, str] = {}
 
-def query(name: str, oracle: str | None = None):
+
+def query(name: str, oracle: str | None = None, baseline_of: str | None = None):
+    """Register a catalog query. ``baseline_of`` marks the entry as a
+    declared small-SF baseline whose production-scale twin is the named
+    query (recorded in :data:`BASELINES`)."""
+
     def deco(fn):
         CATALOG[name] = (fn, oracle)
+        if baseline_of is not None:
+            BASELINES[name] = baseline_of
         return fn
 
     return deco
@@ -1567,6 +1581,13 @@ def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def catalog_oracles() -> dict[str, str]:
     return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
+
+
+def catalog_baselines() -> dict[str, str]:
+    """Declared small-SF baselines -> their scale-path twins (see
+    :data:`BASELINES`). Consumers: docs, scale sweeps, and anyone
+    choosing an operator for production — pick the twin."""
+    return dict(BASELINES)
 
 
 # Extension entries (S/U/X/L9-L10/M) register themselves on import.

@@ -643,6 +643,7 @@ def s10_binaryfile_scan(spark, sf_dir):
       FROM s a JOIN s b ON a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.5
     """,
+    baseline_of="l2_minhash_near_dup",
 )
 def l9_ngram_jaccard(spark, sf_dir):
     """Exact pairwise word-3-gram Jaccard near-dup pairs on a bounded id
@@ -693,6 +694,7 @@ def l9_ngram_jaccard(spark, sf_dir):
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     ) WHERE cosine >= 0.4
     """,
+    baseline_of="l19_blocked_allpairs",
 )
 def l10_embedding_near_dup(spark, sf_dir):
     """Exact embedding-cosine near-dup candidate pairs (threshold 0.4 on
@@ -1441,10 +1443,19 @@ def _stage_x6_drop(spark, sf_dir):
 @query(
     "x6_stateful_running_totals",
     "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id",
+    baseline_of="x6b_builtin_running_totals",
 )
 def x6_stateful_running_totals(spark, sf_dir):
     """X6: custom stateful streaming operator (applyInPandasWithState) —
-    per-user state carried across micro-batches. 8 staged files (under
+    SEMANTICS DEMO, not a scale path (catalog BASELINES tag): the
+    per-key Python callback is 12.7× super-linear at the sf1→10 decade
+    (250 s at sf10). Production code wants the equality-tested JVM
+    state-store twin ``x6b_builtin_running_totals`` (decade-flat
+    2.0/1.5/3.6 s); this entry exists to exhibit the
+    applyInPandasWithState API shape for operators the built-ins
+    genuinely can't express.
+
+    Per-user state carried across micro-batches. 8 staged files (under
     availableNow's single drain, all land in ONE batch) => update mode
     emits exactly one row per key, equal to the batch aggregate; the
     oracle checks the exact per-key counts (float totals are
@@ -1889,9 +1900,19 @@ def o11_per_key_cap(spark, sf_dir):
     WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
       AND levenshtein(a.p_name, b.p_name) <= 2
     """,
+    baseline_of="p16b_er_clusters",
 )
 def p16_fuzzy_join(spark, sf_dir):
-    """P16: blocked fuzzy join (entity resolution), scored on DISTINCT
+    """P16: blocked fuzzy join — SMALL-SF ORACLE BASELINE (catalog
+    BASELINES tag): the row-pair OUTPUT is quadratic in per-value row
+    counts (18× at the sf1→10 decade, 36 s at sf10), which no plan can
+    avoid once row pairs are materialized. The scale-path contract is
+    ``p16b_er_clusters`` (canonical min-label clusters over the
+    vocabulary-sized name graph, decade-flat ~2.5 s) — this entry
+    remains to validate p16b's candidate generation against an
+    exhaustive pair listing at small SFs.
+
+    Entity resolution scored on DISTINCT
     values: the expensive comparator runs once per distinct
     (brand, name_l, name_r) combination — never once per row pair. Three
     stages, all equi-joins (never a cross join):
