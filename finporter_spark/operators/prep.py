@@ -408,6 +408,15 @@ def span_dedup_stats(
     that recomputes the corpus-sized explode for the join side. No
     driver state. Documents shorter than ``ngram_n`` tokens have no
     spans and are absent from the output (same as the oracle).
+
+    Scale note (round-9 re-measure): this shape is LINEAR at the
+    sf1→10 decade — 16.0 → 82.0 s (5.1×); the 10.9× ratio recorded in
+    round 8 was load noise, not gram skew. The l32 set-compression
+    alternative (distinct (doc, gram) + combiner min + join-back) was
+    built and measured WORSE on this corpus — 20.3 → 153.6 s — because
+    grams are almost all unique within a document, so the compression
+    shrinks nothing and its extra composite-key shuffle is pure cost.
+    Revisit only for corpora with heavy within-document repetition.
     """
     from finporter_spark.operators.text import tokens
 

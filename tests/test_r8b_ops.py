@@ -929,3 +929,57 @@ def test_duplication_rate_cross_source_charging(spark, tmp_path):
         ).collect()
     }
     assert out == {"a": (2, 1, 0.5), "b": (3, 3, 1.0)}
+
+
+def test_ed1_cc_edges_component_equivalent(spark, sf_dir):
+    """The pipe7 round-9 edge sparsification (_ed1_cc_edges: positioned-
+    deletion clique stars + direct ins/del edges, zero levenshtein)
+    yields EXACTLY the components of the full verified ed-1 pair graph
+    (_ed1_name_pairs) — the per-subgraph sparsification argument,
+    checked on real data."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.operators.graph import connected_components_star
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_r8b import (
+        _ed1_cc_edges,
+        _ed1_name_pairs,
+    )
+
+    n = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    full = connected_components_star(
+        _ed1_name_pairs(n).select("name_a", "name_b"), "name_a", "name_b"
+    )
+    sparse = connected_components_star(
+        _ed1_cc_edges(n), "name_a", "name_b"
+    )
+    a = {(r.node, r.component) for r in full.collect()}
+    b = {(r.node, r.component) for r in sparse.collect()}
+    assert a == b
+
+
+def test_ed1_cc_edges_are_all_distance_one(spark, sf_dir):
+    """Every sparsified edge really is an ed-1 pair (the clique/insdel
+    construction claims exactness with no verify step — hold it to
+    that), and no self-edges leak."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_r8b import _ed1_cc_edges
+
+    n = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    bad = (
+        _ed1_cc_edges(n)
+        .withColumn("d", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("d") != 1)
+        .count()
+    )
+    assert bad == 0
