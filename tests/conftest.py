@@ -1,10 +1,35 @@
 from __future__ import annotations
 
+import importlib.util
 import os
+import sys
 
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM light
+
+# transformWithStateInPandas needs google.protobuf in BOTH the driver
+# and the executor Python workers. When the real package is absent (no
+# pip in this container), fall back to the vendored minimal runtime
+# (tools/vendor/README.md): sys.path for this process, PYTHONPATH for
+# the workers the JVM forks. Must happen before any SparkSession is
+# built so the env propagates. The real package, when present, wins —
+# this path is only added on ModuleNotFound.
+_VENDOR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "vendor",
+)
+try:
+    _has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _has_protobuf = False
+if not _has_protobuf and os.path.isdir(_VENDOR):
+    sys.path.append(_VENDOR)
+    os.environ["PYTHONPATH"] = (
+        os.environ["PYTHONPATH"] + os.pathsep + _VENDOR
+        if os.environ.get("PYTHONPATH")
+        else _VENDOR
+    )
 
 
 @pytest.fixture(scope="session")

@@ -650,11 +650,13 @@ def test_keep_first_sink_empty_stream_and_stray_entries(spark, tmp_path):
 def test_transform_with_state_env_blocker(spark, tmp_path):
     """Spark 4's transformWithStateInPandas (StatefulProcessor API) needs
     google.protobuf in the Python worker; this container has no protobuf
-    and no pip. Track the gap IN the suite: if the environment ever gains
-    protobuf this test runs a minimal StatefulProcessor end-to-end
-    (count-per-key over two batches) instead of skipping — x6's
-    applyInPandasWithState covers custom stateful streaming until then
-    (NOTES.md; VERDICT r4 'What's missing' #1)."""
+    and no pip. Round 9 removes the pin: conftest.py puts the vendored
+    minimal protobuf runtime (tools/vendor, clean-room wire-format
+    subset) on sys.path/PYTHONPATH when the real package is absent, so
+    this test now runs a REAL StatefulProcessor end-to-end
+    (count-per-key, RocksDB-backed state server protocol against the
+    JVM) instead of skipping. The skip remains only for an environment
+    with neither the real package nor the vendor tree."""
     import importlib.util
 
     import pytest
@@ -666,9 +668,7 @@ def test_transform_with_state_env_blocker(spark, tmp_path):
     if not has_protobuf:
         pytest.skip(
             "transformWithStateInPandas blocked: google.protobuf absent "
-            "from the Python worker environment (no pip install allowed); "
-            "custom stateful streaming is covered by x6 "
-            "applyInPandasWithState"
+            "and the vendored runtime (tools/vendor) is missing too"
         )
 
     import pandas as pd
@@ -700,22 +700,150 @@ def test_transform_with_state_env_blocker(spark, tmp_path):
     (src / "b1.csv").write_text("a\na\nb\n")
     schema = StructType([StructField("k", StringType())])
     stream = spark.readStream.schema(schema).csv(str(src))
-    out = (
-        stream.groupBy("k")
-        .transformWithStateInPandas(
-            CountProcessor(),
-            outputStructType=StructType(
-                [StructField("k", StringType()), StructField("n", LongType())]
-            ),
-            outputMode="Update",
-            timeMode="None",
-        )
-        .writeStream.format("memory")
-        .queryName("tws_counts")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState keeps several column families per state store —
+    # only the RocksDB provider supports that (HDFSBacked raises
+    # STATE_STORE_MULTIPLE_COLUMN_FAMILIES)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    out.awaitTermination(120)
+    try:
+        out = (
+            stream.groupBy("k")
+            .transformWithStateInPandas(
+                CountProcessor(),
+                outputStructType=StructType(
+                    [
+                        StructField("k", StringType()),
+                        StructField("n", LongType()),
+                    ]
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName("tws_counts")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        out.awaitTermination(120)
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
     got = {r.k: r.n for r in spark.sql("select * from tws_counts").collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_transform_with_state_list_and_map_state(spark, tmp_path):
+    """Exercise the WIDER StatefulProcessor protocol surface through the
+    vendored protobuf runtime: ListState (repeated-bytes puts, iterator
+    paging on get) and MapState (updateValue/getValue/containsKey/keys)
+    — the message shapes the count-only test doesn't touch. Catches any
+    wire-format gap in tools/vendor before a user does."""
+    import importlib.util
+
+    import pytest
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("google.protobuf absent and no vendored runtime")
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class ListMapProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            sch = StructType([StructField("v", LongType())])
+            self._seen = handle.getListState("seen", sch)
+            self._tally = handle.getMapState(
+                "tally", StructType([StructField("k", StringType())]), sch
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = []
+            for pdf in rows:
+                vals.extend(int(v) for v in pdf["v"])
+            for v in vals:
+                self._seen.appendValue((v,))
+            prev = (
+                self._tally.getValue(("n",))[0]
+                if self._tally.containsKey(("n",))
+                else 0
+            )
+            self._tally.updateValue(("n",), (prev + len(vals),))
+            total = sum(v[0] for v in self._seen.get())
+            n_keys = sum(1 for _ in self._tally.keys())
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "total": [total],
+                    "n_vals": [self._tally.getValue(("n",))[0]],
+                    "n_keys": [n_keys],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.csv").write_text("a,1\na,2\nb,10\n")
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", LongType())]
+    )
+    stream = spark.readStream.schema(schema).csv(str(src))
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            stream.groupBy("k")
+            .transformWithStateInPandas(
+                ListMapProcessor(),
+                outputStructType=StructType(
+                    [
+                        StructField("k", StringType()),
+                        StructField("total", LongType()),
+                        StructField("n_vals", LongType()),
+                        StructField("n_keys", LongType()),
+                    ]
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName("tws_listmap")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        out.awaitTermination(120)
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
+    got = {
+        r.k: (r.total, r.n_vals, r.n_keys)
+        for r in spark.sql("select * from tws_listmap").collect()
+    }
+    assert got == {"a": (3, 2, 1), "b": (10, 1, 1)}
