@@ -196,6 +196,8 @@ HEADLINE = [
     "a33_gini_coefficient",
     "m16_silence_bounds",
     "l40_duplication_by_source",
+    # round-9 additions
+    "x15_stream_outer_interval_join",
 ]
 
 

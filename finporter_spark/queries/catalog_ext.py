@@ -1559,6 +1559,123 @@ def x7_stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "x15_stream_outer_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS view_ts, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def x15_stream_outer_interval_join(spark, sf_dir):
+    """X15: stream-stream LEFT OUTER interval join — x7's attribution
+    shape, but views with NO purchase within 6 hours surface with null
+    purchase columns. This was the one declared-impossible streaming
+    shape through round 8 (null-side rows emit only on watermark
+    passage, which drain-style retention never reaches). The harness
+    that makes it deterministic is x4's forced-mtime trick:
+
+    - batch 1 (one CSV per side, earliest mtime): ALL real events — the
+      30-minute watermark can never drop a real row because it only
+      takes effect from batch 2;
+    - batch 2: sentinel rows dated 2099 advance both sides' watermarks
+      decades past every real view's eviction bound (view_ts + 6 h +
+      30 min);
+    - batch 3: sentinel rows dated 2100 — the batch that RUNS with the
+      2099-derived watermark, evicting and null-emitting every
+      unmatched real view.
+
+    Sentinels carry negative ids and are filtered from the result, so
+    the drained output equals the batch left-outer join exactly — the
+    oracle gates it. maxFilesPerTrigger=1 + staged mtimes pin the batch
+    order (file source processes oldest-mtime first)."""
+    import shutil
+
+    from finporter_spark.streaming.pipeline import stream_interval_join
+
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")  # noqa: E731
+
+    def _write(p):
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", fmt(F.col("ts")).alias("ts"), "user_id", "event_type"
+        )
+        for side, kind, s1_ts, s2_ts in (
+            ("left", "view", "2099-01-01 00:00:00", "2100-01-01 00:00:00"),
+            ("right", "purchase", "2099-06-01 00:00:00", "2100-06-01 00:00:00"),
+        ):
+            d = os.path.join(p, side)
+            os.makedirs(d, exist_ok=True)
+            real = e.filter(F.col("event_type") == kind)
+            for name, df, mtime in (
+                ("real.csv", real, 1_000_000_000),
+                (
+                    "s1.csv",
+                    spark.createDataFrame(
+                        [(-1, s1_ts, -1, kind)],
+                        "event_id bigint, ts string, user_id bigint, "
+                        "event_type string",
+                    ),
+                    1_000_001_000,
+                ),
+                (
+                    "s2.csv",
+                    spark.createDataFrame(
+                        [(-2, s2_ts, -2, kind)],
+                        "event_id bigint, ts string, user_id bigint, "
+                        "event_type string",
+                    ),
+                    1_000_002_000,
+                ),
+            ):
+                tmp = os.path.join(d, "_tmp")
+                df.repartition(1).write.mode("overwrite").csv(
+                    tmp, header=True
+                )
+                part = next(
+                    f for f in os.listdir(tmp) if f.startswith("part-")
+                )
+                dst = os.path.join(d, name)
+                os.replace(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (mtime, mtime))
+
+    path = _stage_once(sf_dir, "x15", _write, "events")
+
+    def side(sub, prefix):
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string"
+            )
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(os.path.join(path, sub))
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                "user_id",
+            )
+        )
+
+    joined = stream_interval_join(
+        side("left", "view"),
+        side("right", "purchase"),
+        key="user_id",
+        ts_left="view_ts",
+        ts_right="purchase_ts",
+        within="6 hours",
+        watermark="30 minutes",
+        how="left_outer",
+    )
+    out = run_stream_to_memory(joined, "x15_mem", output_mode="append")
+    return out.filter(F.col("view_id") >= 0).select(
+        "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"
+    )
+
+
+@query(
     "x4_watermark_latedrop",
     """
     WITH a AS (

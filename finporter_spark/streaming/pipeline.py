@@ -349,17 +349,27 @@ def stream_interval_join(
     as the x7 catalog entry does) passes a retention larger than the data
     span so the drained output is exactly the batch join.
 
-    ``how``: 'inner' (X7, every matching pair) or 'left_semi' (X13,
-    each left row at most once — existence, not enumeration: the
-    attribution-fanout-free shape). Semi drains are exactly the batch
-    semi join under a retention larger than the data span; OUTER
-    stream-stream joins are deliberately NOT offered through this
-    drain-oriented helper — their null-side rows emit only when the
-    watermark passes, which an availableNow drain with drain-style
-    retention never reaches, so the drained result would silently equal
-    the inner join.
+    ``how``: 'inner' (X7, every matching pair), 'left_semi' (X13, each
+    left row at most once — existence, not enumeration: the
+    attribution-fanout-free shape), or 'left_outer' (X15, unmatched
+    left rows null-extended). Inner/semi drains are exactly the batch
+    join under a retention larger than the data span.
+
+    OUTER contract (X15): null-side rows emit ONLY when the watermark
+    passes ``ts_left + within + watermark`` — under drain-style
+    retention (watermark ≫ data span) an availableNow drain would
+    silently degrade to the inner join, which is why rounds 5–8
+    refused to offer this shape. The supported harness (the x15
+    catalog query) is the x4 forced-mtime trick: a SMALL watermark, all
+    real data in batch 1, then two mtime-ordered sentinel batches far
+    in event-time future — sentinel 1 advances the watermark past every
+    real left row's eviction bound, sentinel 2's batch applies it,
+    flushing the null-extended rows; callers filter the sentinels out.
+    Anything else (real clocks, processingTime triggers) is
+    nondeterministic; this is deterministic and exactly equal to the
+    batch left-outer join, which the x15 oracle gates.
     """
-    if how not in ("inner", "left_semi"):
+    if how not in ("inner", "left_semi", "left_outer"):
         raise ValueError(f"unsupported stream join type: {how}")
     lw = left.withWatermark(ts_left, watermark)
     rw = right.withWatermark(ts_right, watermark)
@@ -370,6 +380,8 @@ def stream_interval_join(
     )
     if how == "left_semi":
         return lw.join(rw, cond, "left_semi")
+    if how == "left_outer":
+        return lw.join(rw, cond, "left_outer").drop(rw[key])
     return lw.join(rw, cond).drop(rw[key])
 
 

@@ -847,3 +847,48 @@ def test_transform_with_state_list_and_map_state(spark, tmp_path):
         for r in spark.sql("select * from tws_listmap").collect()
     }
     assert got == {"a": (3, 2, 1), "b": (10, 1, 1)}
+
+
+def test_x15_outer_join_emits_null_side(spark, sf_dir):
+    """X15 (stream-stream LEFT OUTER interval join): the drained result
+    must contain NULL-extended unmatched views — the exact rows the
+    round-5..8 doc note said a drain can't produce — and equal the
+    batch left-outer join row-for-row, with no sentinel leakage."""
+    from finporter_spark.queries.catalog import CATALOG, _t
+
+    out = CATALOG["x15_stream_outer_interval_join"][0](spark, sf_dir)
+    rows = out.collect()
+    assert all(r.view_id >= 0 for r in rows), "sentinel leaked"
+    n_null = sum(1 for r in rows if r.purchase_id is None)
+    assert n_null > 0, "no null-side rows: drain degraded to inner join"
+
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    want = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    got = {
+        (r.view_id, r.purchase_id, r.user_id, r.view_ts, r.purchase_ts)
+        for r in rows
+    }
+    exp = {
+        (r.view_id, r.purchase_id, r.user_id, r.view_ts, r.purchase_ts)
+        for r in want.collect()
+    }
+    assert got == exp
