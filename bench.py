@@ -198,6 +198,8 @@ HEADLINE = [
     "l40_duplication_by_source",
     # round-9 additions
     "x15_stream_outer_interval_join",
+    "x16_stream_full_outer_interval_join",
+    "a14b_rolling_kmv_rollup",
 ]
 
 

@@ -1558,42 +1558,15 @@ def x7_stream_stream_join(spark, sf_dir):
     )
 
 
-@query(
-    "x15_stream_outer_interval_join",
-    """
-    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
-           a.user_id, a.ts AS view_ts, b.ts AS purchase_ts
-    FROM (SELECT * FROM events WHERE event_type = 'view') a
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-      ON a.user_id = b.user_id
-     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
-    """,
-)
-def x15_stream_outer_interval_join(spark, sf_dir):
-    """X15: stream-stream LEFT OUTER interval join — x7's attribution
-    shape, but views with NO purchase within 6 hours surface with null
-    purchase columns. This was the one declared-impossible streaming
-    shape through round 8 (null-side rows emit only on watermark
-    passage, which drain-style retention never reaches). The harness
-    that makes it deterministic is x4's forced-mtime trick:
-
-    - batch 1 (one CSV per side, earliest mtime): ALL real events — the
-      30-minute watermark can never drop a real row because it only
-      takes effect from batch 2;
-    - batch 2: sentinel rows dated 2099 advance both sides' watermarks
-      decades past every real view's eviction bound (view_ts + 6 h +
-      30 min);
-    - batch 3: sentinel rows dated 2100 — the batch that RUNS with the
-      2099-derived watermark, evicting and null-emitting every
-      unmatched real view.
-
-    Sentinels carry negative ids and are filtered from the result, so
-    the drained output equals the batch left-outer join exactly — the
-    oracle gates it. maxFilesPerTrigger=1 + staged mtimes pin the batch
-    order (file source processes oldest-mtime first)."""
+def _x15_staged_drop(spark, sf_dir):
+    """Two mtime-ordered CSV drop dirs (left=views, right=purchases)
+    for the outer stream-stream join harness (x15/x16): one real-data
+    file per side (earliest mtime — all real events land in batch 1,
+    before any watermark applies), then two sentinel files per side
+    dated 2099/2100 whose batches advance and then APPLY the watermark,
+    flushing null-side rows. Sentinels carry negative ids so consumers
+    filter them. Staged once per (sf, events mtimes)."""
     import shutil
-
-    from finporter_spark.streaming.pipeline import stream_interval_join
 
     fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")  # noqa: E731
 
@@ -1641,7 +1614,45 @@ def x15_stream_outer_interval_join(spark, sf_dir):
                 shutil.rmtree(tmp)
                 os.utime(dst, (mtime, mtime))
 
-    path = _stage_once(sf_dir, "x15", _write, "events")
+    return _stage_once(sf_dir, "x15", _write, "events")
+
+
+@query(
+    "x15_stream_outer_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS view_ts, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def x15_stream_outer_interval_join(spark, sf_dir):
+    """X15: stream-stream LEFT OUTER interval join — x7's attribution
+    shape, but views with NO purchase within 6 hours surface with null
+    purchase columns. This was the one declared-impossible streaming
+    shape through round 8 (null-side rows emit only on watermark
+    passage, which drain-style retention never reaches). The harness
+    that makes it deterministic is x4's forced-mtime trick:
+
+    - batch 1 (one CSV per side, earliest mtime): ALL real events — the
+      30-minute watermark can never drop a real row because it only
+      takes effect from batch 2;
+    - batch 2: sentinel rows dated 2099 advance both sides' watermarks
+      decades past every real view's eviction bound (view_ts + 6 h +
+      30 min);
+    - batch 3: sentinel rows dated 2100 — the batch that RUNS with the
+      2099-derived watermark, evicting and null-emitting every
+      unmatched real view.
+
+    Sentinels carry negative ids and are filtered from the result, so
+    the drained output equals the batch left-outer join exactly — the
+    oracle gates it. maxFilesPerTrigger=1 + staged mtimes pin the batch
+    order (file source processes oldest-mtime first)."""
+    from finporter_spark.streaming.pipeline import stream_interval_join
+
+    path = _x15_staged_drop(spark, sf_dir)
 
     def side(sub, prefix):
         return (

@@ -1,0 +1,206 @@
+"""Catalog extension — round-9 additions.
+
+Two operators completing families from earlier rounds:
+
+- ``a14b_rolling_kmv_rollup``: the a14 mergeable-sketch rollup pattern
+  with a DETERMINISTIC estimator — per-day KMV (k-minimum-values /
+  theta) sketches over md5 hashes, merged across trailing windows. Same
+  one-corpus-pass + tiny-rollup scale shape as a14's HLL version, but
+  md5 determinism (the a19 pattern) means the estimate is bit-identical
+  cross-engine and the gate is a full value hash, where HLL's JVM
+  sketch internals keep a14 rows-only by nature.
+- ``x16_stream_full_outer_interval_join``: x15's forced-mtime sentinel
+  harness drives the FULL outer stream-stream interval join — both
+  unmatched views AND unmatched purchases null-emit once the sentinel
+  batches advance + apply the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window, functions as F
+
+from finporter_spark.queries.catalog import _t, query
+
+_KMV_K = 256
+_HEX13 = float(1 << 52)  # 13 hex digits = 52 bits, exact as double
+
+
+@query(
+    "a14b_rolling_kmv_rollup",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), hs AS (
+      SELECT DISTINCT day,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                       AS BIGINT) AS DOUBLE) / {_HEX13!r} AS h
+      FROM du
+    ), sk AS (
+      SELECT day, h FROM (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM hs
+      ) WHERE rn <= {_KMV_K}
+    ), anchors AS (
+      SELECT DISTINCT day AS anchor FROM sk
+    ), win AS (
+      SELECT DISTINCT a.anchor, s.h
+      FROM anchors a JOIN sk s
+        ON s.day <= a.anchor AND s.day >= a.anchor - INTERVAL 6 DAY
+    ), r AS (
+      SELECT anchor, h,
+             row_number() OVER (PARTITION BY anchor ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY anchor) AS cu
+      FROM win
+    ), kk AS (
+      SELECT anchor,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+             MAX(cu) AS cu
+      FROM r GROUP BY anchor
+    )
+    SELECT CAST(anchor AS TIMESTAMP) AS day,
+           CASE WHEN cu >= {_KMV_K}
+                THEN ({_KMV_K} - 1) / kth
+                ELSE CAST(cu AS DOUBLE) END AS est_users_7d
+    FROM kk
+    """,
+)
+def a14b_rolling_kmv_rollup(spark, sf_dir):
+    """A14b: trailing-7-day distinct users from MERGED per-day KMV
+    (theta) sketches — a14's rollup shape with a deterministic
+    estimator. Per day, keep the k smallest md5-derived [0,1) hashes of
+    the day's distinct users (one corpus-sized distinct + one per-day
+    top-k; map-combinable); a trailing window then unions ≤7 sketches
+    (≤ 7k tiny rows per anchor), re-takes the k smallest, and estimates
+    distinct = (k−1)/h_(k) (Beyer et al., SIGMOD'07), exact (= union
+    size) when the union holds fewer than k values.
+
+    Scale shape: raw events are touched once (the (day,user) distinct);
+    the rollup input is #days × k doubles — broadcastable at any corpus
+    size, same as a14. Because the hash is md5 (identical hex in Spark
+    and DuckDB; 13 hex digits exact as double), the APPROXIMATE
+    estimate is bit-identical cross-engine: full value-hash oracle,
+    where a14's JVM HLL internals are rows-only by nature. Accuracy vs
+    the exact trailing distinct is a pytest threshold (the a10/a14
+    contract)."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    hs = du.select(
+        "day",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+                16, 10,
+            ).cast("double")
+            / F.lit(_HEX13)
+        ).alias("h"),
+    ).distinct()
+    wd = Window.partitionBy("day").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+    )
+    anchors = sk.select(F.col("day").alias("anchor")).distinct()
+    win = (
+        anchors.join(
+            sk,
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .select("anchor", "h")
+        .distinct()
+    )
+    wa = Window.partitionBy("anchor").orderBy("h")
+    r = win.withColumn("rn", F.row_number().over(wa)).withColumn(
+        "cu", F.count("*").over(Window.partitionBy("anchor"))
+    )
+    kk = r.groupBy("anchor").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        F.max("cu").alias("cu"),
+    )
+    return kk.select(
+        F.col("anchor").cast("timestamp").alias("day"),
+        F.when(
+            F.col("cu") >= _KMV_K, F.lit(float(_KMV_K - 1)) / F.col("kth")
+        )
+        .otherwise(F.col("cu").cast("double"))
+        .alias("est_users_7d"),
+    )
+
+
+@query(
+    "x16_stream_full_outer_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+           COALESCE(a.user_id, b.user_id) AS user_id,
+           a.ts AS view_ts, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def x16_stream_full_outer_interval_join(spark, sf_dir):
+    """X16: stream-stream FULL OUTER interval join — x15's harness
+    (forced-mtime sentinel batches; see x15's docstring for the
+    mechanics) with both null sides: views with no purchase within 6 h
+    AND purchases attached to no view both surface null-extended once
+    the 2100-sentinel batch applies the 2099-advanced watermark.
+    Sentinels (negative ids) are filtered; the drained result equals
+    the batch FULL JOIN exactly (the oracle). Shares x15's staged drop
+    (same fingerprint key) — one staging serves both queries."""
+    from finporter_spark.queries.catalog_ext import _x15_staged_drop
+    from finporter_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        stream_interval_join,
+    )
+
+    path = _x15_staged_drop(spark, sf_dir)
+
+    def side(sub, prefix):
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string"
+            )
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(os.path.join(path, sub))
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+        )
+
+    lw = side("left", "view").withWatermark("view_ts", "30 minutes")
+    rw = side("right", "purchase").withWatermark(
+        "purchase_ts", "30 minutes"
+    )
+    cond = (
+        (lw["view_user"] == rw["purchase_user"])
+        & (rw["purchase_ts"] >= lw["view_ts"])
+        & (
+            rw["purchase_ts"]
+            <= lw["view_ts"] + F.expr("INTERVAL 6 HOURS")
+        )
+    )
+    joined = lw.join(rw, cond, "full_outer")
+    out = run_stream_to_memory(joined, "x16_mem", output_mode="append")
+    return (
+        out.filter(
+            (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+            & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.coalesce(F.col("view_user"), F.col("purchase_user")).alias(
+                "user_id"
+            ),
+            "view_ts",
+            "purchase_ts",
+        )
+    )

@@ -146,15 +146,17 @@ def test_cuped_reduces_variance_and_preserves_mean(spark):
     assert s["vyc"] < 0.4 * s["vy"], (s["vy"], s["vyc"])
 
 
-def test_stream_interval_join_rejects_outer(spark):
-    """The drain harness refuses outer stream-stream joins instead of
-    silently returning inner-equal results (documented contract)."""
+def test_stream_interval_join_rejects_unknown_how(spark):
+    """Unknown join types are refused loudly. (left_outer became a
+    SUPPORTED shape in round 9 via the x15 forced-mtime sentinel
+    harness — its drain-equals-batch contract is gated by the x15
+    oracle and tests/test_streaming.py::test_x15_outer_join_emits_null_side.)"""
     from finporter_spark.streaming.pipeline import stream_interval_join
 
     with pytest.raises(ValueError, match="unsupported stream join"):
         stream_interval_join(
             spark.range(1), spark.range(1), "id", "a", "b",
-            how="left_outer",
+            how="full_outer",
         )
 
 
