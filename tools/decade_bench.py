@@ -143,6 +143,17 @@ QUERIES = [
     "j11_nearest_below_join",
     "a33_gini_coefficient",
     "l40_duplication_by_source",
+    # round-9: the rewired/converted queries re-measured (pipe7's edge
+    # sparsification + star CC; the md5/deterministic families), plus
+    # the new operators measured at both decades from birth
+    "l2_minhash_near_dup",
+    "l2_simhash_near_dup",
+    "l3_lsh_knn",
+    "l3_ivf_knn",
+    "l20_fuzzy_decontaminate",
+    "x15_stream_outer_interval_join",
+    "x16_stream_full_outer_interval_join",
+    "a14b_rolling_kmv_rollup",
 ]
 
 
@@ -181,7 +192,10 @@ def main() -> None:
                         "l21_bpe_tokenize", "l13_decontaminate",
                         "x7_stream_stream_join", "x11_stream_budget_gate",
                         "x12_datasource_stream",
-                        "x14_datasource_stream_parallel"):
+                        "x14_datasource_stream_parallel",
+                        "l3_ivf_knn", "l20_fuzzy_decontaminate",
+                        "x15_stream_outer_interval_join",
+                        "x16_stream_full_outer_interval_join"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
