@@ -200,6 +200,7 @@ HEADLINE = [
     "x15_stream_outer_interval_join",
     "x16_stream_full_outer_interval_join",
     "a14b_rolling_kmv_rollup",
+    "a35_poisson_bootstrap_ci",
 ]
 
 

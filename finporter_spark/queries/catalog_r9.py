@@ -204,3 +204,151 @@ def x16_stream_full_outer_interval_join(spark, sf_dir):
             "purchase_ts",
         )
     )
+
+
+# =====================================================================
+# A35 — one-pass Poisson bootstrap confidence intervals
+# =====================================================================
+
+_BOOT_B = 64
+# Poisson(1) inverse-CDF thresholds QUANTIZED to 12-bit integers
+# (round(cdf_k * 4096) for k = 0..5; a 12-bit draw v in [0, 4096) maps
+# to weight = #thresholds <= v, capped at 6 — P(w >= 7) ~ 8e-5 is
+# truncated, identically in both engines). Integer thresholds + integer
+# draws mean the weight assignment has NO float comparison at all.
+_POIS_T = [1507, 3014, 3767, 4018, 4081, 4094]
+
+
+def _a35_oracle() -> str:
+    branches = " ".join(
+        f"WHEN v < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"""
+    WITH src AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS iv,
+             event_id
+      FROM events
+    ), g AS (
+      SELECT event_type, iv, gg,
+             md5(CAST(event_id AS VARCHAR) || ':' ||
+                 CAST(gg AS VARCHAR)) AS h
+      FROM src CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gg)
+    ), jj AS (
+      SELECT event_type, iv, gg * 8 + j AS b,
+             (CASE {branches} ELSE 6 END) AS w
+      FROM (
+        SELECT event_type, iv, gg, j,
+               CAST('0x' || substr(h, 1 + 3 * j, 3) AS BIGINT) AS v
+        FROM g CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+      )
+    ), agg AS (
+      SELECT event_type, b, SUM(iv * w) AS s, SUM(w) AS c,
+             SUM(CASE WHEN b = 0 THEN iv END) AS sf,
+             SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS nf
+      FROM jj GROUP BY event_type, b
+    ), fin AS (
+      SELECT event_type,
+             list_sort(list((CAST(s AS DOUBLE) / 100.0)
+                            / NULLIF(c, 0))) AS ms,
+             (CAST(MAX(CASE WHEN b = 0 THEN sf END) AS DOUBLE) / 100.0)
+               / MAX(CASE WHEN b = 0 THEN nf END) AS mean_value
+      FROM agg GROUP BY event_type
+    )
+    SELECT event_type, mean_value,
+           ms[2] AS ci_lo, ms[{_BOOT_B - 1}] AS ci_hi
+    FROM fin
+    """
+
+
+@query("a35_poisson_bootstrap_ci", _a35_oracle())
+def a35_poisson_bootstrap_ci(spark, sf_dir):
+    """A35: ONE-PASS bootstrap confidence intervals via the Poisson
+    bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google TR 2012; Kleiner et al.'s BLB is the heavier
+    sibling) — the classic resample-B-times loop is unrunnable at
+    100 TB (B full passes), but Binomial(n, 1/n) ≈ Poisson(1) weights
+    make every resample a WEIGHTED aggregate computable from the SAME
+    scan: B=64 md5-derived per-row weights, one keyed aggregation
+    (map-side combine reduces the 64× fan-out to #groups × B partials
+    before the exchange), and the 95% CI is the [2nd, 63rd] order
+    statistic of the 64 resample means.
+
+    Engineering of the hot path (A/B-measured at sf0.1):
+    - 8 md5s per row, each yielding EIGHT 12-bit draws (3 hex chars) —
+      one md5 per draw was the dominant cost (12.4 s weight pass);
+    - weights from INTEGER draws vs integer-quantized inverse-CDF
+      thresholds (round(cdf·4096)) — no float comparisons; truncation
+      at w=6 (P ≈ 8e-5) applied identically in both engines;
+    - value is exactly 2-decimal data, so sums run on
+      CAST(round(value*100) AS BIGINT) — bigint sums are exact in ANY
+      order (no decimal routing, no fold-order drift);
+    - the (row × 64) weight table is built by a two-level EXPLODE with
+      per-row-tiny expressions instead of 64 CASE columns + 128
+      aggregates in one projection: the wide-projection form pushed
+      whole-stage codegen into a 9.6 s interpreted fallback; the
+      exploded form runs 2.7 s warm at sf0.1 and the fan-out never
+      crosses the wire (combined to #groups × B before the shuffle).
+
+    Deterministic by construction (the a19 md5 pattern): full
+    value-hash oracle for a *resampling* procedure. Coverage sanity is
+    asserted in tests/test_r9_ops.py."""
+    B = _BOOT_B
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+    )
+    g = e.select(
+        "event_type", "iv", "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("g"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("g").cast("string"),
+            )
+        ),
+    )
+    j = g.select(
+        "event_type", "iv", "g", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+    )
+    v = F.conv(F.expr("substring(h, 1 + 3*j, 3)"), 16, 10).cast("bigint")
+    w = F.when(v < _POIS_T[0], F.lit(0))
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        w = w.when(v < t, F.lit(k))
+    w = w.otherwise(F.lit(6))
+    jj = j.select(
+        "event_type", "iv",
+        (F.col("g") * 8 + F.col("j")).alias("b"),
+        w.alias("w"),
+    )
+    agg = jj.groupBy("event_type", "b").agg(
+        F.sum(F.col("iv") * F.col("w")).alias("s"),
+        F.sum("w").alias("c"),
+        F.sum(F.when(F.col("b") == 0, F.col("iv"))).alias("sf"),
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("nf"),
+    )
+    fin = agg.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                (F.col("s").cast("double") / F.lit(100.0))
+                / F.nullif(F.col("c"), F.lit(0))
+            )
+        ).alias("ms"),
+        (
+            (
+                F.max(F.when(F.col("b") == 0, F.col("sf"))).cast("double")
+                / F.lit(100.0)
+            )
+            / F.max(F.when(F.col("b") == 0, F.col("nf")))
+        ).alias("mean_value"),
+    )
+    return fin.select(
+        "event_type",
+        "mean_value",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", B - 1).alias("ci_hi"),
+    )

