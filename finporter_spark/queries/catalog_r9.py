@@ -97,10 +97,15 @@ def a14b_rolling_kmv_rollup(spark, sf_dir):
         ).alias("h"),
     ).distinct()
     wd = Window.partitionBy("day").orderBy("h")
+    # the sketch table (#days × k doubles) is referenced twice below
+    # (anchor domain + window join); materialize it so the corpus is
+    # scanned ONCE — persisting this table as parquet is exactly what a
+    # production rollup would do (the load_or_build_signatures pattern)
     sk = (
         hs.withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") <= _KMV_K)
         .select("day", "h")
+        .localCheckpoint(eager=True)
     )
     anchors = sk.select(F.col("day").alias("anchor")).distinct()
     win = (
