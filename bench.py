@@ -201,6 +201,7 @@ HEADLINE = [
     "x16_stream_full_outer_interval_join",
     "a14b_rolling_kmv_rollup",
     "a35_poisson_bootstrap_ci",
+    "a36_embedding_covariance",
 ]
 
 

@@ -357,3 +357,113 @@ def a35_poisson_bootstrap_ci(spark, sf_dir):
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", B - 1).alias("ci_hi"),
     )
+
+
+# =====================================================================
+# A36 — single-pass exact covariance matrix over the embedding space
+# =====================================================================
+
+_COV_Q = 16384  # 2^14 quantization scale (the a29 pattern)
+_COV_DIM = 64
+
+
+def _a36_oracle() -> str:
+    q = _COV_Q
+    d = _COV_DIM
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS ix
+      FROM embeddings
+    ), el AS (
+      SELECT vec_id, g.i, ix[g.i + 1] AS v
+      FROM e CROSS JOIN generate_series(0, {d - 1}) AS g(i)
+    ), lin AS (
+      SELECT i, SUM(v) AS si, COUNT(*) AS n FROM el GROUP BY i
+    ), pr AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS s
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT pr.i AS i, pr.j AS j,
+           (CAST(pr.s AS DOUBLE) / la.n
+            - (CAST(la.si AS DOUBLE) / la.n)
+              * (CAST(lb.si AS DOUBLE) / la.n))
+             / {float(q * q)!r} AS cov
+    FROM pr
+    JOIN lin la ON la.i = pr.i
+    JOIN lin lb ON lb.i = pr.j
+    """
+
+
+@query("a36_embedding_covariance", _a36_oracle())
+def a36_embedding_covariance(spark, sf_dir):
+    """A36: the exact covariance matrix of the embedding space in ONE
+    corpus pass — the input to whitening / PCA / Mahalanobis outlier
+    screens a training-data pipeline runs before indexing embeddings.
+    Population covariance cov(i,j) = E[x_i x_j] − E[x_i]E[x_j] from
+    co-moment sums: per vector, a map-only FLATTENED self-product
+    (all d(d+1)/2 upper-triangle products + one linear-sum marker row
+    per dimension, built with nested array transforms — no self-join,
+    no shuffle of the vectors), then one keyed aggregation over
+    (i, j) — map-side combine reduces the d²-fold fan-out to 2 145
+    partial rows per task before the exchange. Scale shape: explode
+    volume ∝ n·d²/2 but nothing wider than (i, j, product) ever
+    crosses the wire; the result is d(d+1)/2 rows joined against the
+    d+1 broadcast linear sums.
+
+    Determinism (the a29 quantization pattern): embeddings are
+    quantized to 2^-14 grid integers (floor is exact on the double
+    value of a float; scale 2^14 keeps Σ products within bigint at
+    500k×64 — max |x| ≈ 32 → product ≤ 2^38, sum ≤ 2^58), so every
+    co-moment is an EXACT bigint in both engines and the final doubles
+    divide identically — full value-hash oracle for a floating-point
+    statistic. The operator contract is covariance OF THE QUANTIZED
+    embeddings; the 6e-5 grid is far below embedding noise."""
+    q = _COV_Q
+    d = _COV_DIM
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(0, {d - 1}), i ->
+          transform(sequence(i, {d}), j ->
+            struct(i AS i, j AS j,
+              CASE WHEN j = {d} THEN element_at(_ix, i + 1)
+                   ELSE element_at(_ix, i + 1) * element_at(_ix, j + 1)
+              END AS p))))
+        """
+    )
+    ex = (
+        e.select(
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x as double)"
+                f" * {q}) as bigint))"
+            ).alias("_ix")
+        )
+        .select(F.explode(pairs).alias("t"))
+        .select("t.i", "t.j", "t.p")
+    )
+    agg = ex.groupBy("i", "j").agg(
+        F.sum("p").alias("s"), F.count("*").alias("n")
+    )
+    lin = agg.filter(F.col("j") == d).select(
+        "i", F.col("s").alias("si")
+    )
+    lin_j = lin.select(F.col("i").alias("j"), F.col("si").alias("sj"))
+    return (
+        agg.filter(F.col("j") < d)  # carries n = #vectors per group
+        .join(F.broadcast(lin), "i")
+        .join(F.broadcast(lin_j), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s").cast("double") / F.col("n")
+                    - (F.col("si").cast("double") / F.col("n"))
+                    * (F.col("sj").cast("double") / F.col("n"))
+                )
+                / F.lit(float(q * q))
+            ).alias("cov"),
+        )
+    )

@@ -102,3 +102,22 @@ def test_a35_bootstrap_ci_covers_true_mean(spark, sf_dir):
     for r in rows:
         assert r.ci_lo <= r.mean_value <= r.ci_hi, r
         assert r.ci_lo < r.ci_hi, r
+
+
+def test_a36_covariance_matches_varpop(spark, sf_dir):
+    """Diagonal entries equal Spark's exact var_pop of the raw floats
+    within the 2^-14 quantization tolerance; output is the full upper
+    triangle (d(d+1)/2 rows) with every |cov| bounded sanely."""
+    rows = CATALOG["a36_embedding_covariance"][0](spark, sf_dir).collect()
+    d = 64
+    assert len(rows) == d * (d + 1) // 2
+    got_diag = {r.i: r.cov for r in rows if r.i == r.j}
+    e = _t(spark, sf_dir, "embeddings")
+    exact = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.var_pop(F.col("x").cast("double")).alias("v"))
+        .collect()
+    )
+    for r in exact:
+        assert abs(got_diag[r.i] - r.v) < 1e-3, (r.i, got_diag[r.i], r.v)
