@@ -623,19 +623,29 @@ def _resolve_nparts(df: DataFrame, nparts: int | None) -> int:
     A fixed default (the old 32) silently under-partitions at scale:
     on a 1000-executor cluster each range task would sort ~3% of the
     corpus, recreating a milder single-task trap. Derive instead from
-    max(spark.sql.shuffle.partitions, input partition count) so the
-    ladder inherits whatever parallelism the session/input already
-    carries; callers with better knowledge pass an explicit value.
+    max(spark.sql.shuffle.partitions, defaultParallelism) so the ladder
+    inherits whatever parallelism the session carries. Deliberately NOT
+    ``df.rdd.getNumPartitions()``: touching ``df.rdd`` compiles the
+    physical plan outside AQE (costly for complex upstream plans) and
+    reads the pre-shuffle lineage count, not the post-AQE shape — it is
+    consulted only as a last resort when the conf is unparsable (e.g.
+    "auto" under some AQE configs). Callers with better knowledge pass
+    an explicit value.
     """
     if nparts is not None:
         return nparts
+    spark = df.sparkSession
     try:
-        conf_parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-    except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
-        conf_parts = 200
-    return max(conf_parts, df.rdd.getNumPartitions(), 1)
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        conf_parts = 0
+    try:
+        default_par = int(spark.sparkContext.defaultParallelism)
+    except Exception:  # connect-mode sessions have no sparkContext
+        default_par = 0
+    if conf_parts <= 0 and default_par <= 0:
+        return max(df.rdd.getNumPartitions(), 1)
+    return max(conf_parts, default_par, 1)
 
 
 def global_rank(

@@ -253,8 +253,12 @@ def _a35_oracle() -> str:
       FROM jj GROUP BY event_type, b
     ), fin AS (
       SELECT event_type,
+             -- FILTER c > 0 mirrors Spark's collect_list null-skipping:
+             -- a zero-weight resample (all-0 draws for a tiny group)
+             -- would otherwise sort NULL-first here but be dropped by
+             -- Spark, diverging ms[2]/ms[63] cross-engine
              list_sort(list((CAST(s AS DOUBLE) / 100.0)
-                            / NULLIF(c, 0))) AS ms,
+                            / NULLIF(c, 0)) FILTER (c > 0)) AS ms,
              (CAST(MAX(CASE WHEN b = 0 THEN sf END) AS DOUBLE) / 100.0)
                / MAX(CASE WHEN b = 0 THEN nf END) AS mean_value
       FROM agg GROUP BY event_type
@@ -406,8 +410,9 @@ def a36_embedding_covariance(spark, sf_dir):
     (all d(d+1)/2 upper-triangle products + one linear-sum marker row
     per dimension, built with nested array transforms — no self-join,
     no shuffle of the vectors), then one keyed aggregation over
-    (i, j) — map-side combine reduces the d²-fold fan-out to 2 145
-    partial rows per task before the exchange. Scale shape: explode
+    (i, j) — map-side combine reduces the d²-fold fan-out to 2 144
+    partial rows per task (2 080 upper-triangle products + 64 linear-
+    sum markers) before the exchange. Scale shape: explode
     volume ∝ n·d²/2 but nothing wider than (i, j, product) ever
     crosses the wire; the result is d(d+1)/2 rows joined against the
     d+1 broadcast linear sums.
