@@ -1606,3 +1606,5 @@ from finporter_spark.queries import catalog_r8  # noqa: E402,F401
 from finporter_spark.queries import catalog_r8b  # noqa: E402,F401
 
 from finporter_spark.queries import catalog_r9  # noqa: E402,F401
+
+from finporter_spark.queries import catalog_r10  # noqa: E402,F401

