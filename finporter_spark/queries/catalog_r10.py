@@ -444,3 +444,168 @@ def l41_url_canonical_dedup(spark, sf_dir):
             F.min("doc_id").alias("canonical_doc"),
         )
     )
+
+
+# =====================================================================
+# X17 — transformWithStateInPandas (Spark 4 StatefulProcessor)
+# =====================================================================
+
+
+@query(
+    "x17_transform_with_state_top2",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS iv
+      FROM events
+    ), r AS (
+      SELECT user_id, iv,
+             row_number() OVER (PARTITION BY user_id ORDER BY iv DESC)
+               AS rk
+      FROM s
+    )
+    SELECT user_id, COUNT(*) AS n,
+           CAST(MAX(iv) AS DOUBLE) / 100.0 AS max_v,
+           CAST(MAX(CASE WHEN rk = 2 THEN iv END) AS DOUBLE) / 100.0
+             AS max2_v
+    FROM r GROUP BY user_id
+    """,
+)
+def x17_transform_with_state_top2(spark, sf_dir):
+    """X17: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
+    API) as a catalog operator — per-user event count + top-2 values
+    carried in a typed ValueState across micro-batches. This was the
+    one declared streaming surface with no catalog query (the round-8
+    verdict's environment pin): the vendored minimal protobuf runtime
+    (tools/vendor) unblocks the state-server protocol, and
+    ``ensure_worker_protobuf`` ships it to Python workers via
+    ``addPyFile`` so the query runs under the bare driver gate, not
+    just pytest.
+
+    Semantics demo of the API family (like x6 for
+    ``applyInPandasWithState``): count+max+max2 ARE expressible as a
+    built-in streaming agg — the point is the protocol: 8 staged files
+    drained at ``maxFilesPerTrigger=2`` force 4 micro-batches, so the
+    (n, m1, m2) state genuinely round-trips the RocksDB state store
+    between batches (n is strictly increasing per key, so the final
+    state row per user is the max-n row — selected by one window).
+    Values ride as bigint CENTS through pandas (order statistics only,
+    no float accumulation), making the drained result exactly the
+    batch top-2 the oracle computes.
+
+    Scale shape: per-key state is 3 longs (bounded); the per-batch
+    Python callback is the same cost class as x6 (per-key pandas
+    dispatch) — production code with built-in-expressible semantics
+    wants x6b's JVM state store; this operator is for semantics the
+    built-ins genuinely can't express (custom eviction, top-k with
+    k-sized state, model state)."""
+    import pandas as pd  # noqa: F401 — imported for the closure below
+
+    from finporter_spark.queries.catalog_ext import _stage_x6_drop
+    from finporter_spark.streaming.pipeline import (
+        ensure_worker_protobuf,
+        run_stream_to_memory,
+    )
+
+    ensure_worker_protobuf(spark)
+    from pyspark.sql.streaming import (  # needs protobuf on sys.path
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("m1", LongType()),
+            StructField("m2", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("m1", LongType()),
+            StructField("m2", LongType()),
+        ]
+    )
+
+    class Top2Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("top2", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            vals = []
+            n_new = 0
+            for pdf in rows:
+                n_new += len(pdf)
+                vals.extend(int(v) for v in pdf["iv"])
+            if self._st.exists():
+                n0, m1, m2 = self._st.get()
+            else:
+                n0, m1, m2 = 0, None, None
+            cand = [v for v in (m1, m2) if v is not None] + vals
+            cand.sort(reverse=True)
+            m1 = cand[0] if cand else None
+            m2 = cand[1] if len(cand) > 1 else None
+            n = n0 + n_new
+            self._st.update((n, m1, m2))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "m1": [m1],
+                    "m2": pd.array([m2], dtype="Int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    path = _stage_x6_drop(spark, sf_dir)
+    sdf = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        )
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)  # 8 files -> 4 micro-batches
+        .csv(path)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        )
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        tws = sdf.groupBy("user_id").transformWithStateInPandas(
+            Top2Processor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_stream_to_memory(
+            tws, "x17_mem", output_mode="update", state_partitions=32
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            "n",
+            (F.col("m1").cast("double") / 100.0).alias("max_v"),
+            (F.col("m2").cast("double") / 100.0).alias("max2_v"),
+        )
+    )

@@ -15,10 +15,82 @@ the key set ages out instead of growing forever.
 from __future__ import annotations
 
 import os
+import sys
+import tempfile
+import zipfile
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
+
+_VENDOR_SHIPPED: set[int] = set()
+
+
+def ensure_worker_protobuf(spark: SparkSession) -> None:
+    """Make ``google.protobuf`` importable on the DRIVER and every
+    Python WORKER, using the vendored minimal runtime (tools/vendor)
+    when the real package is absent — ``transformWithStateInPandas``'s
+    state-server protocol imports it on both sides.
+
+    pytest runs get this from conftest.py (sys.path + PYTHONPATH set
+    before the JVM starts); a bare driver-gate run does NOT, and
+    setting PYTHONPATH after the JVM is up never reaches workers. The
+    portable channel is Spark's own file distribution: zip the vendor
+    tree once and ``addPyFile`` it — workers prepend spark-files
+    entries to sys.path at startup. No-op when the real protobuf
+    exists (never shadow it)."""
+    import importlib
+    import importlib.util
+
+    try:
+        has = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has = False
+    if has:
+        return
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    vendor = os.path.join(repo, "tools", "vendor")
+    if not os.path.isdir(vendor):
+        raise ModuleNotFoundError(
+            "google.protobuf is unavailable and the vendored runtime "
+            f"({vendor}) is missing — transformWithStateInPandas "
+            "cannot run"
+        )
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+        importlib.invalidate_caches()
+    # Python workers spawned AFTER this point (incl. the
+    # transformWithState DRIVER worker, which reads sys.path only from
+    # its PYTHONPATH env — it never processes spark-files includes):
+    # sc.environment feeds every subsequently-pickled PythonFunction's
+    # envVars, which PythonWorkerFactory merges into the child env.
+    sc = spark.sparkContext
+    for envmap in (sc.environment, os.environ):
+        cur = envmap.get("PYTHONPATH", "")
+        if vendor not in cur.split(os.pathsep):
+            envmap["PYTHONPATH"] = (
+                vendor + (os.pathsep + cur if cur else "")
+            )
+    key = id(spark.sparkContext)
+    if key in _VENDOR_SHIPPED:
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), "finporter_vendor_protobuf.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(os.path.join(vendor, "google")):
+                for fn in sorted(files):
+                    if fn.endswith(".pyc"):
+                        continue
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, vendor))
+        os.replace(tmp, zpath)  # atomic vs concurrent stagers
+    spark.sparkContext.addPyFile(zpath)
+    _VENDOR_SHIPPED.add(key)
 
 
 def stream_decode_files(

@@ -121,3 +121,45 @@ def test_l41_no_python_udf(spark, sf_dir):
     df = CATALOG["l41_url_canonical_dedup"][0](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_x17_state_carries_across_microbatches(spark, sf_dir):
+    """The memory sink must contain MULTIPLE update-mode emissions for
+    at least some users (8 staged files at maxFilesPerTrigger=2 => 4
+    micro-batches), proving ValueState round-trips the RocksDB store
+    between batches — and the max-n row per user equals the batch
+    count/max/max2."""
+    out = CATALOG["x17_transform_with_state_top2"][0](spark, sf_dir)
+    rows = out.collect()
+    raw = spark.table("x17_mem")
+    n_users = len(rows)
+    assert raw.count() > n_users  # >1 emission for some keys
+    assert raw.select("user_id").distinct().count() == n_users
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("iv")
+    )
+    from pyspark.sql import Window as W
+
+    r = e.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("iv"))
+        ),
+    )
+    exact = {
+        x.user_id: (x.n, x.max_v, x.max2_v)
+        for x in r.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("iv").cast("double") / 100.0).alias("max_v"),
+            (
+                F.max(F.when(F.col("rk") == 2, F.col("iv"))).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("max2_v"),
+        )
+        .collect()
+    }
+    for x in rows:
+        assert exact[x.user_id] == (x.n, x.max_v, x.max2_v), x
