@@ -1054,3 +1054,199 @@ def semantic_dedup(
         F.round("dist2", 6).alias("dist2"),
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subspaces and run the DETERMINISTIC
+    k-means (:func:`kmeans_fit` — init = k smallest ids, 6 dp-rounded
+    means, lowest-index tie-break) independently per subspace.
+
+    Returns ``m`` codebooks of ``k`` centroids each — driver state is
+    m × k × (dim/m) floats (~4 KB at 64-dim), the IVF-centroid pattern.
+    Cost: m × iters keyed shuffles over the corpus, each a
+    posexplode → groupBy(cluster, dim) mean — all map-combinable."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
+    sub = dim // m
+    books = []
+    for i in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("_pid"),
+            F.slice(F.col(vec_col), i * sub + 1, sub).alias("_sub"),
+        )
+        books.append(kmeans_fit(sliced, "_pid", "_sub", k=k, iters=iters))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode every vector to ``m`` small-int codes (nearest centroid
+    per subspace, 6 dp-rounded distances, lowest-index tie-break —
+    bit-identical decisions to the SQL oracle). Map-only: the codebook
+    rides as literals, no shuffle, no UDF. Adds columns ``_c0.._c{m-1}``.
+
+    At 100 TB this is THE point of PQ: the corpus persists as
+    (id, m bytes) instead of (id, dim floats) — a 64× compression that
+    turns the ANN scan into a compressed-domain linear pass."""
+    out = df
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    for i, book in enumerate(codebooks):
+        sliced = F.slice(F.col(vec_col), i * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sliced,
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    6,
+                )
+                for c in book
+            ]
+        )
+        out = out.withColumn(f"_pqd{i}", dists).withColumn(
+            f"_c{i}",
+            (F.array_position(f"_pqd{i}", F.array_min(f"_pqd{i}")) - 1)
+            .cast("int"),
+        ).drop(f"_pqd{i}")
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query build the m × k
+    lookup table of subspace distances to every centroid (map-only on
+    the query side, 6 dp-rounded entries), broadcast the queries, and
+    score every corpus code as LUT0[c0] + LUT1[c1] + ... — a FIXED
+    left-associated sum so an independent engine folds identically.
+    One broadcast nested-loop over the compressed codes + one per-query
+    top-k window (WindowGroupLimit prunes map-side).
+
+    Scale: the scan reads m bytes per candidate (never the vectors);
+    query count is workload-sized (broadcast); the window is per-query.
+    Returns (query_id, cand_id, rank, adist)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, vec_col, codebooks).select(
+        F.col(id_col).alias("cand_id"), *[f"_c{i}" for i in range(m)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    for i, book in enumerate(codebooks):
+        sliced = F.slice(F.col("_qv"), i * sub + 1, sub)
+        q = q.withColumn(
+            f"_lut{i}",
+            F.array(
+                *[
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sliced,
+                                F.array(*[F.lit(float(v)) for v in c]),
+                                lambda x, y: (x.cast("double") - y)
+                                * (x.cast("double") - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        6,
+                    )
+                    for c in book
+                ]
+            ),
+        )
+    q = q.drop("_qv")
+    joined = enc.join(F.broadcast(q))
+    adist = F.element_at("_lut0", F.col("_c0") + 1)
+    for i in range(1, m):
+        adist = adist + F.element_at(f"_lut{i}", F.col(f"_c{i}") + 1)
+    scored = joined.select(
+        "query_id", "cand_id", F.round(adist, 6).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "adist")
+    )
+
+
+def pq_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact re-rank of a PQ (or any) candidate shortlist — the "R" of
+    IVFADC-R (Jégou et al. 2011 §V): compressed-domain ADC recalls a
+    shortlist, then TRUE squared distances are computed for shortlist
+    members only and the top-k re-ranked. Raw vectors are read for
+    |shortlist| rows instead of the corpus — at 100 TB the expensive
+    column is touched for Q × shortlist rows only (a keyed join against
+    the vector store), which is what makes high recall affordable.
+
+    ``shortlist``: (query_id, cand_id). Returns
+    (query_id, cand_id, rank, dist2) with 6 dp-rounded exact distances
+    (fixed-fold via the same zip_with/aggregate shape as encoding)."""
+    cv = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
+    )
+    j = (
+        shortlist.select("query_id", "cand_id")
+        .join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "cand_id")
+    return (
+        j.select("query_id", "cand_id", dist2.alias("dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "dist2")
+    )

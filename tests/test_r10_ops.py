@@ -163,3 +163,63 @@ def test_x17_state_carries_across_microbatches(spark, sf_dir):
     }
     for x in rows:
         assert exact[x.user_id] == (x.n, x.max_v, x.max2_v), x
+
+
+def _exact_top10(spark, sf_dir, qids):
+    import numpy as np
+
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.v for r in rows])
+    out = {}
+    for q in qids:
+        qv = M[ids == q][0]
+        d = ((M - qv) ** 2).sum(axis=1)
+        out[q] = set(ids[np.lexsort((ids, d))][:10])
+    return out
+
+
+def test_l45_self_is_rank1_and_jvm_only(spark, sf_dir):
+    """ADC invariant: a query's own code attains the per-subspace LUT
+    minimum, so its ADC distance is the global minimum — the min-adist
+    row per query carries the query's own distance. And the whole
+    scoring plan is JVM-side (no Python eval nodes)."""
+    df = CATALOG["l45_pq_ann_topk"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    rows = df.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        top = min(rs, key=lambda r: (r.adist, r.cand_id))
+        mine = [r for r in rs if r.cand_id == q]
+        assert mine, q  # self always survives into the top-k
+        assert mine[0].adist == top.adist, (q, mine[0].adist, top.adist)
+
+
+def test_l45b_rerank_recall_vs_exact(spark, sf_dir):
+    """IVFADC-R contract: exact re-rank of the 100-candidate ADC
+    shortlist recovers most of the true top-10 (measured 0.74 mean at
+    sf0.01 — random embeddings are PQ's worst case; pin >= 0.6), and
+    every returned distance is the TRUE squared distance."""
+    rows = CATALOG["l45b_pq_rerank_topk"][0](spark, sf_dir).collect()
+    qids = sorted({r.query_id for r in rows})
+    exact = _exact_top10(spark, sf_dir, qids)
+    recs = []
+    for q in qids:
+        got = {r.cand_id for r in rows if r.query_id == q}
+        recs.append(len(got & exact[q]) / 10)
+    assert sum(recs) / len(recs) >= 0.6, recs
+    # self-query: distance 0, rank 1
+    for q in qids:
+        mine = [r for r in rows if r.query_id == q and r.cand_id == q]
+        assert mine and mine[0].rank == 1 and mine[0].dist2 == 0.0
