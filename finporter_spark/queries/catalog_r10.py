@@ -808,3 +808,101 @@ def l45b_pq_rerank_topk(spark, sf_dir):
         "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
         "dist2",
     )
+
+
+# =====================================================================
+# W14b — Holt linear-trend smoothing, exact sequential twin of w14
+# =====================================================================
+
+
+@query(
+    "w14b_holt_exact",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS tc
+      FROM events GROUP BY 1, 2
+    ), o AS (
+      SELECT event_type, day, CAST(tc AS DOUBLE) / 100.0 AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM daily
+    ), rec AS (
+      SELECT event_type, day, x, rn, x AS l,
+             CAST(0.0 AS DOUBLE) AS t
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.day, o.x, o.rn,
+             0.3 * o.x + 0.7 * (rec.l + rec.t) AS l,
+             0.1 * ((0.3 * o.x + 0.7 * (rec.l + rec.t)) - rec.l)
+               + 0.9 * rec.t AS t
+      FROM rec JOIN o
+        ON o.event_type = rec.event_type AND o.rn = rec.rn + 1
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           ROUND(l, 6) AS level, ROUND(t, 6) AS trend
+    FROM rec
+    """,
+)
+def w14b_holt_exact(spark, sf_dir):
+    """W14b: Holt's linear-trend smoothing of the daily total series,
+    evaluated SEQUENTIALLY per key — the hash-green twin of w14.
+
+    w14 runs the matrix-affine Blelloch scan (the long-single-series
+    scale path: per-epoch 2×2 local scans + a vanishing carry
+    recursion), but scan reassociation drifts the last float ulps from
+    the sequential recurrence (parity 1e-8 in tests/test_r6_ops.py) —
+    too coarse to gamble a 6 dp value hash on. w14b instead evaluates
+    the textbook recurrence l' = 0.3·x + 0.7·(l + t),
+    t' = 0.1·(l' − l) + 0.9·t in ARRIVAL ORDER inside one Arrow
+    applyInPandas per event type, the SAME literals and association
+    the oracle's recursive CTE states — bit-identical doubles, full
+    value-hash oracle for a 2-state recurrence. Inputs are exact
+    (daily totals in bigint cents / 100).
+
+    Scale contract: per-ENTITY series (the standard forecasting
+    shape — each group's days fit one Arrow batch; the group count is
+    what scales). A single series longer than a task is w14's scan
+    territory; that split is exactly x6 vs x6b in the streaming
+    family."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("tc")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [tc / 100.0 for tc in pdf["tc"]]
+        ls, ts_ = [], []
+        l = t = None
+        for x in xs:
+            if l is None:
+                l, t = x, 0.0
+            else:
+                l_new = 0.3 * x + 0.7 * (l + t)
+                t = 0.1 * (l_new - l) + 0.9 * t
+                l = l_new
+            ls.append(l)
+            ts_.append(t)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "level": ls,
+                "trend": ts_,
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        holt, schema="event_type string, day date, level double, trend double"
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )
