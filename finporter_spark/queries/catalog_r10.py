@@ -906,3 +906,238 @@ def w14b_holt_exact(spark, sf_dir):
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
     )
+
+
+# =====================================================================
+# A38 — exact Mann–Whitney U (rank-sum) test
+# =====================================================================
+
+
+@query(
+    "a38_mann_whitney_u",
+    """
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS iv,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), g AS (
+      SELECT iv, SUM(a) AS c1, SUM(1 - a) AS c2, COUNT(*) AS c
+      FROM s GROUP BY iv
+    ), cum AS (
+      SELECT iv, c1, c2, c,
+             COALESCE(SUM(c) OVER (ORDER BY iv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f
+      FROM g
+    ), agg AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * f + c + 1)) AS r1x2,
+             SUM(c * c * c - c) AS tie3
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           CAST(n1 AS DOUBLE) * n2
+             - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+           round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def a38_mann_whitney_u(spark, sf_dir):
+    """A38: EXACT Mann–Whitney U (Wilcoxon rank-sum) between the
+    'view' and 'purchase' value distributions — the rank-based
+    location-shift test beside a37's KS (whole-CDF) and a24's Welch
+    (parametric means). Robust to outliers and the usual first screen
+    on heavy-tailed engagement metrics.
+
+    Exactness: the tie-corrected rank sum is computed on INTEGERS —
+    values quantize to bigint cents; for each distinct value the
+    DOUBLED midrank is 2F + c + 1 (F = count before it, c = tie
+    count), so 2·R1 = Σ c1·(2F + c + 1) is a bigint and
+    U1 = (2R1 − n1(n1+1))/2 is an exact halving (binary-exact even on
+    .5 midranks). The tie-corrected normal z (Lehmann) divides exact
+    bigint co-moments — identical doubles cross-engine, libm sqrt on a
+    ONE-row result rounded 6 dp. Full value-hash oracle.
+
+    Scale shape: identical to a37 — one corpus pass to the bounded
+    distinct-value domain, one domain-sized cumulative window, one
+    scalar aggregate."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+    )
+    g = s.groupBy("iv").agg(
+        F.sum("a").alias("c1"),
+        F.sum(1 - F.col("a")).alias("c2"),
+        F.count("*").alias("c"),
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "iv", "c1", "c2", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("f") + F.col("c") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / 2.0
+    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
+    sig2 = (
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+    ) * (
+        (F.col("n1") + F.col("n2") + 1)
+        - F.col("tie3").cast("double")
+        / (
+            (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1).cast("double")
+        )
+    )
+    return agg.select(
+        "n1", "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("z"),
+    )
+
+
+# =====================================================================
+# W26 — most-likely single changepoint (binary segmentation, 1 split)
+# =====================================================================
+
+
+@query(
+    "w26_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS mc
+      FROM events GROUP BY 1, 2
+    ), o AS (
+      SELECT event_type, day, mc,
+             SUM(mc) OVER (PARTITION BY event_type ORDER BY day) AS st,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS t
+      FROM daily
+    ), tot AS (
+      SELECT event_type, MAX(st) AS sn, MAX(t) AS n
+      FROM o GROUP BY event_type
+    ), cand AS (
+      SELECT o.event_type, o.day, o.t, o.st, tot.sn, tot.n,
+             CAST(o.st * tot.n - tot.sn * o.t AS DOUBLE) AS dnum
+      FROM o JOIN tot USING (event_type) WHERE o.t < tot.n
+    ), scored AS (
+      SELECT event_type, day, t, st, sn, n,
+             (dnum * dnum)
+               / (CAST(t AS DOUBLE) * (n - t) * n * 10000.0) AS stat
+      FROM cand
+    ), best AS (
+      SELECT event_type, day, t, st, sn, n, stat,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY stat DESC, t) AS rk
+      FROM scored
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS split_day,
+           CAST(n AS BIGINT) AS n_days, CAST(t AS BIGINT) AS t,
+           CAST(st AS DOUBLE) / (100.0 * t) AS mean_before,
+           CAST(sn - st AS DOUBLE) / (100.0 * (n - t)) AS mean_after,
+           ROUND(stat, 6) AS stat
+    FROM best WHERE rk = 1
+    """,
+)
+def w26_changepoint(spark, sf_dir):
+    """W26: most-likely SINGLE changepoint of the daily total-value
+    series per event type — one round of binary segmentation (Scott &
+    Knott 1974; the building block CUSUM (w20) flags but does not
+    locate): split after day t maximizing the between-segment variance
+    reduction stat(t) = (S_t·n − S_n·t)² / (t·(n−t)·n), the classic
+    CUSUM-square form. Complements the series-QA family: w20 CUSUM
+    drift flags, w22 anomaly days, w24 decomposition, w26 level-shift
+    location.
+
+    Exactness: daily totals are bigint cents, so S_t·n − S_n·t is an
+    EXACT bigint; the statistic squares/divides that single integer as
+    a double — the same two integer inputs and the same ops in both
+    engines (no pow(), an explicit d·d multiply — libm pow need not
+    equal x·x bit-for-bit), so the argmax ranks IDENTICAL doubles and
+    ties break on t. Full value-hash oracle for a changepoint
+    detector.
+
+    Scale shape: one corpus pass to the daily domain; prefix sums +
+    argmax run per type on the DOMAIN-sized table (the w24 contract).
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("mc")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = daily.select(
+        "event_type", "day",
+        F.sum("mc").over(wc).alias("st"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+    )
+    tot = o.groupBy("event_type").agg(
+        F.max("st").alias("sn"), F.max("t").alias("n")
+    )
+    cand = o.join(F.broadcast(tot), "event_type").where(
+        F.col("t") < F.col("n")
+    )
+    dnum = (
+        F.col("st") * F.col("n") - F.col("sn") * F.col("t")
+    ).cast("double")
+    scored = cand.select(
+        "event_type", "day", "t", "st", "sn", "n",
+        (
+            (dnum * dnum)
+            / (
+                F.col("t").cast("double")
+                * (F.col("n") - F.col("t"))
+                * F.col("n")
+                * 10000.0
+            )
+        ).alias("stat"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc("stat"), F.col("t")
+    )
+    best = scored.withColumn("rk", F.row_number().over(wb)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("split_day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("t").cast("bigint").alias("t"),
+        (F.col("st").cast("double") / (100.0 * F.col("t"))).alias(
+            "mean_before"
+        ),
+        (
+            (F.col("sn") - F.col("st")).cast("double")
+            / (100.0 * (F.col("n") - F.col("t")))
+        ).alias("mean_after"),
+        F.round("stat", 6).alias("stat"),
+    )

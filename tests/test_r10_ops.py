@@ -256,3 +256,78 @@ def test_w14b_matches_scan_holt_on_same_series(spark, sf_dir):
         day = r.day.strftime("%Y-%m-%d")
         l, t = scan[(r.event_type, day)]
         assert abs(r.level - l) < 1e-6 and abs(r.trend - t) < 1e-6, r
+
+
+def test_a38_matches_pure_python_midranks(spark, sf_dir):
+    """Doubled-midrank U equals the textbook tie-corrected
+    Mann–Whitney computed driver-side."""
+    row = CATALOG["a38_mann_whitney_u"][0](spark, sf_dir).collect()[0]
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        )
+        .collect()
+    )
+    a = [r.iv for r in e if r.event_type == "view"]
+    b = [r.iv for r in e if r.event_type == "purchase"]
+    n1, n2 = len(a), len(b)
+    from collections import Counter
+
+    cnt = Counter(a + b)
+    r1 = 0.0
+    f = 0
+    tie3 = 0
+    ca = Counter(a)
+    for v in sorted(cnt):
+        c = cnt[v]
+        mid = f + (c + 1) / 2.0
+        r1 += ca.get(v, 0) * mid
+        tie3 += c**3 - c
+        f += c
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.u1 == u1 and row.u2 == n1 * n2 - u1
+    nn = n1 + n2
+    sig2 = (n1 * n2 / 12.0) * ((nn + 1) - tie3 / (nn * (nn - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(sig2)
+    assert row.z == round(z, 6)
+
+
+def test_w26_changepoint_matches_brute_force(spark, sf_dir):
+    """The argmax split equals a brute-force scan over every t, and the
+    segment means are the exact segment averages."""
+    rows = CATALOG["w26_changepoint"][0](spark, sf_dir).collect()
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "mc"
+            )
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.mc))
+    for row in rows:
+        pts = sorted(series[row.event_type])
+        vals = [mc for _, mc in pts]
+        n = len(vals)
+        sn = sum(vals)
+        best = None
+        for t in range(1, n):
+            st = sum(vals[:t])
+            d = float(st * n - sn * t)
+            stat = d * d / (t * (n - t) * n * 10000.0)
+            if best is None or stat > best[0]:
+                best = (stat, t, st)
+        stat, t, st = best
+        assert row.t == t and row.n_days == n
+        assert row.split_day.date() == pts[t - 1][0]
+        assert row.mean_before == st / (100.0 * t)
+        assert row.mean_after == (sn - st) / (100.0 * (n - t))
+        assert row.stat == round(stat, 6)
