@@ -290,10 +290,16 @@ def _l41_raw_url_sql() -> str:
     )
 
 
-@query(
-    "l41_url_canonical_dedup",
-    f"""
-    WITH raw AS (
+_L41_CANON = (
+    "scheme || '://' || host || path"
+    " || CASE WHEN q = '' THEN '' ELSE '?' || q END"
+)
+
+
+def _l41_norm_ctes() -> str:
+    """raw/parts/norm CTE bodies (no WITH) — shared by the l41 oracle
+    and pipe8's chained-stage oracle."""
+    return f"""raw AS (
       SELECT doc_id, {_l41_raw_url_sql()} AS url FROM documents
     ), parts AS (
       SELECT doc_id,
@@ -322,10 +328,14 @@ def _l41_raw_url_sql() -> str:
                     AND NOT starts_with(x, 'gclid')
                     AND NOT starts_with(x, 'msclkid'))), '&') AS q
       FROM parts
-    )
-    SELECT scheme || '://' || host || path
-             || CASE WHEN q = '' THEN '' ELSE '?' || q END
-             AS canonical_url,
+    )"""
+
+
+@query(
+    "l41_url_canonical_dedup",
+    f"""
+    WITH {_l41_norm_ctes()}
+    SELECT {_L41_CANON} AS canonical_url,
            COUNT(*) AS n_dups,
            MIN(doc_id) AS canonical_doc
     FROM norm
@@ -353,6 +363,19 @@ def l41_url_canonical_dedup(spark, sf_dir):
     followed by ONE keyed aggregation on the canonical string —
     exactly the l1 exact-dedup shape; at 100 TB the agg key would be
     md5(canonical_url) to keep shuffle rows narrow."""
+    return (
+        _l41_canonical_df(spark, sf_dir)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+def _l41_canonical_df(spark, sf_dir):
+    """(doc_id, canonical_url) — the canonicalizer, shared by l41 and
+    pipe8."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS")).otherwise(
@@ -436,14 +459,7 @@ def l41_url_canonical_dedup(spark, sf_dir):
             F.concat(F.lit("?"), F.col("q"))
         ),
     )
-    return (
-        norm.select(canon.alias("canonical_url"), "doc_id")
-        .groupBy("canonical_url")
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.min("doc_id").alias("canonical_doc"),
-        )
-    )
+    return norm.select("doc_id", canon.alias("canonical_url"))
 
 
 # =====================================================================
@@ -1140,4 +1156,124 @@ def w26_changepoint(spark, sf_dir):
             / (100.0 * (F.col("n") - F.col("t")))
         ).alias("mean_after"),
         F.round("stat", 6).alias("stat"),
+    )
+
+
+# =====================================================================
+# PIPE8 — crawl curation funnel: URL dedup -> repetition gate -> floor
+# =====================================================================
+
+
+@query(
+    "pipe8_crawl_curation",
+    f"""
+    WITH {_l41_norm_ctes()},
+    canon AS (
+      SELECT doc_id, {_L41_CANON} AS cu FROM norm
+    ), surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY cu
+    ), sd AS (
+      SELECT d.doc_id, d.source, d.n_chars, d.text
+      FROM documents d JOIN surv USING (doc_id)
+    ), t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS toks
+      FROM sd
+    ), idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM idx
+    ), pg AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g
+    ), rep AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, MAX(c) AS mx
+      FROM pg GROUP BY doc_id
+    ), gated AS (
+      SELECT sd.doc_id, sd.source, sd.n_chars
+      FROM sd JOIN rep USING (doc_id)
+      WHERE CAST(rep.dup AS DOUBLE) / rep.n <= 0.2
+        AND CAST(rep.mx AS DOUBLE) / rep.n <= 0.05
+        AND sd.n_chars >= 100
+    ), raw_counts AS (
+      SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source
+    ), url_counts AS (
+      SELECT source, COUNT(*) AS n_url_unique FROM sd GROUP BY source
+    ), fin AS (
+      SELECT source, COUNT(*) AS n_final, SUM(n_chars) AS chars_final
+      FROM gated GROUP BY source
+    )
+    SELECT r.source, r.n_raw,
+           COALESCE(u.n_url_unique, 0) AS n_url_unique,
+           COALESCE(f.n_final, 0) AS n_final,
+           COALESCE(f.chars_final, 0) AS chars_final
+    FROM raw_counts r
+    LEFT JOIN url_counts u USING (source)
+    LEFT JOIN fin f USING (source)
+    """,
+)
+def pipe8_crawl_curation(spark, sf_dir):
+    """PIPE8: the crawl-side curation funnel, per-source — the stages a
+    web corpus passes BEFORE content-level dedup (pipe6's territory):
+    (1) URL canonicalization + canonical-URL dedup (l41 — min doc_id
+    survives each canonical group), (2) the Gopher repetition gate on
+    survivors (word-3-gram duplicate mass ≤ 0.2 AND top-gram mass
+    ≤ 0.05 — l16's exact signals as a filter), (3) a minimum-length
+    floor (n_chars ≥ 100). Emits the per-source funnel: raw count,
+    canonical-URL-unique count, final count + final char mass — the
+    table a data-mixing stage (o13) consumes as its denominator.
+
+    Every stage is a keyed agg or map-side gate off ONE documents
+    scan lineage (canonicalize: map + keyed agg; repetition: the l16
+    3-gram profile computed ONLY for URL survivors — the stage order
+    puts the n-gram explosion after the 8× URL cut; gates: map-side);
+    the funnel is three domain-sized aggregates joined on source.
+    Full value-hash oracle: the l41 norm core + the l16 repetition
+    CTEs + gates chained (the pipe6 stage-chained pattern)."""
+    from finporter_spark.operators.prep import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    canon = _l41_canonical_df(spark, sf_dir)
+    surv = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    sd = d.join(surv, "doc_id").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    rep = repetition_profile(sd, "text", "doc_id", ngram_n=3)
+    gated = (
+        sd.join(
+            rep.select("doc_id", "n_ngrams", "dup_frac", "top_frac"),
+            "doc_id",
+        )
+        .where(
+            # n_ngrams >= 1 mirrors the oracle's inner join against the
+            # gram table: a doc too short to form a 3-gram has no
+            # repetition signal and fails the gate on both engines
+            (F.col("n_ngrams") >= 1)
+            & (F.col("dup_frac") <= 0.2)
+            & (F.col("top_frac") <= 0.05)
+            & (F.col("n_chars") >= 100)
+        )
+    )
+    raw_counts = d.groupBy("source").agg(F.count("*").alias("n_raw"))
+    url_counts = sd.groupBy("source").agg(
+        F.count("*").alias("n_url_unique")
+    )
+    fin = gated.groupBy("source").agg(
+        F.count("*").alias("n_final"),
+        F.sum("n_chars").alias("chars_final"),
+    )
+    return (
+        raw_counts.join(url_counts, "source", "left")
+        .join(fin, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_url_unique", F.lit(0)).alias("n_url_unique"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("chars_final", F.lit(0)).alias("chars_final"),
+        )
     )

@@ -331,3 +331,20 @@ def test_w26_changepoint_matches_brute_force(spark, sf_dir):
         assert row.mean_before == st / (100.0 * t)
         assert row.mean_after == (sn - st) / (100.0 * (n - t))
         assert row.stat == round(stat, 6)
+
+
+def test_pipe8_funnel_is_monotone_and_stages_cut(spark, sf_dir):
+    """Per source: n_raw >= n_url_unique >= n_final; the URL stage cuts
+    substantially (synthesized dup classes) and the gates cut at least
+    one doc overall; totals tie to the corpus."""
+    rows = CATALOG["pipe8_crawl_curation"][0](spark, sf_dir).collect()
+    total = _t(spark, sf_dir, "documents").count()
+    assert sum(r.n_raw for r in rows) == total
+    assert all(r.n_raw >= r.n_url_unique >= r.n_final for r in rows)
+    url_total = sum(r.n_url_unique for r in rows)
+    fin_total = sum(r.n_final for r in rows)
+    assert url_total < total  # URL dedup actually merged
+    assert 0 < fin_total <= url_total
+    assert all(
+        (r.chars_final > 0) == (r.n_final > 0) for r in rows
+    )

@@ -156,6 +156,16 @@ QUERIES = [
     "a14b_rolling_kmv_rollup",
     "a35_poisson_bootstrap_ci",
     "a36_embedding_covariance",
+    # round-10: new operators measured at both decades from birth
+    "a37_ks_test",
+    "a38_mann_whitney_u",
+    "w24_stl_decompose",
+    "w26_changepoint",
+    "w14b_holt_exact",
+    "l41_url_canonical_dedup",
+    "l45_pq_ann_topk",
+    "l45b_pq_rerank_topk",
+    "x17_transform_with_state_top2",
 ]
 
 
@@ -197,7 +207,8 @@ def main() -> None:
                         "x14_datasource_stream_parallel",
                         "l3_ivf_knn", "l20_fuzzy_decontaminate",
                         "x15_stream_outer_interval_join",
-                        "x16_stream_full_outer_interval_join"):
+                        "x16_stream_full_outer_interval_join",
+                        "x17_transform_with_state_top2"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
