@@ -8,7 +8,7 @@ The stdout line is deliberately small: the suite is 157 queries and a
 pipelines clip it mid-JSON (round-8's committed artifact had
 "parsed": null for exactly this reason). So "queries" on stdout carries
 only the TOP_N slowest queries; the COMPLETE per-query map is written
-to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r9.json next to this
+to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r10.json next to this
 file) and committed separately.
 
 Each query executes end-to-end into the `noop` sink (full plan runs, no
@@ -359,7 +359,7 @@ def main() -> None:
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r9.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r10.json"
         ),
     )
     with open(full_path, "w") as fh:

