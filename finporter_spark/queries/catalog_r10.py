@@ -53,17 +53,20 @@ from finporter_spark.queries.catalog import _t, query
     ), best AS (
       SELECT MAX(dnum) AS dnum FROM d
     )
-    SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
-           (SELECT MIN(iv) FROM d WHERE dnum = (SELECT dnum FROM best))
-             AS at_iv,
-           CAST((SELECT dnum FROM best) AS DOUBLE)
-             / ((SELECT n1 FROM n) * (SELECT n2 FROM n)) AS d_stat,
+    , fin AS (
+      SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+             (SELECT MIN(iv) FROM d
+              WHERE dnum = (SELECT dnum FROM best)) AS at_iv,
+             CAST((SELECT dnum FROM best) AS DOUBLE)
+               / ((SELECT n1 FROM n) * (SELECT n2 FROM n)) AS d_stat
+    )
+    SELECT n1, n2, at_iv, d_stat,
+           -- d_stat*d_stat, not pow: libm pow need not equal the multiply
            round(LEAST(1.0, 2.0 * exp(
-             -2.0 * pow(CAST((SELECT dnum FROM best) AS DOUBLE)
-                        / ((SELECT n1 FROM n) * (SELECT n2 FROM n)), 2)
-                  * ((SELECT n1 FROM n) * CAST((SELECT n2 FROM n) AS DOUBLE))
-                  / ((SELECT n1 FROM n) + (SELECT n2 FROM n)))), 6)
+             -2.0 * (d_stat * d_stat)
+                  * (n1 * CAST(n2 AS DOUBLE)) / (n1 + n2))), 6)
              AS p_approx
+    FROM fin
     """,
 )
 def a37_ks_test(spark, sf_dir):
@@ -125,8 +128,10 @@ def a37_ks_test(spark, sf_dir):
         .agg(F.min("iv").alias("at_iv"))
     )
     d_stat = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2"))
+    # d_stat*d_stat, not pow(d_stat, 2): libm pow need not equal the
+    # multiply bit-for-bit across engines (the w26 discipline)
     lam2 = (
-        F.pow(d_stat, 2)
+        (d_stat * d_stat)
         * (F.col("n1") * F.col("n2").cast("double"))
         / (F.col("n1") + F.col("n2"))
     )
@@ -1282,4 +1287,184 @@ def pipe8_crawl_curation(spark, sf_dir):
             F.coalesce("n_final", F.lit(0)).alias("n_final"),
             F.coalesce("chars_final", F.lit(0)).alias("chars_final"),
         )
+    )
+
+
+# =====================================================================
+# A39 — Benford first-digit audit (data-quality screen)
+# =====================================================================
+
+
+@query(
+    "a39_benford_audit",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS d1
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) >= 1
+    ), g AS (
+      SELECT event_type, d1, COUNT(*) AS c FROM s GROUP BY 1, 2
+    ), n AS (
+      SELECT event_type, SUM(c) AS n FROM g GROUP BY event_type
+    ), digits AS (
+      SELECT event_type, n, dd.d1,
+             ln(1.0 + 1.0 / dd.d1) / ln(10.0) AS p_benford
+      FROM n CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d1) dd
+    )
+    , dev AS (
+      SELECT digits.event_type, digits.d1, digits.n, digits.p_benford,
+             CAST(COALESCE(g.c, 0) AS BIGINT) AS n_obs,
+             CAST(COALESCE(g.c, 0) AS DOUBLE)
+               - digits.n * digits.p_benford AS d
+      FROM digits LEFT JOIN g
+        ON g.event_type = digits.event_type AND g.d1 = digits.d1
+    )
+    SELECT event_type, d1, n_obs,
+           CAST(n_obs AS DOUBLE) / n AS p_obs,
+           round(p_benford, 6) AS p_benford,
+           -- d*d, not pow(d,2): libm pow need not equal the multiply
+           round((d * d) / (n * p_benford), 6) AS chi2_term
+    FROM dev
+    """,
+)
+def a39_benford_audit(spark, sf_dir):
+    """A39: Benford first-digit audit per event type — the classic
+    fabricated-/degenerate-data screen (Benford 1938; standard in
+    fraud and data-quality review): observed first-significant-digit
+    frequencies of the quantized values against log10(1 + 1/d), with
+    per-digit chi-square contributions. A synthetic or truncated
+    source announces itself as a fat chi2_term on one digit.
+
+    Determinism: the first digit is STRING arithmetic on the exact
+    bigint cents (no float log-floor dance — substr of the decimal
+    rendering is identical in both engines); counts are integers; the
+    expected probability and chi-square term round at 6 dp from
+    identical double inputs (ln/pow on one 45-row result). Zero-cent
+    values are excluded on both sides (no first significant digit).
+
+    Scale: one keyed agg over (type, digit) — 9 cells per type — and a
+    broadcast digit spine. Map-combinable everywhere."""
+    e = _t(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("bigint")
+    s = e.select(
+        "event_type",
+        F.substring(iv.cast("string"), 1, 1).cast("int").alias("d1"),
+    ).where(iv >= 1)
+    g = s.groupBy("event_type", "d1").agg(F.count("*").alias("c"))
+    n = g.groupBy("event_type").agg(F.sum("c").alias("n"))
+    digits = n.crossJoin(
+        F.broadcast(
+            spark.range(1, 10).select(F.col("id").cast("int").alias("d1"))
+        )
+    ).withColumn(
+        "p_benford", F.log(1.0 + 1.0 / F.col("d1")) / F.log(F.lit(10.0))
+    )
+    dev = digits.join(g, ["event_type", "d1"], "left").select(
+        "event_type", "d1", "n", "p_benford",
+        F.coalesce("c", F.lit(0)).alias("n_obs"),
+        (
+            F.coalesce("c", F.lit(0)).cast("double")
+            - F.col("n") * F.col("p_benford")
+        ).alias("d"),
+    )
+    return dev.select(
+        "event_type", "d1", "n_obs",
+        (F.col("n_obs").cast("double") / F.col("n")).alias("p_obs"),
+        F.round("p_benford", 6).alias("p_benford"),
+        # d*d, not pow(d, 2): libm pow need not equal the multiply
+        F.round(
+            (F.col("d") * F.col("d")) / (F.col("n") * F.col("p_benford")),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# =====================================================================
+# W27 — AR(1) fit per series from exact co-moments
+# =====================================================================
+
+
+@query(
+    "w27_ar1_fit",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS mc
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, mc,
+             lag(mc) OVER (PARTITION BY event_type ORDER BY day) AS pm
+      FROM daily
+    ), m AS (
+      SELECT event_type,
+             COUNT(pm) AS n,
+             SUM(CASE WHEN pm IS NOT NULL THEN mc END) AS sy,
+             SUM(pm) AS sx,
+             SUM(pm * mc) AS sxy,
+             SUM(pm * pm) AS sxx
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS phi,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx)) * sx)
+                 / (100.0 * n), 6) AS intercept
+    FROM m
+    WHERE n * sxx - sx * sx != 0
+    """,
+)
+def w27_ar1_fit(spark, sf_dir):
+    """W27: AR(1) autoregression fit of the daily total series per
+    event type — φ and intercept by closed-form least squares on the
+    (y_{t-1}, y_t) lag pairs; the mean-reversion/persistence readout
+    (φ→1 = random walk, φ→0 = white noise) beside w18's ACF (which
+    reports correlation, not the regression coefficients) and a21's
+    cross-sectional OLS.
+
+    Exactness (the a21 discipline on a time-series): the series is
+    bigint cents, the lag pairs come from one keyed window, and ALL
+    five co-moments (Σx, Σy, Σxy, Σx², n) are exact bigints — φ's
+    numerator and denominator are single exact integers, so both
+    engines divide the same two numbers (6 dp rounding on top; the
+    intercept rescales to value units). Magnitude check: Σx² at sf10 ≈
+    365·(6e9)² ≈ 1e22 — EXCEEDS bigint if daily totals reach billions
+    of cents, so the operator contract is per-key daily totals < ~3e8
+    cents; beyond that, pre-center the series (subtract the per-key
+    integer mean) before the co-moments — documented, not silently
+    wrong: overflow raises under ANSI mode on Spark and errors in
+    DuckDB.
+
+    Scale: one corpus pass to the daily domain, one per-key lag
+    window, one keyed agg — all domain-sized after the first agg."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("mc")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("pm", F.lag("mc").over(w))
+    m = lagged.groupBy("event_type").agg(
+        F.count("pm").alias("n"),
+        F.sum(F.when(F.col("pm").isNotNull(), F.col("mc"))).alias("sy"),
+        F.sum("pm").alias("sx"),
+        F.sum(F.col("pm") * F.col("mc")).alias("sxy"),
+        F.sum(F.col("pm") * F.col("pm")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    phi = num.cast("double") / den
+    return m.where(den != 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(phi, 6).alias("phi"),
+        F.round(
+            (F.col("sy").cast("double") - phi * F.col("sx"))
+            / (100.0 * F.col("n")),
+            6,
+        ).alias("intercept"),
     )

@@ -348,3 +348,53 @@ def test_pipe8_funnel_is_monotone_and_stages_cut(spark, sf_dir):
     assert all(
         (r.chars_final > 0) == (r.n_final > 0) for r in rows
     )
+
+
+def test_a39_benford_terms_and_totals(spark, sf_dir):
+    """9 digits per type; observed probabilities sum to 1 per type;
+    expected probabilities are the Benford law; chi2 terms are
+    non-negative and match a driver-side recomputation."""
+    rows = CATALOG["a39_benford_audit"][0](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sorted(r.d1 for r in rs) == list(range(1, 10))
+        assert abs(sum(r.p_obs for r in rs) - 1.0) < 1e-9
+        n = sum(r.n_obs for r in rs)
+        for r in rs:
+            pb = math.log10(1 + 1 / r.d1)
+            assert r.p_benford == round(pb, 6)
+            d = r.n_obs - n * pb
+            assert r.chi2_term == round(d * d / (n * pb), 6)
+            assert r.chi2_term >= 0
+
+
+def test_w27_ar1_matches_numpy_lstsq(spark, sf_dir):
+    """Closed-form φ/intercept equal numpy's least-squares on the same
+    lag pairs."""
+    import numpy as np
+
+    rows = CATALOG["w27_ar1_fit"][0](spark, sf_dir).collect()
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "mc"
+            )
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.mc))
+    for row in rows:
+        vals = [mc for _, mc in sorted(series[row.event_type])]
+        x = np.array(vals[:-1], dtype=float)
+        y = np.array(vals[1:], dtype=float)
+        A = np.vstack([x, np.ones_like(x)]).T
+        phi, b = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert row.n_pairs == len(x)
+        assert abs(row.phi - phi) < 1e-6, (row.phi, phi)
+        assert abs(row.intercept - b / 100.0) < 1e-4

@@ -166,6 +166,9 @@ QUERIES = [
     "l45_pq_ann_topk",
     "l45b_pq_rerank_topk",
     "x17_transform_with_state_top2",
+    "pipe8_crawl_curation",
+    "a39_benford_audit",
+    "w27_ar1_fit",
 ]
 
 
