@@ -1,22 +1,30 @@
 """Catalog extension — round-10 additions.
 
-New operator families this round:
+New operator families this round (ALL deterministic by construction,
+all with full DuckDB value-hash oracles):
 
-- ``a37_ks_test``: exact two-sample Kolmogorov–Smirnov distance via
-  integer cross-counts — nonparametric distribution-shift readout (the
-  a24 Welch test's rank-based sibling).
-- ``w24_stl_decompose``: additive trend/seasonal/residual decomposition
-  of the daily series (STL-shaped: centered moving-average trend,
-  day-of-week seasonal means of the detrended series) with EXACT
-  bigint co-moment arithmetic so the float outputs divide identically
-  cross-engine.
-- ``l41_url_canonical_dedup``: crawl-grade URL canonicalization
-  (case/port/fragment/tracking-param normalization, query-param sort)
-  + collapse to canonical-URL dup groups — the step BEFORE host-level
-  dedup that p17 (parse) and l1 (exact text dedup) bracket.
-
-All three are deterministic by construction and carry full DuckDB
-value-hash oracles.
+- Nonparametric experiment readouts on exact integers: ``a37_ks_test``
+  (two-sample Kolmogorov–Smirnov via integer cross-counts),
+  ``a38_mann_whitney_u`` (tie-corrected rank-sum via doubled-midrank
+  bigints), ``a39_benford_audit`` (first-digit law screen,
+  string-exact digits).
+- Time-series decomposition/structure on exact bigint co-moments:
+  ``w24_stl_decompose`` (trend/seasonal/residual),
+  ``w26_changepoint`` (CUSUM-square argmax level-shift locator),
+  ``w27_ar1_fit`` (AR(1) φ/intercept), ``w14b_holt_exact``
+  (arrival-order Holt recurrence — the hash-green twin of w14's
+  matrix scan, recursive-CTE oracle).
+- Crawl-side curation: ``l41_url_canonical_dedup`` (URL
+  canonicalization + canonical-URL dup groups) and
+  ``pipe8_crawl_curation`` (URL dedup → Gopher repetition gate →
+  length floor, per-source funnel).
+- Compressed-domain ANN: ``l45_pq_ann_topk`` (product quantization,
+  deterministic per-subspace Lloyd codebooks + broadcast ADC scan)
+  and ``l45b_pq_rerank_topk`` (IVFADC-R exact re-rank).
+- The last uncovered streaming surface:
+  ``x17_transform_with_state_top2`` (Spark 4
+  ``transformWithStateInPandas`` StatefulProcessor, multi-batch
+  ValueState on RocksDB, vendored-protobuf worker shipping).
 """
 
 from __future__ import annotations
@@ -640,7 +648,14 @@ _PQ_M = 4       # subspaces
 _PQ_K = 16      # centroids per subspace
 _PQ_SUB = 16    # dims per subspace (4 x 16 = the 64-dim space)
 _PQ_TOPK = 10
-_PQ_QMOD = 101  # queries = vec_id % 101 == 0 (workload-sized)
+_PQ_QMOD = 101
+# The query WORKLOAD is fixed-size by contract (the ANN-benchmark
+# shape): vec_id % 101 == 0 AND vec_id < 101*50 — at most 50 queries at
+# ANY corpus size. Round-10 decade sweep caught the unbounded form
+# (every 101st vector) going 21x super-linear at sf10: Q scaled with N
+# and the ADC scan became QxN quadratic (2.5e9 pairs, 220 s). A
+# corpus-scaled query set is a batch self-join workload, not ANN.
+_PQ_QMAX = _PQ_QMOD * 50
 
 
 def _pq_sub_ctes(i: int) -> str:
@@ -685,7 +700,7 @@ def _pq_sub_ctes(i: int) -> str:
                     list_zip(q.emb[{lo + 1}:{lo + _PQ_SUB}], c.cen),
                     z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
        FROM e q CROSS JOIN c2_{i} c
-       WHERE q.vec_id % {_PQ_QMOD} = 0)"""
+       WHERE q.vec_id % {_PQ_QMOD} = 0 AND q.vec_id < {_PQ_QMAX})"""
 
 
 def _l45_core() -> str:
@@ -794,7 +809,10 @@ def l45_pq_ann_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir, emb)
-    queries = emb.where(F.col("vec_id") % _PQ_QMOD == 0)
+    queries = emb.where(
+        (F.col("vec_id") % _PQ_QMOD == 0)
+        & (F.col("vec_id") < _PQ_QMAX)
+    )
     out = pq_topk(
         emb, queries, "vec_id", "embedding", books, k=_PQ_TOPK
     )
@@ -824,7 +842,10 @@ def l45b_pq_rerank_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir, emb)
-    queries = emb.where(F.col("vec_id") % _PQ_QMOD == 0)
+    queries = emb.where(
+        (F.col("vec_id") % _PQ_QMOD == 0)
+        & (F.col("vec_id") < _PQ_QMAX)
+    )
     short = pq_topk(
         emb, queries, "vec_id", "embedding", books, k=_PQ_SHORTLIST
     )
@@ -1393,26 +1414,34 @@ def a39_benford_audit(spark, sf_dir):
       SELECT event_type, CAST(ts AS DATE) AS day,
              SUM(CAST(round(value * 100) AS BIGINT)) AS mc
       FROM events GROUP BY 1, 2
+    ), mb AS (
+      SELECT event_type, SUM(mc) // COUNT(*) AS mbar
+      FROM daily GROUP BY event_type
+    ), centered AS (
+      SELECT daily.event_type, day, mc - mbar AS c, mbar
+      FROM daily JOIN mb USING (event_type)
     ), lagged AS (
-      SELECT event_type, day, mc,
-             lag(mc) OVER (PARTITION BY event_type ORDER BY day) AS pm
-      FROM daily
+      SELECT event_type, day, c, mbar,
+             lag(c) OVER (PARTITION BY event_type ORDER BY day) AS pc
+      FROM centered
     ), m AS (
-      SELECT event_type,
-             COUNT(pm) AS n,
-             SUM(CASE WHEN pm IS NOT NULL THEN mc END) AS sy,
-             SUM(pm) AS sx,
-             SUM(pm * mc) AS sxy,
-             SUM(pm * pm) AS sxx
+      SELECT event_type, MAX(mbar) AS mbar,
+             COUNT(pc) AS n,
+             SUM(CASE WHEN pc IS NOT NULL THEN c END) AS sy,
+             SUM(pc) AS sx,
+             SUM(pc * c) AS sxy,
+             SUM(pc * pc) AS sxx
       FROM lagged GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
                  / (n * sxx - sx * sx), 6) AS phi,
-           round((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / (n * sxx - sx * sx)) * sx)
-                 / (100.0 * n), 6) AS intercept
+           round(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx)) * sx) / n
+                  + mbar * (1.0 - CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / (n * sxx - sx * sx)))
+                 / 100.0, 6) AS intercept
     FROM m
     WHERE n * sxx - sx * sx != 0
     """,
@@ -1430,13 +1459,18 @@ def w27_ar1_fit(spark, sf_dir):
     five co-moments (Σx, Σy, Σxy, Σx², n) are exact bigints — φ's
     numerator and denominator are single exact integers, so both
     engines divide the same two numbers (6 dp rounding on top; the
-    intercept rescales to value units). Magnitude check: Σx² at sf10 ≈
-    365·(6e9)² ≈ 1e22 — EXCEEDS bigint if daily totals reach billions
-    of cents, so the operator contract is per-key daily totals < ~3e8
-    cents; beyond that, pre-center the series (subtract the per-key
-    integer mean) before the co-moments — documented, not silently
-    wrong: overflow raises under ANSI mode on Spark and errors in
-    DuckDB.
+    intercept rescales to value units).
+
+    Overflow by construction, not by luck: the series is PRE-CENTERED
+    by the per-key integer mean (floor division — identical for the
+    positive totals on both engines). Covariance-form sums are EXACTLY
+    shift-invariant in integer arithmetic (n·Σxy − ΣxΣy is the same
+    bigint before and after centering), so φ is unchanged while the
+    addends shrink from (daily total)² ≈ (5e9)² — which DID overflow
+    bigint at the sf10 decade under ANSI (caught by this round's
+    sweep) — to (deviation)², and the intercept is recovered exactly
+    as b_centered + m̄(1 − φ). The remaining contract is deviations
+    < ~3e9 cents — seasonality-sized, not corpus-sized.
 
     Scale: one corpus pass to the daily domain, one per-key lag
     window, one keyed agg — all domain-sized after the first agg."""
@@ -1446,25 +1480,34 @@ def w27_ar1_fit(spark, sf_dir):
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("mc")
     )
+    mb = daily.groupBy("event_type").agg(
+        F.expr("sum(mc) div count(*)").alias("mbar")
+    )
+    centered = daily.join(F.broadcast(mb), "event_type").select(
+        "event_type", "day", "mbar",
+        (F.col("mc") - F.col("mbar")).alias("c"),
+    )
     w = Window.partitionBy("event_type").orderBy("day")
-    lagged = daily.withColumn("pm", F.lag("mc").over(w))
+    lagged = centered.withColumn("pc", F.lag("c").over(w))
     m = lagged.groupBy("event_type").agg(
-        F.count("pm").alias("n"),
-        F.sum(F.when(F.col("pm").isNotNull(), F.col("mc"))).alias("sy"),
-        F.sum("pm").alias("sx"),
-        F.sum(F.col("pm") * F.col("mc")).alias("sxy"),
-        F.sum(F.col("pm") * F.col("pm")).alias("sxx"),
+        F.max("mbar").alias("mbar"),
+        F.count("pc").alias("n"),
+        F.sum(F.when(F.col("pc").isNotNull(), F.col("c"))).alias("sy"),
+        F.sum("pc").alias("sx"),
+        F.sum(F.col("pc") * F.col("c")).alias("sxy"),
+        F.sum(F.col("pc") * F.col("pc")).alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     phi = num.cast("double") / den
+    b_centered = (
+        F.col("sy").cast("double") - phi * F.col("sx")
+    ) / F.col("n")
     return m.where(den != 0).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(phi, 6).alias("phi"),
         F.round(
-            (F.col("sy").cast("double") - phi * F.col("sx"))
-            / (100.0 * F.col("n")),
-            6,
+            (b_centered + F.col("mbar") * (1.0 - phi)) / 100.0, 6
         ).alias("intercept"),
     )

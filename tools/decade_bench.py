@@ -211,7 +211,8 @@ def main() -> None:
                         "l3_ivf_knn", "l20_fuzzy_decontaminate",
                         "x15_stream_outer_interval_join",
                         "x16_stream_full_outer_interval_join",
-                        "x17_transform_with_state_top2"):
+                        "x17_transform_with_state_top2",
+                        "l45_pq_ann_topk", "l45b_pq_rerank_topk"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
