@@ -1511,3 +1511,174 @@ def w27_ar1_fit(spark, sf_dir):
             (b_centered + F.col("mbar") * (1.0 - phi)) / 100.0, 6
         ).alias("intercept"),
     )
+
+
+# =====================================================================
+# A40 — PSI (population stability index) drift between time halves
+# =====================================================================
+
+
+@query(
+    "a40_psi_drift",
+    """
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) + MAX(epoch_us(ts)) AS mm FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             CASE WHEN epoch_us(ts) * 2 < (SELECT mm FROM b)
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), g AS (
+      SELECT event_type, iv,
+             SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+      FROM s GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, iv, cr, cc,
+             SUM(cr) OVER (PARTITION BY event_type ORDER BY iv) AS fr
+      FROM g
+    ), n AS (
+      SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc
+      FROM g GROUP BY event_type
+    ), edges AS (
+      SELECT cum.event_type, k.k,
+             MIN(cum.iv) AS edge
+      FROM cum JOIN n USING (event_type)
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) k
+      WHERE cum.fr * 10 >= k.k * n.nr
+      GROUP BY cum.event_type, k.k
+    ), el AS (
+      SELECT event_type, list(edge ORDER BY k) AS es
+      FROM edges GROUP BY event_type
+    ), bucketed AS (
+      SELECT s.event_type, s.is_ref,
+             1 + len(list_filter(el.es, e -> s.iv > e)) AS bkt
+      FROM s JOIN el USING (event_type)
+    ), bc AS (
+      SELECT event_type, bkt,
+             SUM(is_ref) AS br, SUM(1 - is_ref) AS bcur
+      FROM bucketed GROUP BY 1, 2
+    ), spine AS (
+      SELECT n.event_type, n.nr, n.nc, kk.bkt
+      FROM n CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS bkt) kk
+    ), p AS (
+      SELECT spine.event_type, spine.bkt,
+             GREATEST(CAST(COALESCE(bc.br, 0) AS DOUBLE) / spine.nr,
+                      1e-6) AS pr,
+             GREATEST(CAST(COALESCE(bc.bcur, 0) AS DOUBLE) / spine.nc,
+                      1e-6) AS pc
+      FROM spine LEFT JOIN bc
+        ON bc.event_type = spine.event_type AND bc.bkt = spine.bkt
+    )
+    SELECT event_type, bkt,
+           round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+           round((pc - pr) * ln(pc / pr), 6) AS psi_term
+    FROM p
+    """,
+)
+def a40_psi_drift(spark, sf_dir):
+    """A40: population stability index between the first and second
+    half of the time range, per event type — THE industry
+    drift-monitoring metric (credit-risk lineage; PSI > 0.25 = action):
+    bucket the current period by the REFERENCE period's deciles and sum
+    (p_cur − p_ref)·ln(p_cur/p_ref) per bucket. Completes the drift
+    family: a37/a38 test a hypothesis, a40 scores drift on a monitoring
+    scale; emits the 10 per-bucket terms so the alert can name WHERE
+    the mass moved.
+
+    Exactness: the period split compares 2·epoch_µs against
+    min+max epoch_µs (pure bigints); decile edges are exact order
+    statistics read from cumulative counts over the DISTINCT quantized
+    value domain (edge_k = min iv with 10·F(iv) ≥ k·n_ref — integer
+    cross-multiplication, no percentile interpolation); bucket
+    assignment counts edges below the value via a bounded array
+    filter. Probabilities are exact-integer divisions clamped at 1e-6
+    (the standard zero-bucket guard, identical in both engines); the
+    one ln() per row rounds at 6 dp. Full value-hash oracle.
+
+    Scale: two corpus passes (bucket counts; the domain-sized decile
+    table is the a37 contract), everything else domain-sized."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        (
+            F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))
+        ).alias("mm")
+    )
+    s = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.unix_micros("ts") * 2 < F.col("mm"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    g = s.groupBy("event_type", "iv").agg(
+        F.sum("is_ref").alias("cr"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "event_type", "iv", F.sum("cr").over(wcum).alias("fr")
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = (
+        cum.join(F.broadcast(n), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .where(F.col("fr") * 10 >= F.col("k") * F.col("nr"))
+        .groupBy("event_type", "k")
+        .agg(F.min("iv").alias("edge"))
+    )
+    el = edges.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("k", "edge"))
+        ).alias("ke")
+    ).select(
+        "event_type",
+        F.transform("ke", lambda x: x["edge"]).alias("es"),
+    )
+    bucketed = s.join(F.broadcast(el), "event_type").select(
+        "event_type", "is_ref",
+        (
+            1
+            + F.size(
+                F.filter("es", lambda ed: F.col("iv") > ed)
+            )
+        ).alias("bkt"),
+    )
+    bc = bucketed.groupBy("event_type", "bkt").agg(
+        F.sum("is_ref").alias("br"),
+        F.sum(1 - F.col("is_ref")).alias("bcur"),
+    )
+    spine = n.crossJoin(
+        F.broadcast(
+            spark.range(1, 11).select(F.col("id").cast("int").alias("bkt"))
+        )
+    )
+    p = spine.join(bc, ["event_type", "bkt"], "left").select(
+        "event_type", "bkt",
+        F.greatest(
+            F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
+            F.lit(1e-6),
+        ).alias("pr"),
+        F.greatest(
+            F.coalesce("bcur", F.lit(0)).cast("double") / F.col("nc"),
+            F.lit(1e-6),
+        ).alias("pc"),
+    )
+    return p.select(
+        "event_type",
+        F.col("bkt").cast("int").alias("bkt"),
+        F.round("pr", 6).alias("p_ref"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round(
+            (F.col("pc") - F.col("pr"))
+            * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ).alias("psi_term"),
+    )

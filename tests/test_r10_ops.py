@@ -398,3 +398,28 @@ def test_w27_ar1_matches_numpy_lstsq(spark, sf_dir):
         assert row.n_pairs == len(x)
         assert abs(row.phi - phi) < 1e-6, (row.phi, phi)
         assert abs(row.intercept - b / 100.0) < 1e-4
+
+
+def test_a40_psi_terms_and_reference_deciles(spark, sf_dir):
+    """p_ref sums to ~1 per type (clamp-adjusted), psi terms recompute
+    driver-side, and reference bucket masses are near-uniform (they're
+    the reference's own deciles, up to ties)."""
+    rows = CATALOG["a40_psi_drift"][0](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sorted(r.bkt for r in rs) == list(range(1, 11))
+        assert abs(sum(r.p_ref for r in rs) - 1.0) < 1e-3
+        assert abs(sum(r.p_cur for r in rs) - 1.0) < 1e-3
+        for r in rs:
+            # recomputing from the ROUNDED p's: the clamp (p=1e-6 on an
+            # empty bucket, common at the tiny test SF) amplifies the
+            # 6dp input rounding by |ln(pc/pr)| ~ 11 — allow 2e-5
+            assert abs(
+                r.psi_term
+                - (r.p_cur - r.p_ref) * math.log(r.p_cur / r.p_ref)
+            ) < 2e-5, (et, r)
+            # reference deciles: each bucket holds ~10% of the ref
+            # (wide bounds: ~9-row deciles at the test SF tie freely)
+            assert 0.01 <= r.p_ref <= 0.35, (et, r)

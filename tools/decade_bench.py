@@ -169,6 +169,7 @@ QUERIES = [
     "pipe8_crawl_curation",
     "a39_benford_audit",
     "w27_ar1_fit",
+    "a40_psi_drift",
 ]
 
 
