@@ -202,6 +202,20 @@ HEADLINE = [
     "a14b_rolling_kmv_rollup",
     "a35_poisson_bootstrap_ci",
     "a36_embedding_covariance",
+    # round-10 additions
+    "a37_ks_test",
+    "a38_mann_whitney_u",
+    "a39_benford_audit",
+    "a40_psi_drift",
+    "w24_stl_decompose",
+    "w26_changepoint",
+    "w27_ar1_fit",
+    "w14b_holt_exact",
+    "l41_url_canonical_dedup",
+    "l45_pq_ann_topk",
+    "l45b_pq_rerank_topk",
+    "x17_transform_with_state_top2",
+    "pipe8_crawl_curation",
 ]
 
 
@@ -279,6 +293,10 @@ def main() -> None:
         "l28_containment_pairs",
         "x13_stream_semi_join",
         "x14_datasource_stream_parallel",
+        # round-10: codebook training + staged stream drop are
+        # dataset-state (ingest-time), not query time
+        "l45_pq_ann_topk",
+        "x17_transform_with_state_top2",
     ]
     for name in STAGED:
         if name in HEADLINE:
