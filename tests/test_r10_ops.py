@@ -423,3 +423,35 @@ def test_a40_psi_terms_and_reference_deciles(spark, sf_dir):
             # reference deciles: each bucket holds ~10% of the ref
             # (wide bounds: ~9-row deciles at the test SF tie freely)
             assert 0.01 <= r.p_ref <= 0.35, (et, r)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r10_plan_shapes(spark, sf_dir):
+    """Structural plan asserts for the round-10 family:
+    - a37/a38/a40: ONE exchange over the corpus before the domain-sized
+      window (the quantized-value groupBy), no Python eval;
+    - l45 encode: codebooks ride as literals — no join for the
+      assignment (broadcast appears only for the query side);
+    - w24/w26/w27: the corpus aggregates to the daily domain with a
+      partial (map-side) aggregation before the exchange;
+    - l41/pipe8: no Python eval anywhere (regex + array lambdas)."""
+    for name in ("a37_ks_test", "a38_mann_whitney_u"):
+        p = _plan(CATALOG[name][0](spark, sf_dir))
+        assert "EvalPython" not in p, name
+        # corpus -> (iv) domain: partial agg before the shuffle
+        assert "partial_" in p.lower() or "HashAggregate" in p, name
+    for name in ("w24_stl_decompose", "w26_changepoint", "w27_ar1_fit"):
+        p = _plan(CATALOG[name][0](spark, sf_dir))
+        assert "EvalPython" not in p, name
+        assert "HashAggregate" in p, name
+    for name in ("l41_url_canonical_dedup", "pipe8_crawl_curation"):
+        p = _plan(CATALOG[name][0](spark, sf_dir))
+        assert "EvalPython" not in p, name
+    # l45: the corpus side must NOT sort-merge-join for encoding; the
+    # only joins are broadcast (query LUT side)
+    p = _plan(CATALOG["l45_pq_ann_topk"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
