@@ -177,6 +177,24 @@ SHOWCASE = {
         "ONE (user_id, ts) sort (a single Exchange+Sort feeds both "
         "Window operators), then a partial-agg per session."
     ),
+    "a37_ks_test": (
+        "Exact two-sample KS: the corpus collapses to the quantized "
+        "value DOMAIN with a map-side partial aggregation before the "
+        "single exchange; the CDF window and argmax run on the "
+        "domain-sized table, never the corpus."
+    ),
+    "l45_pq_ann_topk": (
+        "PQ ANN: codebooks ride as LITERALS (map-only encode, no join, "
+        "no shuffle for assignment); the query LUT side is broadcast; "
+        "the only shuffle is the per-query top-k window over "
+        "(query, candidate) scores."
+    ),
+    "w24_stl_decompose": (
+        "STL decomposition: ONE corpus pass (partial-agg daily totals), "
+        "then centered-MA window + dow seasonal agg + residual join all "
+        "run on the #days x #types domain — the broadcast join back is "
+        "domain-sized."
+    ),
     "o9_scd2_history": (
         "SCD2 build: exactly one Exchange (hashpartitioning on the "
         "dimension key) under one Sort+Window computing version, "
