@@ -368,3 +368,37 @@ def test_fuzzy_decontaminate_md5_recall_at_sf01(spark, docs01):
     assert len(removed) <= 0.05 * train.count(), (
         f"md5 fuzzy gate removed {len(removed)} docs"
     )
+
+
+def test_pq_rerank_recall_at_sf01(spark, emb01):
+    """l45b (PQ shortlist + exact re-rank) at sf0.1: the 100-candidate
+    shortlist is a 5% candidate fraction here, and recall@10 vs exact
+    kNN is 0.43 measured — random embeddings are PQ's WORST case (no
+    cluster structure for the codebooks to exploit), so the contract is
+    the LIFT: ≥ 0.35 absolute and ≥ 5× the random-baseline expectation
+    (which equals the candidate fraction, 0.05). The exact path for
+    high-recall needs remains l19/l3_knn."""
+    import numpy as np
+
+    from finporter_spark.queries.catalog import CATALOG
+
+    rows = CATALOG["l45b_pq_rerank_topk"][0](spark, SF01).collect()
+    emb = emb01.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    M = np.array([r.v for r in emb])
+    qids = sorted({r.query_id for r in rows})
+    assert len(qids) >= 10
+    recs = []
+    for q in qids:
+        qv = M[ids == q][0]
+        d = ((M - qv) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))][:10])
+        got = {r.cand_id for r in rows if r.query_id == q}
+        recs.append(len(got & exact) / 10)
+    mean = sum(recs) / len(recs)
+    frac = 100 / len(ids)  # shortlist / corpus = random-baseline recall
+    assert mean >= 0.35, (mean, recs)
+    assert mean >= 5 * frac, (mean, frac)
