@@ -216,6 +216,7 @@ HEADLINE = [
     "l45b_pq_rerank_topk",
     "x17_transform_with_state_top2",
     "pipe8_crawl_curation",
+    "x18_stream_psi_monitor",
 ]
 
 
@@ -297,6 +298,7 @@ def main() -> None:
         # dataset-state (ingest-time), not query time
         "l45_pq_ann_topk",
         "x17_transform_with_state_top2",
+        "x18_stream_psi_monitor",
     ]
     for name in STAGED:
         if name in HEADLINE:

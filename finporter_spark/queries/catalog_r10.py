@@ -1518,9 +1518,7 @@ def w27_ar1_fit(spark, sf_dir):
 # =====================================================================
 
 
-@query(
-    "a40_psi_drift",
-    """
+_A40_ORACLE = """
     WITH b AS (
       SELECT MIN(epoch_us(ts)) + MAX(epoch_us(ts)) AS mm FROM events
     ), s AS (
@@ -1574,8 +1572,10 @@ def w27_ar1_fit(spark, sf_dir):
            round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
            round((pc - pr) * ln(pc / pr), 6) AS psi_term
     FROM p
-    """,
-)
+    """
+
+
+@query("a40_psi_drift", _A40_ORACLE)
 def a40_psi_drift(spark, sf_dir):
     """A40: population stability index between the first and second
     half of the time range, per event type — THE industry
@@ -1670,6 +1670,171 @@ def a40_psi_drift(spark, sf_dir):
             F.coalesce("bcur", F.lit(0)).cast("double") / F.col("nc"),
             F.lit(1e-6),
         ).alias("pc"),
+    )
+    return p.select(
+        "event_type",
+        F.col("bkt").cast("int").alias("bkt"),
+        F.round("pr", 6).alias("p_ref"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round(
+            (F.col("pc") - F.col("pr"))
+            * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ).alias("psi_term"),
+    )
+
+
+# =====================================================================
+# X18 — streaming drift monitor (per-batch PSI vs a static reference)
+# =====================================================================
+
+
+def _x18_reference(spark, sf_dir):
+    """Static reference artifacts for the drift monitor: decile edges
+    (es) and reference probabilities (p_ref) of the FIRST-half period,
+    plus nc (current-period total) for the final normalization — the
+    exact a40 integer constructions, shared split."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        (
+            F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))
+        ).alias("mm")
+    )
+    s = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.unix_micros("ts") * 2 < F.col("mm"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+        "mm",
+    )
+    g = s.groupBy("event_type", "iv").agg(
+        F.sum("is_ref").alias("cr"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "event_type", "iv", F.sum("cr").over(wcum).alias("fr")
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = (
+        cum.join(F.broadcast(n), "event_type")
+        .crossJoin(F.broadcast(ks))
+        .where(F.col("fr") * 10 >= F.col("k") * F.col("nr"))
+        .groupBy("event_type", "k")
+        .agg(F.min("iv").alias("edge"))
+    )
+    el = edges.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("k", "edge"))).alias("ke")
+    ).select(
+        "event_type",
+        F.transform("ke", lambda x: x["edge"]).alias("es"),
+    )
+    # reference bucket probabilities (batch-side, tiny)
+    rb = (
+        s.where(F.col("is_ref") == 1)
+        .join(F.broadcast(el), "event_type")
+        .select(
+            "event_type",
+            (
+                1 + F.size(F.filter("es", lambda ed: F.col("iv") > ed))
+            ).alias("bkt"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.count("*").alias("br"))
+    )
+    return s, el, rb, n
+
+
+@query("x18_stream_psi_monitor", _A40_ORACLE)
+def x18_stream_psi_monitor(spark, sf_dir):
+    """X18: streaming drift monitor — the CURRENT period arrives as a
+    stream (8 mtime-staged CSV files, ``maxFilesPerTrigger=2`` → 4
+    micro-batches), each event is bucketed against the STATIC reference
+    deciles via a stream-static broadcast join, and an update-mode
+    streaming aggregation maintains per-(type, bucket) counts; after
+    the drain, the final counts join the reference probabilities into
+    the 10-term PSI table. This is a40 as a production monitor: the
+    reference artifact is fixed, the current distribution accretes
+    per micro-batch, and the PSI is readable after every trigger
+    (here: after the final one).
+
+    Correctness gate: the drained result must equal the BATCH a40
+    result exactly — the update-mode final counts are the full
+    current-period counts regardless of how the files batched, so x18
+    carries a40's FULL value-hash oracle (the x5-vs-DISTINCT
+    precedent: streaming infra, batch semantics), plus a same-session
+    x18 == a40 equality test in pytest.
+
+    Scale: the static side (9 edges + 10 p_ref rows per type) is a
+    broadcast; streaming state is #types × 10 counters — bounded
+    regardless of stream length."""
+    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    s, el, rb, n = _x18_reference(spark, sf_dir)
+
+    def write_current(p):
+        (
+            s.where(F.col("is_ref") == 0)
+            .select("event_type", "iv")
+            .repartition(8)
+            .write.mode("overwrite")
+            .csv(p, header=True)
+        )
+
+    path = _stage_once(sf_dir, "x18", write_current, "events")
+    sdf = (
+        spark.readStream.schema("event_type string, iv bigint")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(path)
+        .join(F.broadcast(el), "event_type")
+        .select(
+            "event_type",
+            (
+                1 + F.size(F.filter("es", lambda ed: F.col("iv") > ed))
+            ).alias("bkt"),
+        )
+        .groupBy("event_type", "bkt")
+        .count()
+    )
+    out = run_stream_to_memory(
+        sdf, "x18_mem", output_mode="update", state_partitions=8
+    )
+    # final count per cell = the last (max) update-mode emission
+    fin = out.groupBy("event_type", "bkt").agg(
+        F.max("count").alias("bcur")
+    )
+    spine = n.crossJoin(
+        F.broadcast(
+            spark.range(1, 11).select(
+                F.col("id").cast("int").alias("bkt")
+            )
+        )
+    )
+    p = (
+        spine.join(F.broadcast(rb), ["event_type", "bkt"], "left")
+        .join(fin, ["event_type", "bkt"], "left")
+        .select(
+            "event_type", "bkt",
+            F.greatest(
+                F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
+                F.lit(1e-6),
+            ).alias("pr"),
+            F.greatest(
+                F.coalesce("bcur", F.lit(0)).cast("double")
+                / F.col("nc"),
+                F.lit(1e-6),
+            ).alias("pc"),
+        )
     )
     return p.select(
         "event_type",

@@ -455,3 +455,23 @@ def test_r10_plan_shapes(spark, sf_dir):
     p = _plan(CATALOG["l45_pq_ann_topk"][0](spark, sf_dir))
     assert "SortMergeJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_x18_stream_psi_equals_batch_a40(spark, sf_dir):
+    """The drained streaming monitor equals the batch a40 PSI table
+    cell-for-cell (update-mode final counts == full current-period
+    counts), and the memory sink shows multi-batch accretion."""
+    a = {
+        (r.event_type, r.bkt): (r.p_ref, r.p_cur, r.psi_term)
+        for r in CATALOG["a40_psi_drift"][0](spark, sf_dir).collect()
+    }
+    x = {
+        (r.event_type, r.bkt): (r.p_ref, r.p_cur, r.psi_term)
+        for r in CATALOG["x18_stream_psi_monitor"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == x
+    raw = spark.table("x18_mem")
+    # update mode re-emits growing counts: more emissions than cells
+    assert raw.count() > raw.select("event_type", "bkt").distinct().count()

@@ -170,6 +170,7 @@ QUERIES = [
     "a39_benford_audit",
     "w27_ar1_fit",
     "a40_psi_drift",
+    "x18_stream_psi_monitor",
 ]
 
 
@@ -213,7 +214,8 @@ def main() -> None:
                         "x15_stream_outer_interval_join",
                         "x16_stream_full_outer_interval_join",
                         "x17_transform_with_state_top2",
-                        "l45_pq_ann_topk", "l45b_pq_rerank_topk"):
+                        "l45_pq_ann_topk", "l45b_pq_rerank_topk",
+                        "x18_stream_psi_monitor"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
