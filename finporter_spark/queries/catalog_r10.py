@@ -482,7 +482,8 @@ def _l41_canonical_df(spark, sf_dir):
 
 @query(
     "x17_transform_with_state_top2",
-    """
+    baseline_of="x6b_builtin_running_totals",
+    oracle="""
     WITH s AS (
       SELECT user_id, CAST(round(value * 100) AS BIGINT) AS iv
       FROM events

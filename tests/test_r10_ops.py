@@ -1,5 +1,9 @@
-"""Round-10 additions: a37 exact KS test, w24 STL decomposition,
-l41 URL canonicalization + dedup groups."""
+"""Round-10 additions: exact nonparametric stats (a37 KS, a38
+Mann-Whitney, a39 Benford, a40 PSI), exact-co-moment time-series
+structure (w24 STL, w26 changepoint, w27 AR(1), w14b exact Holt),
+crawl curation (l41 URL dedup, pipe8 funnel), PQ ANN (l45/l45b), and
+the stateful-streaming pair (x17 StatefulProcessor, x18 PSI
+monitor)."""
 
 from __future__ import annotations
 
