@@ -217,6 +217,8 @@ HEADLINE = [
     "x17_transform_with_state_top2",
     "pipe8_crawl_curation",
     "x18_stream_psi_monitor",
+    "j12_asof_tolerance",
+    "a41_two_proportion_ztest",
 ]
 
 

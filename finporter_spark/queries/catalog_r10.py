@@ -1848,3 +1848,156 @@ def x18_stream_psi_monitor(spark, sf_dir):
             6,
         ).alias("psi_term"),
     )
+
+
+# =====================================================================
+# J12 — backward as-of join with a match tolerance (staleness bound)
+# =====================================================================
+
+
+@query(
+    "j12_asof_tolerance",
+    """
+    SELECT event_id, user_id, ts, p_event_id, p_ts, p_value FROM (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS p_event_id, r.ts AS p_ts, r.value AS p_value,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      FROM events l
+      LEFT JOIN events r
+        ON r.user_id = l.user_id AND r.event_type = 'purchase'
+       AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 2 HOUR
+    ) WHERE rn = 1
+    """,
+)
+def j12_asof_tolerance(spark, sf_dir):
+    """J12: backward as-of join with a STALENESS TOLERANCE — j6's
+    latest-prior-purchase enrichment, but a match older than 2 hours is
+    no match (NULL-extended): the quote-staleness / feature-freshness
+    contract every point-in-time feature store enforces (a 3-day-old
+    price is not "the price as of now"). Exercises the
+    ``operators.joins.asof_join(tolerance=...)`` parameter that j6/j6b
+    leave at their defaults.
+
+    Scale note (also the operator's docstring contract): the tolerance
+    BOUNDS the range condition on both sides, which is what lets the
+    underlying join prune to a time-banded equi-ish join instead of an
+    unbounded inequality — at 100 TB the tolerance is what keeps the
+    per-key scan window finite."""
+    from finporter_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_event_id", "p_ts", "p_value"],
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+        tiebreakers=["p_event_id"],
+        left_id=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value"
+    )
+
+
+# =====================================================================
+# A41 — two-proportion z-test (conversion A/B readout)
+# =====================================================================
+
+
+@query(
+    "a41_two_proportion_ztest",
+    """
+    WITH du AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS saw,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND value >= 150 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bought,
+             user_id % 2 AS grp
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT grp, SUM(saw) AS n, SUM(saw * bought) AS x
+      FROM du GROUP BY grp
+    ), w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+             MAX(CASE WHEN grp = 0 THEN x END) AS x0,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 1 THEN x END) AS x1
+      FROM g
+    )
+    SELECT n0, x0, n1, x1,
+           CAST(x0 AS DOUBLE) / n0 AS p0,
+           CAST(x1 AS DOUBLE) / n1 AS p1,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
+    FROM w
+    """,
+)
+def a41_two_proportion_ztest(spark, sf_dir):
+    """A41: pooled two-proportion z-test on per-user conversion
+    (view → high-value purchase, value ≥ 150 — every user in this
+    corpus purchases SOMETHING, so plain purchase conversion is
+    degenerate 100%/100% and the pooled variance is 0) between the
+    user_id-parity split — THE A/B
+    readout for binary outcomes, beside a24's Welch (means), a37/a38
+    (distributions), a40 (drift). Per-user collapse first (MAX flags —
+    exposure/conversion are user-level, not event-level, the standard
+    unit-of-randomization discipline), then exact integer (n, x) per
+    arm; p0/p1/z divide exact bigints, with the one sqrt on a ONE-row
+    result rounded 6 dp. Full value-hash oracle.
+
+    Scale: one keyed user collapse (map-combinable MAX flags) + a
+    2-row aggregate."""
+    e = _t(spark, sf_dir, "events")
+    du = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("bigint").alias("saw"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("bought"),
+    ).withColumn("grp", F.col("user_id") % 2)
+    g = du.groupBy("grp").agg(
+        F.sum("saw").alias("n"),
+        F.sum(F.col("saw") * F.col("bought")).alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return w.select(
+        "n0", "x0", "n1", "x1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+            6,
+        ).alias("z"),
+    )

@@ -479,3 +479,43 @@ def test_x18_stream_psi_equals_batch_a40(spark, sf_dir):
     raw = spark.table("x18_mem")
     # update mode re-emits growing counts: more emissions than cells
     assert raw.count() > raw.select("event_type", "bkt").distinct().count()
+
+
+def test_j12_tolerance_nulls_stale_matches(spark, sf_dir):
+    """j12 equals j6 wherever j6's match is within 2 hours, and is
+    NULL-extended exactly where j6's match is older."""
+    j6 = {
+        r.event_id: r
+        for r in CATALOG["j6_asof_join"][0](spark, sf_dir).collect()
+    }
+    j12 = {
+        r.event_id: r
+        for r in CATALOG["j12_asof_tolerance"][0](spark, sf_dir).collect()
+    }
+    assert set(j6) == set(j12)
+    n_stale = 0
+    for eid, r6 in j6.items():
+        r12 = j12[eid]
+        if r6.p_ts is not None and (
+            (r6.ts - r6.p_ts).total_seconds() <= 7200
+        ):
+            assert (r12.p_event_id, r12.p_ts) == (
+                r6.p_event_id,
+                r6.p_ts,
+            ), eid
+        else:
+            assert r12.p_event_id is None, (eid, r6, r12)
+            n_stale += 1
+    assert n_stale > 0  # the tolerance actually bites on this data
+
+
+def test_a41_matches_pooled_formula(spark, sf_dir):
+    """z equals the textbook pooled two-proportion statistic and the
+    arms are non-degenerate (0 < p < 1)."""
+    r = CATALOG["a41_two_proportion_ztest"][0](spark, sf_dir).collect()[0]
+    assert 0 < r.p0 < 1 and 0 < r.p1 < 1
+    pp = (r.x0 + r.x1) / (r.n0 + r.n1)
+    z = (r.p1 - r.p0) / math.sqrt(
+        pp * (1 - pp) * (1 / r.n0 + 1 / r.n1)
+    )
+    assert abs(r.z - z) < 1e-6

@@ -171,6 +171,8 @@ QUERIES = [
     "w27_ar1_fit",
     "a40_psi_drift",
     "x18_stream_psi_monitor",
+    "j12_asof_tolerance",
+    "a41_two_proportion_ztest",
 ]
 
 
