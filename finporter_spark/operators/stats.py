@@ -1,0 +1,136 @@
+"""Exact nonparametric two-sample statistics as reusable operators.
+
+Both operators take a pre-quantized INTEGER value column plus a 0/1
+sample flag and compute their statistic from integer cross-counts over
+the distinct-value domain — the construction that makes a statistical
+test full-value-hash reproducible across engines (see
+queries/catalog_r10.py a37/a38 for the oracle mirrors and the scale
+contract: one corpus pass to the bounded domain, one domain-sized
+window, one scalar aggregate).
+
+Edge behavior (property-tested in tests/test_r10_ops.py against
+pure-Python references under hypothesis):
+- a sample may be a single row; ties may collapse the whole domain;
+- all-tied data yields D = 0 / U at its null mean with zero variance —
+  the z statistic is NULL rather than a division by zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ks_2sample(samples: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance.
+
+    ``samples``: rows with an integer ``value_col`` and ``flag_col``
+    (1 = sample A, 0 = sample B). Returns ONE row:
+    (n1, n2, at_v, d_stat, p_approx) where ``at_v`` is the smallest
+    value attaining the max |F1 − F2| and ``p_approx`` is the Smirnov
+    asymptotic 2·exp(−2λ²), clamped to [0, 1], rounded 6 dp.
+    """
+    s = samples.select(
+        F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
+    )
+    g = s.groupBy("iv").agg(
+        F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "iv",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = cum.agg(F.max("f1").alias("n1"), F.max("f2").alias("n2"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "iv", "n1", "n2",
+        F.abs(
+            F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+        ).alias("dnum"),
+    )
+    best = d.groupBy("n1", "n2").agg(F.max("dnum").alias("dnum"))
+    at = (
+        d.join(F.broadcast(best), ["n1", "n2", "dnum"])
+        .groupBy("n1", "n2", "dnum")
+        .agg(F.min("iv").alias("at_v"))
+    )
+    # try_divide: an empty sample (n1·n2 = 0) yields NULL d/p rather
+    # than an ANSI division error — the caller sees the degenerate
+    # input explicitly
+    d_stat = F.try_divide(
+        F.col("dnum").cast("double"), F.col("n1") * F.col("n2")
+    )
+    # d_stat*d_stat, not pow(d_stat, 2): libm pow need not equal the
+    # multiply bit-for-bit across engines (the w26 discipline)
+    lam2 = (
+        (d_stat * d_stat)
+        * (F.col("n1") * F.col("n2").cast("double"))
+        / (F.col("n1") + F.col("n2"))
+    )
+    return at.select(
+        "n1", "n2", "at_v",
+        d_stat.alias("d_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * lam2)), 6
+        ).alias("p_approx"),
+    )
+
+
+def mann_whitney_u(
+    samples: DataFrame, value_col: str, flag_col: str
+) -> DataFrame:
+    """Exact tie-corrected Mann–Whitney U (Wilcoxon rank-sum).
+
+    Same input contract as :func:`ks_2sample`. Returns ONE row
+    (n1, n2, u1, u2, z): doubled midranks keep the rank sum a bigint
+    (2·midrank = 2F + c + 1), U halves exactly in binary, and the
+    Lehmann tie-corrected normal z rounds at 6 dp — NULL when the
+    variance is 0 (all values tied) instead of dividing by zero.
+    """
+    s = samples.select(
+        F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
+    )
+    g = s.groupBy("iv").agg(
+        F.sum("a").alias("c1"),
+        F.sum(1 - F.col("a")).alias("c2"),
+        F.count("*").alias("c"),
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "iv", "c1", "c2", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("f") + F.col("c") + 1)).alias(
+            "r1x2"
+        ),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / 2.0
+    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
+    nn = F.col("n1") + F.col("n2")
+    # try_divide: a single-row input (nn < 2) must not ANSI-error on
+    # the tie-correction denominator; the z is NULL-guarded below
+    tie_term = F.coalesce(
+        F.try_divide(
+            F.col("tie3").cast("double"), nn * (nn - 1).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    sig2 = (
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+    ) * ((nn + 1) - tie_term)
+    return agg.select(
+        "n1", "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        F.when(
+            sig2 > 0, F.round((u1 - mu) / F.sqrt(sig2), 6)
+        ).alias("z"),
+    )

@@ -102,6 +102,8 @@ def a37_ks_test(spark, sf_dir):
     table — the corpus never sorts globally; the single-partition
     window touches only the bounded distinct-value table (the a16
     percentile-ladder contract)."""
+    from finporter_spark.operators.stats import ks_2sample
+
     e = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
@@ -109,46 +111,10 @@ def a37_ks_test(spark, sf_dir):
         F.round(F.col("value") * 100).cast("bigint").alias("iv"),
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
     )
-    g = s.groupBy("iv").agg(
-        F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
-    )
-    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select(
-        "iv",
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
-    )
-    # n1/n2 are the final cumulative counts — read them from the same
-    # domain table instead of a second corpus pass
-    tot = cum.agg(
-        F.max("f1").alias("n1"), F.max("f2").alias("n2")
-    )
-    d = cum.crossJoin(F.broadcast(tot)).select(
-        "iv", "n1", "n2",
-        F.abs(
-            F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
-        ).alias("dnum"),
-    )
-    best = d.groupBy("n1", "n2").agg(F.max("dnum").alias("dnum"))
-    at = (
-        d.join(F.broadcast(best), ["n1", "n2", "dnum"])
-        .groupBy("n1", "n2", "dnum")
-        .agg(F.min("iv").alias("at_iv"))
-    )
-    d_stat = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2"))
-    # d_stat*d_stat, not pow(d_stat, 2): libm pow need not equal the
-    # multiply bit-for-bit across engines (the w26 discipline)
-    lam2 = (
-        (d_stat * d_stat)
-        * (F.col("n1") * F.col("n2").cast("double"))
-        / (F.col("n1") + F.col("n2"))
-    )
-    return at.select(
-        "n1", "n2", "at_iv",
-        d_stat.alias("d_stat"),
-        F.round(
-            F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * lam2)), 6
-        ).alias("p_approx"),
+    return ks_2sample(s, "iv", "a").select(
+        "n1", "n2",
+        F.col("at_v").alias("at_iv"),
+        "d_stat", "p_approx",
     )
 
 
@@ -1017,6 +983,8 @@ def a38_mann_whitney_u(spark, sf_dir):
     Scale shape: identical to a37 — one corpus pass to the bounded
     distinct-value domain, one domain-sized cumulative window, one
     scalar aggregate."""
+    from finporter_spark.operators.stats import mann_whitney_u
+
     e = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
@@ -1024,46 +992,7 @@ def a38_mann_whitney_u(spark, sf_dir):
         F.round(F.col("value") * 100).cast("bigint").alias("iv"),
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
     )
-    g = s.groupBy("iv").agg(
-        F.sum("a").alias("c1"),
-        F.sum(1 - F.col("a")).alias("c2"),
-        F.count("*").alias("c"),
-    )
-    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
-    cum = g.select(
-        "iv", "c1", "c2", "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
-    )
-    agg = cum.agg(
-        F.sum("c1").alias("n1"),
-        F.sum("c2").alias("n2"),
-        F.sum(
-            F.col("c1") * (2 * F.col("f") + F.col("c") + 1)
-        ).alias("r1x2"),
-        F.sum(
-            F.col("c") * F.col("c") * F.col("c") - F.col("c")
-        ).alias("tie3"),
-    )
-    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
-        "double"
-    ) / 2.0
-    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
-    sig2 = (
-        F.col("n1").cast("double") * F.col("n2") / 12.0
-    ) * (
-        (F.col("n1") + F.col("n2") + 1)
-        - F.col("tie3").cast("double")
-        / (
-            (F.col("n1") + F.col("n2"))
-            * (F.col("n1") + F.col("n2") - 1).cast("double")
-        )
-    )
-    return agg.select(
-        "n1", "n2",
-        u1.alias("u1"),
-        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
-        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("z"),
-    )
+    return mann_whitney_u(s, "iv", "a")
 
 
 # =====================================================================

@@ -519,3 +519,87 @@ def test_a41_matches_pooled_formula(spark, sf_dir):
         pp * (1 - pp) * (1 / r.n0 + 1 / r.n1)
     )
     assert abs(r.z - z) < 1e-6
+
+
+# ---------------------------------------------------------------------
+# Property tests: the stats operators vs pure-Python references
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_SAMPLES = st.tuples(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=25),
+)
+
+
+def _mk(spark, a, b):
+    rows = [(int(v), 1) for v in a] + [(int(v), 0) for v in b]
+    return spark.createDataFrame(rows, "iv bigint, a int")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ab=_SAMPLES)
+def test_ks_operator_matches_reference(spark, ab):
+    """ks_2sample == the bisect-based textbook KS on arbitrary small
+    integer samples (ties, negatives, singletons)."""
+    import bisect
+
+    a, b = ab
+    r = __import__(
+        "finporter_spark.operators.stats", fromlist=["ks_2sample"]
+    ).ks_2sample(_mk(spark, a, b), "iv", "a").collect()[0]
+    sa, sb = sorted(a), sorted(b)
+    n1, n2 = len(a), len(b)
+    best, at = -1, None
+    for x in sorted(set(a) | set(b)):
+        dn = abs(
+            bisect.bisect_right(sa, x) * n2 - bisect.bisect_right(sb, x) * n1
+        )
+        if dn > best:
+            best, at = dn, x
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.at_v == at
+    assert r.d_stat == best / (n1 * n2)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ab=_SAMPLES)
+def test_mwu_operator_matches_reference(spark, ab):
+    """mann_whitney_u == the midrank textbook U; z is NULL exactly when
+    the tie-corrected variance vanishes (all values equal)."""
+    from collections import Counter
+
+    a, b = ab
+    r = __import__(
+        "finporter_spark.operators.stats", fromlist=["mann_whitney_u"]
+    ).mann_whitney_u(_mk(spark, a, b), "iv", "a").collect()[0]
+    n1, n2 = len(a), len(b)
+    cnt = Counter(a + b)
+    ca = Counter(a)
+    r1 = 0.0
+    f = 0
+    tie3 = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        r1 += ca.get(v, 0) * (f + (c + 1) / 2.0)
+        tie3 += c**3 - c
+        f += c
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert (r.n1, r.n2, r.u1, r.u2) == (n1, n2, u1, n1 * n2 - u1)
+    nn = n1 + n2
+    sig2 = (n1 * n2 / 12.0) * (
+        (nn + 1) - (tie3 / (nn * (nn - 1.0)) if nn > 1 else 0.0)
+    )
+    if sig2 > 0:
+        assert r.z == round((u1 - n1 * n2 / 2.0) / math.sqrt(sig2), 6)
+    else:
+        assert r.z is None
