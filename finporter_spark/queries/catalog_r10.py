@@ -1528,91 +1528,20 @@ def a40_psi_drift(spark, sf_dir):
 
     Scale: two corpus passes (bucket counts; the domain-sized decile
     table is the a37 contract), everything else domain-sized."""
-    e = _t(spark, sf_dir, "events")
-    b = e.agg(
-        (
-            F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))
-        ).alias("mm")
-    )
-    s = e.crossJoin(F.broadcast(b)).select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
-        F.when(F.unix_micros("ts") * 2 < F.col("mm"), 1)
-        .otherwise(0)
-        .alias("is_ref"),
-    )
-    g = s.groupBy("event_type", "iv").agg(
-        F.sum("is_ref").alias("cr"),
-        F.sum(1 - F.col("is_ref")).alias("cc"),
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("iv")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = g.select(
-        "event_type", "iv", F.sum("cr").over(wcum).alias("fr")
-    )
-    n = g.groupBy("event_type").agg(
-        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
-    )
-    ks = spark.range(1, 10).select(F.col("id").alias("k"))
-    edges = (
-        cum.join(F.broadcast(n), "event_type")
-        .crossJoin(F.broadcast(ks))
-        .where(F.col("fr") * 10 >= F.col("k") * F.col("nr"))
-        .groupBy("event_type", "k")
-        .agg(F.min("iv").alias("edge"))
-    )
-    el = edges.groupBy("event_type").agg(
-        F.array_sort(
-            F.collect_list(F.struct("k", "edge"))
-        ).alias("ke")
-    ).select(
-        "event_type",
-        F.transform("ke", lambda x: x["edge"]).alias("es"),
-    )
-    bucketed = s.join(F.broadcast(el), "event_type").select(
-        "event_type", "is_ref",
-        (
-            1
-            + F.size(
-                F.filter("es", lambda ed: F.col("iv") > ed)
-            )
-        ).alias("bkt"),
-    )
-    bc = bucketed.groupBy("event_type", "bkt").agg(
-        F.sum("is_ref").alias("br"),
-        F.sum(1 - F.col("is_ref")).alias("bcur"),
-    )
-    spine = n.crossJoin(
-        F.broadcast(
-            spark.range(1, 11).select(F.col("id").cast("int").alias("bkt"))
+    s, el, rb, n = _x18_reference(spark, sf_dir)
+    cur = (
+        s.where(F.col("is_ref") == 0)
+        .join(F.broadcast(el), "event_type")
+        .select(
+            "event_type",
+            (
+                1 + F.size(F.filter("es", lambda ed: F.col("iv") > ed))
+            ).alias("bkt"),
         )
+        .groupBy("event_type", "bkt")
+        .agg(F.count("*").alias("bcur"))
     )
-    p = spine.join(bc, ["event_type", "bkt"], "left").select(
-        "event_type", "bkt",
-        F.greatest(
-            F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
-            F.lit(1e-6),
-        ).alias("pr"),
-        F.greatest(
-            F.coalesce("bcur", F.lit(0)).cast("double") / F.col("nc"),
-            F.lit(1e-6),
-        ).alias("pc"),
-    )
-    return p.select(
-        "event_type",
-        F.col("bkt").cast("int").alias("bkt"),
-        F.round("pr", 6).alias("p_ref"),
-        F.round("pc", 6).alias("p_cur"),
-        F.round(
-            (F.col("pc") - F.col("pr"))
-            * F.log(F.col("pc") / F.col("pr")),
-            6,
-        ).alias("psi_term"),
-    )
-
+    return _psi_table(spark, n, rb, cur)
 
 # =====================================================================
 # X18 — streaming drift monitor (per-batch PSI vs a static reference)
@@ -1683,6 +1612,47 @@ def _x18_reference(spark, sf_dir):
     return s, el, rb, n
 
 
+def _psi_table(spark, n, rb, cur):
+    """(type, bkt, p_ref, p_cur, psi_term) from reference counts ``rb``
+    and current counts ``cur(event_type, bkt, bcur)`` — the shared a40/
+    x18 finishing stage: 10-bucket spine, 1e-6 zero-bucket clamps, one
+    6 dp-rounded log-ratio term per row."""
+    spine = n.crossJoin(
+        F.broadcast(
+            spark.range(1, 11).select(
+                F.col("id").cast("int").alias("bkt")
+            )
+        )
+    )
+    p = (
+        spine.join(F.broadcast(rb), ["event_type", "bkt"], "left")
+        .join(cur, ["event_type", "bkt"], "left")
+        .select(
+            "event_type", "bkt",
+            F.greatest(
+                F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
+                F.lit(1e-6),
+            ).alias("pr"),
+            F.greatest(
+                F.coalesce("bcur", F.lit(0)).cast("double")
+                / F.col("nc"),
+                F.lit(1e-6),
+            ).alias("pc"),
+        )
+    )
+    return p.select(
+        "event_type",
+        F.col("bkt").cast("int").alias("bkt"),
+        F.round("pr", 6).alias("p_ref"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round(
+            (F.col("pc") - F.col("pr"))
+            * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ).alias("psi_term"),
+    )
+
+
 @query("x18_stream_psi_monitor", _A40_ORACLE)
 def x18_stream_psi_monitor(spark, sf_dir):
     """X18: streaming drift monitor — the CURRENT period arrives as a
@@ -1743,40 +1713,7 @@ def x18_stream_psi_monitor(spark, sf_dir):
     fin = out.groupBy("event_type", "bkt").agg(
         F.max("count").alias("bcur")
     )
-    spine = n.crossJoin(
-        F.broadcast(
-            spark.range(1, 11).select(
-                F.col("id").cast("int").alias("bkt")
-            )
-        )
-    )
-    p = (
-        spine.join(F.broadcast(rb), ["event_type", "bkt"], "left")
-        .join(fin, ["event_type", "bkt"], "left")
-        .select(
-            "event_type", "bkt",
-            F.greatest(
-                F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
-                F.lit(1e-6),
-            ).alias("pr"),
-            F.greatest(
-                F.coalesce("bcur", F.lit(0)).cast("double")
-                / F.col("nc"),
-                F.lit(1e-6),
-            ).alias("pc"),
-        )
-    )
-    return p.select(
-        "event_type",
-        F.col("bkt").cast("int").alias("bkt"),
-        F.round("pr", 6).alias("p_ref"),
-        F.round("pc", 6).alias("p_cur"),
-        F.round(
-            (F.col("pc") - F.col("pr"))
-            * F.log(F.col("pc") / F.col("pr")),
-            6,
-        ).alias("psi_term"),
-    )
+    return _psi_table(spark, n, rb, fin)
 
 
 # =====================================================================
