@@ -1078,8 +1078,21 @@ def pq_fit(
     Returns ``m`` codebooks of ``k`` centroids each — driver state is
     m × k × (dim/m) floats (~4 KB at 64-dim), the IVF-centroid pattern.
     Cost: m × iters keyed shuffles over the corpus, each a
-    posexplode → groupBy(cluster, dim) mean — all map-combinable."""
+    posexplode → groupBy(cluster, dim) mean — all map-combinable.
+
+    ``dim`` must be divisible by ``m``: the subspaces are contiguous
+    equal-width slices, and a remainder would silently drop the
+    trailing dimensions from training and ADC scoring while
+    :func:`pq_rerank` scores full vectors — inconsistent distances
+    with no error. Misuse fails loudly instead."""
     dim = df.select(F.size(F.col(vec_col)).alias("d")).head()["d"]
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_fit: dim={dim} is not divisible by m={m} subspaces — "
+            "the trailing dim % m dimensions would be silently dropped "
+            "from the codebooks and ADC distances. Pick m | dim (or pad "
+            "the vectors)."
+        )
     sub = dim // m
     books = []
     for i in range(m):

@@ -13,6 +13,18 @@ pure-Python references under hypothesis):
 - a sample may be a single row; ties may collapse the whole domain;
 - all-tied data yields D = 0 / U at its null mean with zero variance —
   the z statistic is NULL rather than a division by zero.
+
+Both operators pin the domain-sized per-value aggregate with an eager
+``localCheckpoint`` (the z6 pattern): the corpus is scanned ONCE into
+the bounded distinct-value table, and every downstream branch (the
+CDF window, the max-D search, the argmin join) reads the pinned copy —
+previously a37's committed plan showed FOUR parquet scans because the
+branches re-derived the aggregate. The checkpoint also makes the
+domain-cardinality guard free: both operators raise loudly when the
+distinct-value domain exceeds ``max_domain`` (default 1e6) instead of
+silently running their single-partition CDF window over an unbounded
+sort — a wide-domain caller (raw doubles, unquantized values) must
+quantize first; that is the operators' input contract.
 """
 
 from __future__ import annotations
@@ -20,7 +32,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def ks_2sample(samples: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+def _pin_domain(g: DataFrame, max_domain: int, op: str) -> DataFrame:
+    """Eagerly materialize the domain-sized aggregate (one corpus scan
+    feeds all branches) and enforce the bounded-domain contract."""
+    g = g.localCheckpoint()
+    n = g.count()  # cheap: counts the pinned blocks, not the corpus
+    if n > max_domain:
+        raise ValueError(
+            f"{op}: distinct-value domain has {n} cells, above the "
+            f"declared ceiling of {max_domain}. The CDF merge runs a "
+            "single-partition window over this domain — quantize the "
+            "value column (the bigint-cents contract) or raise "
+            "max_domain explicitly if the sort is genuinely intended."
+        )
+    return g
+
+
+def ks_2sample(
+    samples: DataFrame,
+    value_col: str,
+    flag_col: str,
+    max_domain: int = 1_000_000,
+) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance.
 
     ``samples``: rows with an integer ``value_col`` and ``flag_col``
@@ -32,8 +65,12 @@ def ks_2sample(samples: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     s = samples.select(
         F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
     )
-    g = s.groupBy("iv").agg(
-        F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
+    g = _pin_domain(
+        s.groupBy("iv").agg(
+            F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
+        ),
+        max_domain,
+        "ks_2sample",
     )
     w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
     cum = g.select(
@@ -77,7 +114,10 @@ def ks_2sample(samples: DataFrame, value_col: str, flag_col: str) -> DataFrame:
 
 
 def mann_whitney_u(
-    samples: DataFrame, value_col: str, flag_col: str
+    samples: DataFrame,
+    value_col: str,
+    flag_col: str,
+    max_domain: int = 1_000_000,
 ) -> DataFrame:
     """Exact tie-corrected Mann–Whitney U (Wilcoxon rank-sum).
 
@@ -90,10 +130,14 @@ def mann_whitney_u(
     s = samples.select(
         F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
     )
-    g = s.groupBy("iv").agg(
-        F.sum("a").alias("c1"),
-        F.sum(1 - F.col("a")).alias("c2"),
-        F.count("*").alias("c"),
+    g = _pin_domain(
+        s.groupBy("iv").agg(
+            F.sum("a").alias("c1"),
+            F.sum(1 - F.col("a")).alias("c2"),
+            F.count("*").alias("c"),
+        ),
+        max_domain,
+        "mann_whitney_u",
     )
     w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
     cum = g.select(

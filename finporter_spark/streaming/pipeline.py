@@ -76,19 +76,23 @@ def ensure_worker_protobuf(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _VENDOR_SHIPPED:
         return
-    zpath = os.path.join(
-        tempfile.gettempdir(), "finporter_vendor_protobuf.zip"
-    )
-    if not os.path.exists(zpath):
-        tmp = zpath + f".tmp{os.getpid()}"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(os.path.join(vendor, "google")):
-                for fn in sorted(files):
-                    if fn.endswith(".pyc"):
-                        continue
-                    full = os.path.join(root, fn)
-                    zf.write(full, os.path.relpath(full, vendor))
-        os.replace(tmp, zpath)  # atomic vs concurrent stagers
+    # Build the zip in a PRIVATE per-process directory and always from
+    # the current vendor tree: a fixed shared-tmp path would (a) let
+    # another local user pre-plant a file every worker then imports as
+    # google.protobuf, and (b) silently reuse a stale zip after the
+    # vendored runtime is updated. The tree is tiny, so re-zipping per
+    # process costs nothing.
+    zdir = tempfile.mkdtemp(prefix="finporter_vendor_pb_")
+    zpath = os.path.join(zdir, "finporter_vendor_protobuf.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in sorted(
+            os.walk(os.path.join(vendor, "google"))
+        ):
+            for fn in sorted(files):
+                if fn.endswith(".pyc"):
+                    continue
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, vendor))
     spark.sparkContext.addPyFile(zpath)
     _VENDOR_SHIPPED.add(key)
 

@@ -1,0 +1,48 @@
+"""Round-11 operator tests: single-scan KS/MWU pinning + domain guard,
+IVFADC (l45c), sliding-window PSI (a42), w17 fused ladders, x19 timers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import CATALOG, _t
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_ks_and_mwu_single_corpus_scan(spark, sf_dir):
+    """a37/a38: the corpus parquet is read ONCE — the domain-sized
+    per-value aggregate is localCheckpoint-pinned before the cum/best/at
+    branches, so the final plan contains zero parquet scans (everything
+    reads the pinned blocks). Round-10's committed a37 plan showed FOUR
+    parquet scans from branch re-derivation."""
+    for name in ("a37_ks_test", "a38_mann_whitney_u"):
+        p = _plan(CATALOG[name][0](spark, sf_dir))
+        assert p.count("Scan parquet") == 0, name
+        assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan" in p, name
+
+
+def test_stats_domain_guard_raises_on_wide_domain(spark):
+    """A caller feeding an unquantized/wide value domain must fail
+    loudly (the single-partition CDF window would otherwise silently
+    sort the whole domain on one task)."""
+    from finporter_spark.operators.stats import ks_2sample, mann_whitney_u
+
+    wide = spark.range(0, 500).select(
+        F.col("id").alias("iv"), (F.col("id") % 2).cast("int").alias("a")
+    )
+    for op in (ks_2sample, mann_whitney_u):
+        with pytest.raises(ValueError, match="domain has 500 cells"):
+            op(wide, "iv", "a", max_domain=100)
+        # same data under a sufficient ceiling computes fine
+        assert op(wide, "iv", "a", max_domain=1000).count() == 1
