@@ -1608,3 +1608,5 @@ from finporter_spark.queries import catalog_r8b  # noqa: E402,F401
 from finporter_spark.queries import catalog_r9  # noqa: E402,F401
 
 from finporter_spark.queries import catalog_r10  # noqa: E402,F401
+
+from finporter_spark.queries import catalog_r11  # noqa: E402,F401

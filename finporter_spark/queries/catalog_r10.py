@@ -1565,6 +1565,9 @@ def _x18_reference(spark, sf_dir):
         F.when(F.unix_micros("ts") * 2 < F.col("mm"), 1)
         .otherwise(0)
         .alias("is_ref"),
+        # week grain rides along for the sliding-window consumer (a42);
+        # a40/x18 ignore it
+        F.date_trunc("week", F.col("ts")).alias("wk"),
         "mm",
     )
     g = s.groupBy("event_type", "iv").agg(

@@ -1935,21 +1935,38 @@ def w17_mad_anomaly(spark, sf_dir):
     flag pass is a map-side predicate against the broadcast med/MAD
     table. Exact quantile_cont semantics on both engines -> hash-green
     at every SF, which approx_percentile could never give.
+
+    Round 11 (verdict ask): three eager localCheckpoint pins collapse
+    the re-derivation blowup. (1) The 2-column corpus projection is
+    pinned once — each ``exact_percentiles`` call internally reads its
+    input three times (stats, bucket, rank-pick), so the unpinned
+    query re-scanned the events parquet ~7x; now ONE parquet scan
+    total (plan-asserted in tests/test_r11_ops.py). (2)/(3) The
+    |groups|-row med/mad ladder RESULTS are pinned before being joined
+    back: unpinned, every downstream pass re-ran the ENTIRE upstream
+    ladder as a broadcast subtree — measured as the dominant cost
+    (ladder-2 6.6 s vs 1.6 s for ladder-1 at sf0.1, because its three
+    internal passes each rebuilt ladder-1). Hash unchanged.
     """
     from finporter_spark.operators.scale import exact_percentiles
 
     e = _t(spark, sf_dir, "events")
-    med = exact_percentiles(e, ["event_type"], "value", [0.5]).select(
-        "event_type", F.col("value").alias("med")
+    ev = e.select("event_type", "value").localCheckpoint()
+    med = (
+        exact_percentiles(ev, ["event_type"], "value", [0.5])
+        .select("event_type", F.col("value").alias("med"))
+        .localCheckpoint()
     )
-    dev = e.join(F.broadcast(med), "event_type").select(
+    dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "value",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = exact_percentiles(dev, ["event_type"], "adev", [0.5]).select(
-        "event_type", F.col("value").alias("mad")
+    mad = (
+        exact_percentiles(dev, ["event_type"], "adev", [0.5])
+        .select("event_type", F.col("value").alias("mad"))
+        .localCheckpoint()
     )
     flagged = dev.join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(

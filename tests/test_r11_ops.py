@@ -32,6 +32,36 @@ def test_ks_and_mwu_single_corpus_scan(spark, sf_dir):
         assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan" in p, name
 
 
+def test_l45c_plan_and_self_rank1(spark, sf_dir):
+    """IVFADC invariants: the whole pipeline is JVM-side (no Python
+    eval), the probe table broadcasts (BroadcastHashJoin on cell id),
+    and a query's own vector — same cell, ADC minimum, true distance
+    0 — comes back rank 1 with dist2 == 0."""
+    df = CATALOG["l45c_ivfadc_topk"][0](spark, sf_dir)
+    p = _plan(df)
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    rows = df.collect()
+    qids = {r.query_id for r in rows}
+    assert qids
+    for q in qids:
+        mine = [r for r in rows if r.query_id == q and r.cand_id == q]
+        assert mine and mine[0].rank == 1 and mine[0].dist2 == 0.0, q
+
+
+def test_w17_pinned_single_parquet_scan(spark, sf_dir):
+    """w17's final plan contains ZERO parquet scans: the 2-column
+    corpus projection and the two |groups|-row ladder results are
+    localCheckpoint-pinned, so both percentile ladders and the flag
+    pass read pinned blocks (the parquet is read once, at pin time).
+    Unpinned, the plan re-scanned the corpus ~7x and re-ran ladder-1
+    inside every ladder-2 pass."""
+    df = CATALOG["w17_mad_anomaly"][0](spark, sf_dir)
+    p = _plan(df)
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan" in p
+
+
 def test_stats_domain_guard_raises_on_wide_domain(spark):
     """A caller feeding an unquantized/wide value domain must fail
     loudly (the single-partition CDF window would otherwise silently
