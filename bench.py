@@ -8,13 +8,17 @@ The stdout line is deliberately small: the suite is 157 queries and a
 pipelines clip it mid-JSON (round-8's committed artifact had
 "parsed": null for exactly this reason). So "queries" on stdout carries
 only the TOP_N slowest queries; the COMPLETE per-query map is written
-to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r10.json next to this
+to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r11.json next to this
 file) and committed separately.
 
 Each query executes end-to-end into the `noop` sink (full plan runs, no
 driver collect), which is what a cluster deployment would measure.
 
-Knobs: SPARK_GRAFT_BENCH_REPS (default 2, min-of-N per query),
+Knobs: SPARK_GRAFT_BENCH_REPS (default 3, min-of-N per query — raised
+from 2 in round 11: the two round-10 runs disagreed 17% on the median,
+cross-run variance at 178 queries exceeds round-over-round deltas, and
+min-of-3 tightens the estimator enough that ONE canonical artifact per
+config is the protocol),
 SPARK_GRAFT_BENCH_PROBE_REPS (default 4), SPARK_GRAFT_CODE_CACHE
 (default "768m"; set to "default" to skip the ReservedCodeCacheSize
 override — used to reproduce the JIT code-cache-exhaustion noise
@@ -219,6 +223,10 @@ HEADLINE = [
     "x18_stream_psi_monitor",
     "j12_asof_tolerance",
     "a41_two_proportion_ztest",
+    # round-11 additions
+    "l45c_ivfadc_topk",
+    "a42_psi_weekly",
+    "x19_transform_with_state_timers",
 ]
 
 
@@ -334,7 +342,7 @@ def main() -> None:
     # 2 — round-over-round deltas then reflect plan changes, not cache
     # residency. A q1 probe at suite start/middle/end reports the
     # remaining noise floor.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     probe = "q1_pricing_summary"
 
     def measure(name: str) -> float:
@@ -381,7 +389,7 @@ def main() -> None:
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r10.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r11.json"
         ),
     )
     with open(full_path, "w") as fh:

@@ -10,11 +10,14 @@
   deciles), sharing a40/x18's exact reference construction.
 - ``x19_transform_with_state_timers``: transformWithStateInPandas with
   ProcessingTime TIMERS — timer-driven session eviction (the one
-  stateful-API surface x17 left untouched), drain == batch 30-minute
-  gap sessionization.
+  stateful-API surface x17 left untouched), drain == batch 10-minute
+  gap sessionization (w6's contract).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import Window, functions as F
 
@@ -315,4 +318,317 @@ def a42_psi_weekly(spark, sf_dir):
             * F.log(F.col("pc") / F.col("pr")),
             6,
         ).alias("psi_term"),
+    )
+
+
+# =====================================================================
+# X19 — transformWithState TIMERS: timer-evicted streaming sessions
+# =====================================================================
+
+
+def _stage_x19_slices(spark, sf_dir):
+    """Nine mtime-ordered CSV files: SEVEN contiguous EVENT-TIME slices
+    of the events corpus (equal-width µs spans, so per-user rows arrive
+    in event-time order across micro-batches — the precondition for
+    incremental gap sessionization to equal the batch result) plus TWO
+    future-dated sentinel files. Two sentinels because a new watermark
+    only takes effect in the NEXT batch and availableNow runs no batch
+    after the last file (measured: with one sentinel, the key holding
+    the corpus-max event never flushed): under maxFilesPerTrigger=2 the
+    nine files batch as (0,1)(2,3)(4,5)(6,s1)(s2) — sentinel-1 (max ts
+    + 2 h) advances the watermark past every open session's
+    (end + gap) expiry, and the sentinel-2 batch is where those timers
+    fire."""
+    from finporter_spark.queries.catalog_ext import _stage_once
+
+    def _write(p):
+        # clean first: a restage after a LAYOUT change must not leave
+        # the old layout's files behind (a stale slice would be drained
+        # as duplicate input — caught as exactly that during round 11)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        e = _t(spark, sf_dir, "events")
+        b = e.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            (F.max(F.unix_micros("ts")) + 1).alias("mx"),
+        ).collect()[0]
+        span = b.mx - b.mn
+        fmt = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "ts"
+        )
+        slices = []
+        for k in range(7):
+            lo = b.mn + span * k // 7
+            hi = b.mn + span * (k + 1) // 7
+            slices.append(
+                (
+                    f"slice{k}.csv",
+                    e.where(
+                        (F.unix_micros("ts") >= lo)
+                        & (F.unix_micros("ts") < hi)
+                    ).select("user_id", fmt, "event_id", "value"),
+                    1_000_000_000 + 1000 * k,
+                )
+            )
+
+        def _sentinel(hours: int):
+            return e.agg(F.max("ts").alias("mts")).select(
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.date_format(
+                    F.col("mts") + F.expr(f"INTERVAL {hours} HOURS"),
+                    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+                ).alias("ts"),
+                F.lit(-1).cast("bigint").alias("event_id"),
+                F.lit(0.0).alias("value"),
+            )
+
+        slices.append(
+            ("slice7_sentinel1.csv", _sentinel(2), 1_000_000_000 + 8000)
+        )
+        slices.append(
+            ("slice8_sentinel2.csv", _sentinel(4), 1_000_000_000 + 9000)
+        )
+        for name, df, mtime in slices:
+            tmp = os.path.join(p, "_tmp")
+            df.repartition(1).write.mode("overwrite").csv(
+                tmp, header=True
+            )
+            part = next(
+                f for f in os.listdir(tmp) if f.startswith("part-")
+            )
+            dst = os.path.join(p, name)
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # file-source batch order follows modification time; pin it
+            os.utime(dst, (mtime, mtime))
+
+    # extra_fingerprint pins the LAYOUT (slice count + sentinel scheme):
+    # a layout change restages instead of silently reusing stale files
+    return _stage_once(
+        sf_dir, "x19", _write, "events",
+        extra_fingerprint="7slices+2sentinels-v1",
+    )
+
+
+def _x19_drained(spark, sf_dir):
+    """Drive the timer-evicting session processor over the staged
+    slices; returns the RAW memory-sink table (incl. the via_timer
+    flag the equality test asserts on)."""
+    import pandas as pd  # noqa: F401
+
+    from finporter_spark.streaming.pipeline import (
+        ensure_worker_protobuf,
+        run_stream_to_memory,
+    )
+
+    ensure_worker_protobuf(spark)
+    from pyspark.sql.streaming import (  # needs protobuf on sys.path
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("e", LongType()),
+            StructField("n", LongType()),
+            StructField("c", LongType()),
+            StructField("exp", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("s_us", LongType()),
+            StructField("e_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("cents", LongType()),
+            StructField("via_timer", IntegerType()),
+        ]
+    )
+    cols = ["user_id", "s_us", "e_us", "n_events", "cents", "via_timer"]
+
+    class SessionProcessor(StatefulProcessor):
+        """Per-user 10-minute-gap sessionization with EVENT-TIME
+        TIMER eviction — the real streaming-sessionization mechanism:
+        gap-closed sessions emit from handleInputRows; the OPEN
+        session registers a timer at (last-event second + 601)·1000 ms
+        and is flushed when the event-time WATERMARK passes it. Because
+        the staged files are contiguous event-time slices, watermark ≥
+        expiry proves no session-continuing event can still arrive, so
+        a timer flush and a gap-close are interchangeable — each
+        session is emitted exactly once regardless of which mechanism
+        wins, and regardless of input-vs-timer ordering within a batch
+        (a stale fire is a no-op via the expiry==stored guard)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._st = handle.getValueState("sess", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            recs = []
+            for pdf in rows:
+                recs.extend(
+                    zip(pdf["tus"], pdf["event_id"], pdf["iv"])
+                )
+            recs.sort(key=lambda r: (int(r[0]), int(r[1])))
+            if self._st.exists():
+                s0, e0, n0, c0, exp0 = self._st.get()
+            else:
+                s0, e0, n0, c0, exp0 = None, None, 0, 0, None
+            out = []
+            for tus, _eid, iv in recs:
+                tus, iv = int(tus), int(iv)
+                if s0 is None:
+                    s0, e0, n0, c0 = tus, tus, 1, iv
+                elif tus // 1_000_000 - e0 // 1_000_000 > 600:
+                    out.append((key[0], s0, e0, n0, c0, 0))
+                    s0, e0, n0, c0 = tus, tus, 1, iv
+                else:
+                    e0, n0, c0 = tus, n0 + 1, c0 + iv
+            # fire once no continuing event can exist: any event in a
+            # second <= e0s+600 still continues the session, so the
+            # earliest safe expiry is the first ms of second e0s+601
+            new_exp = (e0 // 1_000_000 + 601) * 1000
+            if exp0 is not None and exp0 != new_exp:
+                self._h.deleteTimer(exp0)
+            if exp0 != new_exp:
+                self._h.registerTimer(new_exp)
+            self._st.update((s0, e0, n0, c0, new_exp))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if not self._st.exists():
+                return
+            s0, e0, n0, c0, exp0 = self._st.get()
+            if int(expiredTimerInfo.getExpiryTimeInMs()) != exp0:
+                return  # stale timer; a newer registration owns the key
+            self._st.clear()
+            yield pd.DataFrame(
+                [(key[0], s0, e0, n0, c0, 1)], columns=cols
+            )
+
+        def close(self) -> None:
+            pass
+
+    path = _stage_x19_slices(spark, sf_dir)
+    sdf = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, value double"
+        )
+        .option("header", True)
+        # 9 files -> 5 micro-batches: (0,1)(2,3)(4,5)(6,s1)(s2) — the
+        # lone-sentinel final batch runs under the s1-advanced watermark
+        .option("maxFilesPerTrigger", 2)
+        .csv(path)
+        # delay 0: later slices hold strictly later event times, so
+        # nothing is ever late — the watermark exists to drive timers
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("tus"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        )
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        tws = sdf.groupBy("user_id").transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        return run_stream_to_memory(
+            tws, "x19_mem", output_mode="append", state_partitions=32
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
+
+
+@query(
+    "x19_transform_with_state_timers",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 600
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, iv,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(iv) AS DOUBLE) / 100.0 AS total_value
+    FROM sessions GROUP BY user_id, seq
+    """,
+)
+def x19_transform_with_state_timers(spark, sf_dir):
+    """X19: transformWithStateInPandas with EVENT-TIME TIMERS — the
+    stateful-API surface x17 left unexercised (x17 runs
+    timeMode="None") and the mechanism real streaming sessionization
+    needs: per-user 10-minute-gap sessions where gap-closed sessions
+    emit inline but the OPEN session is evicted by a TIMER once the
+    event-time watermark proves no continuing event can arrive
+    (expiry = first ms of second end+601; the staged slices are
+    event-time-contiguous, so watermark ≥ expiry ⇒ every future event
+    breaks the gap). A ProcessingTime variant was built first and
+    REJECTED: processing-time timeMode makes availableNow re-trigger
+    empty batches indefinitely (shouldRunAnotherBatch is always true),
+    i.e. the drain never terminates — measured, not guessed. The
+    two sentinel files (x4's mtime trick, timestamped 2 h/4 h in the
+    future — watermarks take effect one batch later and availableNow
+    runs no batch after the last file, so the second sentinel's batch
+    is where the advanced watermark fires the timers) flush every open
+    session exactly once; timer-evicted state is asserted in
+    tests/test_r11_ops.py via the via_timer flag.
+
+    Determinism: the 7 data files are contiguous EVENT-TIME slices, so
+    per-user rows arrive in event-time order across micro-batches and
+    incremental gap sessionization equals the batch computation — the
+    drained result carries w6's full value-hash oracle (10-min gap,
+    (ts, event_id) tie order, bigint-cent totals). Timer flush and
+    gap-close are interchangeable by construction (watermark ≥ expiry
+    ⇒ the next event would gap-close anyway), and the expiry==stored
+    guard makes stale fires no-ops — correctness does not depend on
+    input-vs-timer ordering inside a batch.
+
+    Scale: per-key state is 5 longs + one registered timer (RocksDB
+    column families); the per-batch Python dispatch is the x17/x6 cost
+    class — the operator exists for semantics built-ins cannot express
+    (session CONTENTS with custom eviction); gap sessions whose output
+    is only aggregates want x3's built-in session window."""
+    out = _x19_drained(spark, sf_dir)
+    return out.where(F.col("user_id") >= 0).select(
+        "user_id",
+        F.timestamp_micros("s_us").alias("session_start"),
+        F.timestamp_micros("e_us").alias("session_end"),
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
     )

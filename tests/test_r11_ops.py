@@ -62,6 +62,27 @@ def test_w17_pinned_single_parquet_scan(spark, sf_dir):
     assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan" in p
 
 
+def test_x19_timer_evicts_every_open_session(spark, sf_dir):
+    """Event-time-timer contract: every real user's FINAL session is
+    flushed by handleExpiredTimer (via_timer=1, exactly one per user —
+    state evicted by timer, not by more data), gap-closed sessions
+    emit inline (via_timer=0), and the sentinel key never reaches the
+    catalog output."""
+    df = CATALOG["x19_transform_with_state_timers"][0](spark, sf_dir)
+    rows = df.collect()
+    users = {r.user_id for r in rows}
+    assert users and all(u >= 0 for u in users)
+    raw = spark.table("x19_mem").where(F.col("user_id") >= 0)
+    timer_rows = raw.where(F.col("via_timer") == 1).collect()
+    assert len(timer_rows) == len(users)
+    assert {r.user_id for r in timer_rows} == users
+    assert raw.where(F.col("via_timer") == 0).count() > 0
+    # sessions are internally consistent
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+
+
 def test_stats_domain_guard_raises_on_wide_domain(spark):
     """A caller feeding an unquantized/wide value domain must fail
     loudly (the single-partition CDF window would otherwise silently
