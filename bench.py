@@ -227,6 +227,7 @@ HEADLINE = [
     "l45c_ivfadc_topk",
     "a42_psi_weekly",
     "x19_transform_with_state_timers",
+    "x18b_stream_psi_weekly",
 ]
 
 

@@ -9,9 +9,12 @@
   (per-week current distribution vs the fixed first-half reference
   deciles), sharing a40/x18's exact reference construction.
 - ``x19_transform_with_state_timers``: transformWithStateInPandas with
-  ProcessingTime TIMERS — timer-driven session eviction (the one
+  EVENT-TIME TIMERS — watermark-driven session eviction (the one
   stateful-API surface x17 left untouched), drain == batch 10-minute
   gap sessionization (w6's contract).
+- ``x18b_stream_psi_weekly``: the streaming twin of a42 — per-(type,
+  week, bucket) update-mode counts against the broadcast reference
+  deciles; drain == batch a42 cell-for-cell.
 """
 
 from __future__ import annotations
@@ -631,4 +634,123 @@ def x19_transform_with_state_timers(spark, sf_dir):
         F.timestamp_micros("e_us").alias("session_end"),
         "n_events",
         (F.col("cents").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+# =====================================================================
+# X18b — streaming SLIDING-WINDOW drift monitor (weekly PSI)
+# =====================================================================
+
+
+@query("x18b_stream_psi_weekly", _A42_ORACLE)
+def x18b_stream_psi_weekly(spark, sf_dir):
+    """X18b: the streaming twin of a42 — the production drift monitor
+    at its production cadence: the current period arrives as a stream
+    (8 staged CSV files, 4 forced micro-batches), each event is
+    bucketed against the STATIC first-half reference deciles via a
+    stream-static broadcast join, and an update-mode streaming
+    aggregation maintains per-(type, WEEK, bucket) counts — x18 keeps
+    one counter set per type; x18b keys it by week, so after every
+    trigger the dashboard can read PSI-over-time. After the drain the
+    final counts join the reference probabilities into a42's exact
+    per-week PSI table.
+
+    Correctness gate: drained result == batch a42 cell-for-cell (the
+    x18-vs-a40 precedent: update-mode final counts are the full
+    per-week counts regardless of file batching) — carries a42's FULL
+    value-hash oracle, plus a same-session x18b == a42 equality test.
+
+    Scale: static side = 9 edges + 10 p_ref rows per type (broadcast);
+    streaming state is #types × #weeks × 10 counters — weeks grow with
+    wall-clock, so a production deployment ages out closed weeks with
+    a watermark on the week column; here the window is the fixed
+    current period."""
+    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    s, el, rb, n = _x18_reference(spark, sf_dir)
+
+    def write_current(p):
+        (
+            s.where(F.col("is_ref") == 0)
+            .select(
+                "event_type",
+                F.date_format(
+                    "wk", "yyyy-MM-dd HH:mm:ss"
+                ).alias("wk"),
+                "iv",
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .csv(p, header=True)
+        )
+
+    path = _stage_once(
+        sf_dir, "x18b", write_current, "events",
+        extra_fingerprint="wk-v1",
+    )
+    sdf = (
+        spark.readStream.schema(
+            "event_type string, wk timestamp, iv bigint"
+        )
+        .option("header", True)
+        .option("maxFilesPerTrigger", 2)
+        .csv(path)
+        .join(F.broadcast(el), "event_type")
+        .select(
+            "event_type", "wk",
+            (
+                1 + F.size(F.filter("es", lambda ed: F.col("iv") > ed))
+            ).alias("bkt"),
+        )
+        .groupBy("event_type", "wk", "bkt")
+        .count()
+    )
+    out = run_stream_to_memory(
+        sdf, "x18b_mem", output_mode="update", state_partitions=8
+    )
+    # final count per cell = the last (max) update-mode emission;
+    # pinned (domain-sized) because both the weekly totals and the
+    # final join read it — also avoids the memory-sink self-join
+    # reference conflict
+    bc = out.groupBy("event_type", "wk", "bkt").agg(
+        F.max("count").alias("bcur")
+    ).localCheckpoint()
+    ncw = bc.groupBy("event_type", "wk").agg(F.sum("bcur").alias("ncw"))
+    spine = ncw.crossJoin(
+        F.broadcast(
+            spark.range(1, 11).select(
+                F.col("id").cast("int").alias("bkt")
+            )
+        )
+    )
+    p = (
+        spine.join(
+            F.broadcast(n.select("event_type", "nr")), "event_type"
+        )
+        .join(F.broadcast(rb), ["event_type", "bkt"], "left")
+        .join(bc, ["event_type", "wk", "bkt"], "left")
+        .select(
+            "event_type", "wk", "bkt",
+            F.greatest(
+                F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
+                F.lit(1e-6),
+            ).alias("pr"),
+            F.greatest(
+                F.coalesce("bcur", F.lit(0)).cast("double")
+                / F.col("ncw"),
+                F.lit(1e-6),
+            ).alias("pc"),
+        )
+    )
+    return p.select(
+        "event_type", "wk",
+        F.col("bkt").cast("int").alias("bkt"),
+        F.round("pr", 6).alias("p_ref"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round(
+            (F.col("pc") - F.col("pr"))
+            * F.log(F.col("pc") / F.col("pr")),
+            6,
+        ).alias("psi_term"),
     )

@@ -83,6 +83,28 @@ def test_x19_timer_evicts_every_open_session(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_x18b_stream_weekly_psi_equals_batch_a42(spark, sf_dir):
+    """The drained weekly streaming monitor equals the batch a42 PSI
+    table cell-for-cell, and the memory sink shows multi-batch
+    accretion (update mode re-emits growing counts)."""
+    a = {
+        (r.event_type, r.wk, r.bkt): (r.p_ref, r.p_cur, r.psi_term)
+        for r in CATALOG["a42_psi_weekly"][0](spark, sf_dir).collect()
+    }
+    x = {
+        (r.event_type, r.wk, r.bkt): (r.p_ref, r.p_cur, r.psi_term)
+        for r in CATALOG["x18b_stream_psi_weekly"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == x
+    raw = spark.table("x18b_mem")
+    assert (
+        raw.count()
+        > raw.select("event_type", "wk", "bkt").distinct().count()
+    )
+
+
 def test_stats_domain_guard_raises_on_wide_domain(spark):
     """A caller feeding an unquantized/wide value domain must fail
     loudly (the single-partition CDF window would otherwise silently

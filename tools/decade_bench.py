@@ -173,6 +173,11 @@ QUERIES = [
     "x18_stream_psi_monitor",
     "j12_asof_tolerance",
     "a41_two_proportion_ztest",
+    # round-11 additions
+    "l45c_ivfadc_topk",
+    "a42_psi_weekly",
+    "x19_transform_with_state_timers",
+    "x18b_stream_psi_weekly",
 ]
 
 
@@ -217,7 +222,9 @@ def main() -> None:
                         "x16_stream_full_outer_interval_join",
                         "x17_transform_with_state_top2",
                         "l45_pq_ann_topk", "l45b_pq_rerank_topk",
-                        "x18_stream_psi_monitor"):
+                        "x18_stream_psi_monitor", "l45c_ivfadc_topk",
+                        "x19_transform_with_state_timers",
+                        "x18b_stream_psi_weekly"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
