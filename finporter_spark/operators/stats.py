@@ -34,7 +34,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def _pin_domain(g: DataFrame, max_domain: int, op: str) -> DataFrame:
     """Eagerly materialize the domain-sized aggregate (one corpus scan
-    feeds all branches) and enforce the bounded-domain contract."""
+    feeds all branches) and enforce the bounded-domain contract.
+
+    Tradeoffs, stated: (1) the guard fires AFTER the keyed aggregate
+    materializes — a wide-domain input pays one distributed (keyed,
+    never single-task) agg before the ValueError; the guard exists to
+    stop the SINGLE-PARTITION CDF window that would follow, which is
+    the part that cannot be distributed. (2) construction is now
+    eager: callers that build but never execute the result still run
+    the pin + count jobs — acceptable for statistics whose whole
+    output is one row."""
     g = g.localCheckpoint()
     n = g.count()  # cheap: counts the pinned blocks, not the corpus
     if n > max_domain:

@@ -140,7 +140,12 @@ def l45c_ivfadc_topk(spark, sf_dir):
     probe table (Q × n_probe rows carrying the LUT arrays) broadcasts
     into ONE BroadcastHashJoin on cell id; per-query windows prune
     map-side (WindowGroupLimit); the raw-vector column is touched for
-    Q × shortlist rows only. Full value-hash oracle: BOTH Lloyd
+    Q × shortlist rows only. Jégou's residual refinement (PQ on
+    x − centroid, per-cell query LUTs) was SIMULATED and deferred:
+    +0–5 pp recall on this corpus (tools/sim_ivfadc.residual_variant —
+    random embeddings carry no cluster structure for residuals to
+    exploit) does not buy the m×k×n_probe LUT blowup here; revisit on
+    a clustered corpus. Full value-hash oracle: BOTH Lloyd
     trainings unrolled as CTEs (the l3_ivf + l45 generators composed),
     probe/assign/ADC/rerank decisions all 6 dp-rounded with
     lowest-index tie-breaks — bit-identical cross-engine."""
@@ -282,6 +287,19 @@ def a42_psi_weekly(spark, sf_dir):
         .groupBy("event_type", "wk", "bkt")
         .agg(F.count("*").alias("bcur"))
     )
+    return _psi_table_weekly(spark, n, rb, bc)
+
+
+def _psi_table_weekly(spark, n, rb, bc):
+    """(type, wk, bkt, p_ref, p_cur, psi_term) from reference counts
+    ``rb``/totals ``n`` and current WEEKLY bucket counts
+    ``bc(event_type, wk, bkt, bcur)`` — the shared a42/x18b finishing
+    stage (the a40/x18 ``_psi_table`` pattern, keyed by week). ``bc``
+    is pinned: the weekly totals AND the final join both read it, so
+    without the pin the current-period corpus pass would run twice
+    (and the drained memory sink would hit a self-join reference
+    conflict in x18b)."""
+    bc = bc.localCheckpoint()
     ncw = bc.groupBy("event_type", "wk").agg(
         F.sum("bcur").alias("ncw")
     )
@@ -709,48 +727,10 @@ def x18b_stream_psi_weekly(spark, sf_dir):
     out = run_stream_to_memory(
         sdf, "x18b_mem", output_mode="update", state_partitions=8
     )
-    # final count per cell = the last (max) update-mode emission;
-    # pinned (domain-sized) because both the weekly totals and the
-    # final join read it — also avoids the memory-sink self-join
-    # reference conflict
+    # final count per cell = the last (max) update-mode emission; the
+    # shared finishing stage pins it (dual consumption + memory-sink
+    # self-join conflict)
     bc = out.groupBy("event_type", "wk", "bkt").agg(
         F.max("count").alias("bcur")
-    ).localCheckpoint()
-    ncw = bc.groupBy("event_type", "wk").agg(F.sum("bcur").alias("ncw"))
-    spine = ncw.crossJoin(
-        F.broadcast(
-            spark.range(1, 11).select(
-                F.col("id").cast("int").alias("bkt")
-            )
-        )
     )
-    p = (
-        spine.join(
-            F.broadcast(n.select("event_type", "nr")), "event_type"
-        )
-        .join(F.broadcast(rb), ["event_type", "bkt"], "left")
-        .join(bc, ["event_type", "wk", "bkt"], "left")
-        .select(
-            "event_type", "wk", "bkt",
-            F.greatest(
-                F.coalesce("br", F.lit(0)).cast("double") / F.col("nr"),
-                F.lit(1e-6),
-            ).alias("pr"),
-            F.greatest(
-                F.coalesce("bcur", F.lit(0)).cast("double")
-                / F.col("ncw"),
-                F.lit(1e-6),
-            ).alias("pc"),
-        )
-    )
-    return p.select(
-        "event_type", "wk",
-        F.col("bkt").cast("int").alias("bkt"),
-        F.round("pr", 6).alias("p_ref"),
-        F.round("pc", 6).alias("p_cur"),
-        F.round(
-            (F.col("pc") - F.col("pr"))
-            * F.log(F.col("pc") / F.col("pr")),
-            6,
-        ).alias("psi_term"),
-    )
+    return _psi_table_weekly(spark, n, rb, bc)

@@ -15,6 +15,7 @@ the key set ages out instead of growing forever.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
 import zipfile
@@ -81,8 +82,12 @@ def ensure_worker_protobuf(spark: SparkSession) -> None:
     # another local user pre-plant a file every worker then imports as
     # google.protobuf, and (b) silently reuse a stale zip after the
     # vendored runtime is updated. The tree is tiny, so re-zipping per
-    # process costs nothing.
+    # process costs nothing; the dir is removed at interpreter exit
+    # (Spark only needs it alive while executors may re-fetch).
+    import atexit
+
     zdir = tempfile.mkdtemp(prefix="finporter_vendor_pb_")
+    atexit.register(shutil.rmtree, zdir, True)
     zpath = os.path.join(zdir, "finporter_vendor_protobuf.zip")
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in sorted(

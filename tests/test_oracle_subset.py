@@ -69,6 +69,9 @@ SUBSET = [
     "o16_snapshot_diff",
     "l27_frequency_spectrum",
     "a15_grouping_sets",
+    # round-11 additions
+    "l45c_ivfadc_topk",
+    "a42_psi_weekly",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]

@@ -74,8 +74,20 @@ def test_x19_timer_evicts_every_open_session(spark, sf_dir):
     assert users and all(u >= 0 for u in users)
     raw = spark.table("x19_mem").where(F.col("user_id") >= 0)
     timer_rows = raw.where(F.col("via_timer") == 1).collect()
-    assert len(timer_rows) == len(users)
+    # the LAST session per user can only flush via timer (no later
+    # event exists to gap-close it) — every user has one; mid-stream
+    # timer flushes are ALSO legitimate (a user idle across a whole
+    # batch whose gap exceeds 600 s), so assert coverage, not an
+    # exact per-user count
     assert {r.user_id for r in timer_rows} == users
+    emitted = {}
+    for r in timer_rows:
+        emitted[r.user_id] = max(emitted.get(r.user_id, -1), r.e_us)
+    final_end = {}
+    for r in raw.collect():
+        final_end[r.user_id] = max(final_end.get(r.user_id, -1), r.e_us)
+    for u in users:
+        assert emitted[u] == final_end[u], u  # final session IS a timer flush
     assert raw.where(F.col("via_timer") == 0).count() > 0
     # sessions are internally consistent
     for r in rows:

@@ -1,0 +1,112 @@
+"""IVFADC scale story: measure recall, scanned-candidate fraction, and
+wall time of operators.similarity.ivfadc_topk across sf0.1/1/10 with the
+IVF sizing rule applied — k_coarse grows with the corpus (16/32/64,
+~2× per decade) while n_probe stays 6, so the scanned fraction FALLS
+with corpus size (the property the l45c catalog query demonstrates at
+fixed k=16 for oracle reasons; this sweep demonstrates the production
+sizing). Writes IVFADC_DECADE.json and prints a table.
+
+Usage: python tools/ivfadc_decade.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+from finporter_spark.session import get_session
+
+SFS = [
+    ("0.1", "/root/testdata/sf0.1", 16),
+    ("1", "/tmp/finporter_testdata/sf1", 32),
+    ("10", "/tmp/finporter_testdata/sf10", 64),
+]
+N_PROBE = 6
+SHORTLIST = 200
+TOPK = 10
+QMOD, QMAX = 101, 101 * 50
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from finporter_spark.operators.similarity import (
+        ivfadc_topk,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+    )
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    spark = get_session("ivfadc-decade")
+    results = {}
+    for sf, d, k in SFS:
+        emb = _t(spark, d, "embeddings")
+        books = load_or_train_pq_books(
+            emb, "vec_id", "embedding", m=4, k=16, iters=2,
+            cache_path=_io_dir(d, "l45_pq_books_m4_k16_i2"),
+        )
+        cents = load_or_train_centroids_det(
+            emb, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
+            cache_path=_io_dir(d, f"ivfadc_centroids_det_k{k}_d64_i3"),
+        )
+        queries = emb.where(
+            (F.col("vec_id") % QMOD == 0) & (F.col("vec_id") < QMAX)
+        )
+
+        def run():
+            return ivfadc_topk(
+                emb, queries, "vec_id", "embedding", cents, books,
+                n_probe=N_PROBE, shortlist=SHORTLIST, k=TOPK,
+            )
+
+        run().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        run().write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 3)
+
+        rows = run().collect()
+        pdf = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ).toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["v"].to_numpy())[order]
+        qids = sorted({r.query_id for r in rows})
+        # scanned fraction: replay deterministic assign + probe in numpy
+        C = np.array(cents)
+        dc = np.round(((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        cell = dc.argmin(axis=1)
+        recs, fracs = [], []
+        for q in qids:
+            qi = int(np.searchsorted(ids, q))
+            dq = ((M - M[qi]) ** 2).sum(axis=1)
+            exact = set(ids[np.lexsort((ids, dq))][:TOPK].tolist())
+            got = {r.cand_id for r in rows if r.query_id == q}
+            recs.append(len(got & exact) / TOPK)
+            probed = np.argsort(dc[qi], kind="stable")[:N_PROBE]
+            fracs.append(float(np.isin(cell, probed).mean()))
+        results[sf] = {
+            "n": int(len(ids)),
+            "k_coarse": k,
+            "recall": round(float(np.mean(recs)), 3),
+            "scanned_frac": round(float(np.mean(fracs)), 3),
+            "wall_s": wall,
+        }
+        print(f"sf{sf}: {results[sf]}", flush=True)
+    with open(os.path.join(REPO, "IVFADC_DECADE.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote IVFADC_DECADE.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,5 +83,48 @@ def main(sf_dir: str) -> None:
             )
 
 
+
+def residual_variant(sf_dir: str) -> None:
+    """Compare plain-PQ IVFADC vs residual-PQ IVFADC (Jégou's actual
+    construction: PQ trained on x - centroid, per-cell query LUTs)."""
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    n, dim = X.shape
+    qids = [i for i in range(0, min(n, 5050), 101)]
+    Q = X[qids]
+    d_exact = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    truth = [set(np.argsort(d_exact[i], kind="stable")[:10]) for i in range(len(qids))]
+    coarse = det_kmeans(X, 16, 3)
+    cell = det_assign(X, coarse)
+    qd = np.round(((Q[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2), 6)
+    R = X - coarse[cell]  # residuals
+    m, pk, sub = 4, 16, dim // 4
+    for tag, base in (("plain", X), ("residual", R)):
+        books = [det_kmeans(base[:, i*sub:(i+1)*sub], pk, 2) for i in range(m)]
+        codes = np.stack([det_assign(base[:, i*sub:(i+1)*sub], books[i]) for i in range(m)], axis=1)
+        for n_probe, short in ((6, 200), (4, 100)):
+            probed = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+            recs, fracs = [], []
+            for i in range(len(qids)):
+                cand = np.where(np.isin(cell, probed[i]))[0]
+                fracs.append(len(cand) / n)
+                if tag == "residual":
+                    # per-cell LUT: query residual vs that cell's centroid
+                    qr = Q[i][None, :] - coarse[cell[cand]]
+                    ad = np.zeros(len(cand))
+                    for s_i in range(m):
+                        # distance from query residual slice to the candidate's code centroid
+                        lut = np.round(((qr[:, s_i*sub:(s_i+1)*sub][:, :, None] - books[s_i].T[None, :, :])**2).sum(axis=1), 6)
+                        ad += lut[np.arange(len(cand)), codes[cand, s_i]]
+                else:
+                    luts = [np.round(((Q[i][None, i2*sub:(i2+1)*sub] - books[i2])**2).sum(axis=1), 6) for i2 in range(m)]
+                    ad = sum(luts[i2][codes[cand, i2]] for i2 in range(m))
+                order = cand[np.argsort(ad, kind="stable")][:short]
+                ex = ((Q[i] - X[order]) ** 2).sum(axis=1)
+                final = set(order[np.argsort(ex, kind="stable")[:10]])
+                recs.append(len(final & truth[i]) / 10)
+            print(f"{tag:8s} n_probe={n_probe} short={short}: recall={np.mean(recs):.3f} frac={np.mean(fracs):.3f}")
+
+
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
