@@ -179,9 +179,20 @@ SHOWCASE = {
     ),
     "a37_ks_test": (
         "Exact two-sample KS: the corpus collapses to the quantized "
-        "value DOMAIN with a map-side partial aggregation before the "
-        "single exchange; the CDF window and argmax run on the "
-        "domain-sized table, never the corpus."
+        "value DOMAIN with a map-side partial aggregation, pinned by "
+        "an eager localCheckpoint — round 11 — so the plan shows ZERO "
+        "parquet scans (previously 4: the cum/best/at branches each "
+        "re-derived the aggregate); the CDF window and argmax run on "
+        "the pinned domain-sized table, never the corpus."
+    ),
+    "l45c_ivfadc_topk": (
+        "True IVFADC: cell assignment and PQ encode are map-only "
+        "literal projections over the corpus; the probe table "
+        "(queries x n_probe cells, carrying the LUT arrays) BROADCASTS "
+        "into one BroadcastHashJoin on cell id, so only probed cells' "
+        "codes are scored; per-query top-shortlist windows prune "
+        "map-side (WindowGroupLimit); the exact re-rank touches raw "
+        "vectors for Q x shortlist rows only."
     ),
     "l45_pq_ann_topk": (
         "PQ ANN: codebooks ride as LITERALS (map-only encode, no join, "
