@@ -228,6 +228,7 @@ HEADLINE = [
     "a42_psi_weekly",
     "x19_transform_with_state_timers",
     "x18b_stream_psi_weekly",
+    "a43_ks_weekly",
 ]
 
 

@@ -122,6 +122,70 @@ def ks_2sample(
     )
 
 
+def ks_2sample_by(
+    samples: DataFrame,
+    value_col: str,
+    flag_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """Grouped exact two-sample KS: one (n1, n2, at_v, d_stat,
+    p_approx) row PER KEY — the per-segment drift readout (weekly KS,
+    per-source KS) built from the same integer cross-count
+    construction as :func:`ks_2sample`.
+
+    Scale shape is BETTER than the global operator: the CDF window
+    partitions by the keys, so no single-partition sort exists at all
+    — per-task state is one key's quantized-value domain. No domain
+    guard needed for the same reason; degenerate keys (one sample
+    empty) yield NULL d/p via try_divide rather than an error."""
+    s = samples.select(
+        *keys, F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
+    )
+    g = s.groupBy(*keys, "iv").agg(
+        F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
+    ).localCheckpoint()  # one corpus scan feeds cum/best/at (a37 pin)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        *keys, "iv",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = cum.groupBy(*keys).agg(
+        F.max("f1").alias("n1"), F.max("f2").alias("n2")
+    )
+    d = cum.join(F.broadcast(tot), keys).select(
+        *keys, "iv", "n1", "n2",
+        F.abs(
+            F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+        ).alias("dnum"),
+    )
+    best = d.groupBy(*keys, "n1", "n2").agg(F.max("dnum").alias("dnum"))
+    at = (
+        d.join(F.broadcast(best), keys + ["n1", "n2", "dnum"])
+        .groupBy(*keys, "n1", "n2", "dnum")
+        .agg(F.min("iv").alias("at_v"))
+    )
+    d_stat = F.try_divide(
+        F.col("dnum").cast("double"), F.col("n1") * F.col("n2")
+    )
+    lam2 = (
+        (d_stat * d_stat)
+        * (F.col("n1") * F.col("n2").cast("double"))
+        / (F.col("n1") + F.col("n2"))
+    )
+    return at.select(
+        *keys, "n1", "n2", "at_v",
+        d_stat.alias("d_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * lam2)), 6
+        ).alias("p_approx"),
+    )
+
+
 def mann_whitney_u(
     samples: DataFrame,
     value_col: str,

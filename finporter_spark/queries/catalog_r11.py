@@ -734,3 +734,79 @@ def x18b_stream_psi_weekly(spark, sf_dir):
         F.max("count").alias("bcur")
     )
     return _psi_table_weekly(spark, n, rb, bc)
+
+
+# =====================================================================
+# A43 — weekly (grouped) KS drift: per-segment distribution tests
+# =====================================================================
+
+
+@query(
+    "a43_ks_weekly",
+    """
+    WITH s AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), g AS (
+      SELECT wk, iv, SUM(a) AS c1, SUM(1 - a) AS c2
+      FROM s GROUP BY 1, 2
+    ), cum AS (
+      SELECT wk, iv,
+             SUM(c1) OVER (PARTITION BY wk ORDER BY iv) AS f1,
+             SUM(c2) OVER (PARTITION BY wk ORDER BY iv) AS f2
+      FROM g
+    ), tot AS (
+      SELECT wk, MAX(f1) AS n1, MAX(f2) AS n2 FROM cum GROUP BY wk
+    ), d AS (
+      SELECT cum.wk, cum.iv, tot.n1, tot.n2,
+             abs(cum.f1 * tot.n2 - cum.f2 * tot.n1) AS dnum
+      FROM cum JOIN tot ON tot.wk = cum.wk
+    ), best AS (
+      SELECT wk, n1, n2, MAX(dnum) AS dnum FROM d GROUP BY 1, 2, 3
+    ), at AS (
+      SELECT d.wk, d.n1, d.n2, d.dnum, MIN(d.iv) AS at_iv
+      FROM d JOIN best ON best.wk = d.wk AND best.dnum = d.dnum
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT wk, n1, n2, at_iv,
+           CAST(dnum AS DOUBLE) / (n1 * n2) AS d_stat,
+           round(LEAST(1.0, 2.0 * exp(
+             -2.0 * (CAST(dnum AS DOUBLE) / (n1 * n2))
+                  * (CAST(dnum AS DOUBLE) / (n1 * n2))
+                  * (n1 * CAST(n2 AS DOUBLE)) / (n1 + n2))), 6)
+             AS p_approx
+    FROM at
+    """,
+)
+def a43_ks_weekly(spark, sf_dir):
+    """A43: per-WEEK exact two-sample KS between the 'view' and
+    'purchase' value distributions — a37 at the production monitoring
+    cadence (the KS analogue of a40→a42): one exact D/p row per week,
+    so a dashboard reads distribution-shift-over-time and a single
+    drifted week cannot hide inside a whole-period test.
+
+    Built on ``operators.stats.ks_2sample_by`` — the grouped
+    generalization whose CDF window partitions BY the key: the scale
+    shape is strictly better than global a37 (no single-partition
+    domain sort exists at all; per-task state is one week's quantized
+    domain), and the same a37 pin applies (the domain-sized aggregate
+    is localCheckpoint-pinned so the corpus is scanned once). Same
+    integer-exactness contract: bigint cross-counts, one final
+    division, Smirnov p rounded 6 dp on week-sized output."""
+    from finporter_spark.operators.stats import ks_2sample_by
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+    )
+    return ks_2sample_by(s, "iv", "a", ["wk"]).select(
+        "wk", "n1", "n2",
+        F.col("at_v").alias("at_iv"),
+        "d_stat", "p_approx",
+    )

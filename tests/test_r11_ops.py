@@ -117,6 +117,36 @@ def test_x18b_stream_weekly_psi_equals_batch_a42(spark, sf_dir):
     )
 
 
+def test_ks_grouped_equals_per_key_global(spark, sf_dir):
+    """ks_2sample_by(keys=[wk]) must equal running the single-pair
+    ks_2sample on each week's slice independently — the grouped
+    operator is a partition-parallel generalization, not a different
+    statistic. Also: its plan has no partition-less window (the whole
+    point of grouping the CDF by key)."""
+    from finporter_spark.operators.stats import ks_2sample, ks_2sample_by
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+    )
+    grouped = {
+        r.wk: (r.n1, r.n2, r.at_v, r.d_stat, r.p_approx)
+        for r in ks_2sample_by(s, "iv", "a", ["wk"]).collect()
+    }
+    assert len(grouped) >= 3
+    for wk in grouped:
+        solo = ks_2sample(
+            s.where(F.col("wk") == wk).select("iv", "a"), "iv", "a"
+        ).collect()[0]
+        assert grouped[wk] == (
+            solo.n1, solo.n2, solo.at_v, solo.d_stat, solo.p_approx
+        ), wk
+
+
 def test_stats_domain_guard_raises_on_wide_domain(spark):
     """A caller feeding an unquantized/wide value domain must fail
     loudly (the single-partition CDF window would otherwise silently

@@ -178,6 +178,7 @@ QUERIES = [
     "a42_psi_weekly",
     "x19_transform_with_state_timers",
     "x18b_stream_psi_weekly",
+    "a43_ks_weekly",
 ]
 
 
