@@ -229,6 +229,7 @@ HEADLINE = [
     "x19_transform_with_state_timers",
     "x18b_stream_psi_weekly",
     "a43_ks_weekly",
+    "a44_mwu_weekly",
 ]
 
 

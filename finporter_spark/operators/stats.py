@@ -186,6 +186,71 @@ def ks_2sample_by(
     )
 
 
+def mann_whitney_u_by(
+    samples: DataFrame,
+    value_col: str,
+    flag_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """Grouped exact tie-corrected Mann–Whitney U: one
+    (n1, n2, u1, u2, z) row PER KEY — :func:`mann_whitney_u`'s
+    per-segment sibling (the :func:`ks_2sample_by` pattern): the
+    doubled-midrank window partitions BY the keys, so no
+    single-partition sort exists and no domain guard is needed;
+    per-task state is one key's quantized-value domain. Degenerate
+    keys (zero variance, single row) yield NULL z via the same guards
+    as the global operator."""
+    s = samples.select(
+        *keys, F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
+    )
+    g = s.groupBy(*keys, "iv").agg(
+        F.sum("a").alias("c1"),
+        F.sum(1 - F.col("a")).alias("c2"),
+        F.count("*").alias("c"),
+    ).localCheckpoint()  # one corpus scan (the a37 pin)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        *keys, "iv", "c1", "c2", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("f") + F.col("c") + 1)).alias(
+            "r1x2"
+        ),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / 2.0
+    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
+    nn = F.col("n1") + F.col("n2")
+    tie_term = F.coalesce(
+        F.try_divide(
+            F.col("tie3").cast("double"), nn * (nn - 1).cast("double")
+        ),
+        F.lit(0.0),
+    )
+    sig2 = (
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+    ) * ((nn + 1) - tie_term)
+    return agg.select(
+        *keys, "n1", "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
+        F.when(
+            sig2 > 0, F.round((u1 - mu) / F.sqrt(sig2), 6)
+        ).alias("z"),
+    )
+
+
 def mann_whitney_u(
     samples: DataFrame,
     value_col: str,

@@ -810,3 +810,79 @@ def a43_ks_weekly(spark, sf_dir):
         F.col("at_v").alias("at_iv"),
         "d_stat", "p_approx",
     )
+
+
+# =====================================================================
+# A44 — weekly (grouped) Mann–Whitney U: per-segment rank-sum drift
+# =====================================================================
+
+
+@query(
+    "a44_mwu_weekly",
+    """
+    WITH s AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), g AS (
+      SELECT wk, iv, SUM(a) AS c1, SUM(1 - a) AS c2, COUNT(*) AS c
+      FROM s GROUP BY 1, 2
+    ), cum AS (
+      SELECT wk, iv, c1, c2, c,
+             COALESCE(SUM(c) OVER (PARTITION BY wk ORDER BY iv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f
+      FROM g
+    ), agg AS (
+      SELECT wk, SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * f + c + 1)) AS r1x2,
+             SUM(c * c * c - c) AS tie3
+      FROM cum GROUP BY wk
+    )
+    SELECT wk, n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           n1 * CAST(n2 AS DOUBLE)
+             - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+           CASE WHEN (n1 * CAST(n2 AS DOUBLE) / 12.0)
+                     * ((n1 + n2 + 1)
+                        - COALESCE(CAST(tie3 AS DOUBLE)
+                          / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)),
+                          0.0)) > 0
+                THEN round(
+                  (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                   - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                  / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                     * ((n1 + n2 + 1)
+                        - COALESCE(CAST(tie3 AS DOUBLE)
+                          / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)),
+                          0.0))), 6)
+           END AS z
+    FROM agg
+    """,
+)
+def a44_mwu_weekly(spark, sf_dir):
+    """A44: per-WEEK exact tie-corrected Mann–Whitney U between the
+    'view' and 'purchase' value distributions — a38 at the production
+    monitoring cadence, completing the per-segment drift pair with a43
+    (KS screens the whole CDF; U screens the location shift — a week
+    where the values merely re-shuffled trips KS but not U).
+
+    Built on ``operators.stats.mann_whitney_u_by`` — the grouped
+    generalization whose doubled-midrank window partitions BY key (no
+    single-partition sort anywhere, per-task state = one week's
+    quantized domain, the a37 pin applies). Same integer-exactness
+    contract as a38: doubled midranks keep rank sums bigint, U halves
+    exactly in binary, Lehmann tie-corrected z rounds 6 dp on
+    week-sized output, NULL z on zero variance."""
+    from finporter_spark.operators.stats import mann_whitney_u_by
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
+    )
+    return mann_whitney_u_by(s, "iv", "a", ["wk"])

@@ -146,6 +146,22 @@ def test_ks_grouped_equals_per_key_global(spark, sf_dir):
             solo.n1, solo.n2, solo.at_v, solo.d_stat, solo.p_approx
         ), wk
 
+    from finporter_spark.operators.stats import (
+        mann_whitney_u,
+        mann_whitney_u_by,
+    )
+
+    gm = {
+        r.wk: (r.n1, r.n2, r.u1, r.u2, r.z)
+        for r in mann_whitney_u_by(s, "iv", "a", ["wk"]).collect()
+    }
+    assert set(gm) == set(grouped)
+    for wk in gm:
+        solo = mann_whitney_u(
+            s.where(F.col("wk") == wk).select("iv", "a"), "iv", "a"
+        ).collect()[0]
+        assert gm[wk] == (solo.n1, solo.n2, solo.u1, solo.u2, solo.z), wk
+
 
 def test_stats_domain_guard_raises_on_wide_domain(spark):
     """A caller feeding an unquantized/wide value domain must fail

@@ -179,6 +179,7 @@ QUERIES = [
     "x19_transform_with_state_timers",
     "x18b_stream_psi_weekly",
     "a43_ks_weekly",
+    "a44_mwu_weekly",
 ]
 
 
