@@ -886,3 +886,42 @@ def a44_mwu_weekly(spark, sf_dir):
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("a"),
     )
     return mann_whitney_u_by(s, "iv", "a", ["wk"])
+
+
+# =====================================================================
+# S15 — ORC roundtrip (the remaining built-in columnar format)
+# =====================================================================
+
+
+@query(
+    "s15_orc_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def s15_orc_roundtrip(spark, sf_dir):
+    """S15: ORC write -> read roundtrip (zlib, Spark's built-in ORC
+    source) — the one first-class columnar format the source/sink
+    family (CSV/TSV/JSON/parquet/binaryfile + the finport Python
+    DataSource) didn't yet exercise; a reference user exporting to an
+    ORC-based warehouse (Hive/Trino) needs the engine to read back
+    exactly what it wrote. The oracle is the identity SELECT on the
+    original table (the s1 contract): the hash passes only if sink
+    encoding + source decoding are lossless, including the double
+    column through ORC's encoding. Columnar pushdown works as with
+    parquet (same DataSource V1 scan interface); partition-pruning and
+    predicate tests live with s8's parquet coverage."""
+    path = _io_dir(sf_dir, "s15")
+    (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey", "s_name", "s_nationkey",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(path)
+    )
+    return spark.read.orc(path)
