@@ -231,6 +231,7 @@ HEADLINE = [
     "a43_ks_weekly",
     "a44_mwu_weekly",
     "s15_orc_roundtrip",
+    "p18_variant_extract",
 ]
 
 

@@ -925,3 +925,73 @@ def s15_orc_roundtrip(spark, sf_dir):
         .orc(path)
     )
     return spark.read.orc(path)
+
+
+# =====================================================================
+# P18 — VARIANT ingestion (Spark 4 semi-structured type)
+# =====================================================================
+
+
+@query(
+    "p18_variant_extract",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"t":"' || event_type || '","ks":['
+               || CAST(event_id % 5 AS VARCHAR) || ','
+               || CAST(event_id % 7 AS VARCHAR)
+               || '],"nested":{"cents":'
+               || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+               || CASE WHEN event_id % 3 = 0
+                       THEN ',"tag":"hot"' ELSE '' END
+               || '}}' AS js
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(js, '$.t') AS t,
+           CAST(json_extract(js, '$.ks[1]') AS BIGINT) AS k2,
+           CAST(json_extract(js, '$.nested.cents') AS BIGINT) AS cents,
+           json_extract_string(js, '$.nested.tag') AS tag
+    FROM j
+    """,
+)
+def p18_variant_extract(spark, sf_dir):
+    """P18: Spark 4's VARIANT type — the modern semi-structured
+    ingestion path p12's string-functions predate: a synthesized JSON
+    document (nested object, array, OPTIONAL field — the l41
+    derive-the-mess pattern, since the corpus's props column is flat)
+    is parsed ONCE into a VARIANT column (``parse_json``, binary
+    columnar encoding) and typed values are extracted by path
+    (``variant_get`` with target types: string, array index, nested
+    path, and a missing-field NULL). At 100 TB this is the
+    schema-on-read contract for raw event lakes: VARIANT parses the
+    document once at ingest and every downstream extraction is a typed
+    columnar read — vs ``get_json_object`` re-parsing the string per
+    expression. Absent fields surface as NULL, not errors.
+
+    Oracle: DuckDB builds the semantically identical document with its
+    own string concat and extracts via its JSON path functions —
+    the hash compares the TYPED extracted values, so it certifies
+    parse+path+cast semantics across two independent JSON engines
+    (doubles avoided in the payload: cents ride as bigints)."""
+    e = _t(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"t":"'), F.col("event_type"),
+        F.lit('","ks":['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('],"nested":{"cents":'),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(',"tag":"hot"'))
+        .otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+    v = e.select("event_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.t", "string").alias("t"),
+        F.variant_get("v", "$.ks[1]", "bigint").alias("k2"),
+        F.variant_get("v", "$.nested.cents", "bigint").alias("cents"),
+        F.variant_get("v", "$.nested.tag", "string").alias("tag"),
+    )
