@@ -72,6 +72,10 @@ SUBSET = [
     # round-11 additions
     "l45c_ivfadc_topk",
     "a42_psi_weekly",
+    "a43_ks_weekly",
+    "a44_mwu_weekly",
+    "s15_orc_roundtrip",
+    "p18_variant_extract",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]

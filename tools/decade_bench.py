@@ -180,6 +180,8 @@ QUERIES = [
     "x18b_stream_psi_weekly",
     "a43_ks_weekly",
     "a44_mwu_weekly",
+    "s15_orc_roundtrip",
+    "p18_variant_extract",
 ]
 
 
