@@ -163,6 +163,25 @@ def test_ks_grouped_equals_per_key_global(spark, sf_dir):
         assert gm[wk] == (solo.n1, solo.n2, solo.u1, solo.u2, solo.z), wk
 
 
+def test_pq_fit_rejects_indivisible_subspaces(spark):
+    """ADVICE r10: dim % m != 0 must fail loudly — silently dropping
+    the trailing dimensions from codebooks/ADC while pq_rerank scores
+    full vectors would give inconsistent distances with no error."""
+    from finporter_spark.operators.similarity import pq_fit
+
+    df = spark.range(20).select(
+        F.col("id"),
+        F.array(*[
+            (F.col("id") * (i + 1) % 7).cast("double") for i in range(6)
+        ]).alias("v"),
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, "id", "v", m=4, k=2, iters=1)
+    # divisible dims train fine
+    books = pq_fit(df, "id", "v", m=3, k=2, iters=1)
+    assert len(books) == 3 and all(len(b) == 2 for b in books)
+
+
 def test_stats_domain_guard_raises_on_wide_domain(spark):
     """A caller feeding an unquantized/wide value domain must fail
     loudly (the single-partition CDF window would otherwise silently
