@@ -232,6 +232,8 @@ HEADLINE = [
     "a44_mwu_weekly",
     "s15_orc_roundtrip",
     "p18_variant_extract",
+    "s16_xml_roundtrip",
+    "a45_attribution",
 ]
 
 

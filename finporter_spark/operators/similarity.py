@@ -937,6 +937,61 @@ def kmeans_assign(
     ).drop("_dists")
 
 
+def kmeans_assign_flat(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "_ed",
+    out_cluster: str = "cluster",
+    out_dist: str = "dist2",
+) -> DataFrame:
+    """Large-k sibling of :func:`kmeans_assign` with the IDENTICAL
+    decision contract (left-folded squared distance over the same
+    double literals, 6 dp round BEFORE the argmin, ties to the lowest
+    centroid index — parity is asserted exactly in
+    ``tests/test_similarity.py``), but a plan whose size is O(1) in k.
+
+    :func:`kmeans_assign` inlines k separate aggregate/zip_with trees,
+    which is the right shape up to a few hundred centroids and a
+    plan-compile ceiling beyond (SCALING.md). Here the whole centroid
+    table rides as ONE flat ``array<double>`` literal — parsed in a
+    single call and constant-folded by Catalyst to a single ArrayData
+    before codegen — and the per-centroid distances come from one
+    ``transform`` over cell indices with ``slice`` picking each
+    centroid's window. Still map-only: no shuffle, no broadcast join,
+    no UDF; use it when the coarse quantizer grows past the literal
+    path's ceiling (e.g. sqrt(N) IVF cells at large corpus sizes)."""
+    k = len(centroids)
+    dim = len(centroids[0])
+    flat = _sql_double_array([v for c in centroids for v in c])
+    cells = F.expr(flat)
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.slice(cells, j * dim + 1, dim),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ),
+    )
+    return (
+        df.withColumn("_dists", dists)
+        .select(
+            "*",
+            (F.array_position("_dists", F.array_min("_dists")) - 1)
+            .cast("int")
+            .alias(out_cluster),
+            F.array_min("_dists").alias(out_dist),
+        )
+        .drop("_dists")
+    )
+
+
 def _fit_cached(emb: DataFrame, k: int, iters: int) -> list[list[float]]:
     """Lloyd loop over an already-cached (_id, _ed) projection."""
     init = (

@@ -76,6 +76,8 @@ SUBSET = [
     "a44_mwu_weekly",
     "s15_orc_roundtrip",
     "p18_variant_extract",
+    "s16_xml_roundtrip",
+    "a45_attribution",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]

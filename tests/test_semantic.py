@@ -65,6 +65,64 @@ class TestKmeans:
         assert _n_exchanges(kmeans_assign(emb, cents)) == 0
 
 
+class TestKmeansAssignFlat:
+    """kmeans_assign_flat is the large-k drop-in for kmeans_assign: the
+    contract is EXACT decision parity (cluster AND 6 dp-rounded dist2),
+    not closeness — both fold the same doubles left-to-right."""
+
+    def _emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("_ed"),
+        )
+
+    @pytest.mark.parametrize("k", [16, 96])
+    def test_exact_parity_with_literal_path(self, spark, sf_dir, k):
+        import random
+
+        from finporter_spark.operators.similarity import (
+            kmeans_assign,
+            kmeans_assign_flat,
+        )
+
+        rng = random.Random(7)
+        cents = [
+            [round(rng.uniform(-1, 1), 6) for _ in range(64)]
+            for _ in range(k)
+        ]
+        emb = self._emb(spark, sf_dir)
+        a = kmeans_assign(emb, cents).select("vec_id", "cluster", "dist2")
+        b = kmeans_assign_flat(emb, cents).select(
+            "vec_id", "cluster", "dist2"
+        )
+        mismatches = (
+            a.alias("a")
+            .join(b.alias("b"), "vec_id")
+            .where(
+                (F.col("a.cluster") != F.col("b.cluster"))
+                | (F.col("a.dist2") != F.col("b.dist2"))
+            )
+            .count()
+        )
+        assert mismatches == 0
+
+    def test_flat_assignment_is_map_only(self, spark, sf_dir):
+        import random
+
+        from finporter_spark.operators.similarity import kmeans_assign_flat
+
+        rng = random.Random(11)
+        cents = [
+            [round(rng.uniform(-1, 1), 6) for _ in range(64)]
+            for _ in range(512)
+        ]
+        # 512 centroids: past the literal path's comfortable ceiling,
+        # still zero exchanges and zero Python for the flat path
+        assert _n_exchanges(
+            kmeans_assign_flat(self._emb(spark, sf_dir), cents)
+        ) == 0
+
+
 class TestSemanticDedup:
     def test_planted_duplicate_dropped(self, spark):
         from finporter_spark.operators.similarity import semantic_dedup
