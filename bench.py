@@ -234,6 +234,7 @@ HEADLINE = [
     "p18_variant_extract",
     "s16_xml_roundtrip",
     "a45_attribution",
+    "w14c_holt_recursive",
 ]
 
 

