@@ -235,6 +235,7 @@ HEADLINE = [
     "s16_xml_roundtrip",
     "a45_attribution",
     "w14c_holt_recursive",
+    "l42_label_propagation",
 ]
 
 

@@ -104,6 +104,121 @@ def s16_xml_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+# L42 — label-propagation community detection (sync LPA, 3 rounds)
+# =====================================================================
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_ctes(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+      FROM e JOIN {prev} l ON l.id = e.src GROUP BY 1, 2
+    ), r{i} AS (
+      SELECT id, lbl FROM (
+        SELECT id, lbl,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY c DESC, lbl) AS rk
+        FROM c{i}
+      ) WHERE rk = 1
+    ), l{i} AS (
+      SELECT l.id, COALESCE(r.lbl, l.lbl) AS lbl
+      FROM {prev} l LEFT JOIN r{i} r ON r.id = l.id
+    )"""
+
+
+@query(
+    "l42_label_propagation",
+    f"""
+    WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    ed AS (
+      SELECT doc_id AS src, (doc_id * m) % nn.n AS dst
+      FROM documents, nn, (VALUES (3), (5), (7)) v(m)
+    ),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ed
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ed
+      ) WHERE src <> dst
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+    {",".join(_lpa_round_ctes(i) for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+    """,
+)
+def l42_label_propagation(spark, sf_dir):
+    """L42: synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) over the corpus link graph — the community
+    lens the graph family lacked: l30 answers "which nodes are
+    CONNECTED", LPA answers "which nodes cluster DENSELY" (near-dup
+    *families*, crawl link farms, citation cliques), and it needs no k
+    or threshold. Deterministic variant: every node starts as its own
+    label; each round every node adopts its neighbors' MODE label with
+    ties broken to the smallest label (count DESC, label ASC via
+    row_number — the portable argmax both engines state identically);
+    nodes with no in-messages keep their label. {_LPA_ROUNDS} unrolled
+    synchronous rounds (async LPA is order-dependent, unreproducible by
+    design — synchronous unrolling is what makes a cross-engine value
+    hash possible at all); the undirected graph reuses l18's
+    multiplicative recipe so the graph family shares one topology.
+
+    Scale shape: per round, one edges⋈labels shuffle + one (node,
+    label) count + one per-node top-1 window + one left join — all
+    keyed by node/edge, state is the n-row label frontier, no driver
+    participation (the l18/l36 contract). At 100 TB: rounds are fixed,
+    each round is a constant number of linear keyed shuffles; the
+    frontier join is skew-bound by max degree (hub salting is z4's
+    recipe if a real crawl graph needs it)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    nn = d.agg((F.max("doc_id") + 1).alias("n"))
+    ed = (
+        d.select(
+            "doc_id",
+            F.explode(F.array(F.lit(3), F.lit(5), F.lit(7))).alias("m"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.col("m")) % F.col("n")).alias("dst"),
+        )
+    )
+    e = (
+        ed.union(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = d.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
+    )
+    top = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            cnt.withColumn("rk", F.row_number().over(top))
+            .where(F.col("rk") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        labels = labels.join(picked, "id", "left").select(
+            "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+
+
+# =====================================================================
 # W14c — Holt recurrence via Spark 4 RECURSIVE CTE (JVM-native)
 # =====================================================================
 

@@ -78,6 +78,7 @@ SUBSET = [
     "p18_variant_extract",
     "s16_xml_roundtrip",
     "a45_attribution",
+    "l42_label_propagation",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]

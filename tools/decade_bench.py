@@ -182,6 +182,10 @@ QUERIES = [
     "a44_mwu_weekly",
     "s15_orc_roundtrip",
     "p18_variant_extract",
+    "s16_xml_roundtrip",
+    "a45_attribution",
+    "w14c_holt_recursive",
+    "l42_label_propagation",
 ]
 
 

@@ -212,6 +212,18 @@ SHOWCASE = {
         "valid_to, and is_current together — closure derived from the "
         "log itself, no join against existing state."
     ),
+    "a45_attribution": (
+        "Multi-touch attribution WITHOUT a self-join: one events scan, "
+        "a (user_id) window computing the forward-min purchase key, a "
+        "(pk) window for journey position/size, one hash agg — two "
+        "keyed exchanges total, no Join node anywhere in the plan."
+    ),
+    "l42_label_propagation": (
+        "Sync LPA round: edges-to-labels hash join keyed on src, "
+        "(node, label) partial-count agg, per-node top-1 window, left "
+        "join back to the frontier — every exchange keyed by node/edge, "
+        "label frontier is the only state, repeated 3 unrolled rounds."
+    ),
 }
 
 
