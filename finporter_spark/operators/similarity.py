@@ -948,7 +948,7 @@ def kmeans_assign_flat(
     decision contract (left-folded squared distance over the same
     double literals, 6 dp round BEFORE the argmin, ties to the lowest
     centroid index — parity is asserted exactly in
-    ``tests/test_similarity.py``), but a plan whose size is O(1) in k.
+    ``tests/test_semantic.py``), but a plan whose size is O(1) in k.
 
     :func:`kmeans_assign` inlines k separate aggregate/zip_with trees,
     which is the right shape up to a few hundred centroids and a

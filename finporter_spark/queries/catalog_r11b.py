@@ -326,20 +326,20 @@ _A45_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day attribution window
     WITH base AS (
       SELECT user_id, event_type, ts, event_id,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k,
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
     ), nxt AS (
       SELECT user_id, event_type, ts, event_id, k,
              min(CASE WHEN event_type = 'purchase'
-                      THEN k || lpad(CAST(cents AS VARCHAR), 14, '0') END)
+                      THEN k || lpad(CAST(cents AS VARCHAR), 20, '0') END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                AS pk
       FROM base
     ), touches AS (
       SELECT event_type, ts, event_id, pk,
-             CAST(substr(pk, 33, 14) AS BIGINT) AS pcents
+             CAST(substr(pk, 41, 20) AS BIGINT) AS pcents
       FROM nxt
       WHERE event_type <> 'purchase' AND pk IS NOT NULL
         AND CAST(substr(pk, 1, 20) AS BIGINT) - epoch_us(ts)
@@ -390,9 +390,12 @@ def a45_attribution(spark, sf_dir):
 
     The next-purchase assignment avoids a self-join: one string-encoded
     order key (zero-padded micros || event_id, with the purchase's
-    cents appended OUTSIDE the 32-char ordering prefix) makes ``min``
-    over a current-row-to-unbounded-following frame the exact forward
-    as-of match — the j6b pattern collapsed into a window. Scale shape:
+    cents appended OUTSIDE the 40-char ordering prefix; every segment
+    is padded to 20 chars so any non-negative bigint fits UNTRUNCATED —
+    lpad silently truncates past the width in both engines) makes
+    ``min`` over a current-row-to-unbounded-following frame the exact
+    forward as-of match — the j6b pattern collapsed into a window.
+    Scale shape:
     two window passes — (user_id) then (purchase) partitioning — plus
     one hash agg; both windows parallelize by key, per-task state is
     one user's / one journey's rows, no driver state, no join. 100 TB
@@ -405,7 +408,7 @@ def a45_attribution(spark, sf_dir):
         "event_id",
         F.concat(
             F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
         ).alias("k"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
@@ -420,7 +423,7 @@ def a45_attribution(spark, sf_dir):
             F.when(
                 F.col("event_type") == "purchase",
                 F.concat(
-                    "k", F.lpad(F.col("cents").cast("string"), 14, "0")
+                    "k", F.lpad(F.col("cents").cast("string"), 20, "0")
                 ),
             )
         ).over(fwd),
@@ -437,7 +440,7 @@ def a45_attribution(spark, sf_dir):
         "ts",
         "event_id",
         "pk",
-        F.substring("pk", 33, 14).cast("bigint").alias("pcents"),
+        F.substring("pk", 41, 20).cast("bigint").alias("pcents"),
     )
     wpos = Window.partitionBy("pk").orderBy("ts", "event_id")
     wn = Window.partitionBy("pk")
