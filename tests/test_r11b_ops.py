@@ -25,6 +25,34 @@ def test_w14c_bit_identical_to_w14b(spark, sf_dir):
     assert len(a) > 0
 
 
+def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
+    """Spark's Observation API — the operational surface for pipeline
+    invariants: row counts / sums ride on the SAME action as the real
+    work (accumulator-style), no second scan. Pin that the observed
+    metrics equal an independent aggregation."""
+    from pyspark.sql import Observation, functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("discounted"),
+    )
+    # one action drives both the "pipeline" and the metrics
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    ref = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.count_if(F.col("l_discount") > 0.05).alias("discounted"),
+    ).collect()[0]
+    assert got["n"] == ref["n"] > 0
+    assert got["qty"] == ref["qty"]
+    assert got["discounted"] == ref["discounted"]
+
+
 def test_a45_credits_conserve(spark, sf_dir):
     rows = CATALOG["a45_attribution"][0](spark, sf_dir).collect()
     total_bp = sum(r.credit_bp_total for r in rows)
