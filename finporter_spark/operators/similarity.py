@@ -937,6 +937,37 @@ def kmeans_assign(
     ).drop("_dists")
 
 
+# above this many centroids the k-separate-literal-trees plan shape is
+# compile-bound; the flat single-array-literal formulation takes over
+# (decision-EXACT parity between the two — tests/test_semantic.py)
+FLAT_ASSIGN_K = 96
+
+
+def _sq_dist_array_flat(vec_col: str, centroids: list[list[float]]) -> Column:
+    """All-centroid squared-distance array from ONE flat array literal:
+    the k-independent plan core shared by :func:`kmeans_assign_flat`
+    and the large-k probe path of :func:`ivfadc_topk`. Same left fold,
+    same 6 dp round as :func:`_sq_dist_to_literal` per element."""
+    k = len(centroids)
+    dim = len(centroids[0])
+    cells = F.expr(_sql_double_array([v for c in centroids for v in c]))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.slice(cells, j * dim + 1, dim),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ),
+    )
+
+
 def kmeans_assign_flat(
     df: DataFrame,
     centroids: list[list[float]],
@@ -960,27 +991,8 @@ def kmeans_assign_flat(
     centroid's window. Still map-only: no shuffle, no broadcast join,
     no UDF; use it when the coarse quantizer grows past the literal
     path's ceiling (e.g. sqrt(N) IVF cells at large corpus sizes)."""
-    k = len(centroids)
-    dim = len(centroids[0])
-    flat = _sql_double_array([v for c in centroids for v in c])
-    cells = F.expr(flat)
-    dists = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.slice(cells, j * dim + 1, dim),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ),
-    )
     return (
-        df.withColumn("_dists", dists)
+        df.withColumn("_dists", _sq_dist_array_flat(vec_col, centroids))
         .select(
             "*",
             (F.array_position("_dists", F.array_min("_dists")) - 1)
@@ -1004,8 +1016,9 @@ def _fit_cached(emb: DataFrame, k: int, iters: int) -> list[list[float]]:
         .collect()
     )
     centroids = [[float(v) for v in r["_ed"]] for r in init]
+    assign = kmeans_assign_flat if k > FLAT_ASSIGN_K else kmeans_assign
     for _ in range(iters):
-        assigned = kmeans_assign(emb, centroids)
+        assigned = assign(emb, centroids)
         means = (
             assigned.select("cluster", F.posexplode("_ed").alias("i", "x"))
             .groupBy("cluster", "i")
@@ -1376,8 +1389,13 @@ def ivfadc_topk(
     oracle (catalog_r11 l45c) unrolls both Lloyd trainings and makes
     bit-identical choices. Returns (query_id, cand_id, rank, dist2)."""
     m = len(codebooks)
+    # past FLAT_ASSIGN_K coarse cells (the √N sizing rule reaches it
+    # quickly) both the corpus assignment and the query probe switch to
+    # the flat-literal formulation — identical decisions, O(1) plan in k
+    flat = len(centroids) > FLAT_ASSIGN_K
+    assign = kmeans_assign_flat if flat else kmeans_assign
     enc = pq_encode(corpus, vec_col, codebooks)
-    enc = kmeans_assign(
+    enc = assign(
         enc.select(
             F.col(id_col).alias("cand_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("_cv"),
@@ -1393,8 +1411,12 @@ def ivfadc_topk(
         F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
     )
     q = _pq_query_luts(qv, "query_id", vec_col, codebooks)
-    cdists = F.array(
-        *[F.round(_sq_dist_to_literal("_qv", c), 6) for c in centroids]
+    cdists = (
+        _sq_dist_array_flat("_qv", centroids)
+        if flat
+        else F.array(
+            *[F.round(_sq_dist_to_literal("_qv", c), 6) for c in centroids]
+        )
     )
     qp = q.select(
         "query_id",

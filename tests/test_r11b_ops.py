@@ -25,6 +25,34 @@ def test_w14c_bit_identical_to_w14b(spark, sf_dir):
     assert len(a) > 0
 
 
+def _credit_bp(pos: int, n: int) -> int:
+    """Pure-Python mirror of a45's credit CASE (same algebra both
+    engines state in SQL)."""
+    if n == 1:
+        return 10000
+    if n == 2:
+        return 5000
+    if pos == 1 or pos == n:
+        return 4000
+    return 2000 // (n - 2) + (2000 % (n - 2) if pos == 2 else 0)
+
+
+def test_a45_credit_algebra_conserves_for_all_journey_sizes():
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=1, max_value=500))
+    def check(n):
+        credits = [_credit_bp(p, n) for p in range(1, n + 1)]
+        assert sum(credits) == 10000
+        assert all(c >= 0 for c in credits)
+        if n >= 3:
+            # U-shape: ends get the 40% anchors, middles never exceed
+            assert credits[0] == credits[-1] == 4000
+            assert max(credits[1:-1]) <= 4000
+
+    check()
+
+
 def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
     """Spark's Observation API — the operational surface for pipeline
     invariants: row counts / sums ride on the SAME action as the real

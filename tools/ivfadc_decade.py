@@ -27,6 +27,11 @@ SFS = [
     ("0.1", "/root/testdata/sf0.1", 16),
     ("1", "/tmp/finporter_testdata/sf1", 32),
     ("10", "/tmp/finporter_testdata/sf10", 64),
+    # the √N rule proper at sf10 (√80k ≈ 283): k=256 exceeds the
+    # literal-plan ceiling, so this row exercises the flat-literal
+    # assignment/probe path end-to-end (operators/similarity.py
+    # FLAT_ASSIGN_K) and extends the measured scanned-fraction curve
+    ("10_k256", "/tmp/finporter_testdata/sf10", 256),
 ]
 N_PROBE = 6
 SHORTLIST = 200
@@ -83,8 +88,18 @@ def main() -> None:
         M = np.stack(pdf["v"].to_numpy())[order]
         qids = sorted({r.query_id for r in rows})
         # scanned fraction: replay deterministic assign + probe in numpy
+        # (chunked — the dense n×k×dim residual tensor is ~10 GB at
+        # n=80k, k=256)
         C = np.array(cents)
-        dc = np.round(((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        chunks = []
+        for lo in range(0, len(M), 8192):
+            blk = M[lo : lo + 8192]
+            chunks.append(
+                np.round(
+                    ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6
+                )
+            )
+        dc = np.concatenate(chunks)
         cell = dc.argmin(axis=1)
         recs, fracs = [], []
         for q in qids:
