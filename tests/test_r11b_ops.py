@@ -53,6 +53,37 @@ def test_a45_credit_algebra_conserves_for_all_journey_sizes():
     check()
 
 
+def test_ivfadc_flat_switch_parity(spark, sf_dir, monkeypatch):
+    """The k > FLAT_ASSIGN_K auto-switch inside ivfadc_topk (corpus
+    assign AND query probe) must be result-invariant: run the SAME
+    k=100 pipeline once through the flat path (default threshold 96)
+    and once with the threshold raised so the literal path runs, and
+    require identical (query, cand, rank) output."""
+    import finporter_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.kmeans_fit(emb, "vec_id", "embedding", k=100, iters=1)
+    books = sim.pq_fit(emb, "vec_id", "embedding", m=4, k=8, iters=1)
+    q = emb.where(F.col("vec_id") % 50 == 0).limit(8)
+
+    def run():
+        return sorted(
+            (r.query_id, r.cand_id, r.rank)
+            for r in sim.ivfadc_topk(
+                emb, q, "vec_id", "embedding", cents, books,
+                n_probe=4, shortlist=50, k=5,
+            ).collect()
+        )
+
+    assert sim.FLAT_ASSIGN_K < 100  # default: k=100 takes the flat path
+    got_flat = run()
+    monkeypatch.setattr(sim, "FLAT_ASSIGN_K", 10_000)
+    got_literal = run()
+    assert got_flat == got_literal
+    assert len(got_flat) > 0
+
+
 def test_observation_metrics_piggyback_on_one_pass(spark, sf_dir):
     """Spark's Observation API — the operational surface for pipeline
     invariants: row counts / sums ride on the SAME action as the real

@@ -4,7 +4,13 @@ IVF sizing rule applied — k_coarse grows with the corpus (16/32/64,
 ~2× per decade) while n_probe stays 6, so the scanned fraction FALLS
 with corpus size (the property the l45c catalog query demonstrates at
 fixed k=16 for oracle reasons; this sweep demonstrates the production
-sizing). Writes IVFADC_DECADE.json and prints a table.
+sizing). A fourth row ("10_k256" in the output) re-runs sf10 at the √N
+rule PROPER (k=256 ≈ √80k), which crosses FLAT_ASSIGN_K and therefore
+exercises the flat-literal assignment/probe path end-to-end; its
+wall_s re-encodes the corpus per run (no dataset state in this tool —
+production amortizes assignment/codes at ingest). Writes
+IVFADC_DECADE.json {row: {n, k_coarse, recall, scanned_frac, wall_s}}
+and prints a table.
 
 Usage: python tools/ivfadc_decade.py
 """
