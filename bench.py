@@ -236,6 +236,7 @@ HEADLINE = [
     "a45_attribution",
     "w14c_holt_recursive",
     "l42_label_propagation",
+    "p19_lateral_topk",
 ]
 
 

@@ -104,6 +104,55 @@ def s16_xml_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+# P19 — correlated LATERAL subquery (per-row top-k via decorrelation)
+# =====================================================================
+
+
+@query(
+    "p19_lateral_topk",
+    """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2
+    ) t
+    """,
+)
+def p19_lateral_topk(spark, sf_dir):
+    """P19: correlated LATERAL subquery — the remaining subquery FORM
+    beside p13 (EXISTS) and p14 (scalar): a per-outer-row dependent
+    subquery with its own ORDER BY + LIMIT ("top-2 suppliers for THIS
+    nation"), the idiom SQL users reach for before they know window
+    functions. The engine point is DECORRELATION: Catalyst rewrites the
+    per-row nested loop into a WindowGroupLimit (partial map-side +
+    final) over ONE supplier scan + a broadcast join back to nation —
+    the plan never executes row-at-a-time, so the lateral form costs
+    the same as the hand-written o2 window top-k. At 100 TB that is
+    the whole story: correlated-subquery queries inherit the
+    distributed window/join plan instead of a per-row re-scan.
+
+    Oracle: DuckDB runs the IDENTICAL LATERAL text (its optimizer does
+    its own decorrelation) — the hash certifies the two engines'
+    rewrites agree row-for-row, ties broken deterministically
+    (acctbal DESC, name ASC)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("p19_nation")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("p19_supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM p19_nation n,
+        LATERAL (
+          SELECT s_name, s_acctbal FROM p19_supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2
+        ) t
+        """
+    )
+
+
+# =====================================================================
 # L42 — label-propagation community detection (sync LPA, 3 rounds)
 # =====================================================================
 

@@ -79,6 +79,7 @@ SUBSET = [
     "s16_xml_roundtrip",
     "a45_attribution",
     "l42_label_propagation",
+    "p19_lateral_topk",
     # a14_rolling_hll_rollup: ≈ operator, no SQL oracle — error bound
     # asserted in tests/test_operators.py instead
 ]
