@@ -230,7 +230,7 @@ HEADLINE = [
     "x18b_stream_psi_weekly",
     "a43_ks_weekly",
     "a44_mwu_weekly",
-    "s15_orc_roundtrip",
+    "s15_orc_pushdown",
     "p18_variant_extract",
     "s16_xml_roundtrip",
     "a45_attribution",

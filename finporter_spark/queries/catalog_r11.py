@@ -609,6 +609,7 @@ def _x19_drained(spark, sf_dir):
            CAST(SUM(iv) AS DOUBLE) / 100.0 AS total_value
     FROM sessions GROUP BY user_id, seq
     """,
+    baseline_of="x3_session_window",
 )
 def x19_transform_with_state_timers(spark, sf_dir):
     """X19: transformWithStateInPandas with EVENT-TIME TIMERS — the
@@ -644,7 +645,11 @@ def x19_transform_with_state_timers(spark, sf_dir):
     column families); the per-batch Python dispatch is the x17/x6 cost
     class — the operator exists for semantics built-ins cannot express
     (session CONTENTS with custom eviction); gap sessions whose output
-    is only aggregates want x3's built-in session window."""
+    is only aggregates want x3's built-in session window — hence the
+    ``baseline_of="x3_session_window"`` tag: ``baselines()`` lists all
+    four Python-stateful demos (x6, x17, x19 → scale twins) so a
+    consumer filtering machine-readably never routes 100 TB through
+    the per-key Python dispatch path."""
     out = _x19_drained(spark, sf_dir)
     return out.where(F.col("user_id") >= 0).select(
         "user_id",
@@ -889,42 +894,60 @@ def a44_mwu_weekly(spark, sf_dir):
 
 
 # =====================================================================
-# S15 — ORC roundtrip (the remaining built-in columnar format)
+# S15 — ORC predicate pushdown + column pruning (scan-side contract)
 # =====================================================================
 
 
 @query(
-    "s15_orc_roundtrip",
+    "s15_orc_pushdown",
     """
-    SELECT s_suppkey, s_name, s_nationkey,
+    SELECT s_suppkey, s_name,
            CAST(s_acctbal AS DOUBLE) AS s_acctbal
     FROM supplier
+    WHERE CAST(s_acctbal AS DOUBLE) > 4500.0
     """,
 )
-def s15_orc_roundtrip(spark, sf_dir):
-    """S15: ORC write -> read roundtrip (zlib, Spark's built-in ORC
-    source) — the one first-class columnar format the source/sink
-    family (CSV/TSV/JSON/parquet/binaryfile + the finport Python
-    DataSource) didn't yet exercise; a reference user exporting to an
-    ORC-based warehouse (Hive/Trino) needs the engine to read back
-    exactly what it wrote. The oracle is the identity SELECT on the
-    original table (the s1 contract): the hash passes only if sink
-    encoding + source decoding are lossless, including the double
-    column through ORC's encoding. Columnar pushdown works as with
-    parquet (same DataSource V1 scan interface); partition-pruning and
-    predicate tests live with s8's parquet coverage."""
+def s15_orc_pushdown(spark, sf_dir):
+    """S15: ORC SCAN-side contract — predicate pushdown + column
+    pruning through Spark's built-in ORC source (zlib-compressed
+    write). The lossless write→read identity for ORC is s4's entry
+    (``s4_orc_roundtrip``, catalog_prep); what s4 does NOT certify is
+    the read path a warehouse user actually depends on at 100 TB: that
+    a filtered, projected query over an ORC table pushes the predicate
+    into the ORC reader (row-group / stripe-statistics skipping, the
+    parquet s8 analogue) and prunes unread columns, instead of
+    decoding every stripe of every column. Here the supplier table is
+    staged as zlib ORC, then read back through a filter
+    (``s_acctbal > 4500``) and a 3-column projection; the hash oracle
+    certifies the filtered VALUES survive ORC encode→filter→decode,
+    and ``tests/test_plans.py::test_s15_orc_pushdown_plan`` asserts
+    the plan carries ``PushedFilters: [... GreaterThan(s_acctbal,
+    4500.0)]`` on the ORC scan with the unprojected columns absent
+    from the read schema — the property that keeps an ORC lake scan
+    I/O-proportional to the query, not the table."""
     path = _io_dir(sf_dir, "s15")
-    (
-        _t(spark, sf_dir, "supplier")
-        .select(
-            "s_suppkey", "s_name", "s_nationkey",
-            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+
+    def _write(p):
+        (
+            _t(spark, sf_dir, "supplier")
+            .select(
+                "s_suppkey", "s_name", "s_nationkey",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            )
+            .write.mode("overwrite")
+            .option("compression", "zlib")
+            .orc(p)
         )
-        .write.mode("overwrite")
-        .option("compression", "zlib")
-        .orc(path)
+
+    from finporter_spark.queries.catalog_ext import _stage_once
+
+    _stage_once(sf_dir, "s15", _write, "supplier",
+                extra_fingerprint="orc-zlib-v2")
+    return (
+        spark.read.orc(path)
+        .where(F.col("s_acctbal") > 4500.0)
+        .select("s_suppkey", "s_name", "s_acctbal")
     )
-    return spark.read.orc(path)
 
 
 # =====================================================================

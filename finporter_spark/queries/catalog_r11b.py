@@ -321,10 +321,13 @@ def w14c_holt_recursive(spark, sf_dir):
     n_days iterations joins the 1-row-per-type frontier against the
     pinned table; iteration count is the CALENDAR length, not the
     corpus size (decade-flat past the scan). Cost model: per-iteration
-    scheduling constant × days — right for per-entity series shorter
-    than ``spark.sql.cteRecursionLevelLimit``; a years-long single
-    series belongs to w14's scan or w14b's Arrow batch (that split is
-    x6 vs x6b). Plan-compile, not execution, dominates cold runs."""
+    scheduling constant × days — ``spark.sql.cteRecursionLevelLimit``
+    is sized at runtime from the pinned aggregate's max series length
+    (so a calendar past the 100-row default runs instead of aborting
+    mid-recursion); a years-long single series still belongs to w14's
+    scan or w14b's Arrow batch (that split is x6 vs x6b) because the
+    per-iteration scheduling constant, not the limit, is the cost.
+    Plan-compile, not execution, dominates cold runs."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("tc")
@@ -340,6 +343,16 @@ def w14c_holt_recursive(spark, sf_dir):
     # pin: one corpus scan; the 30-iteration loop re-reads 150 rows,
     # never the events table
     o = o.localCheckpoint()
+    # the recursion must cover the longest per-type calendar: a series
+    # longer than spark.sql.cteRecursionLevelLimit (default 100) would
+    # abort MID-recursion with an opaque engine error — size the limit
+    # from the pinned aggregate (cheap: it is already materialized) so
+    # a longer calendar either runs or the operator's docs route it to
+    # w14/w14b explicitly
+    n_days = o.agg(F.max("rn")).first()[0] or 0
+    spark.conf.set(
+        "spark.sql.cteRecursionLevelLimit", str(max(100, n_days + 10))
+    )
     o.createOrReplaceTempView("w14c_o")
     return spark.sql(
         """
@@ -441,7 +454,12 @@ def a45_attribution(spark, sf_dir):
     order key (zero-padded micros || event_id, with the purchase's
     cents appended OUTSIDE the 40-char ordering prefix; every segment
     is padded to 20 chars so any non-negative bigint fits UNTRUNCATED —
-    lpad silently truncates past the width in both engines) makes
+    lpad silently truncates past the width in both engines). The
+    non-negativity the padding assumes is ENFORCED, not assumed: a
+    negative amount (refund/chargeback) raises a named error on the
+    Spark side (DuckDB's CAST of the mis-padded key errors on its own)
+    instead of silently mis-sorting — signed ledgers must
+    offset-encode before this operator. The key makes
     ``min`` over a current-row-to-unbounded-following frame the exact
     forward as-of match — the j6b pattern collapsed into a window.
     Scale shape:
@@ -450,6 +468,26 @@ def a45_attribution(spark, sf_dir):
     one user's / one journey's rows, no driver state, no join. 100 TB
     behavior is the w-family's: linear, shuffle on user_id then pk."""
     e = _t(spark, sf_dir, "events")
+    # the zero-pad ordering key is only correct for NON-NEGATIVE
+    # values: a negative cents lpads to '0…0-123', which sorts wrongly
+    # under min() and casts back to NULL on Spark (error on DuckDB) —
+    # enforce the contract loudly instead of assuming it (a refund /
+    # chargeback ledger must offset-encode before using this operator)
+    cents_raw = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.when(cents_raw >= 0, cents_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "a45_attribution: negative amount (cents="
+                ),
+                cents_raw.cast("string"),
+                F.lit(
+                    ") breaks the zero-padded ordering key; "
+                    "offset-encode signed values first"
+                ),
+            )
+        ).cast("bigint")
+    )
     base = e.select(
         "user_id",
         "event_type",
@@ -459,7 +497,7 @@ def a45_attribution(spark, sf_dir):
             F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
             F.lpad(F.col("event_id").cast("string"), 20, "0"),
         ).alias("k"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        cents.alias("cents"),
     )
     fwd = (
         Window.partitionBy("user_id")

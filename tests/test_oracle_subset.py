@@ -74,7 +74,7 @@ SUBSET = [
     "a42_psi_weekly",
     "a43_ks_weekly",
     "a44_mwu_weekly",
-    "s15_orc_roundtrip",
+    "s15_orc_pushdown",
     "p18_variant_extract",
     "s16_xml_roundtrip",
     "a45_attribution",

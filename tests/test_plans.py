@@ -410,3 +410,17 @@ def test_a14b_kmv_single_corpus_scan(spark, sf_dir):
     p = plan(df)
     assert p.count("Scan parquet") == 0  # corpus scanned at build time
     assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan" in p
+
+
+def test_s15_orc_pushdown_plan(spark, sf_dir):
+    """s15: the filtered/projected read over the staged zlib-ORC table
+    must push the predicate into the ORC scan (stripe-statistics
+    skipping) and prune the unprojected column from the read schema —
+    the s8 parquet contract, certified for the second columnar
+    format."""
+    df = CATALOG["s15_orc_pushdown"][0](spark, sf_dir)
+    p = plan(df)
+    assert "Scan orc" in p
+    assert "PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal,4500.0)" in p
+    # column pruning: s_nationkey was written but is not projected
+    assert "s_nationkey" not in p

@@ -126,3 +126,26 @@ def test_a45_credits_conserve(spark, sf_dir):
     for r in rows:
         assert r.attributed_cents_bp >= 0
         assert r.touches >= r.purchases_touched
+
+
+def test_a45_negative_amount_raises(spark, sf_dir, tmp_path):
+    """The zero-padded ordering key is only valid for non-negative
+    amounts; a negative cents value (refund/chargeback) must raise the
+    named a45 error, never silently drop or corrupt the journey."""
+    import pyspark.errors
+    import pytest
+    from pyspark.sql import functions as F
+
+    from finporter_spark.queries.catalog import _t
+
+    neg_dir = str(tmp_path / "sf_neg")
+    for t in ("events",):
+        df = _t(spark, sf_dir, t).limit(200)
+        df = df.withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, -F.col("value") - 1.0)
+            .otherwise(F.col("value")),
+        )
+        df.write.mode("overwrite").parquet(f"{neg_dir}/{t}.parquet")
+    with pytest.raises(Exception, match="a45_attribution: negative"):
+        CATALOG["a45_attribution"][0](spark, neg_dir).collect()
