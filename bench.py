@@ -237,6 +237,8 @@ HEADLINE = [
     "w14c_holt_recursive",
     "l42_label_propagation",
     "p19_lateral_topk",
+    # round-12 additions
+    "a46_kruskal_wallis",
 ]
 
 

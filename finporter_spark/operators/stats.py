@@ -316,3 +316,123 @@ def mann_whitney_u(
             sig2 > 0, F.round((u1 - mu) / F.sqrt(sig2), 6)
         ).alias("z"),
     )
+
+
+def kruskal_wallis(
+    samples: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    max_domain: int = 1_000_000,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal–Wallis H over k DECLARED arms — the
+    k-sample generalization of :func:`mann_whitney_u` (H with k = 2 is
+    a monotone function of U), the first test a ≥3-variant experimenter
+    reaches for.
+
+    ``groups`` declares the arm labels EXPLICITLY (k is a property of
+    the experiment design, not the data): each arm's doubled rank sum
+    2·R_g = Σ_v c_{g,v}·(2F_v + c_v + 1) and count n_g come from ONE
+    pass of k+1 conditional bigint sums over the pinned distinct-value
+    domain — no per-arm repartition, no pivot shuffle — and the final
+    H is a FIXED left-associated double expression over those 2k+2
+    scalars, so two engines evaluating the same expression tree on
+    identical bigint inputs produce bit-identical doubles (the a28/a44
+    discipline; the alternative — summing k per-arm rows — leaves the
+    fp association to each engine's aggregation order).
+
+    H = [12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)],
+    computed from doubled rank sums (R_g² = (2R_g)²/4 keeps every rank
+    sum a bigint; squares go to double before multiplying — at 100 TB
+    scale (2R)² overflows bigint, doubles don't). Returns ONE row:
+    n_0..n_{k-1}, ``h`` (tie-corrected, 6 dp), and ``p_approx`` — the
+    chi-square(k−1) survival function, CLOSED-FORM only when k−1 is
+    even (finite Poisson sum, unrolled at construction time: fixed fp
+    association); odd df would need igamma/erf, which neither engine
+    exposes as a builtin — NULL then, documented. NULL h on an empty
+    arm (try_divide) or an all-tied domain (zero tie-correction);
+    rows whose group is not in ``groups`` are ignored.
+
+    Scale contract = :func:`mann_whitney_u`'s: one corpus scan to the
+    bounded quantized domain (``max_domain`` guard, the bigint-cents
+    input contract), one domain-sized cumulative window, one scalar
+    aggregate."""
+    k = len(groups)
+    if k < 2:
+        raise ValueError("kruskal_wallis: need >= 2 groups")
+    s = samples.select(
+        F.col(value_col).alias("iv"), F.col(group_col).alias("g")
+    ).where(F.col("g").isin(list(groups)))
+    g = _pin_domain(
+        s.groupBy("iv").agg(
+            *[
+                F.sum(
+                    F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, gv in enumerate(groups)
+            ],
+            F.count("*").alias("c"),
+        ),
+        max_domain,
+        "kruskal_wallis",
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "iv",
+        *[f"c{i}" for i in range(k)],
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
+    )
+    agg = cum.agg(
+        *[F.sum(F.col(f"c{i}")).alias(f"n{i}") for i in range(k)],
+        *[
+            F.sum(
+                F.col(f"c{i}") * (2 * F.col("f") + F.col("c") + 1)
+            ).alias(f"r{i}")
+            for i in range(k)
+        ],
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    # N as a bigint left fold, then every fp step in one fixed tree
+    n_tot = F.col("n0")
+    for i in range(1, k):
+        n_tot = n_tot + F.col(f"n{i}")
+    nd = n_tot.cast("double")
+
+    def term(i: int):
+        rd = F.col(f"r{i}").cast("double")
+        return F.try_divide(
+            rd * rd, 4.0 * F.col(f"n{i}").cast("double")
+        )
+
+    ssum = term(0)
+    for i in range(1, k):
+        ssum = ssum + term(i)
+    h_raw = (12.0 * ssum) / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    corr = 1.0 - F.try_divide(
+        F.col("tie3").cast("double"), nd * nd * nd - nd
+    )
+    h = F.try_divide(h_raw, corr)
+    df = k - 1
+    if df % 2 == 0:
+        x2 = h / 2.0
+        psum = F.lit(1.0)
+        pw = F.lit(1.0)
+        for j in range(1, df // 2):
+            pw = pw * x2 / float(j)
+            psum = psum + pw
+        p = F.when(
+            h.isNotNull(),
+            F.round(
+                F.least(F.lit(1.0), F.exp(-x2) * psum), 6
+            ),
+        )
+    else:
+        p = F.lit(None).cast("double")
+    return agg.select(
+        *[F.col(f"n{i}") for i in range(k)],
+        F.round(h, 6).alias("h"),
+        p.alias("p_approx"),
+    )
