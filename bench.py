@@ -239,6 +239,8 @@ HEADLINE = [
     "p19_lateral_topk",
     # round-12 additions
     "a46_kruskal_wallis",
+    "s17_variant_roundtrip",
+    "o19_vacuum_versions",
 ]
 
 

@@ -777,3 +777,58 @@ def global_order_ffill(
         )
         .drop("_pid", "_local", "_carry")
     )
+
+
+def vacuum_versions(
+    root: str,
+    keep: int = 2,
+    prefix: str = "state_v",
+) -> dict:
+    """Version retention for the versioned merge sinks
+    (``streaming.pipeline.versioned_keep_first_sink`` / x9's layout:
+    one ``state_v{batch_id}`` parquet directory per committed batch) —
+    the missing third of the lakehouse maintenance triad (o8 compacts
+    small files, o12 snapshots; without vacuum every superseded version
+    lives forever, so a year of 5-minute batches stores the full state
+    100k times).
+
+    Removes all but the newest ``keep`` versions. ``keep`` defaults to
+    2, NOT 1: a crash-restarted stream replays its failed batch under
+    the same batch_id and merges onto the newest version OLDER than
+    that id — vacuuming to a single version while the stream is live
+    would leave a replayed final batch with no parent (silent state
+    loss). keep=1 is for retired sinks only.
+
+    Crash-safe by construction: versions are removed OLDEST-FIRST, and
+    each removal is an atomic ``rename`` to a ``_vacuum_…`` tombstone
+    followed by the recursive delete — version discovery (the sinks'
+    ``latest_version`` and any reader) matches the ``state_v`` prefix,
+    so a version disappears in one atomic step and a crash anywhere
+    mid-vacuum leaves the newest version intact and every remaining
+    version readable. Leftover tombstones from a crashed run are
+    reclaimed at the start of the next vacuum. Returns
+    ``{"kept": [...], "removed": [...]}``.
+    """
+    if keep < 1:
+        raise ValueError("vacuum_versions: keep must be >= 1")
+    if not os.path.isdir(root):
+        return {"kept": [], "removed": []}
+    # finish any interrupted removal first (tombstones are invisible to
+    # discovery, so this is pure space reclamation)
+    for d in os.listdir(root):
+        if d.startswith("_vacuum_"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    versions = sorted(
+        int(d[len(prefix):])
+        for d in os.listdir(root)
+        if d.startswith(prefix) and d[len(prefix):].isdigit()
+    )
+    doomed = versions[:-keep] if len(versions) > keep else []
+    removed = []
+    for v in doomed:  # oldest first: newest versions are never at risk
+        src = os.path.join(root, f"{prefix}{v}")
+        tomb = os.path.join(root, f"_vacuum_{prefix}{v}")
+        os.rename(src, tomb)  # atomic de-listing
+        shutil.rmtree(tomb)
+        removed.append(v)
+    return {"kept": versions[len(doomed):], "removed": removed}

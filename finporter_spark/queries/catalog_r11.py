@@ -955,6 +955,25 @@ def s15_orc_pushdown(spark, sf_dir):
 # =====================================================================
 
 
+def _p18_json_expr():
+    """The synthesized semi-structured document p18/s17 share: nested
+    object, array, OPTIONAL field (the l41 derive-the-mess pattern,
+    since the corpus's props column is flat). Columns referenced:
+    event_type, event_id, value."""
+    return F.concat(
+        F.lit('{"t":"'), F.col("event_type"),
+        F.lit('","ks":['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('],"nested":{"cents":'),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(',"tag":"hot"'))
+        .otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+
+
 @query(
     "p18_variant_extract",
     """
@@ -998,19 +1017,7 @@ def p18_variant_extract(spark, sf_dir):
     parse+path+cast semantics across two independent JSON engines
     (doubles avoided in the payload: cents ride as bigints)."""
     e = _t(spark, sf_dir, "events")
-    js = F.concat(
-        F.lit('{"t":"'), F.col("event_type"),
-        F.lit('","ks":['),
-        (F.col("event_id") % 5).cast("string"),
-        F.lit(","),
-        (F.col("event_id") % 7).cast("string"),
-        F.lit('],"nested":{"cents":'),
-        F.round(F.col("value") * 100).cast("bigint").cast("string"),
-        F.when(F.col("event_id") % 3 == 0, F.lit(',"tag":"hot"'))
-        .otherwise(F.lit("")),
-        F.lit("}}"),
-    )
-    v = e.select("event_id", F.parse_json(js).alias("v"))
+    v = e.select("event_id", F.parse_json(_p18_json_expr()).alias("v"))
     return v.select(
         "event_id",
         F.variant_get("v", "$.t", "string").alias("t"),

@@ -132,3 +132,109 @@ def test_a46_catalog_entry_runs(spark, sf_dir):
     row = CATALOG["a46_kruskal_wallis"][0](spark, sf_dir).collect()[0]
     assert row.n0 > 0 and row.n1 > 0 and row.n2 > 0
     assert row.h is not None and 0.0 <= row.p_approx <= 1.0
+
+
+# ---------------------------------------------------------------------
+# vacuum_versions (o19)
+# ---------------------------------------------------------------------
+
+
+def _build_chain(spark, root, n_versions=4):
+    from finporter_spark.streaming.pipeline import (
+        versioned_keep_first_sink,
+    )
+
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="k", order_col="o"
+    )
+    for i in range(n_versions):
+        df = spark.createDataFrame(
+            [(j % 5, i * 100 + j) for j in range(20)], "k int, o int"
+        )
+        merge(df, i)
+    return read_final
+
+
+def test_vacuum_keeps_final_state_identical(spark, tmp_path):
+    import os
+
+    from finporter_spark.operators.scale import vacuum_versions
+
+    root = str(tmp_path / "sink")
+    read_final = _build_chain(spark, root)
+    before = sorted(
+        (r.k, r.o) for r in read_final(spark).collect()
+    )
+    stats = vacuum_versions(root, keep=2)
+    assert stats["removed"] == [0, 1] and stats["kept"] == [2, 3]
+    # file-count: exactly the two newest version dirs remain
+    dirs = [d for d in os.listdir(root) if d.startswith("state_v")]
+    assert sorted(dirs) == ["state_v2", "state_v3"]
+    assert not [d for d in os.listdir(root) if d.startswith("_vacuum_")]
+    after = sorted((r.k, r.o) for r in read_final(spark).collect())
+    assert after == before
+    # idempotent: a second vacuum removes nothing
+    assert vacuum_versions(root, keep=2)["removed"] == []
+
+
+def test_vacuum_crash_midway_leaves_readable_table(spark, tmp_path):
+    """A tombstone left by a crash (rename done, rmtree not) must be
+    invisible to version discovery and reclaimed by the next run."""
+    import os
+
+    from finporter_spark.operators.scale import vacuum_versions
+
+    root = str(tmp_path / "sink")
+    read_final = _build_chain(spark, root)
+    before = sorted((r.k, r.o) for r in read_final(spark).collect())
+    # simulate the crash point: v0 renamed to its tombstone, not deleted
+    os.rename(
+        os.path.join(root, "state_v0"),
+        os.path.join(root, "_vacuum_state_v0"),
+    )
+    after = sorted((r.k, r.o) for r in read_final(spark).collect())
+    assert after == before  # discovery ignores the tombstone
+    stats = vacuum_versions(root, keep=2)
+    assert stats["removed"] == [1]
+    assert not [d for d in os.listdir(root) if d.startswith("_vacuum_")]
+    assert sorted(
+        (r.k, r.o) for r in read_final(spark).collect()
+    ) == before
+
+
+def test_vacuum_replay_after_vacuum_finds_parent(spark, tmp_path):
+    """keep=2's reason: a crash-replayed FINAL batch must merge onto
+    the second-newest version, so the replayed result equals the
+    original final state."""
+    from finporter_spark.operators.scale import vacuum_versions
+    from finporter_spark.streaming.pipeline import (
+        versioned_keep_first_sink,
+    )
+
+    root = str(tmp_path / "sink")
+    read_final = _build_chain(spark, root, n_versions=4)
+    before = sorted((r.k, r.o) for r in read_final(spark).collect())
+    vacuum_versions(root, keep=2)
+    merge, read_final2 = versioned_keep_first_sink(
+        root, key_col="k", order_col="o"
+    )
+    # replay batch 3 (same id, same data) onto the vacuumed sink
+    df = spark.createDataFrame(
+        [(j % 5, 300 + j) for j in range(20)], "k int, o int"
+    )
+    merge(df, 3)
+    after = sorted((r.k, r.o) for r in read_final2(spark).collect())
+    assert after == before
+
+
+def test_vacuum_guards(tmp_path):
+    import pytest
+
+    from finporter_spark.operators.scale import vacuum_versions
+
+    with pytest.raises(ValueError, match="keep"):
+        vacuum_versions(str(tmp_path), keep=0)
+    # absent root is a no-op, not an error
+    assert vacuum_versions(str(tmp_path / "nope")) == {
+        "kept": [], "removed": []
+    }
