@@ -8,7 +8,7 @@ The stdout line is deliberately small: the suite is 157 queries and a
 pipelines clip it mid-JSON (round-8's committed artifact had
 "parsed": null for exactly this reason). So "queries" on stdout carries
 only the TOP_N slowest queries; the COMPLETE per-query map is written
-to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r11.json next to this
+to $SPARK_GRAFT_BENCH_FULL (default BENCH_FULL_r12.json next to this
 file) and committed separately.
 
 Each query executes end-to-end into the `noop` sink (full plan runs, no
@@ -359,8 +359,16 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     probe = "q1_pricing_summary"
 
+    # per-query rep times are RECORDED, not just min-reduced: a
+    # round-over-round comparer needs each query's own noise band to
+    # tell a plan regression from cache-residency jitter (the r11
+    # verdict's "177 queries moved 1.09x" unreadability)
+    rep_times: dict[str, list[float]] = {}
+
     def measure(name: str) -> float:
-        return min(run_once(name) for _ in range(reps))
+        runs = [run_once(name) for _ in range(reps)]
+        rep_times[name] = [round(r, 3) for r in runs]
+        return min(runs)
 
     # the staging block above just evicted the scan/codegen state the
     # warm-up pass established — re-warm once untimed so the first
@@ -403,7 +411,7 @@ def main() -> None:
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r11.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r12.json"
         ),
     )
     with open(full_path, "w") as fh:
@@ -413,6 +421,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_reps": rep_times,
                 "sf": sf,
                 "reps": reps,
                 "code_cache": code_cache,
