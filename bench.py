@@ -241,6 +241,8 @@ HEADLINE = [
     "a46_kruskal_wallis",
     "s17_variant_roundtrip",
     "o19_vacuum_versions",
+    "l46_ivfadc_structured",
+    "l46b_ivfadc_residual",
 ]
 
 
@@ -323,6 +325,11 @@ def main() -> None:
         "l45_pq_ann_topk",
         "x17_transform_with_state_top2",
         "x18_stream_psi_monitor",
+        # round-12: structured corpus + quantizer/codebook/codes
+        # staging is ingest-time dataset state
+        "l46_ivfadc_structured",
+        "l46b_ivfadc_residual",
+        "s17_variant_roundtrip",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -1356,6 +1356,7 @@ def ivfadc_topk(
     n_probe: int = 6,
     shortlist: int = 200,
     k: int = 10,
+    codes: DataFrame | None = None,
     _return_shortlist: bool = False,
 ) -> DataFrame:
     """True IVFADC with exact re-rank (Jégou et al., TPAMI 2011 §V) —
@@ -1387,25 +1388,24 @@ def ivfadc_topk(
     Determinism: every decision (cell assign, probe order, ADC fold,
     rerank) is 6 dp-rounded with lowest-index tie-breaks — the DuckDB
     oracle (catalog_r11 l45c) unrolls both Lloyd trainings and makes
-    bit-identical choices. Returns (query_id, cand_id, rank, dist2)."""
+    bit-identical choices. Returns (query_id, cand_id, rank, dist2).
+
+    ``codes``: a pre-built (cand_id, _cell, _c0.._c{m-1}) table — pass
+    :func:`load_or_build_ivfadc_codes`'s staged output so the corpus
+    assignment + PQ encoding run ONCE at ingest (at 100 TB the codes
+    ARE the index; re-deriving them per query batch re-reads the raw
+    vectors, which is exactly what PQ exists to avoid). Omitted, both
+    stages run inline (map-only; correct but ingest-cost-per-query)."""
     m = len(codebooks)
     # past FLAT_ASSIGN_K coarse cells (the √N sizing rule reaches it
     # quickly) both the corpus assignment and the query probe switch to
     # the flat-literal formulation — identical decisions, O(1) plan in k
     flat = len(centroids) > FLAT_ASSIGN_K
-    assign = kmeans_assign_flat if flat else kmeans_assign
-    enc = pq_encode(corpus, vec_col, codebooks)
-    enc = assign(
-        enc.select(
-            F.col(id_col).alias("cand_id"),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("_cv"),
-            *[f"_c{i}" for i in range(m)],
-        ),
-        centroids,
-        vec_col="_cv",
-        out_cluster="_cell",
-        out_dist="_cd",
-    ).select("cand_id", "_cell", *[f"_c{i}" for i in range(m)])
+    enc = (
+        codes
+        if codes is not None
+        else build_ivfadc_codes(corpus, id_col, vec_col, centroids, codebooks)
+    )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
@@ -1491,3 +1491,265 @@ def load_or_train_pq_books(
             "sub int, cid int, vec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(cache_path)
     return books
+
+
+def build_ivfadc_codes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """The IVFADC index-build stage as a standalone map-only plan:
+    every corpus vector → its coarse cell (:func:`kmeans_assign`, flat
+    formulation past :data:`FLAT_ASSIGN_K`) + m PQ codes
+    (:func:`pq_encode`). Returns (cand_id, _cell, _c0.._c{m-1}) —
+    the table that IS the ANN index at scale: m+~1 small ints per
+    vector, the raw vectors untouched afterward except by the exact
+    re-rank."""
+    m = len(codebooks)
+    assign = (
+        kmeans_assign_flat
+        if len(centroids) > FLAT_ASSIGN_K
+        else kmeans_assign
+    )
+    enc = pq_encode(corpus, vec_col, codebooks)
+    return assign(
+        enc.select(
+            F.col(id_col).alias("cand_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_cv"),
+            *[f"_c{i}" for i in range(m)],
+        ),
+        centroids,
+        vec_col="_cv",
+        out_cluster="_cell",
+        out_dist="_cd",
+    ).select("cand_id", "_cell", *[f"_c{i}" for i in range(m)])
+
+
+def load_or_build_ivfadc_codes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    cache_path: str | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """Ingest-time persistence for the IVFADC corpus codes — the
+    round-11 verdict's #2: the quantizer and codebooks were already
+    cached dataset state (:func:`load_or_train_centroids_det`,
+    :func:`load_or_train_pq_books`) but every run re-assigned and
+    re-encoded the corpus (at sf10 that re-encode dominated the decade
+    row). The codes table is staged ONCE per (corpus, params) as
+    parquet — the caller keys ``cache_path`` by corpus + params, the
+    l3_ivf centroid contract — and every query run reads m+1 small
+    ints per vector instead of re-deriving them from raw vectors.
+
+    ``residual=True`` stages :func:`build_ivfadc_residual_codes`
+    (codes of x − centroid[cell]) instead — same schema, same cache
+    contract. Deterministic build ⇒ the cache changes nothing
+    semantically (oracle hashes unchanged, asserted in tests)."""
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    cols = ["cand_id", "_cell"] + [f"_c{i}" for i in range(m)]
+    if cache_path:
+        try:
+            cached = spark.read.parquet(cache_path)
+            if sorted(cached.columns) == sorted(cols):
+                return cached.select(*cols)
+        except Exception:
+            pass  # absent/corrupt cache -> rebuild below
+    builder = (
+        build_ivfadc_residual_codes if residual else build_ivfadc_codes
+    )
+    enc = builder(corpus, id_col, vec_col, centroids, codebooks)
+    if cache_path:
+        enc.write.mode("overwrite").parquet(cache_path)
+        return spark.read.parquet(cache_path).select(*cols)
+    return enc
+
+
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """(cid int, cen array<double>) — the coarse centroid table as a
+    broadcastable k-row DataFrame (for residual arithmetic, where the
+    centroid must be selected BY the row's cell id: a join against k
+    rows beats an element_at over a k × dim literal in plan size)."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cid int, cen array<double>",
+    )
+
+
+def residual_vectors(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_vec: str = "_rv",
+    out_cell: str = "_cell",
+) -> DataFrame:
+    """(id, _cell, _rv): every vector's coarse cell plus its RESIDUAL
+    x − centroid[cell] — the quantity Jégou's IVFADC actually encodes
+    (TPAMI 2011 §III.C): residuals concentrate around 0 regardless of
+    which cell a vector lives in, so one shared codebook quantizes them
+    with far less distortion than it quantizes raw positions — IF the
+    corpus is clustered (on structure-free vectors the residual is just
+    a shifted copy and buys nothing, measured in round 11). Assignment
+    is the pinned 6 dp/lowest-index contract; the subtraction itself is
+    exact IEEE, identical cross-engine, so no extra rounding."""
+    assign = (
+        kmeans_assign_flat
+        if len(centroids) > FLAT_ASSIGN_K
+        else kmeans_assign
+    )
+    assigned = assign(
+        corpus.select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_cv"),
+        ),
+        centroids,
+        vec_col="_cv",
+        out_cluster=out_cell,
+        out_dist="_cd",
+    )
+    cents = _centroid_df(corpus.sparkSession, centroids)
+    return (
+        assigned.join(
+            F.broadcast(cents), F.col(out_cell) == F.col("cid")
+        )
+        .select(
+            id_col,
+            out_cell,
+            F.zip_with("_cv", "cen", lambda x, c: x - c).alias(out_vec),
+        )
+    )
+
+
+def build_ivfadc_residual_codes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    res_codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Residual-PQ index build: cell assignment, then PQ codes of the
+    RESIDUAL x − centroid[cell] against residual-trained codebooks.
+    Same output schema as :func:`build_ivfadc_codes` (cand_id, _cell,
+    _c0..) — the ADC scan downstream is identical; only what the codes
+    MEAN changes."""
+    m = len(res_codebooks)
+    rv = residual_vectors(corpus, id_col, vec_col, centroids)
+    return pq_encode(rv, "_rv", res_codebooks).select(
+        F.col(id_col).alias("cand_id"),
+        "_cell",
+        *[f"_c{i}" for i in range(m)],
+    )
+
+
+def ivfadc_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    res_codebooks: list[list[list[float]]],
+    n_probe: int = 6,
+    shortlist: int = 50,
+    k: int = 10,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC **with residual refinement** (Jégou et al., TPAMI 2011
+    §III.C — the paper's actual construction): PQ codes quantize the
+    residual x − centroid[cell] instead of x, and each query builds a
+    SEPARATE ADC lookup table per probed cell from its own residual
+    q − centroid[cell]. Cost vs plain :func:`ivfadc_topk`: the LUT
+    work multiplies by n_probe (m × k × n_probe entries per query) and
+    the probe table carries one row per (query, cell) with its LUT
+    arrays — still a broadcast (workload × n_probe rows). Benefit:
+    on a CLUSTERED corpus the residual distribution is tight around 0,
+    so the same m × k codebook budget spends its precision where the
+    data actually is — measured on the planted-cluster corpus
+    (catalog_r12 l46b): +17 pp recall at shortlist=50 over plain PQ at
+    the identical probe/rerank budget; on structure-free embeddings it
+    buys ~0 (round-11 measurement, the reason it was deferred then).
+
+    Same determinism contract as the plain path (6 dp rounds,
+    lowest-index ties, fixed ADC fold, exact re-rank on raw vectors);
+    ``codes`` accepts the staged residual codes table
+    (:func:`load_or_build_ivfadc_codes` with ``residual=True``).
+    Returns (query_id, cand_id, rank, dist2)."""
+    m = len(res_codebooks)
+    sub = len(res_codebooks[0][0])
+    flat = len(centroids) > FLAT_ASSIGN_K
+    enc = (
+        codes
+        if codes is not None
+        else build_ivfadc_residual_codes(
+            corpus, id_col, vec_col, centroids, res_codebooks
+        )
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
+    )
+    cdists = (
+        _sq_dist_array_flat("_qv", centroids)
+        if flat
+        else F.array(
+            *[F.round(_sq_dist_to_literal("_qv", c), 6) for c in centroids]
+        )
+    )
+    qp = qv.select(
+        "query_id", "_qv", F.posexplode(cdists).alias("cid", "_d")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("cid").asc()
+    )
+    qp = (
+        qp.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .drop("_d", "_rk")
+    )
+    # per-(query, probed cell) residual → per-cell LUTs (the refinement)
+    cents = _centroid_df(corpus.sparkSession, centroids)
+    qp = qp.join(F.broadcast(cents), "cid").withColumn(
+        "_qr", F.zip_with("_qv", "cen", lambda x, c: x - c)
+    )
+    for i, book in enumerate(res_codebooks):
+        sliced = F.slice(F.col("_qr"), i * sub + 1, sub)
+        qp = qp.withColumn(
+            f"_lut{i}",
+            F.array(
+                *[
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sliced,
+                                F.array(*[F.lit(float(v)) for v in c]),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ),
+                        6,
+                    )
+                    for c in book
+                ]
+            ),
+        )
+    qp = qp.select("query_id", "cid", *[f"_lut{i}" for i in range(m)])
+    joined = enc.join(F.broadcast(qp), enc["_cell"] == qp["cid"])
+    adist = F.element_at("_lut0", F.col("_c0") + 1)
+    for i in range(1, m):
+        adist = adist + F.element_at(f"_lut{i}", F.col(f"_c{i}") + 1)
+    scored = joined.select(
+        "query_id", "cand_id", F.round(adist, 6).alias("adist")
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    short = (
+        scored.withColumn("_srk", F.row_number().over(ws))
+        .where(F.col("_srk") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    return pq_rerank(short, corpus, queries, id_col, vec_col, k=k)

@@ -151,6 +151,7 @@ def l45c_ivfadc_topk(spark, sf_dir):
     lowest-index tie-breaks — bit-identical cross-engine."""
     from finporter_spark.operators.similarity import (
         ivfadc_topk,
+        load_or_build_ivfadc_codes,
         load_or_train_centroids_det,
     )
 
@@ -161,12 +162,22 @@ def l45c_ivfadc_topk(spark, sf_dir):
         n_centroids=_IVF_K, iters=_IVF_ITERS,
         cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
     )
+    # the codes table IS the index: assignment + PQ encoding are staged
+    # once per (corpus, params) like the quantizer/codebooks themselves
+    # (round-11 verdict #2 — at sf10 the per-run re-encode dominated)
+    codes = load_or_build_ivfadc_codes(
+        emb, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(
+            sf_dir, f"l45c_codes_k{_IVF_K}_m{_PQ_M}"
+        ),
+    )
     queries = emb.where(
         (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
     )
     out = ivfadc_topk(
         emb, queries, "vec_id", "embedding", cents, books,
         n_probe=_IVFADC_NPROBE, shortlist=_IVFADC_SHORTLIST, k=_PQ_TOPK,
+        codes=codes,
     )
     return out.select(
         "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),

@@ -268,3 +268,458 @@ def o19_vacuum_versions(spark, sf_dir):
     return read_final(spark).select(
         "user_id", "ts", "event_id", "event_type"
     )
+
+
+# =====================================================================
+# L46/L46b — ANN on a PLANTED-CLUSTER corpus (structured embeddings)
+# =====================================================================
+#
+# Every ANN recall number before round 12 was measured on the
+# testdata's structure-free random embeddings — PQ/IVF's worst case
+# (no cluster structure to exploit; the round-11 verdict's #1). The
+# structured corpus plants 64 md5-derived cluster centers (uniform
+# [-0.15, 0.15] per dim — center sd ≈ 1.2 × the corpus noise sd, so
+# clusters OVERLAP rather than trivially separate) and shifts every
+# original embedding by its vec_id % 64 cluster's center:
+#     struct[d] = round(center[vec_id % 64][d] + emb[d], 6)
+# Deterministic, cross-engine (md5 + exact IEEE add + the 6 dp pin),
+# derived from the SAME parquet both engines read — so the whole
+# IVFADC pipeline on it carries full value-hash oracles.
+
+_L46_K = 64          # coarse cells (≈ √N at sf0.1, planted-cluster count)
+_L46_ITERS = 3
+_L46_NPROBE = 6
+_L46_SHORT = 200     # plain-PQ rerank budget (recall 0.855 at sf0.1)
+_L46B_SHORT = 50     # residual-PQ budget (recall 0.785 vs plain 0.615)
+_L46_CLUSTERS = 64
+_L46_SCALE = 150     # center amplitude, per-mille
+
+# the planted-center table + structured-embedding CTEs, shared by both
+# oracles (DuckDB mirror of _staged_structured_embeddings)
+_STRUCT_E = f"""
+    cl AS (SELECT c.c AS cid,
+                  list((CAST('0x' || substr(md5('cl' || CAST(c.c AS VARCHAR)
+                         || '_' || CAST(d.d AS VARCHAR)), 1, 8) AS BIGINT)
+                        % {2 * _L46_SCALE + 1} - {_L46_SCALE}) / 1000.0
+                       ORDER BY d.d) AS cen
+           FROM generate_series(0, {_L46_CLUSTERS - 1}) c(c)
+           CROSS JOIN generate_series(0, 63) d(d)
+           GROUP BY c.c),
+    e AS MATERIALIZED (SELECT r.vec_id,
+                 list_transform(list_zip(CAST(r.embedding AS DOUBLE[]),
+                                         cl.cen),
+                                z -> ROUND(z[1] + z[2], 6)) AS emb
+          FROM embeddings r
+          JOIN cl ON cl.cid = CAST(r.vec_id % {_L46_CLUSTERS} AS INT))"""
+
+
+def _struct_centroid_rows():
+    """Driver-side mirror of the oracle's ``cl`` CTE: hashlib md5 ==
+    SQL md5, so both engines derive the identical center table."""
+    import hashlib
+
+    return [
+        (
+            c,
+            [
+                (
+                    int(
+                        hashlib.md5(f"cl{c}_{d}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % (2 * _L46_SCALE + 1)
+                    - _L46_SCALE
+                )
+                / 1000.0
+                for d in range(64)
+            ],
+        )
+        for c in range(_L46_CLUSTERS)
+    ]
+
+
+def _staged_structured_embeddings(spark, sf_dir):
+    """The planted-cluster corpus as staged dataset state (vec_id,
+    embedding array<double>), once per testdata version."""
+    from finporter_spark.queries.catalog_ext import _stage_once
+
+    def _write(p):
+        cdf = spark.createDataFrame(
+            _struct_centroid_rows(), "cid int, cen array<double>"
+        )
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "_e"
+            ),
+            (F.col("vec_id") % _L46_CLUSTERS).cast("int").alias("cid"),
+        )
+        (
+            emb.join(F.broadcast(cdf), "cid")
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "_e", "cen", lambda x, c: F.round(x + c, 6)
+                ).alias("embedding"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    path = _stage_once(
+        sf_dir, "struct_emb", _write, "embeddings",
+        extra_fingerprint=f"planted{_L46_CLUSTERS}-s{_L46_SCALE}-v1",
+    )
+    return spark.read.parquet(path)
+
+
+def _l46_oracle() -> str:
+    """Plain IVFADC on the structured corpus: the l45c composition
+    (coarse Lloyd unroll + per-subspace PQ unrolls + probe/ADC/rerank)
+    with the structured-embedding CTE as ``e`` and k_coarse=64."""
+    from finporter_spark.queries.catalog_ext import (
+        _ivf_dist_cte,
+        _ivf_mean_cte,
+    )
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_M,
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+        _pq_sub_ctes,
+    )
+
+    ivf_rounds = []
+    prev = "c0"
+    for r in range(1, _L46_ITERS + 1):
+        ivf_rounds.append(_ivf_dist_cte(prev, f"d{r}", f"a{r}"))
+        ivf_rounds.append(_ivf_mean_cte(f"a{r}", prev, f"m{r}", f"c{r}"))
+        prev = f"c{r}"
+    ivf = ",".join(ivf_rounds)
+    subs = ",".join(_pq_sub_ctes(i) for i in range(_PQ_M))
+    code_joins = " ".join(
+        f"JOIN a3_{i} USING (vec_id)" if i else "FROM a3_0"
+        for i in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"a3_{i}.cid AS c{i}" for i in range(_PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut_{i} l{i} ON l{i}.cid = codes.c{i}"
+        f" AND l{i}.query_id = qp.query_id"
+        for i in range(_PQ_M)
+    )
+    ad = " + ".join(f"l{i}.d" for i in range(_PQ_M))
+    return f"""
+    WITH {_STRUCT_E},
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(emb, x -> ROUND(x, 6)) AS cen
+           FROM e WHERE vec_id < {_L46_K}),
+    {ivf},
+    {_ivf_dist_cte(prev, 'df', 'af')},
+    qp AS (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                  AS rk
+         FROM df WHERE vec_id % {_PQ_QMOD} = 0 AND vec_id < {_PQ_QMAX})
+       WHERE rk <= {_L46_NPROBE}),
+    {subs},
+    codes AS (SELECT a3_0.vec_id, {code_cols} {code_joins}),
+    score AS (SELECT qp.query_id, codes.vec_id AS cand_id,
+                     ROUND({ad}, 6) AS adist
+              FROM codes
+              JOIN af ON af.vec_id = codes.vec_id
+              JOIN qp ON qp.cid = af.cid
+              {lut_joins}),
+    short AS (SELECT query_id, cand_id FROM (
+      SELECT query_id, cand_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, cand_id) AS rk
+      FROM score) WHERE rk <= {_L46_SHORT}),
+    exact AS (SELECT s.query_id, s.cand_id,
+                ROUND(list_sum(list_transform(list_zip(eq.emb, ec.emb),
+                      z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS dist2
+              FROM short s
+              JOIN e eq ON eq.vec_id = s.query_id
+              JOIN e ec ON ec.vec_id = s.cand_id)
+    SELECT query_id, cand_id, rank, dist2 FROM (
+      SELECT query_id, cand_id, dist2,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist2, cand_id) AS INT)
+               AS rank
+      FROM exact) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@query("l46_ivfadc_structured", _l46_oracle())
+def l46_ivfadc_structured(spark, sf_dir):
+    """L46: IVFADC re-pinned on the PLANTED-CLUSTER corpus — the
+    round-11 verdict's top ask: every prior ANN recall number
+    (l3_lsh 0.87, l45b 0.74, l45c 0.605) was measured on structure-free
+    random embeddings, PQ/IVF's worst case, so nothing in the repo
+    predicted behavior on real (clustered) embeddings. The structured
+    corpus (module header: 64 planted md5-derived centers, overlap by
+    construction) is staged dataset state; coarse k=64 (≈√N at sf0.1 —
+    the IVF sizing rule, vs l45c's k=16 on the random corpus), PQ
+    m=4 × 16 codes, n_probe=6, shortlist=200, exact top-10 rerank.
+
+    MEASURED at sf0.1 (tests/test_recall_sf01.py pins the floor):
+    recall 0.855 vs exact top-10 at scanned fraction 0.094 — vs 0.605
+    for the SAME machinery on the random corpus (l45c) and 1.000 when
+    the planted centers are 2× farther apart (trivial corpus, rejected:
+    a benchmark the operator cannot fail measures nothing). Index
+    state (quantizer, codebooks, codes) staged once per corpus version
+    — query runs touch m+1 small ints per candidate + Q×200 raw rows.
+
+    Full value-hash oracle: the structured-embedding construction, BOTH
+    Lloyd trainings (coarse 64×3, PQ 4×(16×2)), probe, ADC and rerank
+    all unrolled in DuckDB over the same parquet — bit-identical
+    decisions via the 6 dp/lowest-index contract."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_M,
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+
+    se = _staged_structured_embeddings(spark, sf_dir)
+    cents = load_or_train_centroids_det(
+        se, "vec_id", "embedding", dim=64,
+        n_centroids=_L46_K, iters=_L46_ITERS,
+        cache_path=_io_dir(sf_dir, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
+    )
+    books = load_or_train_pq_books(
+        se, "vec_id", "embedding", m=_PQ_M, k=16, iters=2,
+        cache_path=_io_dir(sf_dir, f"l46_books_m{_PQ_M}_k16"),
+    )
+    codes = load_or_build_ivfadc_codes(
+        se, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(sf_dir, f"l46_codes_k{_L46_K}_m{_PQ_M}"),
+    )
+    queries = se.where(
+        (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
+    )
+    out = ivfadc_topk(
+        se, queries, "vec_id", "embedding", cents, books,
+        n_probe=_L46_NPROBE, shortlist=_L46_SHORT, k=_PQ_TOPK,
+        codes=codes,
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
+        "dist2",
+    )
+
+
+def _res_pq_sub_ctes(i: int) -> str:
+    """Per-subspace PQ Lloyd unroll over the RESIDUAL table ``r``
+    (catalog_r10's ``_pq_sub_ctes`` with r as the training corpus and
+    NO per-query lut — residual LUTs are per-(query, cell), generated
+    separately)."""
+    sub = 16
+    lo = i * sub
+
+    def dist(src_c: str, d: str, a: str) -> str:
+        return f"""
+    {d} AS (SELECT s.vec_id, c.cid,
+              ROUND(list_sum(list_transform(list_zip(s.s, c.cen),
+                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
+       FROM rs{i} s CROSS JOIN {src_c} c),
+    {a} AS (SELECT vec_id, cid, d FROM (
+         SELECT vec_id, cid, d,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         FROM {d}) WHERE rk = 1)"""
+
+    def mean(a: str, prev_c: str, mname: str, cname: str) -> str:
+        return f"""
+    {mname} AS (SELECT {a}.cid, g.i, ROUND(AVG(s.s[g.i]), 6) AS v
+       FROM {a} JOIN rs{i} s USING (vec_id)
+            CROSS JOIN generate_series(1, {sub}) AS g(i)
+       GROUP BY {a}.cid, g.i),
+    {cname} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
+       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
+                          FROM {mname} GROUP BY cid) mm USING (cid))"""
+
+    return f"""
+    rs{i} AS (SELECT vec_id, emb[{lo + 1}:{lo + sub}] AS s FROM r),
+    rc0_{i} AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(s, x -> ROUND(x, 6)) AS cen
+           FROM rs{i} WHERE vec_id < 16),
+    {dist(f'rc0_{i}', f'rd1_{i}', f'ra1_{i}')},
+    {mean(f'ra1_{i}', f'rc0_{i}', f'rm1_{i}', f'rc1_{i}')},
+    {dist(f'rc1_{i}', f'rd2_{i}', f'ra2_{i}')},
+    {mean(f'ra2_{i}', f'rc1_{i}', f'rm2_{i}', f'rc2_{i}')},
+    {dist(f'rc2_{i}', f'rd3_{i}', f'ra3_{i}')}"""
+
+
+def _l46b_oracle() -> str:
+    """Residual IVFADC: coarse Lloyd (k=64), residual table
+    r = e − centroid[cell], per-subspace PQ Lloyd unrolls ON r,
+    per-(query, probed cell) residual LUTs, ADC over residual codes,
+    exact rerank on the structured vectors."""
+    from finporter_spark.queries.catalog_ext import (
+        _ivf_dist_cte,
+        _ivf_mean_cte,
+    )
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_M,
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+
+    ivf_rounds = []
+    prev = "c0"
+    for rr in range(1, _L46_ITERS + 1):
+        ivf_rounds.append(_ivf_dist_cte(prev, f"d{rr}", f"a{rr}"))
+        ivf_rounds.append(_ivf_mean_cte(f"a{rr}", prev, f"m{rr}", f"c{rr}"))
+        prev = f"c{rr}"
+    ivf = ",".join(ivf_rounds)
+    subs = ",".join(_res_pq_sub_ctes(i) for i in range(_PQ_M))
+    sub = 16
+    rluts = ",".join(
+        f"""
+    rlut_{i} AS (SELECT qp.query_id, qp.cid AS cell, b.cid AS code,
+              ROUND(list_sum(list_transform(list_zip(
+                    list_transform(list_zip(
+                        q.emb[{i * sub + 1}:{i * sub + sub}],
+                        cc.cen[{i * sub + 1}:{i * sub + sub}]),
+                      z -> z[1] - z[2]),
+                    b.cen),
+                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
+       FROM qp
+       JOIN e q ON q.vec_id = qp.query_id
+       JOIN cfm cc ON cc.cid = qp.cid
+       CROSS JOIN rc2_{i} b)"""
+        for i in range(_PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN ra3_{i} USING (vec_id)" if i else "FROM ra3_0"
+        for i in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"ra3_{i}.cid AS c{i}" for i in range(_PQ_M))
+    lut_joins = " ".join(
+        f"JOIN rlut_{i} l{i} ON l{i}.code = codes.c{i}"
+        f" AND l{i}.query_id = qp.query_id AND l{i}.cell = qp.cid"
+        for i in range(_PQ_M)
+    )
+    ad = " + ".join(f"l{i}.d" for i in range(_PQ_M))
+    return f"""
+    WITH {_STRUCT_E},
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(emb, x -> ROUND(x, 6)) AS cen
+           FROM e WHERE vec_id < {_L46_K}),
+    {ivf},
+    {_ivf_dist_cte(prev, 'df', 'af')},
+    afm AS MATERIALIZED (SELECT * FROM af),
+    cfm AS MATERIALIZED (SELECT * FROM {prev}),
+    r AS MATERIALIZED (SELECT e.vec_id,
+                 list_transform(list_zip(e.emb, cc.cen),
+                                z -> z[1] - z[2]) AS emb
+          FROM e JOIN afm ON afm.vec_id = e.vec_id
+          JOIN cfm cc ON cc.cid = afm.cid),
+    qp AS MATERIALIZED (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                  AS rk
+         FROM df WHERE vec_id % {_PQ_QMOD} = 0 AND vec_id < {_PQ_QMAX})
+       WHERE rk <= {_L46_NPROBE}),
+    {subs},
+    {rluts},
+    codes AS (SELECT ra3_0.vec_id, {code_cols} {code_joins}),
+    score AS (SELECT qp.query_id, codes.vec_id AS cand_id,
+                     ROUND({ad}, 6) AS adist
+              FROM codes
+              JOIN afm ON afm.vec_id = codes.vec_id
+              JOIN qp ON qp.cid = afm.cid
+              {lut_joins}),
+    short AS (SELECT query_id, cand_id FROM (
+      SELECT query_id, cand_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, cand_id) AS rk
+      FROM score) WHERE rk <= {_L46B_SHORT}),
+    exact AS (SELECT s.query_id, s.cand_id,
+                ROUND(list_sum(list_transform(list_zip(eq.emb, ec.emb),
+                      z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS dist2
+              FROM short s
+              JOIN e eq ON eq.vec_id = s.query_id
+              JOIN e ec ON ec.vec_id = s.cand_id)
+    SELECT query_id, cand_id, rank, dist2 FROM (
+      SELECT query_id, cand_id, dist2,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist2, cand_id) AS INT)
+               AS rank
+      FROM exact) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@query("l46b_ivfadc_residual", _l46b_oracle())
+def l46b_ivfadc_residual(spark, sf_dir):
+    """L46b: IVFADC with RESIDUAL REFINEMENT (Jégou TPAMI 2011 §III.C
+    — the paper's actual construction) on the planted-cluster corpus —
+    the decision round 11 deferred, RE-VALIDATED and REVERSED on
+    structured data: PQ codes quantize x − centroid[cell] and each
+    query ADC-scores against a per-probed-cell LUT built from its own
+    residual. On the random corpus this bought +0–5 pp (residuals of
+    structure-free points are just shifted copies — round-11
+    measurement, correctly rejected THERE); on the structured corpus
+    residuals concentrate around 0 and the same 4×16 codebook budget
+    yields **recall 0.785 vs plain PQ's 0.615 at the identical
+    shortlist=50 / n_probe=6 budget** (+17 pp, tests/test_recall_sf01
+    pins the gap), letting a 4× smaller rerank budget match plain
+    PQ's shortlist=200 quality class. Cost: LUT work × n_probe per
+    query (still broadcast-sized: Q × n_probe rows), the blowup that
+    made it a bad trade on data it couldn't help.
+
+    Index state (quantizer, residual codebooks, residual codes) staged
+    once; full value-hash oracle unrolls coarse Lloyd, the residual
+    table, FOUR residual-PQ Lloyd trainings, per-cell LUTs, ADC and
+    rerank — bit-identical cross-engine."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_residual_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+        residual_vectors,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_M,
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+
+    se = _staged_structured_embeddings(spark, sf_dir)
+    cents = load_or_train_centroids_det(
+        se, "vec_id", "embedding", dim=64,
+        n_centroids=_L46_K, iters=_L46_ITERS,
+        cache_path=_io_dir(sf_dir, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
+    )
+    rv = residual_vectors(se, "vec_id", "embedding", cents)
+    rbooks = load_or_train_pq_books(
+        rv, "vec_id", "_rv", m=_PQ_M, k=16, iters=2,
+        cache_path=_io_dir(sf_dir, f"l46b_res_books_m{_PQ_M}_k16"),
+    )
+    rcodes = load_or_build_ivfadc_codes(
+        se, "vec_id", "embedding", cents, rbooks,
+        cache_path=_io_dir(sf_dir, f"l46b_res_codes_k{_L46_K}_m{_PQ_M}"),
+        residual=True,
+    )
+    queries = se.where(
+        (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
+    )
+    out = ivfadc_residual_topk(
+        se, queries, "vec_id", "embedding", cents, rbooks,
+        n_probe=_L46_NPROBE, shortlist=_L46B_SHORT, k=_PQ_TOPK,
+        codes=rcodes,
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
+        "dist2",
+    )

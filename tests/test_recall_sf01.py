@@ -452,3 +452,134 @@ def test_pq_rerank_recall_at_sf01(spark, emb01):
     frac = 100 / len(ids)  # shortlist / corpus = random-baseline recall
     assert mean >= 0.35, (mean, recs)
     assert mean >= 5 * frac, (mean, frac)
+
+
+def _structured_truth(spark, k=10):
+    """Exact top-k ground truth over the sf0.1 planted-cluster corpus
+    (numpy over the staged parquet; id tie-break matches the engine)."""
+    import numpy as np
+
+    from finporter_spark.queries.catalog_r12 import (
+        _staged_structured_embeddings,
+    )
+
+    se = _staged_structured_embeddings(spark, SF01)
+    emb = se.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in emb])
+    M = np.array([r.embedding for r in emb])
+    qids = [int(i) for i in ids if i % 101 == 0 and i < 101 * 50]
+    truth = {}
+    for q in qids:
+        qv = M[ids == q][0]
+        d = ((M - qv) ** 2).sum(axis=1)
+        truth[q] = set(ids[np.lexsort((ids, d))][:k].tolist())
+    return truth
+
+
+def _mean_recall(rows, truth):
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set()).add(r.cand_id)
+    recs = [
+        len(per_q.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ]
+    return sum(recs) / len(recs)
+
+
+def test_l46_structured_recall_at_sf01(spark):
+    """The round-12 done-bar: recall >= 0.8 at the DOCUMENTED budget
+    (64 cells, n_probe=6 -> scanned fraction ~0.094, shortlist=200) on
+    the planted-cluster corpus — measured 0.855. The same machinery
+    scores 0.605 on the random corpus (l45c's pin): the gap IS the
+    structure, which is what real embeddings carry."""
+    from finporter_spark.queries.catalog import CATALOG
+
+    truth = _structured_truth(spark)
+    assert len(truth) >= 10
+    rows = CATALOG["l46_ivfadc_structured"][0](spark, SF01).collect()
+    rec = _mean_recall(rows, truth)
+    assert rec >= 0.8, rec
+
+
+def test_l46b_residual_beats_plain_at_same_budget_sf01(spark):
+    """The reversed round-11 decision, pinned: at the IDENTICAL
+    n_probe=6 / shortlist=50 budget on the structured corpus, residual
+    PQ must beat plain PQ by >= 10 pp recall (measured 0.785 vs
+    0.615). This is Jégou §III.C earning its LUT-×-n_probe cost — on
+    the random corpus it buys ~0, which is why round 11 deferred it."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+    )
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r12 import (
+        _L46_ITERS,
+        _L46_K,
+        _staged_structured_embeddings,
+    )
+
+    truth = _structured_truth(spark)
+    res_rows = CATALOG["l46b_ivfadc_residual"][0](spark, SF01).collect()
+    res_rec = _mean_recall(res_rows, truth)
+
+    se = _staged_structured_embeddings(spark, SF01)
+    cents = load_or_train_centroids_det(
+        se, "vec_id", "embedding", dim=64,
+        n_centroids=_L46_K, iters=_L46_ITERS,
+        cache_path=_io_dir(SF01, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
+    )
+    books = load_or_train_pq_books(
+        se, "vec_id", "embedding", m=4, k=16, iters=2,
+        cache_path=_io_dir(SF01, "l46_books_m4_k16"),
+    )
+    codes = load_or_build_ivfadc_codes(
+        se, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(SF01, f"l46_codes_k{_L46_K}_m4"),
+    )
+    queries = se.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
+    )
+    plain_rows = ivfadc_topk(
+        se, queries, "vec_id", "embedding", cents, books,
+        n_probe=6, shortlist=50, k=10, codes=codes,
+    ).collect()
+    plain_rec = _mean_recall(plain_rows, truth)
+    assert res_rec >= plain_rec + 0.10, (res_rec, plain_rec)
+    assert res_rec >= 0.7, res_rec
+
+
+def test_ivfadc_staged_codes_identical_to_inline(spark, emb01):
+    """Ingest-time code staging is pure caching: l45c's result through
+    the staged codes table must be row-identical to the inline
+    assign+encode path (same corpus, same quantizer/books)."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_topk,
+        load_or_train_centroids_det,
+    )
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.queries.catalog_r10 import _pq_books
+    from finporter_spark.queries.catalog_ext import _io_dir
+
+    staged = sorted(
+        (r.query_id, r.cand_id, r.rank, r.dist2)
+        for r in CATALOG["l45c_ivfadc_topk"][0](spark, SF01).collect()
+    )
+    books = _pq_books(spark, SF01, emb01)
+    cents = load_or_train_centroids_det(
+        emb01, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
+        cache_path=_io_dir(SF01, "l3_ivf_centroids_det_k16_d64_i3"),
+    )
+    queries = emb01.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
+    )
+    inline = sorted(
+        (r.query_id, r.cand_id, int(r.rank), r.dist2)
+        for r in ivfadc_topk(
+            emb01, queries, "vec_id", "embedding", cents, books,
+            n_probe=6, shortlist=200, k=10,
+        ).collect()
+    )
+    assert staged == inline

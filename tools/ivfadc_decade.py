@@ -12,6 +12,16 @@ production amortizes assignment/codes at ingest). Writes
 IVFADC_DECADE.json {row: {n, k_coarse, recall, scanned_frac, wall_s}}
 and prints a table.
 
+Round 12: the corpus codes table (cell assignment + PQ codes) is now
+STAGED dataset state (operators.similarity.load_or_build_ivfadc_codes
+— verdict #2: the codes ARE the index at scale); each row reports
+codes_build_s (the one-time ingest cost, measured only when the cache
+is cold) separately from wall_s (the steady-state probe+ADC+rerank
+query cost over staged codes). A second sweep runs the SAME pipeline
+over the PLANTED-CLUSTER corpus (catalog_r12's structured embeddings,
+rows "struct_*") so the recall column is measured on data with the
+structure real embeddings carry, not only on the random worst case.
+
 Usage: python tools/ivfadc_decade.py
 """
 
@@ -50,24 +60,60 @@ def main() -> None:
 
     from finporter_spark.operators.similarity import (
         ivfadc_topk,
+        load_or_build_ivfadc_codes,
         load_or_train_centroids_det,
         load_or_train_pq_books,
     )
     from finporter_spark.queries.catalog import _t
     from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r12 import (
+        _staged_structured_embeddings,
+    )
 
     spark = get_session("ivfadc-decade")
     results = {}
-    for sf, d, k in SFS:
-        emb = _t(spark, d, "embeddings")
+    # structured-corpus ladder: √N sizing per decade (64 ≈ the planted
+    # cluster count at sf0.1 — shares the l46 catalog cache; 128/256 ≈
+    # √20k/√80k), all below/at the flat-assignment boundary story the
+    # random ladder already exercises
+    struct_rows = [
+        ("struct_0.1", "/root/testdata/sf0.1", 64),
+        ("struct_1", "/tmp/finporter_testdata/sf1", 128),
+        ("struct_10", "/tmp/finporter_testdata/sf10", 256),
+    ]
+    for sf, d, k in SFS + struct_rows:
+        structured = sf.startswith("struct_")
+        if structured:
+            emb = _staged_structured_embeddings(spark, d)
+            tag = f"l46dec_k{k}"
+        else:
+            emb = _t(spark, d, "embeddings")
+            tag = f"l45dec_k{k}"
         books = load_or_train_pq_books(
             emb, "vec_id", "embedding", m=4, k=16, iters=2,
-            cache_path=_io_dir(d, "l45_pq_books_m4_k16_i2"),
+            cache_path=_io_dir(
+                d,
+                "l46_books_m4_k16" if structured
+                else "l45_pq_books_m4_k16_i2",
+            ),
         )
         cents = load_or_train_centroids_det(
             emb, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
-            cache_path=_io_dir(d, f"ivfadc_centroids_det_k{k}_d64_i3"),
+            cache_path=_io_dir(
+                d,
+                f"l46_coarse_k{k}_i3" if structured
+                else f"ivfadc_centroids_det_k{k}_d64_i3",
+            ),
         )
+        # ingest-time index build: timed ONLY when the cache is cold
+        codes_path = _io_dir(d, f"{tag}_codes")
+        cold = not os.path.isdir(codes_path)
+        t0 = time.time()
+        codes = load_or_build_ivfadc_codes(
+            emb, "vec_id", "embedding", cents, books,
+            cache_path=codes_path,
+        )
+        codes_build = round(time.time() - t0, 3) if cold else None
         queries = emb.where(
             (F.col("vec_id") % QMOD == 0) & (F.col("vec_id") < QMAX)
         )
@@ -76,6 +122,7 @@ def main() -> None:
             return ivfadc_topk(
                 emb, queries, "vec_id", "embedding", cents, books,
                 n_probe=N_PROBE, shortlist=SHORTLIST, k=TOPK,
+                codes=codes,
             )
 
         run().write.format("noop").mode("overwrite").save()  # warm
@@ -122,6 +169,7 @@ def main() -> None:
             "recall": round(float(np.mean(recs)), 3),
             "scanned_frac": round(float(np.mean(fracs)), 3),
             "wall_s": wall,
+            "codes_build_s": codes_build,
         }
         print(f"sf{sf}: {results[sf]}", flush=True)
     with open(os.path.join(REPO, "IVFADC_DECADE.json"), "w") as f:
