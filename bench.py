@@ -243,6 +243,7 @@ HEADLINE = [
     "o19_vacuum_versions",
     "l46_ivfadc_structured",
     "l46b_ivfadc_residual",
+    "x20_stream_ann_ingest",
 ]
 
 
@@ -330,6 +331,7 @@ def main() -> None:
         "l46_ivfadc_structured",
         "l46b_ivfadc_residual",
         "s17_variant_roundtrip",
+        "x20_stream_ann_ingest",
     ]
     for name in STAGED:
         if name in HEADLINE:

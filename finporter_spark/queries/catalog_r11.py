@@ -141,11 +141,18 @@ def l45c_ivfadc_topk(spark, sf_dir):
     into ONE BroadcastHashJoin on cell id; per-query windows prune
     map-side (WindowGroupLimit); the raw-vector column is touched for
     Q × shortlist rows only. Jégou's residual refinement (PQ on
-    x − centroid, per-cell query LUTs) was SIMULATED and deferred:
-    +0–5 pp recall on this corpus (tools/sim_ivfadc.residual_variant —
-    random embeddings carry no cluster structure for residuals to
-    exploit) does not buy the m×k×n_probe LUT blowup here; revisit on
-    a clustered corpus. Full value-hash oracle: BOTH Lloyd
+    x − centroid, per-cell query LUTs) was SIMULATED and deferred in
+    round 11: +0–5 pp recall on THIS corpus (tools/sim_ivfadc
+    .residual_variant — random embeddings carry no cluster structure
+    for residuals to exploit) does not buy the m×k×n_probe LUT blowup.
+    Round 12 re-validated the decision on the planted-cluster corpus
+    and REVERSED it there: +17 pp at the same budget — see
+    catalog_r12 ``l46b_ivfadc_residual``; the split stands (plain PQ
+    for structureless data, residual for clustered). Round 12 also
+    staged the corpus codes as ingest-time dataset state
+    (``load_or_build_ivfadc_codes`` — the codes ARE the index; staged
+    ≡ inline asserted in tests/test_recall_sf01.py). Full value-hash
+    oracle: BOTH Lloyd
     trainings unrolled as CTEs (the l3_ivf + l45 generators composed),
     probe/assign/ADC/rerank decisions all 6 dp-rounded with
     lowest-index tie-breaks — bit-identical cross-engine."""

@@ -723,3 +723,120 @@ def l46b_ivfadc_residual(spark, sf_dir):
         "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
         "dist2",
     )
+
+
+# =====================================================================
+# X20 — streaming ANN index ingest (incremental codes == batch codes)
+# =====================================================================
+
+
+def _x20_oracle() -> str:
+    """Batch derivation of the full codes table: coarse Lloyd unroll
+    (l3_ivf's k=16 CTEs) for the cell + l45's per-subspace PQ unrolls
+    for the codes, joined per vector."""
+    from finporter_spark.queries.catalog_ext import (
+        _ivf_dist_cte,
+        _ivf_mean_cte,
+    )
+    from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_sub_ctes
+
+    ivf_rounds = []
+    prev = "c0"
+    for r in range(1, 4):
+        ivf_rounds.append(_ivf_dist_cte(prev, f"d{r}", f"a{r}"))
+        ivf_rounds.append(_ivf_mean_cte(f"a{r}", prev, f"m{r}", f"c{r}"))
+        prev = f"c{r}"
+    ivf = ",".join(ivf_rounds)
+    subs = ",".join(_pq_sub_ctes(i) for i in range(_PQ_M))
+    code_joins = " ".join(
+        f"JOIN a3_{i} USING (vec_id)" if i else "FROM a3_0"
+        for i in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"a3_{i}.cid AS c{i}" for i in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(emb, x -> ROUND(x, 6)) AS cen
+           FROM e WHERE vec_id < 16),
+    {ivf},
+    {_ivf_dist_cte(prev, 'df', 'af')},
+    {subs},
+    codes AS (SELECT a3_0.vec_id, {code_cols} {code_joins})
+    SELECT codes.vec_id AS cand_id, af.cid AS cell,
+           {', '.join(f'codes.c{i}' for i in range(_PQ_M))}
+    FROM codes JOIN af ON af.vec_id = codes.vec_id
+    """
+
+
+@query("x20_stream_ann_ingest", _x20_oracle())
+def x20_stream_ann_ingest(spark, sf_dir):
+    """X20: STREAMING ANN index ingest — the maintenance story that
+    makes the staged-codes design (l45c/l46) production-complete: a
+    100 TB vector corpus doesn't arrive once, it ACCRUES, and the index
+    must stay fresh without re-encoding history. New vectors arrive as
+    a JSON-lines file stream (4 forced micro-batches) and each batch is
+    encoded MAP-ONLY against the FROZEN quantizer + codebooks (the
+    cached l3_ivf/l45 dataset state riding as plan literals — exactly
+    how production IVF serves: the quantizer trains on the initial
+    corpus and new data is encoded, not re-clustered): cell assignment
+    + m PQ codes per vector, zero state store, zero shuffle, append
+    mode. The drained index == the one-shot batch build over the whole
+    corpus — certified by the FULL value-hash oracle (both Lloyd
+    unrolls composed, per-vector cell + 4 codes compared exactly).
+
+    This is the ingest half of the l45c contract: l45c reads the
+    staged codes table; x20 is how that table keeps growing at the
+    stream's pace (a file-sink deployment appends parquet the query
+    side reads; the memory sink here is the test harness). Encoding
+    drift (a re-trained quantizer) is a REBUILD, not an append — the
+    o19 vacuum reclaims superseded builds.
+
+    Scale: per-batch cost is a map-only projection over the batch's
+    rows (embarrassingly parallel, no watermark needed — stateless);
+    the plan carries no exchange at all."""
+    from finporter_spark.operators.similarity import (
+        build_ivfadc_codes,
+        load_or_train_centroids_det,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+    from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_books
+    from finporter_spark.streaming.pipeline import run_stream_to_memory
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir, emb)
+    cents = load_or_train_centroids_det(
+        emb, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
+        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
+    )
+
+    def _write(p):
+        (
+            emb.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("embedding"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .json(p)
+        )
+
+    path = _stage_once(
+        sf_dir, "x20", _write, "embeddings", extra_fingerprint="json-v1"
+    )
+    sdf = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 2)
+        .json(path)
+    )
+    enc = build_ivfadc_codes(sdf, "vec_id", "embedding", cents, books)
+    out = run_stream_to_memory(
+        enc, "x20_mem", output_mode="append", state_partitions=8
+    )
+    return out.select(
+        "cand_id",
+        F.col("_cell").cast("int").alias("cell"),
+        *[F.col(f"_c{i}").cast("int").alias(f"c{i}") for i in range(_PQ_M)],
+    )

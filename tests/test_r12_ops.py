@@ -238,3 +238,44 @@ def test_vacuum_guards(tmp_path):
     assert vacuum_versions(str(tmp_path / "nope")) == {
         "kept": [], "removed": []
     }
+
+
+def test_x20_streaming_codes_equal_batch_build(spark, sf_dir):
+    """The drained streaming index must equal the one-shot batch
+    build row-for-row (same frozen quantizer/codebooks) — incremental
+    ingest changes WHEN vectors are encoded, never HOW."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.operators.similarity import (
+        build_ivfadc_codes,
+        load_or_train_centroids_det,
+    )
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_books
+
+    streamed = sorted(
+        tuple(r)
+        for r in CATALOG["x20_stream_ann_ingest"][0](
+            spark, sf_dir
+        ).collect()
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir, emb)
+    cents = load_or_train_centroids_det(
+        emb, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
+        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
+    )
+    batch = sorted(
+        tuple(r)
+        for r in build_ivfadc_codes(
+            emb, "vec_id", "embedding", cents, books
+        )
+        .select(
+            "cand_id",
+            F.col("_cell").cast("int"),
+            *[F.col(f"_c{i}").cast("int") for i in range(_PQ_M)],
+        )
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0

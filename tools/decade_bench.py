@@ -180,13 +180,20 @@ QUERIES = [
     "x18b_stream_psi_weekly",
     "a43_ks_weekly",
     "a44_mwu_weekly",
-    "s15_orc_roundtrip",
+    "s15_orc_pushdown",
     "p18_variant_extract",
     "s16_xml_roundtrip",
     "a45_attribution",
     "w14c_holt_recursive",
     "l42_label_propagation",
     "p19_lateral_topk",
+    # round-12 additions
+    "a46_kruskal_wallis",
+    "s17_variant_roundtrip",
+    "o19_vacuum_versions",
+    "l46_ivfadc_structured",
+    "l46b_ivfadc_residual",
+    "x20_stream_ann_ingest",
 ]
 
 
@@ -233,7 +240,11 @@ def main() -> None:
                         "l45_pq_ann_topk", "l45b_pq_rerank_topk",
                         "x18_stream_psi_monitor", "l45c_ivfadc_topk",
                         "x19_transform_with_state_timers",
-                        "x18b_stream_psi_weekly"):
+                        "x18b_stream_psi_weekly",
+                        "s17_variant_roundtrip",
+                        "l46_ivfadc_structured",
+                        "l46b_ivfadc_residual",
+                        "x20_stream_ann_ingest"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
