@@ -243,6 +243,7 @@ HEADLINE = [
     "o19_vacuum_versions",
     "l46_ivfadc_structured",
     "l46b_ivfadc_residual",
+    "l46c_ivfadc_m8",
     "x20_stream_ann_ingest",
 ]
 
@@ -330,6 +331,7 @@ def main() -> None:
         # staging is ingest-time dataset state
         "l46_ivfadc_structured",
         "l46b_ivfadc_residual",
+        "l46c_ivfadc_m8",
         "s17_variant_roundtrip",
         "x20_stream_ann_ingest",
     ]

@@ -840,3 +840,197 @@ def x20_stream_ann_ingest(spark, sf_dir):
         F.col("_cell").cast("int").alias("cell"),
         *[F.col(f"_c{i}").cast("int").alias(f"c{i}") for i in range(_PQ_M)],
     )
+
+
+# =====================================================================
+# L46c — the PQ code-budget dial (m=8) with a full oracle
+# =====================================================================
+
+_L46C_M = 8
+_L46C_SUB = 8  # 64 dims / 8 subspaces
+
+
+def _m8_pq_sub_ctes(i: int) -> str:
+    """catalog_r10's ``_pq_sub_ctes`` parameterized to the m=8 split
+    (8-dim subspaces): init = slices of the 16 smallest vec_ids, two
+    Lloyd rounds, final assignment = the code, per-query LUT."""
+    from finporter_spark.queries.catalog_r10 import _PQ_QMAX, _PQ_QMOD
+
+    lo = i * _L46C_SUB
+
+    def dist(src_c: str, d: str, a: str) -> str:
+        return f"""
+    {d} AS (SELECT s.vec_id, c.cid,
+              ROUND(list_sum(list_transform(list_zip(s.s, c.cen),
+                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
+       FROM ms{i} s CROSS JOIN {src_c} c),
+    {a} AS (SELECT vec_id, cid, d FROM (
+         SELECT vec_id, cid, d,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         FROM {d}) WHERE rk = 1)"""
+
+    def mean(a: str, prev_c: str, mname: str, cname: str) -> str:
+        return f"""
+    {mname} AS (SELECT {a}.cid, g.i, ROUND(AVG(s.s[g.i]), 6) AS v
+       FROM {a} JOIN ms{i} s USING (vec_id)
+            CROSS JOIN generate_series(1, {_L46C_SUB}) AS g(i)
+       GROUP BY {a}.cid, g.i),
+    {cname} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
+       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
+                          FROM {mname} GROUP BY cid) mm USING (cid))"""
+
+    return f"""
+    ms{i} AS (SELECT vec_id, emb[{lo + 1}:{lo + _L46C_SUB}] AS s FROM e),
+    mc0_{i} AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(s, x -> ROUND(x, 6)) AS cen
+           FROM ms{i} WHERE vec_id < 16),
+    {dist(f'mc0_{i}', f'md1_{i}', f'ma1_{i}')},
+    {mean(f'ma1_{i}', f'mc0_{i}', f'mm1_{i}', f'mc1_{i}')},
+    {dist(f'mc1_{i}', f'md2_{i}', f'ma2_{i}')},
+    {mean(f'ma2_{i}', f'mc1_{i}', f'mm2_{i}', f'mc2_{i}')},
+    {dist(f'mc2_{i}', f'md3_{i}', f'ma3_{i}')},
+    mlut_{i} AS (SELECT q.vec_id AS query_id, c.cid,
+              ROUND(list_sum(list_transform(
+                    list_zip(q.emb[{lo + 1}:{lo + _L46C_SUB}], c.cen),
+                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
+       FROM e q CROSS JOIN mc2_{i} c
+       WHERE q.vec_id % {_PQ_QMOD} = 0 AND q.vec_id < {_PQ_QMAX})"""
+
+
+def _l46c_oracle() -> str:
+    from finporter_spark.queries.catalog_ext import (
+        _ivf_dist_cte,
+        _ivf_mean_cte,
+    )
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+
+    ivf_rounds = []
+    prev = "c0"
+    for r in range(1, _L46_ITERS + 1):
+        ivf_rounds.append(_ivf_dist_cte(prev, f"d{r}", f"a{r}"))
+        ivf_rounds.append(_ivf_mean_cte(f"a{r}", prev, f"m{r}", f"c{r}"))
+        prev = f"c{r}"
+    ivf = ",".join(ivf_rounds)
+    m = _L46C_M
+    subs = ",".join(_m8_pq_sub_ctes(i) for i in range(m))
+    code_joins = " ".join(
+        f"JOIN ma3_{i} USING (vec_id)" if i else "FROM ma3_0"
+        for i in range(m)
+    )
+    code_cols = ", ".join(f"ma3_{i}.cid AS c{i}" for i in range(m))
+    lut_joins = " ".join(
+        f"JOIN mlut_{i} l{i} ON l{i}.cid = codes.c{i}"
+        f" AND l{i}.query_id = qp.query_id"
+        for i in range(m)
+    )
+    ad = " + ".join(f"l{i}.d" for i in range(m))
+    return f"""
+    WITH {_STRUCT_E},
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+                  list_transform(emb, x -> ROUND(x, 6)) AS cen
+           FROM e WHERE vec_id < {_L46_K}),
+    {ivf},
+    {_ivf_dist_cte(prev, 'df', 'af')},
+    qp AS (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                  AS rk
+         FROM df WHERE vec_id % {_PQ_QMOD} = 0 AND vec_id < {_PQ_QMAX})
+       WHERE rk <= {_L46_NPROBE}),
+    {subs},
+    codes AS (SELECT ma3_0.vec_id, {code_cols} {code_joins}),
+    score AS (SELECT qp.query_id, codes.vec_id AS cand_id,
+                     ROUND({ad}, 6) AS adist
+              FROM codes
+              JOIN af ON af.vec_id = codes.vec_id
+              JOIN qp ON qp.cid = af.cid
+              {lut_joins}),
+    short AS (SELECT query_id, cand_id FROM (
+      SELECT query_id, cand_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, cand_id) AS rk
+      FROM score) WHERE rk <= {_L46B_SHORT}),
+    exact AS (SELECT s.query_id, s.cand_id,
+                ROUND(list_sum(list_transform(list_zip(eq.emb, ec.emb),
+                      z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS dist2
+              FROM short s
+              JOIN e eq ON eq.vec_id = s.query_id
+              JOIN e ec ON ec.vec_id = s.cand_id)
+    SELECT query_id, cand_id, rank, dist2 FROM (
+      SELECT query_id, cand_id, dist2,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist2, cand_id) AS INT)
+               AS rank
+      FROM exact) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@query("l46c_ivfadc_m8", _l46c_oracle())
+def l46c_ivfadc_m8(spark, sf_dir):
+    """L46c: the PQ CODE-BUDGET dial (m=8, 8-dim subspaces) with a
+    full oracle — the dial the struct-sf10 decade row showed is the
+    binding one at corpus growth: at 1250 points per planted cluster
+    the fixed m=4 codes read recall 0.448 and doubling the code budget
+    (m=8, same k=16 per subspace — 8 bytes/vector instead of 4)
+    recovers 0.798 at the same probe budget (IVFADC_DECADE sweep +
+    SCALING.md one-offs). This entry certifies the m=8 COMPOSITION
+    end-to-end (eight per-subspace Lloyd unrolls in the oracle) at the
+    TIGHT shortlist=50 budget where code quality, not rerank slack,
+    decides the answer — the same budget where l46b's residual codes
+    are pinned, so the catalog carries all three points of the design
+    space at one budget (sf0.1, measured): plain m=4 **0.615**,
+    plain m=8 **0.66** (this entry), residual m=4 **0.785**. The
+    ordering is density-dependent and both sides of it are now
+    evidence: at sf0.1's ~31 points/cluster the binding error is
+    WHICH cells get probed (residual LUTs fix more of it than finer
+    codes), while at struct-sf10's ~1250 points/cluster code
+    resolution binds and m=8 is the winning dial (0.798 vs m=4's
+    0.574 at n_probe=12/shortlist=400 — IVFADC_DECADE + SCALING.md).
+    tests/test_recall_sf01.py pins m=8 > m=4 at this budget.
+
+    Same staged-state contract (books/codes keyed by corpus + m);
+    same 6 dp/lowest-index determinism; scale shape identical to l46
+    with codes twice as wide — still m+1 small ints per candidate."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+
+    se = _staged_structured_embeddings(spark, sf_dir)
+    cents = load_or_train_centroids_det(
+        se, "vec_id", "embedding", dim=64,
+        n_centroids=_L46_K, iters=_L46_ITERS,
+        cache_path=_io_dir(sf_dir, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
+    )
+    books = load_or_train_pq_books(
+        se, "vec_id", "embedding", m=_L46C_M, k=16, iters=2,
+        cache_path=_io_dir(sf_dir, f"l46_books_m{_L46C_M}_k16"),
+    )
+    codes = load_or_build_ivfadc_codes(
+        se, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(sf_dir, f"l46c_codes_k{_L46_K}_m{_L46C_M}"),
+    )
+    queries = se.where(
+        (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
+    )
+    out = ivfadc_topk(
+        se, queries, "vec_id", "embedding", cents, books,
+        n_probe=_L46_NPROBE, shortlist=_L46B_SHORT, k=_PQ_TOPK,
+        codes=codes,
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
+        "dist2",
+    )

@@ -193,6 +193,7 @@ QUERIES = [
     "o19_vacuum_versions",
     "l46_ivfadc_structured",
     "l46b_ivfadc_residual",
+    "l46c_ivfadc_m8",
     "x20_stream_ann_ingest",
 ]
 
@@ -244,6 +245,7 @@ def main() -> None:
                         "s17_variant_roundtrip",
                         "l46_ivfadc_structured",
                         "l46b_ivfadc_residual",
+                        "l46c_ivfadc_m8",
                         "x20_stream_ann_ingest"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
