@@ -245,6 +245,7 @@ HEADLINE = [
     "l46b_ivfadc_residual",
     "l46c_ivfadc_m8",
     "x20_stream_ann_ingest",
+    "a47_dunn_posthoc",
 ]
 
 

@@ -436,3 +436,118 @@ def kruskal_wallis(
         F.round(h, 6).alias("h"),
         p.alias("p_approx"),
     )
+
+
+def dunn_posthoc(
+    samples: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    z_crit: float,
+    max_domain: int = 1_000_000,
+) -> DataFrame:
+    """Dunn's (1964) post-hoc pairwise test on the JOINT ranking — the
+    step after :func:`kruskal_wallis` rejects: which arms differ.
+    Re-running pairwise Mann–Whitney tests re-ranks each pair in
+    isolation and inflates error; Dunn compares mean ranks from the
+    SAME joint midranking the omnibus used, with the tie-corrected
+    variance  σ²_ij = [N(N+1)/12 − Σ(t³−t)/(12(N−1))]·(1/n_i + 1/n_j).
+
+    Same construction as :func:`kruskal_wallis` (one corpus scan to
+    the pinned quantized domain, k conditional bigint sums, doubled
+    midranks keep every rank sum exact); the k(k−1)/2 pair rows come
+    from ONE scalar aggregate via a literal pair explode — no second
+    scan, no join. Per pair: mean ranks (exact binary halves of
+    bigints), z rounded 6 dp with a fixed-association expression tree
+    (cross-engine identical), and a ``significant`` flag at the
+    caller-supplied two-sided critical value ``z_crit`` — pass the
+    Bonferroni-adjusted quantile (e.g. 2.393980 for α=0.05 over 3
+    pairs); neither engine exposes erf as a builtin, so the operator
+    reports the decision at a declared threshold rather than a p-value
+    (the flag compares the ROUNDED z so both engines decide on the
+    same 6 dp number). NULL z (empty arm / degenerate variance) flags
+    NULL."""
+    k = len(groups)
+    if k < 2:
+        raise ValueError("dunn_posthoc: need >= 2 groups")
+    s = samples.select(
+        F.col(value_col).alias("iv"), F.col(group_col).alias("g")
+    ).where(F.col("g").isin(list(groups)))
+    g = _pin_domain(
+        s.groupBy("iv").agg(
+            *[
+                F.sum(
+                    F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
+                ).alias(f"c{i}")
+                for i, gv in enumerate(groups)
+            ],
+            F.count("*").alias("c"),
+        ),
+        max_domain,
+        "dunn_posthoc",
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "iv",
+        *[f"c{i}" for i in range(k)],
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
+    )
+    agg = cum.agg(
+        *[F.sum(F.col(f"c{i}")).alias(f"n{i}") for i in range(k)],
+        *[
+            F.sum(
+                F.col(f"c{i}") * (2 * F.col("f") + F.col("c") + 1)
+            ).alias(f"r{i}")
+            for i in range(k)
+        ],
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    n_tot = F.col("n0")
+    for i in range(1, k):
+        n_tot = n_tot + F.col(f"n{i}")
+    pair_structs = [
+        F.struct(
+            F.lit(str(groups[i])).alias("arm_i"),
+            F.lit(str(groups[j])).alias("arm_j"),
+            F.col(f"n{i}").alias("ni"),
+            F.col(f"n{j}").alias("nj"),
+            F.col(f"r{i}").alias("ri"),
+            F.col(f"r{j}").alias("rj"),
+        )
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    e = agg.select(
+        F.col("tie3"),
+        n_tot.alias("ntot"),
+        F.explode(F.array(*pair_structs)).alias("p"),
+    ).select("tie3", "ntot", "p.*")
+    nd = F.col("ntot").cast("double")
+    nid = F.col("ni").cast("double")
+    njd = F.col("nj").cast("double")
+    mri = F.try_divide(F.col("ri").cast("double"), 2.0 * nid)
+    mrj = F.try_divide(F.col("rj").cast("double"), 2.0 * njd)
+    sig2 = (
+        nd * (nd + 1.0) / 12.0
+        - F.try_divide(
+            F.col("tie3").cast("double"), 12.0 * (nd - 1.0)
+        )
+    ) * (F.try_divide(F.lit(1.0), nid) + F.try_divide(F.lit(1.0), njd))
+    z = F.round(
+        F.try_divide(
+            mri - mrj,
+            F.when(sig2 > 0, F.sqrt(sig2)),
+        ),
+        6,
+    )
+    return e.select(
+        "arm_i", "arm_j",
+        F.col("ni"), F.col("nj"),
+        mri.alias("mean_rank_i"),
+        mrj.alias("mean_rank_j"),
+        z.alias("z"),
+        (F.abs(z) >= F.lit(float(z_crit))).alias("significant"),
+    )

@@ -1034,3 +1034,101 @@ def l46c_ivfadc_m8(spark, sf_dir):
         "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
         "dist2",
     )
+
+
+# =====================================================================
+# A47 — Dunn's post-hoc pairwise readout (after the a46 omnibus)
+# =====================================================================
+
+_A47_ZCRIT = 2.393980  # two-sided alpha=0.05 Bonferroni over 3 pairs
+
+
+def _a47_pair_sql(i: int, j: int) -> str:
+    mri = f"(CAST(r{i} AS DOUBLE) / (2.0 * CAST(n{i} AS DOUBLE)))"
+    mrj = f"(CAST(r{j} AS DOUBLE) / (2.0 * CAST(n{j} AS DOUBLE)))"
+    sig2 = (
+        "(nd * (nd + 1.0) / 12.0"
+        " - CAST(tie3 AS DOUBLE) / (12.0 * (nd - 1.0)))"
+        f" * ((1.0 / CAST(n{i} AS DOUBLE))"
+        f" + (1.0 / CAST(n{j} AS DOUBLE)))"
+    )
+    z = f"round(({mri} - {mrj}) / sqrt({sig2}), 6)"
+    return f"""
+      SELECT '{i}' AS arm_i, '{j}' AS arm_j,
+             n{i} AS ni, n{j} AS nj,
+             {mri} AS mean_rank_i, {mrj} AS mean_rank_j,
+             {z} AS z,
+             abs({z}) >= {_A47_ZCRIT} AS significant
+      FROM dn"""
+
+
+_A47_ORACLE = f"""
+    WITH m AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS iv,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 3 AS arm
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT iv,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2,
+             COUNT(*) AS c
+      FROM m GROUP BY iv
+    ), cum AS (
+      SELECT iv, c0, c1, c2, c,
+             COALESCE(SUM(c) OVER (ORDER BY iv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f
+      FROM g
+    ), agg AS (
+      SELECT SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c0 * (2 * f + c + 1)) AS r0,
+             SUM(c1 * (2 * f + c + 1)) AS r1,
+             SUM(c2 * (2 * f + c + 1)) AS r2,
+             SUM(c * c * c - c) AS tie3
+      FROM cum
+    ), dn AS (
+      SELECT *, CAST((n0 + n1) + n2 AS DOUBLE) AS nd FROM agg
+    )
+    {" UNION ALL ".join(_a47_pair_sql(i, j) for i in range(3) for j in range(i + 1, 3))}
+    """
+
+
+@query("a47_dunn_posthoc", _A47_ORACLE)
+def a47_dunn_posthoc(spark, sf_dir):
+    """A47: Dunn's post-hoc pairwise test — the step a46 leaves open:
+    the omnibus says SOME arm differs; Dunn says WHICH, comparing
+    per-arm mean ranks from the SAME joint midranking (re-running
+    pairwise MWU re-ranks each pair in isolation — a different, and
+    at k>2 anti-conservative, procedure). Arms/values identical to
+    a46 (md5 3-way split over per-user cent totals), so the pair reads
+    compose with the omnibus read.
+
+    Built on :func:`finporter_spark.operators.stats.dunn_posthoc`: the
+    k(k−1)/2 pair rows explode from ONE scalar aggregate (no second
+    corpus pass); mean ranks are bigint-exact doubled rank sums
+    divided once; the tie-corrected z is a fixed-association
+    expression; significance is decided at the declared
+    Bonferroni-adjusted critical value ({zc}) on the ROUNDED z —
+    neither engine has erf as a builtin, so the operator ships the
+    decision, not the p-value, and the hash certifies z AND the
+    decision on all three pairs.""".format(zc=_A47_ZCRIT)
+    from finporter_spark.operators.stats import dunn_posthoc
+
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("iv")
+    ).select(
+        "iv",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+        ).alias("arm"),
+    )
+    return dunn_posthoc(m, "iv", "arm", [0, 1, 2], z_crit=_A47_ZCRIT)

@@ -424,3 +424,27 @@ def test_s15_orc_pushdown_plan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal,4500.0)" in p
     # column pruning: s_nationkey was written but is not projected
     assert "s_nationkey" not in p
+
+
+def test_l46_plan_broadcasts_probes_no_python(spark, sf_dir):
+    """l46 (structured IVFADC over staged codes): the probe table must
+    BROADCAST into the cell-id join, with no Python stage, no
+    cartesian product, and no scan of the raw-embedding parquet on the
+    ADC side (the codes table is the index; raw vectors enter only
+    through the Q x shortlist rerank join)."""
+    df = CATALOG["l46_ivfadc_structured"][0](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_l46b_residual_plan_broadcasts_per_cell_luts(spark, sf_dir):
+    """l46b: the per-(query, probed-cell) LUT table — the residual
+    refinement's extra state — must still be broadcast-sized (Q x
+    n_probe rows), never a shuffled join side."""
+    df = CATALOG["l46b_ivfadc_residual"][0](spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

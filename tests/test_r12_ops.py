@@ -279,3 +279,81 @@ def test_x20_streaming_codes_equal_batch_build(spark, sf_dir):
         .collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+# ---------------------------------------------------------------------
+# dunn_posthoc (a47)
+# ---------------------------------------------------------------------
+
+
+def dunn_ref(arms: list[list[int]]):
+    """Textbook Dunn z per pair from the joint midranking."""
+    allv = sorted(v for arm in arms for v in arm)
+    n_tot = len(allv)
+    ranks: dict[int, float] = {}
+    tie3 = 0
+    i = 0
+    while i < n_tot:
+        j = i
+        while j < n_tot and allv[j] == allv[i]:
+            j += 1
+        t = j - i
+        ranks[allv[i]] = (i + 1 + j) / 2.0
+        tie3 += t * t * t - t
+        i = j
+    out = {}
+    for a in range(len(arms)):
+        for b in range(a + 1, len(arms)):
+            na, nb = len(arms[a]), len(arms[b])
+            if na == 0 or nb == 0:
+                out[(a, b)] = None
+                continue
+            ma = sum(ranks[v] for v in arms[a]) / na
+            mb = sum(ranks[v] for v in arms[b]) / nb
+            sig2 = (
+                n_tot * (n_tot + 1) / 12.0
+                - tie3 / (12.0 * (n_tot - 1))
+            ) * (1.0 / na + 1.0 / nb)
+            out[(a, b)] = (
+                (ma - mb) / math.sqrt(sig2) if sig2 > 0 else None
+            )
+    return out
+
+
+@pytest.mark.parametrize("arms", CASES)
+def test_dunn_matches_reference(spark, arms):
+    from finporter_spark.operators.stats import dunn_posthoc
+
+    rows = [(int(v), g) for g, arm in enumerate(arms) for v in arm]
+    df = spark.createDataFrame(rows, "iv bigint, arm int")
+    got = {
+        (int(r.arm_i), int(r.arm_j)): r.z
+        for r in dunn_posthoc(
+            df, "iv", "arm", list(range(len(arms))), z_crit=2.393980
+        ).collect()
+    }
+    ref = dunn_ref(arms)
+    assert set(got) == set(ref)
+    for pair, zr in ref.items():
+        if zr is None:
+            assert got[pair] is None
+        else:
+            assert got[pair] == pytest.approx(round(zr, 6), abs=2e-6)
+
+
+def test_dunn_degenerate_and_flag(spark):
+    from finporter_spark.operators.stats import dunn_posthoc
+
+    # all-tied -> sig2 = 0 -> NULL z, NULL flag (never an error)
+    df = spark.createDataFrame(
+        [(5, 0), (5, 1), (5, 2)], "iv bigint, arm int"
+    )
+    for r in dunn_posthoc(df, "iv", "arm", [0, 1, 2], 2.39398).collect():
+        assert r.z is None and r.significant is None
+    # far-separated arms -> every pair significant
+    df2 = spark.createDataFrame(
+        [(v, g) for g in range(3) for v in range(g * 1000, g * 1000 + 12)],
+        "iv bigint, arm int",
+    )
+    rows = dunn_posthoc(df2, "iv", "arm", [0, 1, 2], 2.39398).collect()
+    assert all(r.significant for r in rows)

@@ -195,6 +195,7 @@ QUERIES = [
     "l46b_ivfadc_residual",
     "l46c_ivfadc_m8",
     "x20_stream_ann_ingest",
+    "a47_dunn_posthoc",
 ]
 
 
