@@ -1111,10 +1111,10 @@ def a47_dunn_posthoc(spark, sf_dir):
     corpus pass); mean ranks are bigint-exact doubled rank sums
     divided once; the tie-corrected z is a fixed-association
     expression; significance is decided at the declared
-    Bonferroni-adjusted critical value ({zc}) on the ROUNDED z —
-    neither engine has erf as a builtin, so the operator ships the
-    decision, not the p-value, and the hash certifies z AND the
-    decision on all three pairs.""".format(zc=_A47_ZCRIT)
+    Bonferroni-adjusted critical value (2.393980: two-sided family
+    alpha 0.05 over 3 pairs) on the ROUNDED z — neither engine has erf
+    as a builtin, so the operator ships the decision, not the p-value,
+    and the hash certifies z AND the decision on all three pairs."""
     from finporter_spark.operators.stats import dunn_posthoc
 
     e = _t(spark, sf_dir, "events")
