@@ -246,6 +246,7 @@ HEADLINE = [
     "l46c_ivfadc_m8",
     "x20_stream_ann_ingest",
     "a47_dunn_posthoc",
+    "a46b_kw_weekly",
 ]
 
 

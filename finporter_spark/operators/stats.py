@@ -551,3 +551,100 @@ def dunn_posthoc(
         z.alias("z"),
         (F.abs(z) >= F.lit(float(z_crit))).alias("significant"),
     )
+
+
+def kruskal_wallis_by(
+    samples: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    keys: list[str],
+) -> DataFrame:
+    """Grouped exact tie-corrected Kruskal–Wallis: one (n_0..n_{k-1},
+    h, p_approx) row PER KEY — :func:`kruskal_wallis` at the
+    production monitoring cadence (the :func:`ks_2sample_by` /
+    :func:`mann_whitney_u_by` pattern): the cumulative window
+    partitions BY the keys, so no single-partition sort exists and no
+    domain guard is needed; per-task state is one key's quantized
+    domain. Same fixed-association H contract (k+1 conditional bigint
+    sums per key, one fp expression tree over the per-key scalars) and
+    the same closed-form even-df survival; degenerate keys (empty arm,
+    all-tied) yield NULL h/p via try_divide, never an error."""
+    k = len(groups)
+    if k < 2:
+        raise ValueError("kruskal_wallis_by: need >= 2 groups")
+    s = samples.select(
+        *keys, F.col(value_col).alias("iv"), F.col(group_col).alias("g")
+    ).where(F.col("g").isin(list(groups)))
+    g = s.groupBy(*keys, "iv").agg(
+        *[
+            F.sum(
+                F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, gv in enumerate(groups)
+        ],
+        F.count("*").alias("c"),
+    ).localCheckpoint()  # one corpus scan (the a37 pin)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        *keys,
+        "iv",
+        *[f"c{i}" for i in range(k)],
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
+    )
+    agg = cum.groupBy(*keys).agg(
+        *[F.sum(F.col(f"c{i}")).alias(f"n{i}") for i in range(k)],
+        *[
+            F.sum(
+                F.col(f"c{i}") * (2 * F.col("f") + F.col("c") + 1)
+            ).alias(f"r{i}")
+            for i in range(k)
+        ],
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    n_tot = F.col("n0")
+    for i in range(1, k):
+        n_tot = n_tot + F.col(f"n{i}")
+    nd = n_tot.cast("double")
+
+    def term(i: int):
+        rd = F.col(f"r{i}").cast("double")
+        return F.try_divide(
+            rd * rd, 4.0 * F.col(f"n{i}").cast("double")
+        )
+
+    ssum = term(0)
+    for i in range(1, k):
+        ssum = ssum + term(i)
+    h_raw = (12.0 * ssum) / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    corr = 1.0 - F.try_divide(
+        F.col("tie3").cast("double"), nd * nd * nd - nd
+    )
+    h = F.try_divide(h_raw, corr)
+    df = k - 1
+    if df % 2 == 0:
+        x2 = h / 2.0
+        psum = F.lit(1.0)
+        pw = F.lit(1.0)
+        for j in range(1, df // 2):
+            pw = pw * x2 / float(j)
+            psum = psum + pw
+        p = F.when(
+            h.isNotNull(),
+            F.round(F.least(F.lit(1.0), F.exp(-x2) * psum), 6),
+        )
+    else:
+        p = F.lit(None).cast("double")
+    return agg.select(
+        *keys,
+        *[F.col(f"n{i}") for i in range(k)],
+        F.round(h, 6).alias("h"),
+        p.alias("p_approx"),
+    )

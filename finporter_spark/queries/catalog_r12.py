@@ -1132,3 +1132,96 @@ def a47_dunn_posthoc(spark, sf_dir):
         ).alias("arm"),
     )
     return dunn_posthoc(m, "iv", "arm", [0, 1, 2], z_crit=_A47_ZCRIT)
+
+
+# =====================================================================
+# A46b — weekly (grouped) Kruskal–Wallis: k-arm drift at the cadence
+# =====================================================================
+
+_A46B_ORACLE = """
+    WITH s AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS iv,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 3 AS arm
+      FROM events
+    ), g AS (
+      SELECT wk, iv,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN arm = 2 THEN 1 ELSE 0 END) AS c2,
+             COUNT(*) AS c
+      FROM s GROUP BY 1, 2
+    ), cum AS (
+      SELECT wk, iv, c0, c1, c2, c,
+             COALESCE(SUM(c) OVER (PARTITION BY wk ORDER BY iv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f
+      FROM g
+    ), agg AS (
+      SELECT wk,
+             SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c0 * (2 * f + c + 1)) AS r0,
+             SUM(c1 * (2 * f + c + 1)) AS r1,
+             SUM(c2 * (2 * f + c + 1)) AS r2,
+             SUM(c * c * c - c) AS tie3
+      FROM cum GROUP BY wk
+    ), hh AS (
+      SELECT wk, n0, n1, n2,
+             ((12.0 * (((CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE))
+                          / (4.0 * CAST(n0 AS DOUBLE))
+                        + (CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+                          / (4.0 * CAST(n1 AS DOUBLE)))
+                       + (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE))
+                         / (4.0 * CAST(n2 AS DOUBLE))))
+               / (CAST((n0 + n1) + n2 AS DOUBLE)
+                  * (CAST((n0 + n1) + n2 AS DOUBLE) + 1.0))
+              - 3.0 * (CAST((n0 + n1) + n2 AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie3 AS DOUBLE)
+                 / (CAST((n0 + n1) + n2 AS DOUBLE)
+                    * CAST((n0 + n1) + n2 AS DOUBLE)
+                    * CAST((n0 + n1) + n2 AS DOUBLE)
+                    - CAST((n0 + n1) + n2 AS DOUBLE))) AS hx
+      FROM agg
+    )
+    SELECT wk, n0, n1, n2,
+           round(hx, 6) AS h,
+           round(LEAST(1.0, exp(-(hx / 2.0)) * 1.0), 6) AS p_approx
+    FROM hh
+    """
+
+
+@query("a46b_kw_weekly", _A46B_ORACLE)
+def a46b_kw_weekly(spark, sf_dir):
+    """A46b: per-WEEK exact Kruskal–Wallis across the three md5 arms
+    on raw event values — a46 at the production monitoring cadence,
+    completing the drift-family symmetry (a37→a43 KS, a38→a44 MWU,
+    a46→a46b KW): one H/p row per week, so a k-arm experiment's
+    dashboard reads are-the-arms-still-exchangeable OVER TIME and a
+    single drifted week can't hide in the whole-period omnibus.
+
+    Built on :func:`finporter_spark.operators.stats.kruskal_wallis_by`
+    — the grouped generalization whose cumulative window partitions BY
+    week (no single-partition domain sort anywhere; per-task state is
+    one week's quantized domain; the a37 localCheckpoint pin keeps it
+    one corpus scan). Per-week H is the same fixed-association
+    expression over that week's 2k+2 bigint scalars; even-df survival
+    stays closed-form. Note the unit here is EVENTS (weekly per-user
+    totals would thin to ~1 obs/arm/week); a46 keeps the per-user
+    grain for the whole-period read."""
+    from finporter_spark.operators.stats import kruskal_wallis_by
+
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.round(F.col("value") * 100).cast("bigint").alias("iv"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 3
+        ).alias("arm"),
+    )
+    return kruskal_wallis_by(s, "iv", "arm", [0, 1, 2], ["wk"])

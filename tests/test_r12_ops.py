@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from finporter_spark.queries.catalog import CATALOG
 
@@ -357,3 +358,28 @@ def test_dunn_degenerate_and_flag(spark):
     )
     rows = dunn_posthoc(df2, "iv", "arm", [0, 1, 2], 2.39398).collect()
     assert all(r.significant for r in rows)
+
+
+def test_kruskal_wallis_by_matches_global_per_key(spark):
+    """Grouped KW must equal the global operator run per key."""
+    from finporter_spark.operators.stats import (
+        kruskal_wallis,
+        kruskal_wallis_by,
+    )
+
+    rows = []
+    for key, arms in enumerate(CASES[:3]):
+        for g, arm in enumerate(arms):
+            rows.extend((key, int(v), g) for v in arm)
+    df = spark.createDataFrame(rows, "k int, iv bigint, arm int")
+    grouped = {
+        r.k: (r.h, r.p_approx)
+        for r in kruskal_wallis_by(
+            df, "iv", "arm", [0, 1, 2], ["k"]
+        ).collect()
+    }
+    for key in range(3):
+        solo = kruskal_wallis(
+            df.where(F.col("k") == key), "iv", "arm", [0, 1, 2]
+        ).collect()[0]
+        assert grouped[key] == (solo.h, solo.p_approx), key
