@@ -224,6 +224,21 @@ SHOWCASE = {
         "join back to the frontier — every exchange keyed by node/edge, "
         "label frontier is the only state, repeated 3 unrolled rounds."
     ),
+    "l46_ivfadc_structured": (
+        "IVFADC over STAGED index codes (round 12): the ADC side scans "
+        "the codes parquet (cand_id + cell + m small ints — the index, "
+        "built once at ingest), NOT the raw-vector table; the probe "
+        "table broadcasts into one BroadcastHashJoin on cell id; raw "
+        "embeddings appear in exactly one scan, feeding the "
+        "Q x shortlist exact re-rank join."
+    ),
+    "a46_kruskal_wallis": (
+        "k-arm Kruskal-Wallis: one corpus scan partial-aggregates to "
+        "per-user totals, a second keyed agg to the quantized-value "
+        "domain (k+1 conditional sums, map-side combined), one "
+        "domain-sized cumulative window, one scalar aggregate - H is "
+        "computed in a single projection over the final row."
+    ),
 }
 
 
