@@ -228,9 +228,11 @@ SHOWCASE = {
         "IVFADC over STAGED index codes (round 12): the ADC side scans "
         "the codes parquet (cand_id + cell + m small ints — the index, "
         "built once at ingest), NOT the raw-vector table; the probe "
-        "table broadcasts into one BroadcastHashJoin on cell id; raw "
-        "embeddings appear in exactly one scan, feeding the "
-        "Q x shortlist exact re-rank join."
+        "table broadcasts into one BroadcastHashJoin on cell id; the "
+        "raw-vector column never enters the ADC side - it appears in "
+        "one corpus-sided scan feeding the exact re-rank join (plus "
+        "two workload-sized query-side scans), and the re-rank "
+        "output is Q x shortlist rows."
     ),
     "a46_kruskal_wallis": (
         "k-arm Kruskal-Wallis: one corpus scan partial-aggregates to "
