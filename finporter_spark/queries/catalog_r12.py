@@ -1,9 +1,11 @@
 """Catalog extension — round-12 additions.
 
-- ``a46_kruskal_wallis``: k-arm (k=3) exact tie-corrected
-  Kruskal–Wallis H over md5-split experiment arms — the ≥3-variant
-  omnibus test the two-sample family (a28 Welch, a37/a43 KS, a38/a44
-  MWU, a41 z) could not answer.
+- ``a46_kruskal_wallis`` / ``a46b_kw_weekly`` / ``a47_dunn_posthoc``:
+  the k-arm experiment-stats family — exact tie-corrected
+  Kruskal–Wallis omnibus (whole-period + weekly cadence) and Dunn's
+  joint-rank post-hoc pairwise readout; the ≥3-variant answers the
+  two-sample family (a28 Welch, a37/a43 KS, a38/a44 MWU, a41 z)
+  could not give.
 - ``s17_variant_roundtrip``: VARIANT persisted THROUGH parquet
   (write → read → typed path extraction) — the storage half of the
   schema-on-read contract p18 opened at the expression level.
@@ -11,6 +13,14 @@
   idempotent merge sinks (x9/pipe3's layout) — the missing third of
   the lakehouse maintenance triad (o8 compacts, o12 snapshots,
   nothing reclaimed dead versions).
+- ``l46_ivfadc_structured`` / ``l46b_ivfadc_residual`` /
+  ``l46c_ivfadc_m8``: the ANN family re-pinned on the PLANTED-CLUSTER
+  corpus (the r11 verdict's top ask) — plain IVFADC at √N sizing,
+  residual refinement (reversed there: +17 pp at the same budget),
+  and the m=8 code-budget dial; index codes staged at ingest.
+- ``x20_stream_ann_ingest``: streaming ANN index ingest — new vectors
+  encoded map-only per micro-batch against the frozen quantizer;
+  drained index == batch build.
 """
 
 from __future__ import annotations
