@@ -383,3 +383,62 @@ def test_kruskal_wallis_by_matches_global_per_key(spark):
             df.where(F.col("k") == key), "iv", "arm", [0, 1, 2]
         ).collect()[0]
         assert grouped[key] == (solo.h, solo.p_approx), key
+
+
+# ---------------------------------------------------------------------
+# Property tests: KW / Dunn vs the pure-Python references (the
+# a37/a38 hypothesis discipline — arbitrary small integer samples:
+# ties, negatives, singletons, heavy imbalance)
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_ARMS3 = st.tuples(
+    st.lists(st.integers(min_value=-30, max_value=30), min_size=1, max_size=15),
+    st.lists(st.integers(min_value=-30, max_value=30), min_size=1, max_size=15),
+    st.lists(st.integers(min_value=-30, max_value=30), min_size=1, max_size=15),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(arms=_ARMS3)
+def test_kruskal_wallis_property(spark, arms):
+    arms = [list(a) for a in arms]
+    row = _run_kw(spark, arms)
+    ref = kw_ref(arms)
+    if ref is None:
+        assert row.h is None
+    else:
+        assert row.h == pytest.approx(round(ref, 6), abs=2e-6)
+        assert row.p_approx == pytest.approx(
+            round(min(1.0, math.exp(-ref / 2.0)), 6), abs=2e-6
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(arms=_ARMS3)
+def test_dunn_property(spark, arms):
+    from finporter_spark.operators.stats import dunn_posthoc
+
+    arms = [list(a) for a in arms]
+    rows = [(int(v), g) for g, arm in enumerate(arms) for v in arm]
+    df = spark.createDataFrame(rows, "iv bigint, arm int")
+    got = {
+        (int(r.arm_i), int(r.arm_j)): r.z
+        for r in dunn_posthoc(
+            df, "iv", "arm", [0, 1, 2], z_crit=2.393980
+        ).collect()
+    }
+    for pair, zr in dunn_ref(arms).items():
+        if zr is None:
+            assert got[pair] is None
+        else:
+            assert got[pair] == pytest.approx(round(zr, 6), abs=2e-6)
