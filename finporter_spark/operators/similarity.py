@@ -1535,6 +1535,7 @@ def load_or_build_ivfadc_codes(
     codebooks: list[list[list[float]]],
     cache_path: str | None = None,
     residual: bool = False,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Ingest-time persistence for the IVFADC corpus codes — the
     round-11 verdict's #2: the quantizer and codebooks were already
@@ -1549,23 +1550,47 @@ def load_or_build_ivfadc_codes(
     ``residual=True`` stages :func:`build_ivfadc_residual_codes`
     (codes of x − centroid[cell]) instead — same schema, same cache
     contract. Deterministic build ⇒ the cache changes nothing
-    semantically (oracle hashes unchanged, asserted in tests)."""
+    semantically (oracle hashes unchanged, asserted in tests).
+
+    ``fingerprint`` (recommended): a stamp of the SOURCE corpus (e.g.
+    ``operators.scale.source_fingerprint`` over its parquet files).
+    Unlike the KB-sized centroid/codebook caches, the codes table is
+    corpus-sized and corpus-DERIVED — serving it against regenerated
+    testdata would silently return the old corpus's index. With a
+    fingerprint the cache carries a ``_codes_fingerprint`` marker
+    (underscore-prefixed: invisible to the parquet reader) and a
+    mismatch rebuilds instead of serving stale codes."""
+    import os
+
     spark = corpus.sparkSession
     m = len(codebooks)
     cols = ["cand_id", "_cell"] + [f"_c{i}" for i in range(m)]
+    marker = (
+        os.path.join(cache_path, "_codes_fingerprint")
+        if cache_path
+        else None
+    )
     if cache_path:
         try:
-            cached = spark.read.parquet(cache_path)
-            if sorted(cached.columns) == sorted(cols):
-                return cached.select(*cols)
+            fp_ok = True
+            if fingerprint is not None:
+                with open(marker) as fh:
+                    fp_ok = fh.read() == fingerprint
+            if fp_ok:
+                cached = spark.read.parquet(cache_path)
+                if sorted(cached.columns) == sorted(cols):
+                    return cached.select(*cols)
         except Exception:
-            pass  # absent/corrupt cache -> rebuild below
+            pass  # absent/corrupt/stale cache -> rebuild below
     builder = (
         build_ivfadc_residual_codes if residual else build_ivfadc_codes
     )
     enc = builder(corpus, id_col, vec_col, centroids, codebooks)
     if cache_path:
         enc.write.mode("overwrite").parquet(cache_path)
+        if fingerprint is not None:
+            with open(marker, "w") as fh:
+                fh.write(fingerprint)
         return spark.read.parquet(cache_path).select(*cols)
     return enc
 

@@ -172,10 +172,15 @@ def l45c_ivfadc_topk(spark, sf_dir):
     # the codes table IS the index: assignment + PQ encoding are staged
     # once per (corpus, params) like the quantizer/codebooks themselves
     # (round-11 verdict #2 — at sf10 the per-run re-encode dominated)
+    from finporter_spark.operators.scale import source_fingerprint
+
     codes = load_or_build_ivfadc_codes(
         emb, "vec_id", "embedding", cents, books,
         cache_path=_io_dir(
             sf_dir, f"l45c_codes_k{_IVF_K}_m{_PQ_M}"
+        ),
+        fingerprint=source_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
         ),
     )
     queries = emb.where(

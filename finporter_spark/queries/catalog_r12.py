@@ -348,6 +348,20 @@ def _struct_centroid_rows():
     ]
 
 
+def _emb_fingerprint(sf_dir):
+    """Source stamp for the codes caches (corpus-derived, corpus-sized
+    — must not survive a testdata regeneration; the staged structured
+    parquet is itself fingerprint-guarded against embeddings, so the
+    embeddings stamp covers both corpora)."""
+    import os
+
+    from finporter_spark.operators.scale import source_fingerprint
+
+    return source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+
 def _staged_structured_embeddings(spark, sf_dir):
     """The planted-cluster corpus as staged dataset state (vec_id,
     embedding array<double>), once per testdata version."""
@@ -511,6 +525,7 @@ def l46_ivfadc_structured(spark, sf_dir):
     codes = load_or_build_ivfadc_codes(
         se, "vec_id", "embedding", cents, books,
         cache_path=_io_dir(sf_dir, f"l46_codes_k{_L46_K}_m{_PQ_M}"),
+        fingerprint=_emb_fingerprint(sf_dir),
     )
     queries = se.where(
         (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
@@ -720,6 +735,7 @@ def l46b_ivfadc_residual(spark, sf_dir):
         se, "vec_id", "embedding", cents, rbooks,
         cache_path=_io_dir(sf_dir, f"l46b_res_codes_k{_L46_K}_m{_PQ_M}"),
         residual=True,
+        fingerprint=_emb_fingerprint(sf_dir),
     )
     queries = se.where(
         (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
@@ -1031,6 +1047,7 @@ def l46c_ivfadc_m8(spark, sf_dir):
     codes = load_or_build_ivfadc_codes(
         se, "vec_id", "embedding", cents, books,
         cache_path=_io_dir(sf_dir, f"l46c_codes_k{_L46_K}_m{_L46C_M}"),
+        fingerprint=_emb_fingerprint(sf_dir),
     )
     queries = se.where(
         (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)

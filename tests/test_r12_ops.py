@@ -442,3 +442,50 @@ def test_dunn_property(spark, arms):
             assert got[pair] is None
         else:
             assert got[pair] == pytest.approx(round(zr, 6), abs=2e-6)
+
+
+def test_codes_cache_fingerprint_invalidates(spark, sf_dir):
+    """The codes cache is corpus-DERIVED and corpus-sized: a stale
+    cache after a testdata regeneration must rebuild (fingerprint
+    mismatch), and a matching fingerprint must serve the cache."""
+    import os
+
+    from finporter_spark.operators.similarity import (
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+    )
+    from finporter_spark.queries.catalog import _t
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import _pq_books
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir, emb)
+    cents = load_or_train_centroids_det(
+        emb, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
+        cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
+    )
+    import tempfile
+
+    cache = os.path.join(tempfile.mkdtemp(), "codes")
+    c1 = load_or_build_ivfadc_codes(
+        emb, "vec_id", "embedding", cents, books,
+        cache_path=cache, fingerprint="fpA",
+    )
+    n1 = c1.count()
+    marker = os.path.join(cache, "_codes_fingerprint")
+    assert open(marker).read() == "fpA"
+    mtime = os.path.getmtime(marker)
+    # same fingerprint: served from cache (marker untouched)
+    c2 = load_or_build_ivfadc_codes(
+        emb, "vec_id", "embedding", cents, books,
+        cache_path=cache, fingerprint="fpA",
+    )
+    assert c2.count() == n1
+    assert os.path.getmtime(marker) == mtime
+    # changed fingerprint (regenerated corpus): rebuilt, marker updated
+    c3 = load_or_build_ivfadc_codes(
+        emb, "vec_id", "embedding", cents, books,
+        cache_path=cache, fingerprint="fpB",
+    )
+    assert c3.count() == n1
+    assert open(marker).read() == "fpB"
