@@ -814,10 +814,25 @@ def vacuum_versions(
     if not os.path.isdir(root):
         return {"kept": [], "removed": []}
     # finish any interrupted removal first (tombstones are invisible to
-    # discovery, so this is pure space reclamation)
+    # discovery, so this is pure space reclamation). Reclaim LOUDLY:
+    # a stray FILE squatting on a tombstone name, or an undeletable
+    # tombstone, must surface here with its real cause — swallowing it
+    # would wedge every later vacuum at the rename with an opaque
+    # EEXIST/ENOTEMPTY and retention would never progress.
     for d in os.listdir(root):
         if d.startswith("_vacuum_"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            p = os.path.join(root, d)
+            try:
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+            except OSError as exc:
+                raise OSError(
+                    f"vacuum_versions: cannot reclaim tombstone {p!r} "
+                    f"({exc}); remove it manually — retention is "
+                    "blocked until the name is free"
+                ) from exc
     versions = sorted(
         int(d[len(prefix):])
         for d in os.listdir(root)

@@ -16,6 +16,8 @@ Python. Two strategies:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -796,6 +798,7 @@ def load_or_train_centroids_det(
     n_centroids: int = 16,
     iters: int = 3,
     cache_path: str | None = None,
+    fingerprint: str | None = None,
 ) -> list[list[float]]:
     """Cross-engine-deterministic sibling of
     :func:`load_or_train_centroids`: the quantizer is trained by
@@ -803,10 +806,24 @@ def load_or_train_centroids_det(
     means) so an independent engine unrolling the same Lloyd rounds in
     SQL reproduces the centroids bit-for-bit — which is what lets the
     IVF catalog query carry a full value-hash oracle. Same dataset-state
-    caching contract (tiny parquet, train once per corpus version)."""
+    caching contract (tiny parquet, train once per corpus version).
+
+    ``fingerprint``: stamp of the SOURCE corpus (the
+    :func:`load_or_build_ivfadc_codes` contract) — the quantizer is
+    corpus-DERIVED, so after a testdata regeneration a stale quantizer
+    must retrain, not silently feed wrong cells to everything
+    downstream (the codes-cache guard is only as strong as the caches
+    it derives from)."""
     spark = vectors.sparkSession
+    marker = (
+        os.path.join(cache_path, "_fp") if cache_path else None
+    )
     if cache_path:
         try:
+            if fingerprint is not None:
+                with open(marker) as fh:
+                    if fh.read() != fingerprint:
+                        raise FileNotFoundError("stale quantizer cache")
             rows = spark.read.parquet(cache_path).collect()
             if len(rows) == n_centroids:
                 out: list[list[float]] = [None] * n_centroids  # type: ignore
@@ -822,6 +839,9 @@ def load_or_train_centroids_det(
             [(i, c) for i, c in enumerate(centroids)],
             "cid int, vec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(cache_path)
+        if fingerprint is not None:
+            with open(marker, "w") as fh:
+                fh.write(fingerprint)
     return centroids
 
 
@@ -1457,16 +1477,26 @@ def load_or_train_pq_books(
     k: int = 16,
     iters: int = 2,
     cache_path: str | None = None,
+    fingerprint: str | None = None,
 ) -> list[list[list[float]]]:
     """Dataset-state caching for PQ codebooks (the
     :func:`load_or_train_centroids_det` contract): the m × k × (dim/m)
     codebook is trained once per corpus version by :func:`pq_fit`
     (deterministic, so the cache changes nothing semantically — it
     removes the m × iters fit shuffles from every query that encodes
-    or scores) and persisted as a tiny parquet."""
+    or scores) and persisted as a tiny parquet. ``fingerprint``: the
+    source-corpus stamp (see :func:`load_or_train_centroids_det`) —
+    a stale codebook after a testdata regeneration must retrain."""
     spark = vectors.sparkSession
+    marker = (
+        os.path.join(cache_path, "_fp") if cache_path else None
+    )
     if cache_path:
         try:
+            if fingerprint is not None:
+                with open(marker) as fh:
+                    if fh.read() != fingerprint:
+                        raise FileNotFoundError("stale codebook cache")
             rows = spark.read.parquet(cache_path).collect()
             if len(rows) == m * k:
                 books: list[list[list[float]]] = [
@@ -1490,6 +1520,9 @@ def load_or_train_pq_books(
             ],
             "sub int, cid int, vec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(cache_path)
+        if fingerprint is not None:
+            with open(marker, "w") as fh:
+                fh.write(fingerprint)
     return books
 
 
@@ -1560,8 +1593,6 @@ def load_or_build_ivfadc_codes(
     fingerprint the cache carries a ``_codes_fingerprint`` marker
     (underscore-prefixed: invisible to the parquet reader) and a
     mismatch rebuilds instead of serving stale codes."""
-    import os
-
     spark = corpus.sparkSession
     m = len(codebooks)
     cols = ["cand_id", "_cell"] + [f"_c{i}" for i in range(m)]

@@ -318,84 +318,88 @@ def mann_whitney_u(
     )
 
 
-def kruskal_wallis(
+def _kw_rank_agg(
     samples: DataFrame,
     value_col: str,
     group_col: str,
     groups: list,
-    max_domain: int = 1_000_000,
+    keys: list[str] | None,
+    max_domain: int,
+    op: str,
 ) -> DataFrame:
-    """Exact tie-corrected Kruskal–Wallis H over k DECLARED arms — the
-    k-sample generalization of :func:`mann_whitney_u` (H with k = 2 is
-    a monotone function of U), the first test a ≥3-variant experimenter
-    reaches for.
+    """Shared joint-midrank aggregate for the k-arm rank family
+    (:func:`kruskal_wallis`, :func:`kruskal_wallis_by`,
+    :func:`dunn_posthoc`) — ONE definition so the fp-association /
+    tie-term / exactness contract cannot silently diverge between the
+    omnibus, its grouped sibling, and the post-hoc.
 
-    ``groups`` declares the arm labels EXPLICITLY (k is a property of
-    the experiment design, not the data): each arm's doubled rank sum
-    2·R_g = Σ_v c_{g,v}·(2F_v + c_v + 1) and count n_g come from ONE
-    pass of k+1 conditional bigint sums over the pinned distinct-value
-    domain — no per-arm repartition, no pivot shuffle — and the final
-    H is a FIXED left-associated double expression over those 2k+2
-    scalars, so two engines evaluating the same expression tree on
-    identical bigint inputs produce bit-identical doubles (the a28/a44
-    discipline; the alternative — summing k per-arm rows — leaves the
-    fp association to each engine's aggregation order).
-
-    H = [12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)],
-    computed from doubled rank sums (R_g² = (2R_g)²/4 keeps every rank
-    sum a bigint; squares go to double before multiplying — at 100 TB
-    scale (2R)² overflows bigint, doubles don't). Returns ONE row:
-    n_0..n_{k-1}, ``h`` (tie-corrected, 6 dp), and ``p_approx`` — the
-    chi-square(k−1) survival function, CLOSED-FORM only when k−1 is
-    even (finite Poisson sum, unrolled at construction time: fixed fp
-    association); odd df would need igamma/erf, which neither engine
-    exposes as a builtin — NULL then, documented. NULL h on an empty
-    arm (try_divide) or an all-tied domain (zero tie-correction);
-    rows whose group is not in ``groups`` are ignored.
-
-    Scale contract = :func:`mann_whitney_u`'s: one corpus scan to the
-    bounded quantized domain (``max_domain`` guard, the bigint-cents
-    input contract), one domain-sized cumulative window, one scalar
-    aggregate."""
+    Per key (or globally when ``keys`` is None): arm counts ``n{i}``
+    (bigint), DOUBLED rank sums ``r{i}`` and the tie term ``tie3`` —
+    both as DECIMAL(38,0): the per-value products c·(2F+c+1) and c³
+    stay exact integers far past bigint range (c³ wraps int64 at a
+    value repeated ~2.1M times; a doubled rank sum ~N² wraps past
+    N≈3e9 rows — both reachable at the scale the operators advertise,
+    and a wrapped tie term is a silently-wrong H, not an error).
+    DuckDB's SUM(BIGINT) is already HUGEINT-exact, and both engines'
+    integer→double conversions round identically, so the decimal path
+    changes no hash. Global mode pins + guards the domain
+    (:func:`_pin_domain`); grouped mode needs no guard (the window
+    partitions by key) but still pins the single corpus scan."""
     k = len(groups)
     if k < 2:
-        raise ValueError("kruskal_wallis: need >= 2 groups")
+        raise ValueError(f"{op}: need >= 2 groups")
+    keycols = list(keys) if keys else []
     s = samples.select(
-        F.col(value_col).alias("iv"), F.col(group_col).alias("g")
+        *keycols, F.col(value_col).alias("iv"), F.col(group_col).alias("g")
     ).where(F.col("g").isin(list(groups)))
-    g = _pin_domain(
-        s.groupBy("iv").agg(
-            *[
-                F.sum(
-                    F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
-                ).alias(f"c{i}")
-                for i, gv in enumerate(groups)
-            ],
-            F.count("*").alias("c"),
-        ),
-        max_domain,
-        "kruskal_wallis",
+    g = s.groupBy(*keycols, "iv").agg(
+        *[
+            F.sum(
+                F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, gv in enumerate(groups)
+        ],
+        F.count("*").alias("c"),
     )
-    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
+    if keycols:
+        g = g.localCheckpoint()  # one corpus scan (the a37 pin)
+    else:
+        g = _pin_domain(g, max_domain, op)
+    w = (
+        (Window.partitionBy(*keycols) if keycols else Window)
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cum = g.select(
+        *keycols,
         "iv",
         *[f"c{i}" for i in range(k)],
         "c",
         F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
     )
-    agg = cum.agg(
+
+    def dec(col):
+        return col.cast("decimal(38,0)")
+
+    cd = dec(F.col("c"))
+    return cum.groupBy(*keycols).agg(
         *[F.sum(F.col(f"c{i}")).alias(f"n{i}") for i in range(k)],
         *[
             F.sum(
-                F.col(f"c{i}") * (2 * F.col("f") + F.col("c") + 1)
+                dec(F.col(f"c{i}"))
+                * dec(2 * F.col("f") + F.col("c") + 1)
             ).alias(f"r{i}")
             for i in range(k)
         ],
-        F.sum(
-            F.col("c") * F.col("c") * F.col("c") - F.col("c")
-        ).alias("tie3"),
+        F.sum(cd * cd * cd - cd).alias("tie3"),
     )
-    # N as a bigint left fold, then every fp step in one fixed tree
+
+
+def _kw_h_and_p(k: int):
+    """The tie-corrected H and (even-df) chi-square survival as ONE
+    fixed-association expression pair over the ``_kw_rank_agg``
+    columns — shared by the global and grouped operators. Returns
+    (h_col, p_col)."""
     n_tot = F.col("n0")
     for i in range(1, k):
         n_tot = n_tot + F.col(f"n{i}")
@@ -425,13 +429,92 @@ def kruskal_wallis(
             psum = psum + pw
         p = F.when(
             h.isNotNull(),
-            F.round(
-                F.least(F.lit(1.0), F.exp(-x2) * psum), 6
-            ),
+            F.round(F.least(F.lit(1.0), F.exp(-x2) * psum), 6),
         )
     else:
         p = F.lit(None).cast("double")
+    return h, p
+
+
+def kruskal_wallis(
+    samples: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    max_domain: int = 1_000_000,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal–Wallis H over k DECLARED arms — the
+    k-sample generalization of :func:`mann_whitney_u` (H with k = 2 is
+    a monotone function of U), the first test a ≥3-variant experimenter
+    reaches for.
+
+    ``groups`` declares the arm labels EXPLICITLY (k is a property of
+    the experiment design, not the data): each arm's doubled rank sum
+    2·R_g = Σ_v c_{g,v}·(2F_v + c_v + 1) and count n_g come from ONE
+    pass of k+1 conditional sums over the pinned distinct-value domain
+    (:func:`_kw_rank_agg` — rank sums and the tie term ride as
+    DECIMAL(38,0) so they stay exact far past bigint range) — no
+    per-arm repartition, no pivot shuffle — and the final H is a FIXED
+    left-associated double expression over those 2k+2 scalars, so two
+    engines evaluating the same expression tree on identical exact
+    integers produce bit-identical doubles (the a28/a44 discipline;
+    the alternative — summing k per-arm rows — leaves the fp
+    association to each engine's aggregation order).
+
+    H = [12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)],
+    computed from doubled rank sums (R_g² = (2R_g)²/4; squares go to
+    double before multiplying). Returns ONE row:
+    n_0..n_{k-1}, ``h`` (tie-corrected, 6 dp), and ``p_approx`` — the
+    chi-square(k−1) survival function, CLOSED-FORM only when k−1 is
+    even (finite Poisson sum, unrolled at construction time: fixed fp
+    association); odd df would need igamma/erf, which neither engine
+    exposes as a builtin — NULL then, documented. NULL h on an empty
+    arm (try_divide) or an all-tied domain (zero tie-correction);
+    rows whose group is not in ``groups`` are ignored.
+
+    Scale contract = :func:`mann_whitney_u`'s: one corpus scan to the
+    bounded quantized domain (``max_domain`` guard, the bigint-cents
+    input contract), one domain-sized cumulative window, one scalar
+    aggregate."""
+    k = len(groups)
+    agg = _kw_rank_agg(
+        samples, value_col, group_col, groups,
+        keys=None, max_domain=max_domain, op="kruskal_wallis",
+    )
+    h, p = _kw_h_and_p(k)
     return agg.select(
+        *[F.col(f"n{i}") for i in range(k)],
+        F.round(h, 6).alias("h"),
+        p.alias("p_approx"),
+    )
+
+
+def kruskal_wallis_by(
+    samples: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    keys: list[str],
+) -> DataFrame:
+    """Grouped exact tie-corrected Kruskal–Wallis: one (n_0..n_{k-1},
+    h, p_approx) row PER KEY — :func:`kruskal_wallis` at the
+    production monitoring cadence (the :func:`ks_2sample_by` /
+    :func:`mann_whitney_u_by` pattern): the cumulative window
+    partitions BY the keys, so no single-partition sort exists and no
+    domain guard is needed; per-task state is one key's quantized
+    domain. Identical rank/H machinery by construction
+    (:func:`_kw_rank_agg` + :func:`_kw_h_and_p` are shared with the
+    global operator, so the two cannot diverge); degenerate keys
+    (empty arm, all-tied) yield NULL h/p via try_divide, never an
+    error."""
+    k = len(groups)
+    agg = _kw_rank_agg(
+        samples, value_col, group_col, groups,
+        keys=keys, max_domain=0, op="kruskal_wallis_by",
+    )
+    h, p = _kw_h_and_p(k)
+    return agg.select(
+        *keys,
         *[F.col(f"n{i}") for i in range(k)],
         F.round(h, 6).alias("h"),
         p.alias("p_approx"),
@@ -453,12 +536,12 @@ def dunn_posthoc(
     SAME joint midranking the omnibus used, with the tie-corrected
     variance  σ²_ij = [N(N+1)/12 − Σ(t³−t)/(12(N−1))]·(1/n_i + 1/n_j).
 
-    Same construction as :func:`kruskal_wallis` (one corpus scan to
-    the pinned quantized domain, k conditional bigint sums, doubled
-    midranks keep every rank sum exact); the k(k−1)/2 pair rows come
-    from ONE scalar aggregate via a literal pair explode — no second
-    scan, no join. Per pair: mean ranks (exact binary halves of
-    bigints), z rounded 6 dp with a fixed-association expression tree
+    Same construction as :func:`kruskal_wallis` (literally: the rank
+    aggregate is the shared :func:`_kw_rank_agg`, exact-decimal rank
+    sums and tie term); the k(k−1)/2 pair rows come from ONE scalar
+    aggregate via a literal pair explode — no second scan, no join.
+    Per pair: mean ranks (one exact division of exact integers), z
+    rounded 6 dp with a fixed-association expression tree
     (cross-engine identical), and a ``significant`` flag at the
     caller-supplied two-sided critical value ``z_crit`` — pass the
     Bonferroni-adjusted quantile (e.g. 2.393980 for α=0.05 over 3
@@ -468,42 +551,9 @@ def dunn_posthoc(
     same 6 dp number). NULL z (empty arm / degenerate variance) flags
     NULL."""
     k = len(groups)
-    if k < 2:
-        raise ValueError("dunn_posthoc: need >= 2 groups")
-    s = samples.select(
-        F.col(value_col).alias("iv"), F.col(group_col).alias("g")
-    ).where(F.col("g").isin(list(groups)))
-    g = _pin_domain(
-        s.groupBy("iv").agg(
-            *[
-                F.sum(
-                    F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
-                ).alias(f"c{i}")
-                for i, gv in enumerate(groups)
-            ],
-            F.count("*").alias("c"),
-        ),
-        max_domain,
-        "dunn_posthoc",
-    )
-    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, -1)
-    cum = g.select(
-        "iv",
-        *[f"c{i}" for i in range(k)],
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
-    )
-    agg = cum.agg(
-        *[F.sum(F.col(f"c{i}")).alias(f"n{i}") for i in range(k)],
-        *[
-            F.sum(
-                F.col(f"c{i}") * (2 * F.col("f") + F.col("c") + 1)
-            ).alias(f"r{i}")
-            for i in range(k)
-        ],
-        F.sum(
-            F.col("c") * F.col("c") * F.col("c") - F.col("c")
-        ).alias("tie3"),
+    agg = _kw_rank_agg(
+        samples, value_col, group_col, groups,
+        keys=None, max_domain=max_domain, op="dunn_posthoc",
     )
     n_tot = F.col("n0")
     for i in range(1, k):
@@ -550,101 +600,4 @@ def dunn_posthoc(
         mrj.alias("mean_rank_j"),
         z.alias("z"),
         (F.abs(z) >= F.lit(float(z_crit))).alias("significant"),
-    )
-
-
-def kruskal_wallis_by(
-    samples: DataFrame,
-    value_col: str,
-    group_col: str,
-    groups: list,
-    keys: list[str],
-) -> DataFrame:
-    """Grouped exact tie-corrected Kruskal–Wallis: one (n_0..n_{k-1},
-    h, p_approx) row PER KEY — :func:`kruskal_wallis` at the
-    production monitoring cadence (the :func:`ks_2sample_by` /
-    :func:`mann_whitney_u_by` pattern): the cumulative window
-    partitions BY the keys, so no single-partition sort exists and no
-    domain guard is needed; per-task state is one key's quantized
-    domain. Same fixed-association H contract (k+1 conditional bigint
-    sums per key, one fp expression tree over the per-key scalars) and
-    the same closed-form even-df survival; degenerate keys (empty arm,
-    all-tied) yield NULL h/p via try_divide, never an error."""
-    k = len(groups)
-    if k < 2:
-        raise ValueError("kruskal_wallis_by: need >= 2 groups")
-    s = samples.select(
-        *keys, F.col(value_col).alias("iv"), F.col(group_col).alias("g")
-    ).where(F.col("g").isin(list(groups)))
-    g = s.groupBy(*keys, "iv").agg(
-        *[
-            F.sum(
-                F.when(F.col("g") == F.lit(gv), 1).otherwise(0)
-            ).alias(f"c{i}")
-            for i, gv in enumerate(groups)
-        ],
-        F.count("*").alias("c"),
-    ).localCheckpoint()  # one corpus scan (the a37 pin)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("iv")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = g.select(
-        *keys,
-        "iv",
-        *[f"c{i}" for i in range(k)],
-        "c",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("f"),
-    )
-    agg = cum.groupBy(*keys).agg(
-        *[F.sum(F.col(f"c{i}")).alias(f"n{i}") for i in range(k)],
-        *[
-            F.sum(
-                F.col(f"c{i}") * (2 * F.col("f") + F.col("c") + 1)
-            ).alias(f"r{i}")
-            for i in range(k)
-        ],
-        F.sum(
-            F.col("c") * F.col("c") * F.col("c") - F.col("c")
-        ).alias("tie3"),
-    )
-    n_tot = F.col("n0")
-    for i in range(1, k):
-        n_tot = n_tot + F.col(f"n{i}")
-    nd = n_tot.cast("double")
-
-    def term(i: int):
-        rd = F.col(f"r{i}").cast("double")
-        return F.try_divide(
-            rd * rd, 4.0 * F.col(f"n{i}").cast("double")
-        )
-
-    ssum = term(0)
-    for i in range(1, k):
-        ssum = ssum + term(i)
-    h_raw = (12.0 * ssum) / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
-    corr = 1.0 - F.try_divide(
-        F.col("tie3").cast("double"), nd * nd * nd - nd
-    )
-    h = F.try_divide(h_raw, corr)
-    df = k - 1
-    if df % 2 == 0:
-        x2 = h / 2.0
-        psum = F.lit(1.0)
-        pw = F.lit(1.0)
-        for j in range(1, df // 2):
-            pw = pw * x2 / float(j)
-            psum = psum + pw
-        p = F.when(
-            h.isNotNull(),
-            F.round(F.least(F.lit(1.0), F.exp(-x2) * psum), 6),
-        )
-    else:
-        p = F.lit(None).cast("double")
-    return agg.select(
-        *keys,
-        *[F.col(f"n{i}") for i in range(k)],
-        F.round(h, 6).alias("h"),
-        p.alias("p_approx"),
     )

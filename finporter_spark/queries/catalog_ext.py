@@ -60,6 +60,17 @@ def _io_dir(sf_dir: str, name: str) -> str:
     return os.path.join(IO_ROOT, f"{name}_{tag}")
 
 
+def _src_fp(sf_dir, *tables):
+    """Source-corpus stamp for corpus-DERIVED dataset-state caches
+    (quantizers, codebooks, codes): a testdata regeneration must
+    retrain/rebuild them, not serve the old corpus's state."""
+    from finporter_spark.operators.scale import source_fingerprint
+
+    return source_fingerprint(
+        *[os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+    )
+
+
 def _stage_once(sf_dir, name, write_fn, *source_tables, extra_fingerprint=""):
     """Write a staging dataset once per (query, sf, source mtimes).
 
@@ -1255,6 +1266,7 @@ def l3_ivf_knn(spark, sf_dir):
     cents = load_or_train_centroids_det(
         emb, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
         cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
+        fingerprint=_src_fp(sf_dir, "embeddings"),
     )
     return ivf_knn_det(
         q, emb, dim=64, k=5, n_centroids=16, n_probe=4, centroids=cents

@@ -737,13 +737,14 @@ def _pq_books(spark, sf_dir, emb):
     """Codebooks as cached dataset state (ingest-time cost, the IVF
     centroid contract) — trained once per corpus, shared by l45/l45b."""
     from finporter_spark.operators.similarity import load_or_train_pq_books
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_ext import _io_dir, _src_fp
 
     return load_or_train_pq_books(
         emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=2,
         cache_path=_io_dir(
             sf_dir, f"l45_pq_books_m{_PQ_M}_k{_PQ_K}_i2"
         ),
+        fingerprint=_src_fp(sf_dir, "embeddings"),
     )
 
 

@@ -164,10 +164,13 @@ def l45c_ivfadc_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir, emb)
+    from finporter_spark.queries.catalog_ext import _src_fp
+
     cents = load_or_train_centroids_det(
         emb, "vec_id", "embedding", dim=64,
         n_centroids=_IVF_K, iters=_IVF_ITERS,
         cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
+        fingerprint=_src_fp(sf_dir, "embeddings"),
     )
     # the codes table IS the index: assignment + PQ encoding are staged
     # once per (corpus, params) like the quantizer/codebooks themselves

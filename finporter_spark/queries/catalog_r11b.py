@@ -473,21 +473,26 @@ def a45_attribution(spark, sf_dir):
     # under min() and casts back to NULL on Spark (error on DuckDB) —
     # enforce the contract loudly instead of assuming it (a refund /
     # chargeback ledger must offset-encode before using this operator)
+    # guard on cents_raw < 0 specifically (NOT "not >= 0"): a NULL
+    # amount is NOT negative — it passed through before the guard and
+    # must keep doing so; routing NULL into raise_error would abort
+    # the job with a NULL message (the concat collapses)
     cents_raw = F.round(F.col("value") * 100).cast("bigint")
-    cents = F.when(cents_raw >= 0, cents_raw).otherwise(
+    cents = F.when(
+        cents_raw < 0,
         F.raise_error(
             F.concat(
                 F.lit(
                     "a45_attribution: negative amount (cents="
                 ),
-                cents_raw.cast("string"),
+                F.coalesce(cents_raw.cast("string"), F.lit("NULL")),
                 F.lit(
                     ") breaks the zero-padded ordering key; "
                     "offset-encode signed values first"
                 ),
             )
-        ).cast("bigint")
-    )
+        ).cast("bigint"),
+    ).otherwise(cents_raw)
     base = e.select(
         "user_id",
         "event_type",

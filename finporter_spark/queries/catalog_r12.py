@@ -517,11 +517,13 @@ def l46_ivfadc_structured(spark, sf_dir):
         se, "vec_id", "embedding", dim=64,
         n_centroids=_L46_K, iters=_L46_ITERS,
         cache_path=_io_dir(sf_dir, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
-    )
+        fingerprint=_emb_fingerprint(sf_dir),
+)
     books = load_or_train_pq_books(
         se, "vec_id", "embedding", m=_PQ_M, k=16, iters=2,
         cache_path=_io_dir(sf_dir, f"l46_books_m{_PQ_M}_k16"),
-    )
+        fingerprint=_emb_fingerprint(sf_dir),
+)
     codes = load_or_build_ivfadc_codes(
         se, "vec_id", "embedding", cents, books,
         cache_path=_io_dir(sf_dir, f"l46_codes_k{_L46_K}_m{_PQ_M}"),
@@ -725,12 +727,14 @@ def l46b_ivfadc_residual(spark, sf_dir):
         se, "vec_id", "embedding", dim=64,
         n_centroids=_L46_K, iters=_L46_ITERS,
         cache_path=_io_dir(sf_dir, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
-    )
+        fingerprint=_emb_fingerprint(sf_dir),
+)
     rv = residual_vectors(se, "vec_id", "embedding", cents)
     rbooks = load_or_train_pq_books(
         rv, "vec_id", "_rv", m=_PQ_M, k=16, iters=2,
         cache_path=_io_dir(sf_dir, f"l46b_res_books_m{_PQ_M}_k16"),
-    )
+        fingerprint=_emb_fingerprint(sf_dir),
+)
     rcodes = load_or_build_ivfadc_codes(
         se, "vec_id", "embedding", cents, rbooks,
         cache_path=_io_dir(sf_dir, f"l46b_res_codes_k{_L46_K}_m{_PQ_M}"),
@@ -1039,11 +1043,13 @@ def l46c_ivfadc_m8(spark, sf_dir):
         se, "vec_id", "embedding", dim=64,
         n_centroids=_L46_K, iters=_L46_ITERS,
         cache_path=_io_dir(sf_dir, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
-    )
+        fingerprint=_emb_fingerprint(sf_dir),
+)
     books = load_or_train_pq_books(
         se, "vec_id", "embedding", m=_L46C_M, k=16, iters=2,
         cache_path=_io_dir(sf_dir, f"l46_books_m{_L46C_M}_k16"),
-    )
+        fingerprint=_emb_fingerprint(sf_dir),
+)
     codes = load_or_build_ivfadc_codes(
         se, "vec_id", "embedding", cents, books,
         cache_path=_io_dir(sf_dir, f"l46c_codes_k{_L46_K}_m{_L46C_M}"),

@@ -149,3 +149,24 @@ def test_a45_negative_amount_raises(spark, sf_dir, tmp_path):
         df.write.mode("overwrite").parquet(f"{neg_dir}/{t}.parquet")
     with pytest.raises(Exception, match="a45_attribution: negative"):
         CATALOG["a45_attribution"][0](spark, neg_dir).collect()
+
+
+def test_a45_null_amount_passes_through(spark, sf_dir, tmp_path):
+    """A NULL amount is NOT negative: the non-negativity guard must
+    let NULL cents flow through (pre-guard behavior), never abort the
+    job with a NULL-collapsed error message."""
+    from pyspark.sql import functions as F
+
+    from finporter_spark.queries.catalog import _t
+
+    nul_dir = str(tmp_path / "sf_null")
+    df = _t(spark, sf_dir, "events").limit(200)
+    df = df.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    df.write.mode("overwrite").parquet(f"{nul_dir}/events.parquet")
+    # must not raise; result is a well-formed per-type aggregate
+    rows = CATALOG["a45_attribution"][0](spark, nul_dir).collect()
+    assert all(r.touches > 0 for r in rows)

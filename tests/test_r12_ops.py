@@ -489,3 +489,21 @@ def test_codes_cache_fingerprint_invalidates(spark, sf_dir):
     )
     assert c3.count() == n1
     assert open(marker).read() == "fpB"
+
+
+def test_vacuum_reclaims_stray_file_tombstone(spark, tmp_path):
+    """A stray regular FILE on a tombstone name must be reclaimed (or
+    fail loudly), never silently skipped to wedge the later rename."""
+    import os
+
+    from finporter_spark.operators.scale import vacuum_versions
+
+    root = str(tmp_path / "sink")
+    read_final = _build_chain(spark, root)
+    # a file (not a dir) squatting on the v0 tombstone name
+    with open(os.path.join(root, "_vacuum_state_v0"), "w") as fh:
+        fh.write("junk")
+    stats = vacuum_versions(root, keep=2)
+    assert stats["removed"] == [0, 1]
+    assert not [d for d in os.listdir(root) if d.startswith("_vacuum_")]
+    assert len(read_final(spark).collect()) > 0

@@ -526,18 +526,24 @@ def test_l46b_residual_beats_plain_at_same_budget_sf01(spark):
     res_rec = _mean_recall(res_rows, truth)
 
     se = _staged_structured_embeddings(spark, SF01)
+    from finporter_spark.queries.catalog_r12 import _emb_fingerprint
+
+    fp = _emb_fingerprint(SF01)
     cents = load_or_train_centroids_det(
         se, "vec_id", "embedding", dim=64,
         n_centroids=_L46_K, iters=_L46_ITERS,
         cache_path=_io_dir(SF01, f"l46_coarse_k{_L46_K}_i{_L46_ITERS}"),
+        fingerprint=fp,
     )
     books = load_or_train_pq_books(
         se, "vec_id", "embedding", m=4, k=16, iters=2,
         cache_path=_io_dir(SF01, "l46_books_m4_k16"),
+        fingerprint=fp,
     )
     codes = load_or_build_ivfadc_codes(
         se, "vec_id", "embedding", cents, books,
         cache_path=_io_dir(SF01, f"l46_codes_k{_L46_K}_m4"),
+        fingerprint=fp,
     )
     queries = se.where(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
@@ -567,10 +573,13 @@ def test_ivfadc_staged_codes_identical_to_inline(spark, emb01):
         (r.query_id, r.cand_id, r.rank, r.dist2)
         for r in CATALOG["l45c_ivfadc_topk"][0](spark, SF01).collect()
     )
+    from finporter_spark.queries.catalog_ext import _src_fp
+
     books = _pq_books(spark, SF01, emb01)
     cents = load_or_train_centroids_det(
         emb01, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
         cache_path=_io_dir(SF01, "l3_ivf_centroids_det_k16_d64_i3"),
+        fingerprint=_src_fp(SF01, "embeddings"),
     )
     queries = emb01.where(
         (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)

@@ -65,7 +65,7 @@ def main() -> None:
         load_or_train_pq_books,
     )
     from finporter_spark.queries.catalog import _t
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_ext import _io_dir, _src_fp
     from finporter_spark.queries.catalog_r12 import (
         _staged_structured_embeddings,
     )
@@ -89,6 +89,7 @@ def main() -> None:
         else:
             emb = _t(spark, d, "embeddings")
             tag = f"l45dec_k{k}"
+        fp = _src_fp(d, "embeddings")
         books = load_or_train_pq_books(
             emb, "vec_id", "embedding", m=4, k=16, iters=2,
             cache_path=_io_dir(
@@ -96,6 +97,7 @@ def main() -> None:
                 "l46_books_m4_k16" if structured
                 else "l45_pq_books_m4_k16_i2",
             ),
+            fingerprint=fp,
         )
         cents = load_or_train_centroids_det(
             emb, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
@@ -104,6 +106,7 @@ def main() -> None:
                 f"l46_coarse_k{k}_i3" if structured
                 else f"ivfadc_centroids_det_k{k}_d64_i3",
             ),
+            fingerprint=fp,
         )
         # ingest-time index build: timed ONLY when the cache is cold
         codes_path = _io_dir(d, f"{tag}_codes")
@@ -111,7 +114,7 @@ def main() -> None:
         t0 = time.time()
         codes = load_or_build_ivfadc_codes(
             emb, "vec_id", "embedding", cents, books,
-            cache_path=codes_path,
+            cache_path=codes_path, fingerprint=fp,
         )
         codes_build = round(time.time() - t0, 3) if cold else None
         queries = emb.where(
