@@ -348,10 +348,17 @@ def w14c_holt_recursive(spark, sf_dir):
     # abort MID-recursion with an opaque engine error — size the limit
     # from the pinned aggregate (cheap: it is already materialized) so
     # a longer calendar either runs or the operator's docs route it to
-    # w14/w14b explicitly
+    # w14/w14b explicitly. The conf change is RAISE-ONLY and session-
+    # global by design: the limit is read when the recursion EXECUTES
+    # (lazily, possibly long after this builder returns), so a
+    # set/restore bracket here would restore before execution and
+    # re-break the query; a raised ceiling is benign for every other
+    # recursive-CTE entry (none relies on hitting the default guard).
     n_days = o.agg(F.max("rn")).first()[0] or 0
+    cur = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
     spark.conf.set(
-        "spark.sql.cteRecursionLevelLimit", str(max(100, n_days + 10))
+        "spark.sql.cteRecursionLevelLimit",
+        str(max(cur, 100, n_days + 10)),
     )
     o.createOrReplaceTempView("w14c_o")
     return spark.sql(
