@@ -274,7 +274,11 @@ def o19_vacuum_versions(spark, sf_dir):
     for i in range(4):
         merge(e.where(F.col("event_id") % 4 == i), i)
     stats = vacuum_versions(root, keep=2)
-    assert stats["removed"] == [0, 1] and stats["kept"] == [2, 3], stats
+    # explicit raise, not assert: the vacuum contract must survive
+    # python -O (a stripped assert would defer the failure to an
+    # anonymous hash diff)
+    if stats["removed"] != [0, 1] or stats["kept"] != [2, 3]:
+        raise RuntimeError(f"o19 vacuum contract violated: {stats}")
     return read_final(spark).select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -349,16 +353,19 @@ def _struct_centroid_rows():
 
 
 def _emb_fingerprint(sf_dir):
-    """Source stamp for the codes caches (corpus-derived, corpus-sized
-    — must not survive a testdata regeneration; the staged structured
-    parquet is itself fingerprint-guarded against embeddings, so the
-    embeddings stamp covers both corpora)."""
+    """Source stamp for the l46 quantizer/codebook/codes caches. Those
+    caches are derived from the STAGED structured corpus, whose
+    identity is (embeddings parquet) × (planted-cluster recipe) — so
+    the stamp folds the recipe tag in: a testdata regeneration AND a
+    recipe bump (_L46_CLUSTERS/_L46_SCALE/version) each invalidate the
+    derived caches, not just the staged parquet they feed from."""
     import os
 
     from finporter_spark.operators.scale import source_fingerprint
 
-    return source_fingerprint(
-        os.path.join(sf_dir, "embeddings.parquet")
+    return (
+        source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+        + f"|planted{_L46_CLUSTERS}-s{_L46_SCALE}-v1"
     )
 
 
@@ -829,15 +836,24 @@ def x20_stream_ann_ingest(spark, sf_dir):
         build_ivfadc_codes,
         load_or_train_centroids_det,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+    from finporter_spark.queries.catalog_ext import (
+        _io_dir,
+        _src_fp,
+        _stage_once,
+    )
     from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_books
     from finporter_spark.streaming.pipeline import run_stream_to_memory
 
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir, emb)
+    # fingerprint-guard the shared centroid cache exactly like its
+    # other consumers (l3_ivf/l45c): a cold x20 run must stamp the
+    # cache, and a testdata regeneration must retrain, not serve the
+    # old corpus's quantizer
     cents = load_or_train_centroids_det(
         emb, "vec_id", "embedding", dim=64, n_centroids=16, iters=3,
         cache_path=_io_dir(sf_dir, "l3_ivf_centroids_det_k16_d64_i3"),
+        fingerprint=_src_fp(sf_dir, "embeddings"),
     )
 
     def _write(p):
@@ -1085,7 +1101,13 @@ def _a47_pair_sql(i: int, j: int) -> str:
         f" * ((1.0 / CAST(n{i} AS DOUBLE))"
         f" + (1.0 / CAST(n{j} AS DOUBLE)))"
     )
-    z = f"round(({mri} - {mrj}) / sqrt({sig2}), 6)"
+    # NULL-guard mirrors the Spark operator (F.when(sig2 > 0, ...)):
+    # on a degenerate all-tied domain sig2 <= 0 must yield NULL on
+    # BOTH engines, not DuckDB NaN/inf vs Spark NULL
+    z = (
+        f"(CASE WHEN {sig2} > 0 THEN"
+        f" round(({mri} - {mrj}) / sqrt({sig2}), 6) END)"
+    )
     return f"""
       SELECT '{i}' AS arm_i, '{j}' AS arm_j,
              n{i} AS ni, n{j} AS nj,

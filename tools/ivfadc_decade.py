@@ -67,6 +67,7 @@ def main() -> None:
     from finporter_spark.queries.catalog import _t
     from finporter_spark.queries.catalog_ext import _io_dir, _src_fp
     from finporter_spark.queries.catalog_r12 import (
+        _emb_fingerprint,
         _staged_structured_embeddings,
     )
 
@@ -86,10 +87,13 @@ def main() -> None:
         if structured:
             emb = _staged_structured_embeddings(spark, d)
             tag = f"l46dec_k{k}"
+            # struct caches derive from the staged corpus: stamp must
+            # include the planted-cluster recipe, not just the parquet
+            fp = _emb_fingerprint(d)
         else:
             emb = _t(spark, d, "embeddings")
             tag = f"l45dec_k{k}"
-        fp = _src_fp(d, "embeddings")
+            fp = _src_fp(d, "embeddings")
         books = load_or_train_pq_books(
             emb, "vec_id", "embedding", m=4, k=16, iters=2,
             cache_path=_io_dir(
