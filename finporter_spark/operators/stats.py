@@ -57,6 +57,63 @@ def _pin_domain(g: DataFrame, max_domain: int, op: str) -> DataFrame:
     return g
 
 
+# ---------------------------------------------------------------------
+# Normal-tail p-values for the z-statistic family (a38/a41/a44/a47)
+# ---------------------------------------------------------------------
+#
+# Neither Spark SQL nor DuckDB exposes erf/erfc as a builtin, so the
+# z-family used to ship critical-value booleans instead of p-values.
+# But erfc is ONE fixed polynomial: Abramowitz & Stegun 7.1.26
+# (|error| <= 1.5e-7 over all x >= 0 — tested against math.erfc in
+# tests/test_r13_ops.py), i.e. five multiply-adds and an exp. The two
+# functions below emit the SAME tree for Spark (Column) and DuckDB
+# (SQL text): p is computed from the ALREADY 6-dp-ROUNDED z, so the
+# cross-engine inputs are bit-identical and the fixed Horner
+# association keeps every multiply-add identical; the one non-exact
+# primitive is exp (java.lang.Math.exp may differ from libm by 1 ulp —
+# measured: <= 1 ulp on a 144-point grid, test_r13_ops), which the
+# final 6 dp round absorbs — the SAME contract _kw_h_and_p's
+# exp-based chi-square survival has relied on hash-green for rounds.
+
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_INV_SQRT2 = 0.7071067811865476  # nearest double to 1/sqrt(2)
+
+
+def normal_sf_two_sided(z):
+    """Two-sided normal p-value for a z statistic, as a Column:
+    p = P(|Z| >= |z|) = erfc(|z| / sqrt(2)), erfc via the A&S 7.1.26
+    polynomial (t = 1/(1 + p·y); erfc(y) = Horner(t)·exp(−y²)).
+    NULL z propagates to NULL p. Callers round the result at 6 dp —
+    the same rounding contract as the z it derives from. The SQL
+    mirror is :func:`normal_sf_two_sided_sql`; the two MUST stay the
+    identical expression tree (the cross-engine hash contract)."""
+    a1, a2, a3, a4, a5 = _ERF_A
+    y = F.abs(z) * F.lit(_INV_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * y)
+    poly = t * (
+        F.lit(a1)
+        + t
+        * (F.lit(a2) + t * (F.lit(a3) + t * (F.lit(a4) + t * F.lit(a5))))
+    )
+    return poly * F.exp(-(y * y))
+
+
+def normal_sf_two_sided_sql(z: str) -> str:
+    """DuckDB-SQL mirror of :func:`normal_sf_two_sided` over the SQL
+    expression ``z`` (typically a column name holding the 6-dp-rounded
+    z). Textually repeats t/y — each occurrence computes the same
+    double, association identical to the Column version."""
+    a1, a2, a3, a4, a5 = _ERF_A
+    y = f"(abs({z}) * {_INV_SQRT2!r})"
+    t = f"(1.0 / (1.0 + {_ERF_P!r} * {y}))"
+    poly = (
+        f"({t} * ({a1!r} + {t} * ({a2!r} + {t} * ({a3!r}"
+        f" + {t} * ({a4!r} + {t} * {a5!r})))))"
+    )
+    return f"({poly} * exp(-({y} * {y})))"
+
+
 def ks_2sample(
     samples: DataFrame,
     value_col: str,
@@ -193,7 +250,7 @@ def mann_whitney_u_by(
     keys: list[str],
 ) -> DataFrame:
     """Grouped exact tie-corrected Mann–Whitney U: one
-    (n1, n2, u1, u2, z) row PER KEY — :func:`mann_whitney_u`'s
+    (n1, n2, u1, u2, z, p_value) row PER KEY — :func:`mann_whitney_u`'s
     per-segment sibling (the :func:`ks_2sample_by` pattern): the
     doubled-midrank window partitions BY the keys, so no
     single-partition sort exists and no domain guard is needed;
@@ -241,13 +298,17 @@ def mann_whitney_u_by(
     sig2 = (
         F.col("n1").cast("double") * F.col("n2") / 12.0
     ) * ((nn + 1) - tie_term)
-    return agg.select(
+    out = agg.select(
         *keys, "n1", "n2",
         u1.alias("u1"),
         (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
         F.when(
             sig2 > 0, F.round((u1 - mu) / F.sqrt(sig2), 6)
         ).alias("z"),
+    )
+    # two-sided normal p from the ROUNDED z (NULL z -> NULL p)
+    return out.withColumn(
+        "p_value", F.round(normal_sf_two_sided(F.col("z")), 6)
     )
 
 
@@ -260,10 +321,12 @@ def mann_whitney_u(
     """Exact tie-corrected Mann–Whitney U (Wilcoxon rank-sum).
 
     Same input contract as :func:`ks_2sample`. Returns ONE row
-    (n1, n2, u1, u2, z): doubled midranks keep the rank sum a bigint
-    (2·midrank = 2F + c + 1), U halves exactly in binary, and the
-    Lehmann tie-corrected normal z rounds at 6 dp — NULL when the
+    (n1, n2, u1, u2, z, p_value): doubled midranks keep the rank sum a
+    bigint (2·midrank = 2F + c + 1), U halves exactly in binary, and
+    the Lehmann tie-corrected normal z rounds at 6 dp — NULL when the
     variance is 0 (all values tied) instead of dividing by zero.
+    ``p_value`` is the two-sided normal p from the rounded z
+    (:func:`normal_sf_two_sided`, 6 dp; NULL z -> NULL p).
     """
     s = samples.select(
         F.col(value_col).alias("iv"), F.col(flag_col).alias("a")
@@ -308,13 +371,17 @@ def mann_whitney_u(
     sig2 = (
         F.col("n1").cast("double") * F.col("n2") / 12.0
     ) * ((nn + 1) - tie_term)
-    return agg.select(
+    out = agg.select(
         "n1", "n2",
         u1.alias("u1"),
         (F.col("n1").cast("double") * F.col("n2") - u1).alias("u2"),
         F.when(
             sig2 > 0, F.round((u1 - mu) / F.sqrt(sig2), 6)
         ).alias("z"),
+    )
+    # two-sided normal p from the ROUNDED z (NULL z -> NULL p)
+    return out.withColumn(
+        "p_value", F.round(normal_sf_two_sided(F.col("z")), 6)
     )
 
 
@@ -526,8 +593,9 @@ def dunn_posthoc(
     value_col: str,
     group_col: str,
     groups: list,
-    z_crit: float,
+    z_crit: float | None = None,
     max_domain: int = 1_000_000,
+    alpha: float = 0.05,
 ) -> DataFrame:
     """Dunn's (1964) post-hoc pairwise test on the JOINT ranking — the
     step after :func:`kruskal_wallis` rejects: which arms differ.
@@ -542,14 +610,14 @@ def dunn_posthoc(
     aggregate via a literal pair explode — no second scan, no join.
     Per pair: mean ranks (one exact division of exact integers), z
     rounded 6 dp with a fixed-association expression tree
-    (cross-engine identical), and a ``significant`` flag at the
-    caller-supplied two-sided critical value ``z_crit`` — pass the
-    Bonferroni-adjusted quantile (e.g. 2.393980 for α=0.05 over 3
-    pairs); neither engine exposes erf as a builtin, so the operator
-    reports the decision at a declared threshold rather than a p-value
-    (the flag compares the ROUNDED z so both engines decide on the
-    same 6 dp number). NULL z (empty arm / degenerate variance) flags
-    NULL."""
+    (cross-engine identical), ``p_adj`` — the Bonferroni-adjusted
+    two-sided p, min(1, k(k−1)/2 · erfc(|z|/√2)) via the A&S 7.1.26
+    polynomial (:func:`normal_sf_two_sided`), rounded 6 dp — and a
+    ``significant`` flag: ``p_adj <= alpha`` (family error rate,
+    default 0.05), or legacy ``|z| >= z_crit`` when ``z_crit`` is
+    passed (both decide on ROUNDED values so both engines decide on
+    the same 6 dp number). NULL z (empty arm / degenerate variance)
+    yields NULL p_adj and NULL flag."""
     k = len(groups)
     agg = _kw_rank_agg(
         samples, value_col, group_col, groups,
@@ -593,11 +661,32 @@ def dunn_posthoc(
         ),
         6,
     )
-    return e.select(
+    n_pairs = k * (k - 1) // 2
+    out = e.select(
         "arm_i", "arm_j",
         F.col("ni"), F.col("nj"),
         mri.alias("mean_rank_i"),
         mrj.alias("mean_rank_j"),
         z.alias("z"),
-        (F.abs(z) >= F.lit(float(z_crit))).alias("significant"),
+    ).withColumn(
+        "p_adj",
+        # explicit NULL guard: least() on BOTH engines skips NULLs, so
+        # an unguarded least(1.0, NULL) would turn a degenerate pair
+        # into p_adj = 1.0 instead of NULL
+        F.when(
+            F.col("z").isNotNull(),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(n_pairs))
+                    * normal_sf_two_sided(F.col("z")),
+                ),
+                6,
+            ),
+        ),
     )
+    if z_crit is not None:
+        sig = F.abs(F.col("z")) >= F.lit(float(z_crit))
+    else:
+        sig = F.col("p_adj") <= F.lit(float(alpha))
+    return out.withColumn("significant", sig)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from finporter_spark.operators.stats import normal_sf_two_sided_sql
 from finporter_spark.queries.catalog import _t, query
 
 # =====================================================================
@@ -931,7 +932,7 @@ def w14b_holt_exact(spark, sf_dir):
 
 @query(
     "a38_mann_whitney_u",
-    """
+    f"""
     WITH s AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS iv,
              CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
@@ -951,18 +952,22 @@ def w14b_holt_exact(spark, sf_dir):
              SUM(c * c * c - c) AS tie3
       FROM cum
     )
-    SELECT n1, n2,
-           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-           CAST(n1 AS DOUBLE) * n2
-             - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
-           round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
-                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
-                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
-                        * ((n1 + n2 + 1)
-                           - CAST(tie3 AS DOUBLE)
-                             / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
-                 6) AS z
-    FROM agg
+    SELECT n1, n2, u1, u2, z,
+           round({normal_sf_two_sided_sql('z')}, 6) AS p_value
+    FROM (
+      SELECT n1, n2,
+             CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             CAST(n1 AS DOUBLE) * n2
+               - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+             round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                    - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                   / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                          * ((n1 + n2 + 1)
+                             - CAST(tie3 AS DOUBLE)
+                               / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+                   6) AS z
+      FROM agg
+    )
     """,
 )
 def a38_mann_whitney_u(spark, sf_dir):
@@ -979,7 +984,10 @@ def a38_mann_whitney_u(spark, sf_dir):
     U1 = (2R1 − n1(n1+1))/2 is an exact halving (binary-exact even on
     .5 midranks). The tie-corrected normal z (Lehmann) divides exact
     bigint co-moments — identical doubles cross-engine, libm sqrt on a
-    ONE-row result rounded 6 dp. Full value-hash oracle.
+    ONE-row result rounded 6 dp — and ``p_value`` is the two-sided
+    normal p from the rounded z (A&S 7.1.26 erfc polynomial, mirrored
+    literally in the oracle — operators/stats.py
+    ``normal_sf_two_sided``). Full value-hash oracle.
 
     Scale shape: identical to a37 — one corpus pass to the bounded
     distinct-value domain, one domain-sized cumulative window, one
@@ -1786,7 +1794,7 @@ def j12_asof_tolerance(spark, sf_dir):
 
 @query(
     "a41_two_proportion_ztest",
-    """
+    f"""
     WITH du AS (
       SELECT user_id,
              CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -1806,14 +1814,18 @@ def j12_asof_tolerance(spark, sf_dir):
              MAX(CASE WHEN grp = 1 THEN x END) AS x1
       FROM g
     )
-    SELECT n0, x0, n1, x1,
-           CAST(x0 AS DOUBLE) / n0 AS p0,
-           CAST(x1 AS DOUBLE) / n1 AS p1,
-           round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
-                 / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
-    FROM w
+    SELECT n0, x0, n1, x1, p0, p1, z,
+           round({normal_sf_two_sided_sql('z')}, 6) AS p_value
+    FROM (
+      SELECT n0, x0, n1, x1,
+             CAST(x0 AS DOUBLE) / n0 AS p0,
+             CAST(x1 AS DOUBLE) / n1 AS p1,
+             round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                   / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1)), 6) AS z
+      FROM w
+    )
     """,
 )
 def a41_two_proportion_ztest(spark, sf_dir):
@@ -1827,7 +1839,9 @@ def a41_two_proportion_ztest(spark, sf_dir):
     exposure/conversion are user-level, not event-level, the standard
     unit-of-randomization discipline), then exact integer (n, x) per
     arm; p0/p1/z divide exact bigints, with the one sqrt on a ONE-row
-    result rounded 6 dp. Full value-hash oracle.
+    result rounded 6 dp, plus ``p_value`` — the two-sided normal p
+    from the rounded z (A&S erfc polynomial, oracle-mirrored). Full
+    value-hash oracle.
 
     Scale: one keyed user collapse (map-combinable MAX flags) + a
     2-row aggregate."""
@@ -1859,7 +1873,9 @@ def a41_two_proportion_ztest(spark, sf_dir):
     pp = (F.col("x0") + F.col("x1")).cast("double") / (
         F.col("n0") + F.col("n1")
     )
-    return w.select(
+    from finporter_spark.operators.stats import normal_sf_two_sided
+
+    out = w.select(
         "n0", "x0", "n1", "x1",
         p0.alias("p0"),
         p1.alias("p1"),
@@ -1870,4 +1886,9 @@ def a41_two_proportion_ztest(spark, sf_dir):
             ),
             6,
         ).alias("z"),
+    )
+    # two-sided normal p from the ROUNDED z — the readout an
+    # experimenter actually consumes (erfc polynomial, oracle-mirrored)
+    return out.withColumn(
+        "p_value", F.round(normal_sf_two_sided(F.col("z")), 6)
     )

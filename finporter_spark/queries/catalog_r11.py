@@ -24,6 +24,7 @@ import shutil
 
 from pyspark.sql import Window, functions as F
 
+from finporter_spark.operators.stats import normal_sf_two_sided_sql
 from finporter_spark.queries.catalog import _t, query
 from finporter_spark.queries.catalog_ext import (
     _io_dir,
@@ -850,7 +851,7 @@ def a43_ks_weekly(spark, sf_dir):
 
 @query(
     "a44_mwu_weekly",
-    """
+    f"""
     WITH s AS (
       SELECT date_trunc('week', ts) AS wk,
              CAST(round(value * 100) AS BIGINT) AS iv,
@@ -871,25 +872,29 @@ def a43_ks_weekly(spark, sf_dir):
              SUM(c * c * c - c) AS tie3
       FROM cum GROUP BY wk
     )
-    SELECT wk, n1, n2,
-           CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-           n1 * CAST(n2 AS DOUBLE)
-             - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
-           CASE WHEN (n1 * CAST(n2 AS DOUBLE) / 12.0)
-                     * ((n1 + n2 + 1)
-                        - COALESCE(CAST(tie3 AS DOUBLE)
-                          / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)),
-                          0.0)) > 0
-                THEN round(
-                  (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
-                   - n1 * CAST(n2 AS DOUBLE) / 2.0)
-                  / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
-                     * ((n1 + n2 + 1)
-                        - COALESCE(CAST(tie3 AS DOUBLE)
-                          / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)),
-                          0.0))), 6)
-           END AS z
-    FROM agg
+    SELECT wk, n1, n2, u1, u2, z,
+           round({normal_sf_two_sided_sql('z')}, 6) AS p_value
+    FROM (
+      SELECT wk, n1, n2,
+             CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             n1 * CAST(n2 AS DOUBLE)
+               - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+             CASE WHEN (n1 * CAST(n2 AS DOUBLE) / 12.0)
+                       * ((n1 + n2 + 1)
+                          - COALESCE(CAST(tie3 AS DOUBLE)
+                            / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)),
+                            0.0)) > 0
+                  THEN round(
+                    (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                     - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                    / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                       * ((n1 + n2 + 1)
+                          - COALESCE(CAST(tie3 AS DOUBLE)
+                            / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)),
+                            0.0))), 6)
+             END AS z
+      FROM agg
+    )
     """,
 )
 def a44_mwu_weekly(spark, sf_dir):
@@ -905,7 +910,9 @@ def a44_mwu_weekly(spark, sf_dir):
     quantized domain, the a37 pin applies). Same integer-exactness
     contract as a38: doubled midranks keep rank sums bigint, U halves
     exactly in binary, Lehmann tie-corrected z rounds 6 dp on
-    week-sized output, NULL z on zero variance."""
+    week-sized output, NULL z on zero variance, and ``p_value`` — the
+    two-sided normal p from the rounded z (A&S erfc polynomial,
+    oracle-mirrored) — NULL exactly where z is."""
     from finporter_spark.operators.stats import mann_whitney_u_by
 
     e = _t(spark, sf_dir, "events").where(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from finporter_spark.operators.stats import normal_sf_two_sided_sql
 from finporter_spark.queries.catalog import _t, query
 
 # =====================================================================
@@ -1089,7 +1090,7 @@ def l46c_ivfadc_m8(spark, sf_dir):
 # A47 — Dunn's post-hoc pairwise readout (after the a46 omnibus)
 # =====================================================================
 
-_A47_ZCRIT = 2.393980  # two-sided alpha=0.05 Bonferroni over 3 pairs
+_A47_ALPHA = 0.05  # family-wise error rate, Bonferroni over 3 pairs
 
 
 def _a47_pair_sql(i: int, j: int) -> str:
@@ -1112,8 +1113,7 @@ def _a47_pair_sql(i: int, j: int) -> str:
       SELECT '{i}' AS arm_i, '{j}' AS arm_j,
              n{i} AS ni, n{j} AS nj,
              {mri} AS mean_rank_i, {mrj} AS mean_rank_j,
-             {z} AS z,
-             abs({z}) >= {_A47_ZCRIT} AS significant
+             {z} AS z
       FROM dn"""
 
 
@@ -1147,7 +1147,17 @@ _A47_ORACLE = f"""
     ), dn AS (
       SELECT *, CAST((n0 + n1) + n2 AS DOUBLE) AS nd FROM agg
     )
-    {" UNION ALL ".join(_a47_pair_sql(i, j) for i in range(3) for j in range(i + 1, 3))}
+    SELECT arm_i, arm_j, ni, nj, mean_rank_i, mean_rank_j, z, p_adj,
+           p_adj <= {_A47_ALPHA} AS significant
+    FROM (
+      SELECT arm_i, arm_j, ni, nj, mean_rank_i, mean_rank_j, z,
+             CASE WHEN z IS NOT NULL THEN
+               round(least(1.0, 3.0 * {normal_sf_two_sided_sql('z')}), 6)
+             END AS p_adj
+      FROM (
+        {" UNION ALL ".join(_a47_pair_sql(i, j) for i in range(3) for j in range(i + 1, 3))}
+      )
+    )
     """
 
 
@@ -1165,11 +1175,14 @@ def a47_dunn_posthoc(spark, sf_dir):
     k(k−1)/2 pair rows explode from ONE scalar aggregate (no second
     corpus pass); mean ranks are bigint-exact doubled rank sums
     divided once; the tie-corrected z is a fixed-association
-    expression; significance is decided at the declared
-    Bonferroni-adjusted critical value (2.393980: two-sided family
-    alpha 0.05 over 3 pairs) on the ROUNDED z — neither engine has erf
-    as a builtin, so the operator ships the decision, not the p-value,
-    and the hash certifies z AND the decision on all three pairs."""
+    expression; ``p_adj`` is the REAL Bonferroni-adjusted two-sided
+    p-value — min(1, 3·erfc(|z|/√2)) via the Abramowitz–Stegun 7.1.26
+    polynomial (``operators.stats.normal_sf_two_sided``, |err| ≤
+    1.5e-7, mirrored literally in the oracle — erf is not an engine
+    builtin but IS five multiply-adds and an exp, which both engines
+    evaluate bit-identically on the rounded z) — and ``significant``
+    decides p_adj ≤ 0.05 on the ROUNDED p, so the hash certifies z,
+    the p-value, AND the decision on all three pairs."""
     from finporter_spark.operators.stats import dunn_posthoc
 
     e = _t(spark, sf_dir, "events")
@@ -1186,7 +1199,7 @@ def a47_dunn_posthoc(spark, sf_dir):
             % 3
         ).alias("arm"),
     )
-    return dunn_posthoc(m, "iv", "arm", [0, 1, 2], z_crit=_A47_ZCRIT)
+    return dunn_posthoc(m, "iv", "arm", [0, 1, 2], alpha=_A47_ALPHA)
 
 
 # =====================================================================

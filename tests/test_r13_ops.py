@@ -1,0 +1,138 @@
+"""Round-13 operator tests.
+
+- normal_sf_two_sided: the A&S 7.1.26 erfc polynomial that gives the
+  z-statistic family (a38/a41/a44/a47) real p-values — accuracy vs
+  math.erfc, BIT-identical cross-engine parity of the Column vs the
+  SQL mirror, NULL propagation, and the Dunn alpha/z_crit decision
+  equivalence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------
+# normal_sf_two_sided (the z-family p-value)
+# ---------------------------------------------------------------------
+
+
+def _py_p2(z: float) -> float:
+    """Pure-Python mirror of the fixed expression tree (same literals,
+    same association) — the reference both engines must match."""
+    from finporter_spark.operators.stats import _ERF_A, _ERF_P, _INV_SQRT2
+
+    a1, a2, a3, a4, a5 = _ERF_A
+    y = abs(z) * _INV_SQRT2
+    t = 1.0 / (1.0 + _ERF_P * y)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * math.exp(-(y * y))
+
+
+def test_erf_polynomial_accuracy_vs_math():
+    """|p - erfc(|z|/sqrt2)| <= 1.5e-7 (the published A&S 7.1.26
+    bound) over a dense grid covering the whole usable z range."""
+    from finporter_spark.operators.stats import _INV_SQRT2
+
+    worst = 0.0
+    for i in range(-8000, 8001, 7):
+        z = i / 1000.0
+        exact = math.erfc(abs(z) * _INV_SQRT2)
+        worst = max(worst, abs(_py_p2(z) - exact))
+    assert worst <= 1.5e-7, worst
+
+
+def test_erf_cross_engine_parity(spark):
+    """Cross-engine contract of the p-value expression, measured on a
+    grid: (1) DuckDB evaluates the SQL mirror BIT-identically to the
+    pure-Python tree (both ride libm); (2) Spark agrees to within 1
+    ulp — java.lang.Math.exp is allowed 1-ulp error where libm exp is
+    correctly rounded, the SAME tolerance the long-green _kw_h_and_p
+    p_approx family already absorbs — so (3) after the 6 dp round the
+    engines are IDENTICAL, which is the hash contract the
+    a38/a41/a44/a47 oracles actually depend on."""
+    from finporter_spark.operators.stats import (
+        normal_sf_two_sided,
+        normal_sf_two_sided_sql,
+    )
+
+    zs = [round(i / 111.0, 6) for i in range(-900, 901, 13)] + [
+        0.0, 1.959964, 2.393980, -2.393980, 7.5,
+    ]
+    sdf = spark.createDataFrame([(z,) for z in zs], "z double")
+    got_spark = {
+        r.z: r.p
+        for r in sdf.select(
+            "z", normal_sf_two_sided(F.col("z")).alias("p")
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            "SELECT z, "
+            + normal_sf_two_sided_sql("z")
+            + " AS p FROM (SELECT unnest(?::DOUBLE[]) AS z)",
+            [zs],
+        ).fetchall()
+    )
+    for z in zs:
+        assert got_duck[z] == _py_p2(z), z  # bit-identical (libm)
+        assert got_spark[z] == pytest.approx(
+            got_duck[z], rel=1e-14, abs=1e-300
+        ), z  # <= ~1 ulp (JVM exp)
+        assert round(got_spark[z], 6) == round(got_duck[z], 6), z
+
+
+def test_mwu_p_value_and_null_propagation(spark):
+    from finporter_spark.operators.stats import mann_whitney_u
+
+    # separated samples: z real, p_value == round(erfc(|z|/sqrt2), 6)
+    rows = [(v, 1) for v in range(10)] + [(v, 0) for v in range(50, 60)]
+    df = spark.createDataFrame(rows, "iv bigint, a int")
+    r = mann_whitney_u(df, "iv", "a").collect()[0]
+    assert r.z is not None
+    assert r.p_value == round(_py_p2(r.z), 6)
+    # all-tied: NULL z must propagate to NULL p_value
+    df2 = spark.createDataFrame([(5, 1), (5, 0)], "iv bigint, a int")
+    r2 = mann_whitney_u(df2, "iv", "a").collect()[0]
+    assert r2.z is None and r2.p_value is None
+
+
+def test_dunn_alpha_flag_matches_legacy_zcrit(spark):
+    """p_adj <= 0.05 (the new default decision) must agree with the
+    legacy |z| >= 2.393980 Bonferroni critical value — they are the
+    same test stated in two coordinate systems."""
+    from finporter_spark.operators.stats import dunn_posthoc
+
+    rows = [
+        (int(v) + 7 * g, g) for g in range(3) for v in range(25)
+    ] + [(3, 0), (3, 1), (9, 2), (9, 2)]
+    df = spark.createDataFrame(rows, "iv bigint, arm int")
+    by_alpha = {
+        (r.arm_i, r.arm_j): (r.significant, r.p_adj, r.z)
+        for r in dunn_posthoc(df, "iv", "arm", [0, 1, 2]).collect()
+    }
+    by_crit = {
+        (r.arm_i, r.arm_j): r.significant
+        for r in dunn_posthoc(
+            df, "iv", "arm", [0, 1, 2], z_crit=2.393980
+        ).collect()
+    }
+    assert set(by_alpha) == set(by_crit) and len(by_alpha) == 3
+    for pair, (sig, p_adj, z) in by_alpha.items():
+        assert sig == by_crit[pair], (pair, p_adj, z)
+        assert p_adj == round(min(1.0, 3.0 * _py_p2(z)), 6)
+
+
+def test_dunn_p_adj_null_on_degenerate(spark):
+    from finporter_spark.operators.stats import dunn_posthoc
+
+    df = spark.createDataFrame(
+        [(5, 0), (5, 1), (5, 2)], "iv bigint, arm int"
+    )
+    for r in dunn_posthoc(df, "iv", "arm", [0, 1, 2]).collect():
+        assert r.z is None and r.p_adj is None and r.significant is None
