@@ -247,6 +247,8 @@ HEADLINE = [
     "x20_stream_ann_ingest",
     "a47_dunn_posthoc",
     "a46b_kw_weekly",
+    # round-13 additions
+    "o20_time_travel_read",
 ]
 
 

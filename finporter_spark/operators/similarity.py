@@ -1366,6 +1366,66 @@ def pq_rerank(
     )
 
 
+def ivfadc_params(n: int, dim: int, pq_k: int = 16) -> dict:
+    """Density-driven IVFADC budget dial — k_coarse, m, n_probe and
+    shortlist as a FUNCTION of corpus size, replacing the hand-picked
+    per-density dials the round-12 verdict flagged (a 100×-scale user
+    got the collapsing m=4 default: recall 0.448 at struct-sf10 where
+    the sized dial reads 0.798 — IVFADC_DECADE.json / SCALING.md).
+
+    The rule, calibrated on the planted-cluster decade grid
+    (tools/ivfadc_decade.py; pinned in tests/test_recall_sf01.py):
+
+    - ``k_coarse`` = largest power of two ≤ 1.5·√N, floor 16 — the √N
+      convention (Jégou TPAMI 2011 §V uses k_coarse ∝ √N so cell scan
+      cost and probe cost balance), power-of-two so cache keys and the
+      FLAT_ASSIGN_K boundary stay stable across nearby N. Reproduces
+      the measured ladder: N=2k→64, 8k→128, 80k→256.
+    - ``points_per_cell`` = N / k_coarse decides the code budget.
+      Measured: m=4 (16-dim subspaces at dim 64) HOLDS recall
+      0.855/0.858 at ppc 31/62 and COLLAPSES to 0.448 at ppc 312 —
+      with ~300 near-identical neighbors per cell the 4×16-code ADC
+      distortion exceeds true-neighbor gaps, and finer codes, not more
+      probes, recover it (n_probe 24/shortlist 800 at m=4 reads only
+      0.680; m=8 at half that probe budget reads 0.798).
+    - escalation ``level`` = ceil(log8(ppc/128)) past ppc=128: each 8×
+      of cell population doubles m (code bits per vector), n_probe and
+      shortlist. Level 0 is the measured-safe zone (ppc ≤ 128); level
+      1 is the measured struct-sf10 dial (m=8, n_probe=12,
+      shortlist=400); levels beyond extrapolate the same geometric
+      response with the rationale above.
+    - ``m`` is clamped to divide ``dim`` with ≥2-dim subspaces;
+      ``n_probe`` is clamped to k_coarse.
+
+    Returns {k_coarse, m, n_probe, shortlist, pq_k, points_per_cell,
+    level}. Callers: the l46 catalog family pins its import-time
+    constants to this rule at declared reference densities, and
+    tools/ivfadc_decade.py sizes every struct row with it."""
+    import math
+
+    if n < 1:
+        raise ValueError("ivfadc_params: need n >= 1")
+    k_coarse = max(
+        16, 2 ** int(math.floor(math.log2(max(16.0, 1.5 * math.sqrt(n)))))
+    )
+    ppc = n / k_coarse
+    level = (
+        int(math.ceil(math.log(ppc / 128.0, 8.0))) if ppc > 128.0 else 0
+    )
+    m = 4 * (2 ** level)
+    while m > 1 and (dim % m != 0 or dim // m < 2):
+        m //= 2
+    return {
+        "k_coarse": k_coarse,
+        "m": m,
+        "n_probe": min(k_coarse, 6 * (2 ** level)),
+        "shortlist": 200 * (2 ** level),
+        "pq_k": pq_k,
+        "points_per_cell": ppc,
+        "level": level,
+    }
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1614,3 +1614,5 @@ from finporter_spark.queries import catalog_r11  # noqa: E402,F401
 from finporter_spark.queries import catalog_r11b  # noqa: E402,F401
 
 from finporter_spark.queries import catalog_r12  # noqa: E402,F401
+
+from finporter_spark.queries import catalog_r13  # noqa: E402,F401

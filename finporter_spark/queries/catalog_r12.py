@@ -301,13 +301,32 @@ def o19_vacuum_versions(spark, sf_dir):
 # derived from the SAME parquet both engines read — so the whole
 # IVFADC pipeline on it carries full value-hash oracles.
 
-_L46_K = 64          # coarse cells (≈ √N at sf0.1, planted-cluster count)
+# The budget dial comes from the SIZING RULE, not hand-picked numbers
+# (operators.similarity.ivfadc_params — the round-12 verdict's #1):
+# the catalog entries and their import-time oracles are pinned at the
+# struct-sf0.1 reference density (N=2000); the SAME rule sizes every
+# other density live (tools/ivfadc_decade.py struct rows, the decade
+# recall pins in tests/test_recall_sf01.py).
+from finporter_spark.operators.similarity import ivfadc_params
+
+_L46_REF_N = 2000    # struct-sf0.1 corpus rows (the pinned density)
+_L46_DIAL = ivfadc_params(_L46_REF_N, 64)
+_L46_K = _L46_DIAL["k_coarse"]       # 64 (== planted-cluster count)
 _L46_ITERS = 3
-_L46_NPROBE = 6
-_L46_SHORT = 200     # plain-PQ rerank budget (recall 0.855 at sf0.1)
+_L46_NPROBE = _L46_DIAL["n_probe"]   # 6
+_L46_SHORT = _L46_DIAL["shortlist"]  # 200 (recall 0.855 at sf0.1)
 _L46B_SHORT = 50     # residual-PQ budget (recall 0.785 vs plain 0.615)
 _L46_CLUSTERS = 64
 _L46_SCALE = 150     # center amplitude, per-mille
+# the l46/l46b oracles unroll catalog_r10's _PQ_M (=4) subspace
+# trainings — fail LOUDLY at import if the rule ever disagrees with
+# the oracle construction instead of hash-diffing later
+if _L46_DIAL["m"] != 4:
+    raise RuntimeError(
+        f"l46 oracle unrolls m=4 subspaces but ivfadc_params sizes "
+        f"m={_L46_DIAL['m']} at the reference density — regenerate "
+        "the oracle CTEs to match the rule"
+    )
 
 # the planted-center table + structured-embedding CTEs, shared by both
 # oracles (DuckDB mirror of _staged_structured_embeddings)
@@ -893,8 +912,14 @@ def x20_stream_ann_ingest(spark, sf_dir):
 # L46c — the PQ code-budget dial (m=8) with a full oracle
 # =====================================================================
 
-_L46C_M = 8
-_L46C_SUB = 8  # 64 dims / 8 subspaces
+# the m=8 dial is DERIVED, not hand-picked: it is what the sizing
+# rule returns at the struct-sf10 density (N=80k, points-per-cell
+# ~312 — the density where the m=4 codes collapse to 0.448 and this
+# dial reads 0.798); the oracle below is parametric in _L46C_M, so
+# the entry certifies the rule's level-1 output end-to-end
+_L46C_REF_N = 80_000
+_L46C_M = ivfadc_params(_L46C_REF_N, 64)["m"]
+_L46C_SUB = 64 // _L46C_M  # 8-dim subspaces at m=8
 
 
 def _m8_pq_sub_ctes(i: int) -> str:

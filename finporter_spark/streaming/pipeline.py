@@ -343,6 +343,53 @@ def versioned_keep_first_sink(root: str, key_col: str, order_col: str):
     return merge, read_final
 
 
+def list_versions(root: str, prefix: str = "state_v") -> list[int]:
+    """Committed versions of a versioned merge sink
+    (:func:`versioned_keep_first_sink` / x9's ``state_v{batch_id}``
+    layout), sorted ascending. Stray non-version entries (temp dirs,
+    vacuum tombstones, marker files) are ignored — the same discovery
+    contract the sinks' ``latest_version`` and ``vacuum_versions``
+    use, so the three views of the directory can never disagree."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        suffix = d[len(prefix):]
+        if d.startswith(prefix) and suffix.isdigit():
+            out.append(int(suffix))
+    return sorted(out)
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int, prefix: str = "state_v"
+) -> DataFrame:
+    """TIME-TRAVEL read over a versioned merge sink: the full merged
+    state AS OF batch ``version``. Each committed version is a
+    complete keep-first snapshot (that is exactly what makes crash
+    replay idempotent — the merge unions the parent snapshot, not the
+    raw history), so ``read_version(k)`` equals recomputing the merge
+    over batches 0..k — pinned in tests/test_r13_ops.py and the o20
+    catalog oracle.
+
+    Reading a version that was reclaimed by
+    :func:`finporter_spark.operators.scale.vacuum_versions` (or never
+    committed) fails LOUDLY with the surviving range — vacuum is
+    irreversible retention, and silently serving the nearest
+    surviving version would hand the caller the wrong point in time.
+    Historical state past the retention window is re-derived by
+    replaying the source, never from the sink."""
+    available = list_versions(root, prefix)
+    if version not in available:
+        raise FileNotFoundError(
+            f"read_version: version {version} not present under "
+            f"{root!r}; available versions: {available!r} — older "
+            "versions may have been reclaimed by vacuum_versions "
+            "(retention is irreversible); replay the source to "
+            "re-derive state outside the retention window"
+        )
+    return spark.read.parquet(os.path.join(root, f"{prefix}{version}"))
+
+
 def stream_transform(
     spark: SparkSession,
     in_dir: str,

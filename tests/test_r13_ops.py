@@ -136,3 +136,56 @@ def test_dunn_p_adj_null_on_degenerate(spark):
     )
     for r in dunn_posthoc(df, "iv", "arm", [0, 1, 2]).collect():
         assert r.z is None and r.p_adj is None and r.significant is None
+
+
+# ---------------------------------------------------------------------
+# read_version / list_versions (o20 time travel)
+# ---------------------------------------------------------------------
+
+
+def test_read_version_equals_prefix_recompute(spark, tmp_path):
+    """read_version(k) == the keep-first merge recomputed over batches
+    0..k (the snapshot construction), for EVERY k; after vacuum the
+    surviving versions stay readable and the reclaimed ones fail
+    loudly naming the surviving range."""
+    from pyspark.sql import Window
+
+    from finporter_spark.operators.scale import vacuum_versions
+    from finporter_spark.streaming.pipeline import (
+        list_versions,
+        read_version,
+        versioned_keep_first_sink,
+    )
+
+    root = str(tmp_path / "sink")
+    merge, _ = versioned_keep_first_sink(root, key_col="k", order_col="o")
+    df = spark.createDataFrame(
+        [(i % 7, i, f"b{i % 4}") for i in range(40)],
+        "k int, o int, tag string",
+    )
+    for b in range(4):
+        merge(df.where(F.col("o") % 4 == b), b)
+    assert list_versions(root) == [0, 1, 2, 3]
+    w = Window.partitionBy("k").orderBy("o")
+    for k in range(4):
+        got = sorted(map(tuple, read_version(spark, root, k).collect()))
+        exp = sorted(
+            map(
+                tuple,
+                df.where(F.col("o") % 4 <= k)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .collect(),
+            )
+        )
+        assert got == exp, k
+    stats = vacuum_versions(root, keep=2)
+    assert stats["removed"] == [0, 1] and list_versions(root) == [2, 3]
+    assert read_version(spark, root, 3).count() == 7
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        read_version(spark, root, 1)
+    # a root that was never a sink lists empty and reads loud
+    assert list_versions(str(tmp_path / "nope")) == []
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "nope"), 0)

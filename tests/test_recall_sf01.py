@@ -454,8 +454,8 @@ def test_pq_rerank_recall_at_sf01(spark, emb01):
     assert mean >= 5 * frac, (mean, frac)
 
 
-def _structured_truth(spark, k=10):
-    """Exact top-k ground truth over the sf0.1 planted-cluster corpus
+def _structured_truth(spark, sf_dir=SF01, k=10):
+    """Exact top-k ground truth over a planted-cluster corpus
     (numpy over the staged parquet; id tie-break matches the engine)."""
     import numpy as np
 
@@ -463,7 +463,7 @@ def _structured_truth(spark, k=10):
         _staged_structured_embeddings,
     )
 
-    se = _staged_structured_embeddings(spark, SF01)
+    se = _staged_structured_embeddings(spark, sf_dir)
     emb = se.orderBy("vec_id").collect()
     ids = np.array([r.vec_id for r in emb])
     M = np.array([r.embedding for r in emb])
@@ -606,3 +606,134 @@ def test_l46c_m8_beats_m4_at_tight_budget_sf01(spark):
         CATALOG["l46c_ivfadc_m8"][0](spark, SF01).collect(), truth
     )
     assert m8 >= 0.64, m8
+
+
+# ---------------------------------------------------------------------
+# The IVFADC sizing rule (round 13): dials are a FUNCTION of density
+# ---------------------------------------------------------------------
+
+
+def test_ivfadc_params_reproduces_measured_dials():
+    """The rule must reproduce every dial the decade grid measured:
+    level-0 at the ladder densities where m=4 holds recall 0.855/0.858,
+    the level-1 escalation (m=8, n_probe=12, shortlist=400) at the
+    struct-sf10 density where m=4 collapsed to 0.448 and the sized
+    dial reads ~0.8 — plus structural invariants at any density."""
+    from finporter_spark.operators.similarity import ivfadc_params
+
+    def dial(n):
+        p = ivfadc_params(n, 64)
+        return (p["k_coarse"], p["m"], p["n_probe"], p["shortlist"])
+
+    assert dial(2_000) == (64, 4, 6, 200)     # struct-sf0.1, rec 0.855
+    assert dial(8_000) == (128, 4, 6, 200)    # struct-sf1, rec 0.858
+    assert dial(80_000) == (256, 8, 12, 400)  # struct-sf10, rec ~0.8
+    prev = None
+    for n in (1, 100, 10_000, 10**6, 10**8, 10**10):
+        p = ivfadc_params(n, 64)
+        # m divides dim with >= 2-dim subspaces; probes <= cells
+        assert 64 % p["m"] == 0 and 64 // p["m"] >= 2
+        assert p["n_probe"] <= p["k_coarse"]
+        # dials never shrink as the corpus grows
+        if prev is not None:
+            assert p["k_coarse"] >= prev["k_coarse"]
+            assert p["m"] >= prev["m"]
+            assert p["shortlist"] >= prev["shortlist"]
+        prev = p
+    # low-dim corpora still get valid subspaces
+    p8 = ivfadc_params(10**7, 8)
+    assert 8 % p8["m"] == 0 and 8 // p8["m"] >= 2
+
+
+def test_catalog_dial_is_rule_derived():
+    """No hand-chosen budget anywhere in the l46 family: the catalog
+    constants must BE the rule's output at the declared reference
+    densities (the import-time raise guards m; this pins the rest)."""
+    from finporter_spark.operators.similarity import ivfadc_params
+    from finporter_spark.queries.catalog_r12 import (
+        _L46_K,
+        _L46_NPROBE,
+        _L46_REF_N,
+        _L46_SHORT,
+        _L46C_M,
+        _L46C_REF_N,
+    )
+
+    p = ivfadc_params(_L46_REF_N, 64)
+    assert (_L46_K, _L46_NPROBE, _L46_SHORT) == (
+        p["k_coarse"], p["n_probe"], p["shortlist"]
+    )
+    assert _L46C_M == ivfadc_params(_L46C_REF_N, 64)["m"]
+
+
+_STRUCT_DECADE = [
+    (SF01, 0.80),                           # measured 0.855 (level 0)
+    ("/tmp/finporter_testdata/sf1", 0.80),  # measured 0.858 (level 0)
+    ("/tmp/finporter_testdata/sf10", 0.75),  # ~0.8 with the level-1 dial
+]
+
+
+@pytest.mark.parametrize("sfdir,floor", _STRUCT_DECADE)
+def test_sized_dial_recall_struct_decade(spark, sfdir, floor):
+    """The round-12 verdict's #1 done-bar: the RULE-sized dial
+    (ivfadc_params, no hand-chosen budget) holds recall across the
+    whole struct decade — ≥0.8 at sf0.1/sf1 where level 0 measured
+    0.855/0.858, and ≥0.75 at struct-sf10 where the level-1
+    escalation (m=8, n_probe=12, shortlist=400) recovers ~0.8 from
+    the fixed m=4 default's 0.448 collapse. sf1/sf10 corpora are the
+    deterministic gen_testdata shapes (regenerated if absent); caches
+    are shared with tools/ivfadc_decade.py."""
+    if not os.path.isdir(sfdir):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_testdata",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools", "gen_testdata.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.gen(float(sfdir.rsplit("sf", 1)[1]), sfdir)
+
+    from finporter_spark.operators.similarity import (
+        ivfadc_params,
+        ivfadc_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r12 import (
+        _emb_fingerprint,
+        _staged_structured_embeddings,
+    )
+
+    se = _staged_structured_embeddings(spark, sfdir)
+    prm = ivfadc_params(se.count(), 64)
+    k, m = prm["k_coarse"], prm["m"]
+    fp = _emb_fingerprint(sfdir)
+    cents = load_or_train_centroids_det(
+        se, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
+        cache_path=_io_dir(sfdir, f"l46_coarse_k{k}_i3"), fingerprint=fp,
+    )
+    books = load_or_train_pq_books(
+        se, "vec_id", "embedding", m=m, k=16, iters=2,
+        cache_path=_io_dir(sfdir, f"l46_books_m{m}_k16"), fingerprint=fp,
+    )
+    codes = load_or_build_ivfadc_codes(
+        se, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(sfdir, f"l46dec_k{k}_m{m}_codes"),
+        fingerprint=fp,
+    )
+    queries = se.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
+    )
+    rows = ivfadc_topk(
+        se, queries, "vec_id", "embedding", cents, books,
+        n_probe=prm["n_probe"], shortlist=prm["shortlist"], k=10,
+        codes=codes,
+    ).collect()
+    rec = _mean_recall(rows, _structured_truth(spark, sfdir))
+    assert rec >= floor, (sfdir, prm, rec)

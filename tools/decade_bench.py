@@ -197,6 +197,8 @@ QUERIES = [
     "x20_stream_ann_ingest",
     "a47_dunn_posthoc",
     "a46b_kw_weekly",
+    # round-13 additions
+    "o20_time_travel_read",
 ]
 
 

@@ -59,6 +59,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from finporter_spark.operators.similarity import (
+        ivfadc_params,
         ivfadc_topk,
         load_or_build_ivfadc_codes,
         load_or_train_centroids_det,
@@ -73,32 +74,38 @@ def main() -> None:
 
     spark = get_session("ivfadc-decade")
     results = {}
-    # structured-corpus ladder: √N sizing per decade (64 ≈ the planted
-    # cluster count at sf0.1 — shares the l46 catalog cache; 128/256 ≈
-    # √20k/√80k), all below/at the flat-assignment boundary story the
-    # random ladder already exercises
+    # structured-corpus ladder: every row is sized LIVE by the rule
+    # (operators.similarity.ivfadc_params) from the corpus count — the
+    # round-12 verdict's #1: no hand-chosen k/m/n_probe/shortlist.
+    # The rule reproduces the measured ladder (k 64/128/256) and at
+    # struct-sf10 escalates to the level-1 dial (m=8, n_probe=12,
+    # shortlist=400) where the fixed m=4 default collapsed to 0.448.
     struct_rows = [
-        ("struct_0.1", "/root/testdata/sf0.1", 64),
-        ("struct_1", "/tmp/finporter_testdata/sf1", 128),
-        ("struct_10", "/tmp/finporter_testdata/sf10", 256),
+        ("struct_0.1", "/root/testdata/sf0.1", None),
+        ("struct_1", "/tmp/finporter_testdata/sf1", None),
+        ("struct_10", "/tmp/finporter_testdata/sf10", None),
     ]
     for sf, d, k in SFS + struct_rows:
         structured = sf.startswith("struct_")
         if structured:
             emb = _staged_structured_embeddings(spark, d)
-            tag = f"l46dec_k{k}"
+            prm = ivfadc_params(emb.count(), 64)
+            k, m = prm["k_coarse"], prm["m"]
+            n_probe, shortlist = prm["n_probe"], prm["shortlist"]
+            tag = f"l46dec_k{k}_m{m}"
             # struct caches derive from the staged corpus: stamp must
             # include the planted-cluster recipe, not just the parquet
             fp = _emb_fingerprint(d)
         else:
             emb = _t(spark, d, "embeddings")
+            m, n_probe, shortlist = 4, N_PROBE, SHORTLIST
             tag = f"l45dec_k{k}"
             fp = _src_fp(d, "embeddings")
         books = load_or_train_pq_books(
-            emb, "vec_id", "embedding", m=4, k=16, iters=2,
+            emb, "vec_id", "embedding", m=m, k=16, iters=2,
             cache_path=_io_dir(
                 d,
-                "l46_books_m4_k16" if structured
+                f"l46_books_m{m}_k16" if structured
                 else "l45_pq_books_m4_k16_i2",
             ),
             fingerprint=fp,
@@ -128,7 +135,7 @@ def main() -> None:
         def run():
             return ivfadc_topk(
                 emb, queries, "vec_id", "embedding", cents, books,
-                n_probe=N_PROBE, shortlist=SHORTLIST, k=TOPK,
+                n_probe=n_probe, shortlist=shortlist, k=TOPK,
                 codes=codes,
             )
 
@@ -168,11 +175,14 @@ def main() -> None:
             exact = set(ids[np.lexsort((ids, dq))][:TOPK].tolist())
             got = {r.cand_id for r in rows if r.query_id == q}
             recs.append(len(got & exact) / TOPK)
-            probed = np.argsort(dc[qi], kind="stable")[:N_PROBE]
+            probed = np.argsort(dc[qi], kind="stable")[:n_probe]
             fracs.append(float(np.isin(cell, probed).mean()))
         results[sf] = {
             "n": int(len(ids)),
             "k_coarse": k,
+            "m": m,
+            "n_probe": n_probe,
+            "shortlist": shortlist,
             "recall": round(float(np.mean(recs)), 3),
             "scanned_frac": round(float(np.mean(fracs)), 3),
             "wall_s": wall,
