@@ -453,6 +453,106 @@ def span_dedup_stats(
     )
 
 
+def repeated_span_coverage(
+    df: DataFrame,
+    ngram_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """ARBITRARY-LENGTH repeated-span dedup — the exact-substring
+    shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): measure, per document, how many of its
+    tokens are covered by SOME repeated span of ≥ ``ngram_n`` tokens
+    that first appeared in a lower-``id_col`` document, and drop the
+    document when the merged coverage reaches ``drop_threshold``.
+
+    Why this differs from :func:`span_dedup_stats` (l25): l25 counts
+    duplicated fixed-width anchors as a FRACTION OF ANCHORS — a
+    20-token doc with an 11-token plagiarized span has 4 of 13
+    anchors duplicated (0.31, kept) while 55% of its TOKENS are
+    copied. Here the anchors are only the DETECTOR: any maximal
+    repeated span of length L ≥ n appears as exactly L−n+1
+    consecutive duplicated anchors, and the per-document interval
+    UNION of the anchor windows [i, i+n−1] (the w15 sweep-line
+    algebra — equal-width intervals sorted by start merge whenever
+    the next start ≤ previous start + n) recovers each span's TRUE
+    token length, without a distributed suffix array.
+
+    Output per document with ≥ n tokens: ``n_tokens``,
+    ``covered_tokens`` (merged-union size), ``n_spans`` (merged
+    maximal spans), ``max_span`` (longest one), ``coverage``, and
+    ``keep`` = coverage < drop_threshold. Zero-duplication documents
+    appear with coverage 0 (the left join back to the token table).
+
+    Plan/scale: the l25 shape plus one per-document window — explode
+    positional anchors (16-byte md5 keys), one gram-keyed window for
+    first-doc, then the merge is TWO windows + a groupBy all
+    partitioned by doc_id (per-task state = one document's duplicated
+    anchors, never the corpus) and one doc-keyed left join. Linear in
+    corpus tokens; no driver state."""
+    from finporter_spark.operators.text import tokens
+
+    n = ngram_n
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    docs = toks.select(id_col, F.size("_toks").alias("n_tokens"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.unhex(
+                    F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, n)))
+                ),
+            )
+        ).alias("_i", "_gkey"),
+    )
+    first_doc = F.min(id_col).over(Window.partitionBy("_gkey"))
+    dup = (
+        grams.withColumn("_fd", first_doc)
+        .filter(F.col("_fd") < F.col(id_col))
+        .select(id_col, "_i")
+    )
+    wp = Window.partitionBy(id_col).orderBy("_i")
+    # equal-width intervals sorted by start: a new merged span starts
+    # exactly when this anchor no longer overlaps/touches the previous
+    # one (start gap > n); -9 sentinel < any i - n, so row 1 opens one
+    newg = F.when(
+        F.col("_i") > F.coalesce(F.lag("_i").over(wp), F.lit(-9)) + n, 1
+    ).otherwise(0)
+    grp = dup.withColumn("_new", newg).withColumn(
+        "_grp", F.sum("_new").over(wp)
+    )
+    spans = grp.groupBy(id_col, "_grp").agg(
+        (F.max("_i") - F.min("_i") + n).alias("_slen")
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.sum("_slen").cast("bigint").alias("covered_tokens"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.max("_slen").cast("bigint").alias("max_span"),
+    )
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast(
+        "double"
+    ) / F.col("n_tokens")
+    return docs.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_spans"),
+        F.coalesce(F.col("max_span"), F.lit(0))
+        .cast("bigint")
+        .alias("max_span"),
+        cov.alias("coverage"),
+        (cov < F.lit(float(drop_threshold))).alias("keep"),
+    )
+
+
 def three_way_split(
     df: DataFrame,
     strata_col: str = "source",

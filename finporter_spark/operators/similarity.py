@@ -1366,6 +1366,94 @@ def pq_rerank(
     )
 
 
+def split_hot_cells(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    max_cell_frac: float = 0.1,
+    split_iters: int = 2,
+    max_rounds: int = 4,
+) -> list[list[float]]:
+    """HOT-CELL mitigation for skew-populated corpora (the Zipf
+    fixture's case): real embedding clusters are Zipf-sized, and under
+    a √N quantizer one hot cell can hold 20%+ of the corpus — then
+    every query that probes it scans that whole share (the probed
+    fraction stops being ~n_probe/k), and the PQ codebook trains
+    mostly on that one cell's geometry.
+
+    The fix is the quantizer-side one production IVF uses (cell split,
+    e.g. FAISS IndexIVF's imbalance handling): any cell holding more
+    than ``max_cell_frac`` of the corpus is REPLACED by two
+    sub-centroids trained on ITS members only (deterministic Lloyd —
+    :func:`kmeans_fit`'s smallest-id init, 6 dp means), re-assigning
+    and re-checking up to ``max_rounds`` times, so the centroid list
+    grows exactly where the data is dense. Downstream is unchanged:
+    the quantizer is still just a centroid list — probe and encode
+    exactly as before, with k' ≥ k cells. The staged codes MUST be
+    rebuilt against the split quantizer (use a cache path keyed by the
+    split, e.g. a ``_splitF`` suffix; the source fingerprint guard
+    does the rest).
+
+    Cost: per round, one map-only assignment over centroid literals +
+    one k-sized count, plus one Lloyd fit per hot cell over only that
+    cell's members. Convergence is not guaranteed for adversarial
+    ``max_cell_frac`` (a cap below the corpus's duplicate mass can't
+    be met) — the loop stops after ``max_rounds`` and returns the
+    best quantizer it reached; callers that need the cap as a hard
+    contract should re-measure (tests/test_r13_ops.py pins the Zipf
+    fixture case: cap met, scanned fraction halved, recall held).
+
+    Measured on the Zipf corpus at sf0.1 (planted hot cluster = 21%
+    of mass): see tests/test_r13_ops.py and IVFADC_DECADE.json
+    ``zipf_*`` rows."""
+    if not 0 < max_cell_frac <= 1:
+        raise ValueError("split_hot_cells: max_cell_frac must be in (0, 1]")
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).cache()
+    try:
+        n = v.count()
+        cents = [list(c) for c in centroids]
+        for _ in range(max_rounds):
+            assign = (
+                kmeans_assign_flat
+                if len(cents) > FLAT_ASSIGN_K
+                else kmeans_assign
+            )
+            assigned = assign(
+                v, cents, vec_col="_v", out_cluster="_cell", out_dist="_d"
+            ).drop("_d")
+            counts = {
+                r["_cell"]: r["count"]
+                for r in assigned.groupBy("_cell").count().collect()
+            }
+            hot = {
+                c for c, cnt in counts.items() if cnt > max_cell_frac * n
+            }
+            if not hot:
+                break
+            new_cents: list[list[float]] = []
+            for ci, cen in enumerate(cents):
+                if ci in hot:
+                    new_cents.extend(
+                        kmeans_fit(
+                            assigned.filter(F.col("_cell") == ci),
+                            "_id",
+                            "_v",
+                            k=2,
+                            iters=split_iters,
+                        )
+                    )
+                else:
+                    new_cents.append(cen)
+            cents = new_cents
+        return cents
+    finally:
+        v.unpersist()
+
+
 def ivfadc_params(n: int, dim: int, pq_k: int = 16) -> dict:
     """Density-driven IVFADC budget dial — k_coarse, m, n_probe and
     shortlist as a FUNCTION of corpus size, replacing the hand-picked

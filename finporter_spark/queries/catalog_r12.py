@@ -328,9 +328,9 @@ if _L46_DIAL["m"] != 4:
         "the oracle CTEs to match the rule"
     )
 
-# the planted-center table + structured-embedding CTEs, shared by both
-# oracles (DuckDB mirror of _staged_structured_embeddings)
-_STRUCT_E = f"""
+# the planted-center table CTE, shared by the struct AND zipf corpus
+# oracles (catalog_r13 reuses it with a skewed cluster draw)
+_CL_CTE = f"""
     cl AS (SELECT c.c AS cid,
                   list((CAST('0x' || substr(md5('cl' || CAST(c.c AS VARCHAR)
                          || '_' || CAST(d.d AS VARCHAR)), 1, 8) AS BIGINT)
@@ -338,7 +338,11 @@ _STRUCT_E = f"""
                        ORDER BY d.d) AS cen
            FROM generate_series(0, {_L46_CLUSTERS - 1}) c(c)
            CROSS JOIN generate_series(0, 63) d(d)
-           GROUP BY c.c),
+           GROUP BY c.c)"""
+
+# center table + structured-embedding CTEs, shared by both l46 oracles
+# (DuckDB mirror of _staged_structured_embeddings)
+_STRUCT_E = f"""{_CL_CTE},
     e AS MATERIALIZED (SELECT r.vec_id,
                  list_transform(list_zip(CAST(r.embedding AS DOUBLE[]),
                                          cl.cen),
@@ -425,10 +429,12 @@ def _staged_structured_embeddings(spark, sf_dir):
     return spark.read.parquet(path)
 
 
-def _l46_oracle() -> str:
-    """Plain IVFADC on the structured corpus: the l45c composition
+def _l46_oracle(corpus_cte: str | None = None) -> str:
+    """Plain IVFADC on a planted-cluster corpus: the l45c composition
     (coarse Lloyd unroll + per-subspace PQ unrolls + probe/ADC/rerank)
-    with the structured-embedding CTE as ``e`` and k_coarse=64."""
+    with the given corpus CTE as ``e`` (default: the balanced
+    structured corpus; catalog_r13's l47 passes the Zipf-skewed one)
+    and k_coarse=64."""
     from finporter_spark.queries.catalog_ext import (
         _ivf_dist_cte,
         _ivf_mean_cte,
@@ -441,6 +447,8 @@ def _l46_oracle() -> str:
         _pq_sub_ctes,
     )
 
+    if corpus_cte is None:
+        corpus_cte = _STRUCT_E
     ivf_rounds = []
     prev = "c0"
     for r in range(1, _L46_ITERS + 1):
@@ -461,7 +469,7 @@ def _l46_oracle() -> str:
     )
     ad = " + ".join(f"l{i}.d" for i in range(_PQ_M))
     return f"""
-    WITH {_STRUCT_E},
+    WITH {corpus_cte},
     c0 AS (SELECT CAST(vec_id AS INT) AS cid,
                   list_transform(emb, x -> ROUND(x, 6)) AS cen
            FROM e WHERE vec_id < {_L46_K}),

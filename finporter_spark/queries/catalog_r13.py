@@ -4,13 +4,234 @@
   implicit — ``read_version`` / ``list_versions`` over the versioned
   merge sinks (layered ``state_v{batch_id}`` snapshots), with the
   vacuum interaction (reading a reclaimed version fails loudly).
+- ``l47_ivfadc_zipf``: IVFADC re-measured on a ZIPF-populated
+  planted-cluster corpus — the round-12 verdict's #2: the balanced
+  ``vec_id % 64`` fixture gave every cell exactly n/64 vectors, but
+  real embedding clusters are Zipf-sized; here cluster membership is
+  an md5-deterministic draw against Zipf(1) integer thresholds
+  (hottest cluster ≈ 21% of the corpus), full value-hash oracle.
+  The hot-cell mitigation (``operators.similarity.split_hot_cells``)
+  is measured in tests/test_r13_ops.py and the ``zipf_*`` rows of
+  IVFADC_DECADE.json.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
-from finporter_spark.queries.catalog import _t, query
+from finporter_spark.queries.catalog import _t, _TOKS, query
+from finporter_spark.queries.catalog_r12 import (
+    _CL_CTE,
+    _L46_CLUSTERS,
+    _L46_SCALE,
+    _l46_oracle,
+    _struct_centroid_rows,
+)
+
+# =====================================================================
+# The Zipf-populated planted-cluster corpus (shared fixture)
+# =====================================================================
+
+_ZIPF_RES = 1_000_000  # draw resolution (md5 % RES against int bounds)
+
+
+def _zipf_bounds() -> list[tuple[int, int, int]]:
+    """Integer threshold table [(cid, lo, hi)): cluster c owns the
+    draws u ∈ [lo, hi) with width ∝ 1/(c+1) (Zipf s=1 — hottest
+    cluster ≈ 21% of the corpus at 64 clusters, a real hot cell).
+    Computed ONCE here in Python and inlined as integer LITERALS into
+    both engines' assignment, so no cross-engine float arithmetic
+    exists anywhere in the draw."""
+    w = [1.0 / (c + 1) for c in range(_L46_CLUSTERS)]
+    tot = sum(w)
+    bounds, acc, lo = [], 0.0, 0
+    for c in range(_L46_CLUSTERS):
+        acc += w[c]
+        hi = (
+            _ZIPF_RES
+            if c == _L46_CLUSTERS - 1
+            else int(math.floor(_ZIPF_RES * acc / tot))
+        )
+        bounds.append((c, lo, hi))
+        lo = hi
+    return bounds
+
+
+# md5-deterministic draw, identical text both engines mirror:
+# u = int(md5('zc' || vec_id)[:8], 16) % RES, cluster = the bounds row
+_ZIPF_U_SQL = (
+    "(CAST('0x' || substr(md5('zc' || CAST(r.vec_id AS VARCHAR)), 1, 8)"
+    f" AS BIGINT) % {_ZIPF_RES})"
+)
+
+_ZIPF_E = f"""{_CL_CTE},
+    zt(zcid, lo, hi) AS (VALUES {", ".join(f"({c}, {lo}, {hi})" for c, lo, hi in _zipf_bounds())}),
+    e AS MATERIALIZED (SELECT r.vec_id,
+                 list_transform(list_zip(CAST(r.embedding AS DOUBLE[]),
+                                         cl.cen),
+                                z -> ROUND(z[1] + z[2], 6)) AS emb
+          FROM embeddings r
+          JOIN zt ON {_ZIPF_U_SQL} >= zt.lo AND {_ZIPF_U_SQL} < zt.hi
+          JOIN cl ON cl.cid = zt.zcid)"""
+
+
+def _zipf_fingerprint(sf_dir):
+    """Source stamp for the l47 caches: embeddings parquet identity ×
+    the Zipf recipe (clusters, amplitude, thresholds version)."""
+    import os
+
+    from finporter_spark.operators.scale import source_fingerprint
+
+    return (
+        source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+        + f"|zipf{_L46_CLUSTERS}-s{_L46_SCALE}-r{_ZIPF_RES}-v1"
+    )
+
+
+def _staged_zipf_embeddings(spark, sf_dir):
+    """The Zipf-populated planted-cluster corpus as staged dataset
+    state (vec_id, embedding array<double>) — same centers as the
+    balanced struct fixture, cluster membership drawn against the
+    Zipf(1) thresholds."""
+    from finporter_spark.queries.catalog_ext import _stage_once
+
+    def _write(p):
+        cdf = spark.createDataFrame(
+            _struct_centroid_rows(), "cid int, cen array<double>"
+        )
+        bdf = spark.createDataFrame(
+            _zipf_bounds(), "zcid int, lo bigint, hi bigint"
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("zc"), F.col("vec_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _ZIPF_RES
+        )
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "_e"
+            ),
+            u.alias("_u"),
+        )
+        (
+            emb.join(
+                F.broadcast(bdf),
+                (F.col("_u") >= F.col("lo")) & (F.col("_u") < F.col("hi")),
+            )
+            .join(F.broadcast(cdf), F.col("cid") == F.col("zcid"))
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "_e", "cen", lambda x, c: F.round(x + c, 6)
+                ).alias("embedding"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    path = _stage_once(
+        sf_dir, "zipf_emb", _write, "embeddings",
+        extra_fingerprint=(
+            f"zipf{_L46_CLUSTERS}-s{_L46_SCALE}-r{_ZIPF_RES}-v1"
+        ),
+    )
+    return spark.read.parquet(path)
+
+
+@query("l47_ivfadc_zipf", _l46_oracle(corpus_cte=_ZIPF_E))
+def l47_ivfadc_zipf(spark, sf_dir):
+    """L47: IVFADC on the ZIPF-POPULATED planted-cluster corpus — the
+    skew case the balanced l46 fixture could not stress (round-12
+    verdict #2): cluster membership is an md5-deterministic draw
+    against Zipf(1) integer thresholds, so the hottest planted cluster
+    holds ≈21% of the corpus (vs exactly 1/64 in l46). Identical
+    machinery and rule-sized dial as l46 (k=64 at the reference
+    density, m=4, n_probe=6, shortlist=200; every cache keyed by the
+    zipf recipe fingerprint).
+
+    What the skew does, measured at sf0.1 (tests/test_r13_ops.py +
+    IVFADC_DECADE ``zipf_*`` rows): queries that probe the hot cell
+    scan its whole share, so the MEAN scanned fraction inflates
+    (~3× l46's 0.094) while recall HOLDS (the hot cell is probed
+    precisely because the answers live there) — skew costs
+    throughput, not quality. The quantizer-side mitigation,
+    ``operators.similarity.split_hot_cells`` (cells above a declared
+    population cap are replaced by sub-centroids trained on their own
+    members — the FAISS-style imbalance fix), restores the scanned
+    fraction with recall held; it is pinned in tests and measured in
+    the decade sweep, not in this entry, because the split count is
+    data-dependent (a conditional oracle unroll would pin the fixture,
+    not the operator).
+
+    Full value-hash oracle: the Zipf draw (integer thresholds inlined
+    as literals in BOTH engines — no cross-engine float arithmetic in
+    the draw), the center shift, both Lloyd trainings, probe, ADC and
+    rerank, all unrolled in DuckDB over the same parquet."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_M,
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+    from finporter_spark.queries.catalog_r12 import (
+        _L46_ITERS,
+        _L46_K,
+        _L46_NPROBE,
+        _L46_SHORT,
+    )
+
+    ze = _staged_zipf_embeddings(spark, sf_dir)
+    fp = _zipf_fingerprint(sf_dir)
+    cents = load_or_train_centroids_det(
+        ze, "vec_id", "embedding", dim=64,
+        n_centroids=_L46_K, iters=_L46_ITERS,
+        cache_path=_io_dir(sf_dir, f"l47_coarse_k{_L46_K}_i{_L46_ITERS}"),
+        fingerprint=fp,
+    )
+    books = load_or_train_pq_books(
+        ze, "vec_id", "embedding", m=_PQ_M, k=16, iters=2,
+        cache_path=_io_dir(sf_dir, f"l47_books_m{_PQ_M}_k16"),
+        fingerprint=fp,
+    )
+    codes = load_or_build_ivfadc_codes(
+        ze, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(sf_dir, f"l47_codes_k{_L46_K}_m{_PQ_M}"),
+        fingerprint=fp,
+    )
+    queries = ze.where(
+        (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
+    )
+    out = ivfadc_topk(
+        ze, queries, "vec_id", "embedding", cents, books,
+        n_probe=_L46_NPROBE, shortlist=_L46_SHORT, k=_PQ_TOPK,
+        codes=codes,
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
+        "dist2",
+    )
 
 # =====================================================================
 # O20 — time-travel read over the versioned merge sinks
@@ -87,4 +308,94 @@ def o20_time_travel_read(spark, sf_dir):
         )
     return read_version(spark, root, 2).select(
         "user_id", "ts", "event_id", "event_type"
+    )
+
+
+# =====================================================================
+# L48 — arbitrary-length repeated-span coverage (Lee et al. 2022 shape)
+# =====================================================================
+
+
+_L48_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM toks WHERE len(toks) >= 8
+    ), grams AS (
+      SELECT doc_id, i - 1 AS i,
+             md5(array_to_string(toks[i:i+7], ' ')) AS gkey
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM toks WHERE len(toks) >= 8
+      )
+    ), first_seen AS (
+      SELECT gkey, MIN(doc_id) AS fd FROM grams GROUP BY gkey
+    ), dup AS (
+      SELECT g.doc_id, g.i
+      FROM grams g JOIN first_seen f USING (gkey)
+      WHERE f.fd < g.doc_id
+    ), flag AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(lag(i) OVER (
+                    PARTITION BY doc_id ORDER BY i), -9) + 8
+                  THEN 1 ELSE 0 END AS newg
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, i,
+             SUM(newg) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM flag
+    ), spans AS (
+      SELECT doc_id, g, MAX(i) - MIN(i) + 8 AS slen
+      FROM grp GROUP BY doc_id, g
+    ), agg AS (
+      SELECT doc_id,
+             SUM(slen) AS covered_tokens,
+             COUNT(*) AS n_spans,
+             MAX(slen) AS max_span
+      FROM spans GROUP BY doc_id
+    )
+    SELECT tl.doc_id, tl.n_tokens,
+           CAST(COALESCE(a.covered_tokens, 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_span,
+           CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE) / tl.n_tokens
+             AS coverage,
+           (CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+              / tl.n_tokens) < 0.5 AS keep
+    FROM tl LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("l48_repeated_span_coverage", _L48_ORACLE)
+def l48_repeated_span_coverage(spark, sf_dir):
+    """L48: ARBITRARY-LENGTH repeated-span dedup — the exact-substring
+    standard (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") the fixed-width l25 gate approximates:
+    drop a document when ≥50% of its TOKENS are covered by some
+    repeated span of ≥8 tokens first seen in a lower-id document, for
+    spans of ANY length. 8-gram anchors are only the detector; the
+    per-document interval union of duplicated anchor windows (the w15
+    sweep-line algebra — equal-width intervals merge when the next
+    start ≤ previous start + 8) recovers every maximal repeated
+    span's true token length, with no distributed suffix array. The
+    measurable difference is pinned in tests/test_r13_ops.py: a
+    20-token document with an 11-token plagiarized span is 55% copied
+    (dropped here) while l25 sees 4/13 anchors (0.31, kept) — the
+    fixed-width fraction mis-measures exactly the variable-length
+    spans this operator exists for; plus an independent pure-Python
+    position-marking reference equality at sf0.001.
+
+    Built on :func:`finporter_spark.operators.prep
+    .repeated_span_coverage`. Scale: the l25 linear shape (positional
+    16-byte md5 anchors, one gram-keyed first-doc window) plus two
+    doc-partitioned windows and one doc-keyed left join — per-task
+    state is one document's duplicated anchors. Full value-hash
+    oracle (exact integers; one exact int/int→double division)."""
+    from finporter_spark.operators.prep import repeated_span_coverage
+
+    return repeated_span_coverage(
+        _t(spark, sf_dir, "documents"), ngram_n=8
     )

@@ -189,3 +189,110 @@ def test_read_version_equals_prefix_recompute(spark, tmp_path):
     assert list_versions(str(tmp_path / "nope")) == []
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "nope"), 0)
+
+
+# ---------------------------------------------------------------------
+# l48 repeated_span_coverage (Lee et al. exact-substring shape)
+# ---------------------------------------------------------------------
+
+
+def test_l48_variable_length_span_fixture(spark):
+    """The case the fixed-width l25 fraction mis-measures: a 20-token
+    doc with an 11-token span copied from an earlier doc is 55%
+    PLAGIARIZED BY TOKENS (l48 drops it) but only 4/13 of its anchors
+    are duplicated (l25 keeps it). Also: scattered single-anchor
+    repeats merge into separate spans with exact union lengths."""
+    from finporter_spark.operators.prep import (
+        repeated_span_coverage,
+        span_dedup_stats,
+    )
+
+    base = [f"a{i}" for i in range(30)]
+    fresh = [f"b{i}" for i in range(9)]
+    doc1 = fresh + base[5:16]  # 9 fresh + 11 copied, 20 tokens
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(doc1))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r for r in repeated_span_coverage(df, ngram_n=8).collect()
+    }
+    r1 = got[1]
+    assert r1.n_tokens == 20
+    assert r1.covered_tokens == 11 and r1.max_span == 11
+    assert r1.n_spans == 1
+    assert r1.coverage == pytest.approx(0.55)
+    assert r1.keep is False  # 55% plagiarized -> dropped
+    l25 = {
+        r.doc_id: r for r in span_dedup_stats(df, ngram_n=8).collect()
+    }
+    assert l25[1].n_dup == 4 and l25[1].n_spans == 13
+    assert l25[1].keep is True  # the fixed-width gate misses it
+    # doc0 is the origin: zero coverage, kept
+    assert got[0].covered_tokens == 0 and got[0].keep is True
+
+
+def test_l48_matches_position_marking_reference(spark, sf_dir):
+    """Independent pure-Python reference on the real sf0.001 corpus:
+    mark every token position covered by a duplicated 8-gram anchor
+    window (position-set marking — a DIFFERENT formulation than the
+    operator's interval union) and compare covered counts, span
+    counts, max spans and keep decisions for every document."""
+    from finporter_spark.operators.prep import repeated_span_coverage
+
+    docs = sorted(
+        (r.doc_id, " ".join(r.text.lower().split()))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n = 8
+    first: dict[tuple, int] = {}
+    toks_by_doc = {}
+    for did, text in docs:
+        tk = text.split(" ") if text else []
+        toks_by_doc[did] = tk
+        for i in range(len(tk) - n + 1):
+            g = tuple(tk[i : i + n])
+            if g not in first:
+                first[g] = did
+    ref = {}
+    for did, tk in toks_by_doc.items():
+        if len(tk) < n:
+            continue
+        marked = set()
+        for i in range(len(tk) - n + 1):
+            if first[tuple(tk[i : i + n])] < did:
+                marked.update(range(i, i + n))
+        # contiguous runs of marked positions = merged spans
+        spans = []
+        run = 0
+        for p in range(len(tk) + 1):
+            if p in marked:
+                run += 1
+            elif run:
+                spans.append(run)
+                run = 0
+        ref[did] = (
+            len(tk),
+            len(marked),
+            len(spans),
+            max(spans, default=0),
+            len(marked) / len(tk) < 0.5,
+        )
+    got = repeated_span_coverage(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), ngram_n=8
+    ).collect()
+    assert len(got) == len(ref)
+    n_dropped = 0
+    for r in got:
+        exp = ref[r.doc_id]
+        assert (
+            r.n_tokens,
+            r.covered_tokens,
+            r.n_spans,
+            r.max_span,
+            r.keep,
+        ) == exp, r.doc_id
+        n_dropped += not r.keep
+    assert n_dropped > 0  # the corpus's planted dups are caught
