@@ -22,7 +22,12 @@ config is the protocol),
 SPARK_GRAFT_BENCH_PROBE_REPS (default 4), SPARK_GRAFT_CODE_CACHE
 (default "768m"; set to "default" to skip the ReservedCodeCacheSize
 override — used to reproduce the JIT code-cache-exhaustion noise
-measurement from round 8).
+measurement from round 8), SPARK_GRAFT_BENCH_LADDER_EVERY (default 20:
+the probe query is interleaved every N suite entries as a LADDER, each
+rung stamped with /proc/loadavg + process counts, so a cross-run
+comparer can normalize per-query times against the nearest rung and
+separate code regressions from machine load — the round-12 verdict's
+protocol fix; the full ladder lives in the BENCH_FULL artifact).
 """
 
 from __future__ import annotations
@@ -249,6 +254,8 @@ HEADLINE = [
     "a46b_kw_weekly",
     # round-13 additions
     "o20_time_travel_read",
+    "l47_ivfadc_zipf",
+    "l48_repeated_span_coverage",
 ]
 
 
@@ -338,6 +345,9 @@ def main() -> None:
         "l46c_ivfadc_m8",
         "s17_variant_roundtrip",
         "x20_stream_ann_ingest",
+        # round-13: zipf corpus + quantizer/books/codes staging is
+        # ingest-time dataset state
+        "l47_ivfadc_zipf",
     ]
     for name in STAGED:
         if name in HEADLINE:
@@ -402,15 +412,52 @@ def main() -> None:
     def measure_probe() -> float:
         return min(run_once(probe) for _ in range(probe_reps))
 
-    probe_runs = [round(measure_probe(), 3)]
+    def _load_stamp() -> dict:
+        # 1/5/15-min load + runnable/total process counts: the
+        # environment fingerprint that lets a cross-run comparer
+        # separate code changes from machine load (round-12 verdict:
+        # same-code runs disagreed 1.09x median / 3-5x per-query with
+        # no recorded way to tell which cause moved a query)
+        try:
+            with open("/proc/loadavg") as fh:
+                f = fh.read().split()
+            running, total_p = f[3].split("/")
+            return {
+                "load1": float(f[0]),
+                "load5": float(f[1]),
+                "load15": float(f[2]),
+                "runnable": int(running),
+                "procs": int(total_p),
+            }
+        except Exception:
+            return {}
+
+    # PROBE LADDER: the probe is interleaved every LADDER_EVERY
+    # queries (not just start/mid/end) and each rung carries a load
+    # stamp — per-query times can then be normalized post-hoc against
+    # the nearest rung, and a rung that moved WITH the load stamps is
+    # environment, one that moved without them is code
+    ladder_every = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_LADDER_EVERY", "20"))
+    )
+
+    def rung(after: int) -> dict:
+        return {
+            "after": after,
+            "t": round(measure_probe(), 3),
+            **_load_stamp(),
+        }
+
+    probe_ladder = [rung(0)]
     total = 0.0
     for i, name in enumerate(HEADLINE):
         dt = measure(name)
         timings[name] = round(dt, 3)
         total += dt
-        if i == len(HEADLINE) // 2:
-            probe_runs.append(round(measure_probe(), 3))
-    probe_runs.append(round(measure_probe(), 3))
+        if (i + 1) % ladder_every == 0 and i + 1 < len(HEADLINE):
+            probe_ladder.append(rung(i + 1))
+    probe_ladder.append(rung(len(HEADLINE)))
+    probe_runs = [r["t"] for r in probe_ladder]
     spread_pct = round(
         100.0 * (max(probe_runs) - min(probe_runs)) / min(probe_runs), 1
     )
@@ -419,14 +466,21 @@ def main() -> None:
     n = len(vals)
     median = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
     p90 = vals[min(n - 1, int(0.9 * n))]
+    # the full ladder (with load stamps) goes in the committed artifact;
+    # stdout keeps the compact summary (log capture clips long lines)
     noise = {"probe": probe, "runs": probe_runs, "spread_pct": spread_pct}
+    noise_full = {
+        **noise,
+        "ladder": probe_ladder,
+        "ladder_every": ladder_every,
+    }
 
     # full per-query map -> committed artifact (too big for one stdout
     # line — log capture clips it)
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r12.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r13.json"
         ),
     )
     with open(full_path, "w") as fh:
@@ -440,7 +494,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "code_cache": code_cache,
-                "noise": noise,
+                "noise": noise_full,
             },
             fh,
             indent=1,

@@ -1401,12 +1401,21 @@ def split_hot_cells(
     ``max_cell_frac`` (a cap below the corpus's duplicate mass can't
     be met) — the loop stops after ``max_rounds`` and returns the
     best quantizer it reached; callers that need the cap as a hard
-    contract should re-measure (tests/test_r13_ops.py pins the Zipf
-    fixture case: cap met, scanned fraction halved, recall held).
+    contract should re-measure.
 
-    Measured on the Zipf corpus at sf0.1 (planted hot cluster = 21%
-    of mass): see tests/test_r13_ops.py and IVFADC_DECADE.json
-    ``zipf_*`` rows."""
+    MEASURED on the Zipf corpus at sf0.1 (planted hot cluster = 21%
+    of mass; tests/test_r13_ops.py pins all of this): a quantizer
+    TRAINED on the skewed corpus needs no split — Lloyd allocates
+    centroids ∝ density and the cap already holds (the call is a
+    no-op returning the input). The split earns its keep in the
+    FROZEN-quantizer deployment (train once, distribution drifts —
+    the x20 pattern): there the hot cluster lands in one cell holding
+    0.202 of the corpus; the split caps it at 0.066 (k 64→68) with
+    recall unchanged and mean/tail scanned fraction not worse — at
+    100 TB that capped cell is the difference between balanced
+    ADC-join tasks and a straggler partition holding 20% of the
+    index. See IVFADC_DECADE.json ``zipf_*`` rows for the trained-
+    quantizer ladder (skew costs recall there, not balance)."""
     if not 0 < max_cell_frac <= 1:
         raise ValueError("split_hot_cells: max_cell_frac must be in (0, 1]")
     v = vectors.select(

@@ -481,8 +481,10 @@ def x17_transform_with_state_top2(spark, sf_dir):
     Semantics demo of the API family (like x6 for
     ``applyInPandasWithState``): count+max+max2 ARE expressible as a
     built-in streaming agg — the point is the protocol: 8 staged files
-    drained at ``maxFilesPerTrigger=2`` force 4 micro-batches, so the
-    (n, m1, m2) state genuinely round-trips the RocksDB state store
+    drained at ``maxFilesPerTrigger=4`` force 2 micro-batches (the
+    minimum cross-batch proof; round-13 cut it from 4 — same proof,
+    half the per-batch harness cost), so the (n, m1, m2) state
+    genuinely round-trips the RocksDB state store
     between batches (n is strictly increasing per key, so the final
     state row per user is the max-n row — selected by one window).
     Values ride as bigint CENTS through pandas (order statistics only,
@@ -566,7 +568,11 @@ def x17_transform_with_state_top2(spark, sf_dir):
             "user_id bigint, ts timestamp, value double"
         )
         .option("header", True)
-        .option("maxFilesPerTrigger", 2)  # 8 files -> 4 micro-batches
+        # 8 files -> 2 micro-batches: the MINIMUM that proves the
+        # (n, m1, m2) state round-trips the store between batches —
+        # round-13 drain trim: 4 batches proved the same thing at 2x
+        # the per-batch harness cost (store commits x partitions)
+        .option("maxFilesPerTrigger", 4)
         .csv(path)
         .select(
             "user_id",
@@ -1668,8 +1674,11 @@ def _psi_table(spark, n, rb, cur):
 @query("x18_stream_psi_monitor", _A40_ORACLE)
 def x18_stream_psi_monitor(spark, sf_dir):
     """X18: streaming drift monitor — the CURRENT period arrives as a
-    stream (8 mtime-staged CSV files, ``maxFilesPerTrigger=2`` → 4
-    micro-batches), each event is bucketed against the STATIC reference
+    stream (8 mtime-staged CSV files, ``maxFilesPerTrigger=4`` → 2
+    micro-batches: the minimum that proves the counts accrete ACROSS
+    batches; round-13 cut it from 4 — update-mode final counts are
+    batching-independent, so fewer batches = same proof, half the
+    harness cost), each event is bucketed against the STATIC reference
     deciles via a stream-static broadcast join, and an update-mode
     streaming aggregation maintains per-(type, bucket) counts; after
     the drain, the final counts join the reference probabilities into
@@ -1706,7 +1715,7 @@ def x18_stream_psi_monitor(spark, sf_dir):
     sdf = (
         spark.readStream.schema("event_type string, iv bigint")
         .option("header", True)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .csv(path)
         .join(F.broadcast(el), "event_type")
         .select(

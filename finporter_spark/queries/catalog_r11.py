@@ -386,7 +386,9 @@ def _stage_x19_slices(spark, sf_dir):
     nine files batch as (0,1)(2,3)(4,5)(6,s1)(s2) — sentinel-1 (max ts
     + 2 h) advances the watermark past every open session's
     (end + gap) expiry, and the sentinel-2 batch is where those timers
-    fire."""
+    fire. Round 13 drains at maxFilesPerTrigger=4 — (0..3)(4..6,s1)(s2),
+    3 batches instead of 5: the same two-sentinel watermark proof and
+    >= 2 data batches, at 3/5 of the per-batch harness cost."""
     from finporter_spark.queries.catalog_ext import _stage_once
 
     def _write(p):
@@ -576,9 +578,14 @@ def _x19_drained(spark, sf_dir):
             "user_id bigint, ts timestamp, event_id bigint, value double"
         )
         .option("header", True)
-        # 9 files -> 5 micro-batches: (0,1)(2,3)(4,5)(6,s1)(s2) — the
-        # lone-sentinel final batch runs under the s1-advanced watermark
-        .option("maxFilesPerTrigger", 2)
+        # 9 files -> 3 micro-batches: (0..3)(4..6,s1)(s2) — round-13
+        # drain trim from 5: still >= 2 data batches (the cross-batch
+        # sessionization proof), s1 still advances the watermark at the
+        # end of its batch, and the lone-sentinel final batch still
+        # runs under it to fire the timers. Slices are event-time
+        # contiguous, so ANY contiguous grouping keeps per-user
+        # event-time order across batches.
+        .option("maxFilesPerTrigger", 4)
         .csv(path)
         # delay 0: later slices hold strictly later event times, so
         # nothing is ever late — the watermark exists to drive timers
@@ -744,7 +751,10 @@ def x18b_stream_psi_weekly(spark, sf_dir):
             "event_type string, wk timestamp, iv bigint"
         )
         .option("header", True)
-        .option("maxFilesPerTrigger", 2)
+        # 8 files -> 2 batches: the minimum cross-batch accretion
+        # proof (round-13 drain trim — final update-mode counts are
+        # batching-independent)
+        .option("maxFilesPerTrigger", 4)
         .csv(path)
         .join(F.broadcast(el), "event_type")
         .select(

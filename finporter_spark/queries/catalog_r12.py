@@ -840,7 +840,7 @@ def x20_stream_ann_ingest(spark, sf_dir):
     makes the staged-codes design (l45c/l46) production-complete: a
     100 TB vector corpus doesn't arrive once, it ACCRUES, and the index
     must stay fresh without re-encoding history. New vectors arrive as
-    a JSON-lines file stream (4 forced micro-batches) and each batch is
+    a JSON-lines file stream (2 forced micro-batches) and each batch is
     encoded MAP-ONLY against the FROZEN quantizer + codebooks (the
     cached l3_ivf/l45 dataset state riding as plan literals — exactly
     how production IVF serves: the quantizer trains on the initial
@@ -902,7 +902,10 @@ def x20_stream_ann_ingest(spark, sf_dir):
     )
     sdf = (
         spark.readStream.schema("vec_id bigint, embedding array<double>")
-        .option("maxFilesPerTrigger", 2)
+        # 8 files -> 2 batches: the encode is stateless map-only, so
+        # two batches already prove per-batch ingest == batch build
+        # (round-13 drain trim from 4)
+        .option("maxFilesPerTrigger", 4)
         .json(path)
     )
     enc = build_ivfadc_codes(sdf, "vec_id", "embedding", cents, books)

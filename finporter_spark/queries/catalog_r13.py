@@ -164,19 +164,29 @@ def l47_ivfadc_zipf(spark, sf_dir):
     density, m=4, n_probe=6, shortlist=200; every cache keyed by the
     zipf recipe fingerprint).
 
-    What the skew does, measured at sf0.1 (tests/test_r13_ops.py +
-    IVFADC_DECADE ``zipf_*`` rows): queries that probe the hot cell
-    scan its whole share, so the MEAN scanned fraction inflates
-    (~3× l46's 0.094) while recall HOLDS (the hot cell is probed
-    precisely because the answers live there) — skew costs
-    throughput, not quality. The quantizer-side mitigation,
-    ``operators.similarity.split_hot_cells`` (cells above a declared
-    population cap are replaced by sub-centroids trained on their own
-    members — the FAISS-style imbalance fix), restores the scanned
-    fraction with recall held; it is pinned in tests and measured in
-    the decade sweep, not in this entry, because the split count is
-    data-dependent (a conditional oracle unroll would pin the fixture,
-    not the operator).
+    What the skew does, MEASURED at sf0.1/1/10 (IVFADC_DECADE
+    ``zipf_*`` rows + tests/test_r13_ops.py) — two distinct regimes:
+
+    - Quantizer TRAINED on the skewed corpus (this entry): Lloyd
+      allocates centroids ∝ density, so cell populations stay under
+      ~10% (split_hot_cells at cap 0.1 is a measured NO-OP) and the
+      scanned fraction matches the balanced corpus (0.100 vs 0.094).
+      The cost is RECALL at the fixed budget — 0.81 vs 0.855 at
+      sf0.1, 0.76 vs 0.858 at sf1, 0.656 vs 0.798 at struct-sf10
+      (rare-cluster starvation: the tail clusters get fewer centroids
+      and coarser effective codes).
+    - Quantizer FROZEN from a different distribution (the x20
+      train-once-then-drift deployment): the hot planted cluster
+      lands in ONE cell holding 20% of the corpus (measured 0.202) —
+      a straggler partition in the ADC join at 100 TB.
+      ``operators.similarity.split_hot_cells`` (cells above a
+      declared population cap replaced by sub-centroids trained on
+      their own members — the FAISS-style imbalance fix) restores
+      balance: max cell 0.066, k 64→68, recall unchanged (0.84),
+      mean/tail scanned fraction not worse. Pinned in
+      tests/test_r13_ops.py, not in this entry, because the split
+      count is data-dependent (a conditional oracle unroll would pin
+      the fixture, not the operator).
 
     Full value-hash oracle: the Zipf draw (integer thresholds inlined
     as literals in BOTH engines — no cross-engine float arithmetic in

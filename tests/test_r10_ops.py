@@ -129,10 +129,10 @@ def test_l41_no_python_udf(spark, sf_dir):
 
 def test_x17_state_carries_across_microbatches(spark, sf_dir):
     """The memory sink must contain MULTIPLE update-mode emissions for
-    at least some users (8 staged files at maxFilesPerTrigger=2 => 4
-    micro-batches), proving ValueState round-trips the RocksDB store
-    between batches — and the max-n row per user equals the batch
-    count/max/max2."""
+    at least some users (8 staged files at maxFilesPerTrigger=4 => 2
+    micro-batches — the minimum cross-batch proof), proving ValueState
+    round-trips the RocksDB store between batches — and the max-n row
+    per user equals the batch count/max/max2."""
     out = CATALOG["x17_transform_with_state_top2"][0](spark, sf_dir)
     rows = out.collect()
     raw = spark.table("x17_mem")

@@ -296,3 +296,153 @@ def test_l48_matches_position_marking_reference(spark, sf_dir):
         ) == exp, r.doc_id
         n_dropped += not r.keep
     assert n_dropped > 0  # the corpus's planted dups are caught
+
+
+# ---------------------------------------------------------------------
+# Zipf corpus: skew facts + the frozen-quantizer hot cell and its fix
+# ---------------------------------------------------------------------
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF01), reason="sf0.1 absent"
+)
+def test_zipf_hot_cell_frozen_quantizer_and_split(spark):
+    """The two measured skew facts (round-12 verdict #2), pinned:
+
+    (1) A quantizer TRAINED on the Zipf corpus absorbs the population
+    skew — Lloyd allocates centroids ∝ density, so no cell exceeds the
+    0.1 cap and split_hot_cells is a measured no-op (k stays 64); the
+    skew instead costs RECALL at the fixed budget (0.81 vs the
+    balanced corpus's 0.855 — IVFADC_DECADE zipf rows).
+
+    (2) The hot cell appears in the FROZEN-quantizer deployment (the
+    x20 pattern: train once, distribution drifts): the balanced-corpus
+    quantizer serving the Zipf corpus concentrates 20% of the corpus
+    in one cell (measured 0.202). split_hot_cells(cap=0.1) replaces it
+    with sub-centroids trained on its own members: every cell lands
+    under the cap (measured max 0.066, k 64→68), recall is unchanged
+    (0.84), and the mean scanned fraction does not grow — at 100 TB
+    the capped cell is the difference between balanced ADC-join tasks
+    and a straggler partition holding 20% of the index."""
+    import numpy as np
+
+    from finporter_spark.operators.similarity import (
+        build_ivfadc_codes,
+        ivfadc_topk,
+        kmeans_assign,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+        split_hot_cells,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r12 import (
+        _emb_fingerprint,
+        _staged_structured_embeddings,
+    )
+    from finporter_spark.queries.catalog_r13 import (
+        _staged_zipf_embeddings,
+        _zipf_fingerprint,
+    )
+
+    se = _staged_structured_embeddings(spark, SF01)
+    ze = _staged_zipf_embeddings(spark, SF01)
+    frozen = load_or_train_centroids_det(
+        se, "vec_id", "embedding", dim=64, n_centroids=64, iters=3,
+        cache_path=_io_dir(SF01, "l46_coarse_k64_i3"),
+        fingerprint=_emb_fingerprint(SF01),
+    )
+    zv = ze.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+    )
+    n = ze.count()
+
+    def cell_fracs(cs):
+        a = kmeans_assign(zv, cs, vec_col="_v", out_cluster="c")
+        return sorted(
+            (r["count"] / n for r in a.groupBy("c").count().collect()),
+            reverse=True,
+        )
+
+    # (2) frozen quantizer -> hot cell holding ~20% of the corpus
+    fr = cell_fracs(frozen)
+    assert fr[0] > 0.15, fr[:3]
+    split = split_hot_cells(
+        ze, "vec_id", "embedding", frozen, max_cell_frac=0.1
+    )
+    assert len(split) > len(frozen)
+    fr2 = cell_fracs(split)
+    assert fr2[0] <= 0.1, fr2[:3]
+
+    # (1) trained-on-skew quantizer: split is a no-op at the same cap
+    trained = load_or_train_centroids_det(
+        ze, "vec_id", "embedding", dim=64, n_centroids=64, iters=3,
+        cache_path=_io_dir(SF01, "l47_coarse_k64_i3"),
+        fingerprint=_zipf_fingerprint(SF01),
+    )
+    assert (
+        split_hot_cells(
+            ze, "vec_id", "embedding", trained, max_cell_frac=0.1
+        )
+        == trained
+    )
+
+    # recall/scan contract across the split (exact numpy ground truth)
+    books = load_or_train_pq_books(
+        ze, "vec_id", "embedding", m=4, k=16, iters=2,
+        cache_path=_io_dir(SF01, "l47_books_m4_k16"),
+        fingerprint=_zipf_fingerprint(SF01),
+    )
+    pdf = ze.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, M = ids[order], np.stack(pdf["v"].to_numpy())[order]
+    qids = [int(i) for i in ids if i % 101 == 0 and i < 101 * 50]
+    truth = {}
+    for q in qids:
+        qi = int(np.searchsorted(ids, q))
+        dq = ((M - M[qi]) ** 2).sum(axis=1)
+        truth[q] = set(ids[np.lexsort((ids, dq))][:10].tolist())
+    queries = ze.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
+    )
+
+    def measure(cs):
+        codes = build_ivfadc_codes(
+            ze, "vec_id", "embedding", cs, books
+        ).localCheckpoint()
+        rows = ivfadc_topk(
+            ze, queries, "vec_id", "embedding", cs, books,
+            n_probe=6, shortlist=200, k=10, codes=codes,
+        ).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.query_id, set()).add(r.cand_id)
+        rec = float(
+            np.mean([len(per.get(q, set()) & t) / 10 for q, t in truth.items()])
+        )
+        C = np.array(cs)
+        dc = np.round(((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        cell = dc.argmin(axis=1)
+        fracs = [
+            float(
+                np.isin(
+                    cell,
+                    np.argsort(dc[int(np.searchsorted(ids, q))], kind="stable")[:6],
+                ).mean()
+            )
+            for q in qids
+        ]
+        return rec, float(np.mean(fracs)), float(np.max(fracs))
+
+    rec0, mean0, max0 = measure(frozen)
+    rec1, mean1, max1 = measure(split)
+    assert rec1 >= rec0 - 0.02, (rec0, rec1)  # recall held
+    assert mean1 <= mean0 + 0.005, (mean0, mean1)  # mean scan not worse
+    assert max1 <= max0, (max0, max1)  # the tail (hot) query improved
+    assert rec1 >= 0.8, rec1

@@ -199,6 +199,8 @@ QUERIES = [
     "a46b_kw_weekly",
     # round-13 additions
     "o20_time_travel_read",
+    "l47_ivfadc_zipf",
+    "l48_repeated_span_coverage",
 ]
 
 
@@ -250,7 +252,8 @@ def main() -> None:
                         "l46_ivfadc_structured",
                         "l46b_ivfadc_residual",
                         "l46c_ivfadc_m8",
-                        "x20_stream_ann_ingest"):
+                        "x20_stream_ann_ingest",
+                        "l47_ivfadc_zipf"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()

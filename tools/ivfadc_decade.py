@@ -64,12 +64,17 @@ def main() -> None:
         load_or_build_ivfadc_codes,
         load_or_train_centroids_det,
         load_or_train_pq_books,
+        split_hot_cells,
     )
     from finporter_spark.queries.catalog import _t
     from finporter_spark.queries.catalog_ext import _io_dir, _src_fp
     from finporter_spark.queries.catalog_r12 import (
         _emb_fingerprint,
         _staged_structured_embeddings,
+    )
+    from finporter_spark.queries.catalog_r13 import (
+        _staged_zipf_embeddings,
+        _zipf_fingerprint,
     )
 
     spark = get_session("ivfadc-decade")
@@ -85,27 +90,48 @@ def main() -> None:
         ("struct_1", "/tmp/finporter_testdata/sf1", None),
         ("struct_10", "/tmp/finporter_testdata/sf10", None),
     ]
-    for sf, d, k in SFS + struct_rows:
+    # Zipf-populated corpus (catalog_r13): the skew case — the hottest
+    # planted cluster holds ~21% of the corpus, so probing it scans
+    # that whole share. The *_split row applies the quantizer-side
+    # mitigation (split_hot_cells, cap 0.1) at the density where one
+    # quantizer cell ≈ one planted cluster, and measures the scanned
+    # fraction the split buys back at held recall.
+    zipf_rows = [
+        ("zipf_0.1", "/root/testdata/sf0.1", None),
+        ("zipf_1", "/tmp/finporter_testdata/sf1", None),
+        ("zipf_10", "/tmp/finporter_testdata/sf10", None),
+        ("zipf_0.1_split", "/root/testdata/sf0.1", None),
+    ]
+    for sf, d, k in SFS + struct_rows + zipf_rows:
         structured = sf.startswith("struct_")
-        if structured:
-            emb = _staged_structured_embeddings(spark, d)
+        zipf = sf.startswith("zipf_")
+        split = sf.endswith("_split")
+        if structured or zipf:
+            if zipf:
+                emb = _staged_zipf_embeddings(spark, d)
+                fp = _zipf_fingerprint(d)
+                fam = "l47"
+            else:
+                emb = _staged_structured_embeddings(spark, d)
+                # struct caches derive from the staged corpus: stamp
+                # includes the planted-cluster recipe, not just parquet
+                fp = _emb_fingerprint(d)
+                fam = "l46"
             prm = ivfadc_params(emb.count(), 64)
             k, m = prm["k_coarse"], prm["m"]
             n_probe, shortlist = prm["n_probe"], prm["shortlist"]
-            tag = f"l46dec_k{k}_m{m}"
-            # struct caches derive from the staged corpus: stamp must
-            # include the planted-cluster recipe, not just the parquet
-            fp = _emb_fingerprint(d)
+            tag = f"{fam}dec_k{k}_m{m}"
         else:
             emb = _t(spark, d, "embeddings")
             m, n_probe, shortlist = 4, N_PROBE, SHORTLIST
             tag = f"l45dec_k{k}"
             fp = _src_fp(d, "embeddings")
+            fam = "l45"
         books = load_or_train_pq_books(
             emb, "vec_id", "embedding", m=m, k=16, iters=2,
             cache_path=_io_dir(
                 d,
-                f"l46_books_m{m}_k16" if structured
+                f"{fam}_books_m{m}_k16" if structured or zipf
                 else "l45_pq_books_m4_k16_i2",
             ),
             fingerprint=fp,
@@ -114,14 +140,29 @@ def main() -> None:
             emb, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
             cache_path=_io_dir(
                 d,
-                f"l46_coarse_k{k}_i3" if structured
+                f"{fam}_coarse_k{k}_i3" if structured or zipf
                 else f"ivfadc_centroids_det_k{k}_d64_i3",
             ),
             fingerprint=fp,
         )
-        # ingest-time index build: timed ONLY when the cache is cold
+        split_s = None
+        if split:
+            t0 = time.time()
+            cents = split_hot_cells(
+                emb, "vec_id", "embedding", cents, max_cell_frac=0.1
+            )
+            split_s = round(time.time() - t0, 3)
+            tag += f"_split{len(cents)}"
+        # ingest-time index build: timed ONLY when the cache is cold —
+        # cold includes a fingerprint-stale cache (the loader rebuilds
+        # on marker mismatch, so the time is a real build)
         codes_path = _io_dir(d, f"{tag}_codes")
-        cold = not os.path.isdir(codes_path)
+        mk = os.path.join(codes_path, "_codes_fingerprint")
+        try:
+            with open(mk) as fh:
+                cold = fh.read() != fp
+        except OSError:
+            cold = True
         t0 = time.time()
         codes = load_or_build_ivfadc_codes(
             emb, "vec_id", "embedding", cents, books,
@@ -179,7 +220,7 @@ def main() -> None:
             fracs.append(float(np.isin(cell, probed).mean()))
         results[sf] = {
             "n": int(len(ids)),
-            "k_coarse": k,
+            "k_coarse": len(cents),
             "m": m,
             "n_probe": n_probe,
             "shortlist": shortlist,
@@ -188,6 +229,8 @@ def main() -> None:
             "wall_s": wall,
             "codes_build_s": codes_build,
         }
+        if split_s is not None:
+            results[sf]["split_s"] = split_s
         print(f"sf{sf}: {results[sf]}", flush=True)
     with open(os.path.join(REPO, "IVFADC_DECADE.json"), "w") as f:
         json.dump(results, f, indent=1)
