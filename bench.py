@@ -256,6 +256,7 @@ HEADLINE = [
     "o20_time_travel_read",
     "l47_ivfadc_zipf",
     "l48_repeated_span_coverage",
+    "a48_kw_4arm",
 ]
 
 

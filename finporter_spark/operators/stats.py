@@ -80,16 +80,13 @@ _ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 _INV_SQRT2 = 0.7071067811865476  # nearest double to 1/sqrt(2)
 
 
-def normal_sf_two_sided(z):
-    """Two-sided normal p-value for a z statistic, as a Column:
-    p = P(|Z| >= |z|) = erfc(|z| / sqrt(2)), erfc via the A&S 7.1.26
-    polynomial (t = 1/(1 + p·y); erfc(y) = Horner(t)·exp(−y²)).
-    NULL z propagates to NULL p. Callers round the result at 6 dp —
-    the same rounding contract as the z it derives from. The SQL
-    mirror is :func:`normal_sf_two_sided_sql`; the two MUST stay the
-    identical expression tree (the cross-engine hash contract)."""
+def erfc_poly(y):
+    """erfc(y) for a NON-NEGATIVE Column ``y`` via the A&S 7.1.26
+    polynomial (t = 1/(1 + p·y); erfc(y) = Horner(t)·exp(−y²)) — the
+    shared core of :func:`normal_sf_two_sided` and the odd-df
+    chi-square survival in :func:`_kw_h_and_p`. SQL mirror:
+    :func:`erfc_poly_sql` (the two MUST stay the identical tree)."""
     a1, a2, a3, a4, a5 = _ERF_A
-    y = F.abs(z) * F.lit(_INV_SQRT2)
     t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * y)
     poly = t * (
         F.lit(a1)
@@ -99,19 +96,35 @@ def normal_sf_two_sided(z):
     return poly * F.exp(-(y * y))
 
 
-def normal_sf_two_sided_sql(z: str) -> str:
-    """DuckDB-SQL mirror of :func:`normal_sf_two_sided` over the SQL
-    expression ``z`` (typically a column name holding the 6-dp-rounded
-    z). Textually repeats t/y — each occurrence computes the same
-    double, association identical to the Column version."""
+def erfc_poly_sql(y: str) -> str:
+    """DuckDB-SQL mirror of :func:`erfc_poly` over the SQL expression
+    ``y`` (must be non-negative). Textually repeats y — each
+    occurrence computes the same double, association identical to the
+    Column version."""
     a1, a2, a3, a4, a5 = _ERF_A
-    y = f"(abs({z}) * {_INV_SQRT2!r})"
     t = f"(1.0 / (1.0 + {_ERF_P!r} * {y}))"
     poly = (
         f"({t} * ({a1!r} + {t} * ({a2!r} + {t} * ({a3!r}"
         f" + {t} * ({a4!r} + {t} * {a5!r})))))"
     )
     return f"({poly} * exp(-({y} * {y})))"
+
+
+def normal_sf_two_sided(z):
+    """Two-sided normal p-value for a z statistic, as a Column:
+    p = P(|Z| >= |z|) = erfc(|z| / sqrt(2)) (:func:`erfc_poly`).
+    NULL z propagates to NULL p. Callers round the result at 6 dp —
+    the same rounding contract as the z it derives from. The SQL
+    mirror is :func:`normal_sf_two_sided_sql`; the two MUST stay the
+    identical expression tree (the cross-engine hash contract)."""
+    return erfc_poly(F.abs(z) * F.lit(_INV_SQRT2))
+
+
+def normal_sf_two_sided_sql(z: str) -> str:
+    """DuckDB-SQL mirror of :func:`normal_sf_two_sided` over the SQL
+    expression ``z`` (typically a column name holding the 6-dp-rounded
+    z)."""
+    return erfc_poly_sql(f"(abs({z}) * {_INV_SQRT2!r})")
 
 
 def ks_2sample(
@@ -463,10 +476,11 @@ def _kw_rank_agg(
 
 
 def _kw_h_and_p(k: int):
-    """The tie-corrected H and (even-df) chi-square survival as ONE
-    fixed-association expression pair over the ``_kw_rank_agg``
-    columns — shared by the global and grouped operators. Returns
-    (h_col, p_col)."""
+    """The tie-corrected H and chi-square(k−1) survival (closed-form
+    at every df: Poisson sum for even, erfc-anchored recurrence for
+    odd) as ONE fixed-association expression pair over the
+    ``_kw_rank_agg`` columns — shared by the global and grouped
+    operators. Returns (h_col, p_col)."""
     n_tot = F.col("n0")
     for i in range(1, k):
         n_tot = n_tot + F.col(f"n{i}")
@@ -487,19 +501,38 @@ def _kw_h_and_p(k: int):
     )
     h = F.try_divide(h_raw, corr)
     df = k - 1
+    x2 = h / 2.0
     if df % 2 == 0:
-        x2 = h / 2.0
+        # even df: finite Poisson sum, exp(-x)·Σ x^j/j!
         psum = F.lit(1.0)
         pw = F.lit(1.0)
         for j in range(1, df // 2):
             pw = pw * x2 / float(j)
             psum = psum + pw
-        p = F.when(
-            h.isNotNull(),
-            F.round(F.least(F.lit(1.0), F.exp(-x2) * psum), 6),
-        )
+        p_raw = F.exp(-x2) * psum
     else:
-        p = F.lit(None).cast("double")
+        # odd df (2m+1): the upward recurrence from Q(x;1) = erfc(√(x/2))
+        # — Q(x;ν+2) = Q(x;ν) + (x/2)^{ν/2} e^{-x/2} / Γ(ν/2+1), so
+        # Q = erfc(√x2) + e^{-x2}·Σ_{j=1..m} x2^{j−1/2}/Γ(j+1/2);
+        # the Γ coefficients are fixed literals, x2^{j−1/2} = √x2·x2^{j−1}
+        # Horner-folded — pure arithmetic + the erfc polynomial, the
+        # same cross-engine contract as the even branch (the round-12
+        # "neither engine has erf" NULL, now filled by erfc_poly)
+        import math as _math
+
+        m_half = df // 2
+        y = F.sqrt(x2)
+        p_raw = erfc_poly(y)
+        coeffs = [1.0 / _math.gamma(j + 0.5) for j in range(1, m_half + 1)]
+        if coeffs:
+            s = F.lit(coeffs[-1])
+            for c in reversed(coeffs[:-1]):
+                s = F.lit(c) + x2 * s
+            p_raw = p_raw + F.exp(-x2) * (y * s)
+    p = F.when(
+        h.isNotNull(),
+        F.round(F.least(F.lit(1.0), p_raw), 6),
+    )
     return h, p
 
 
@@ -532,10 +565,14 @@ def kruskal_wallis(
     computed from doubled rank sums (R_g² = (2R_g)²/4; squares go to
     double before multiplying). Returns ONE row:
     n_0..n_{k-1}, ``h`` (tie-corrected, 6 dp), and ``p_approx`` — the
-    chi-square(k−1) survival function, CLOSED-FORM only when k−1 is
-    even (finite Poisson sum, unrolled at construction time: fixed fp
-    association); odd df would need igamma/erf, which neither engine
-    exposes as a builtin — NULL then, documented. NULL h on an empty
+    chi-square(k−1) survival function, closed-form at EVERY df since
+    round 13: even df is the finite Poisson sum (unrolled at
+    construction time: fixed fp association); odd df is the upward
+    recurrence from Q(x;1) = erfc(√(x/2)) with :func:`erfc_poly` (the
+    A&S 7.1.26 polynomial, |err| ≤ 1.5e-7) plus Γ(j+½)-coefficient
+    Horner terms — both branches pure fixed-tree arithmetic both
+    engines evaluate identically after the 6 dp round (a48's 4-arm
+    oracle mirrors the odd branch literally). NULL h on an empty
     arm (try_divide) or an all-tied domain (zero tie-correction);
     rows whose group is not in ``groups`` are ignored.
 

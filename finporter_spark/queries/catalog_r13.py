@@ -409,3 +409,117 @@ def l48_repeated_span_coverage(spark, sf_dir):
     return repeated_span_coverage(
         _t(spark, sf_dir, "documents"), ngram_n=8
     )
+
+
+# =====================================================================
+# A48 — 4-arm Kruskal–Wallis (odd df: the erfc-anchored p-value)
+# =====================================================================
+
+
+def _a48_oracle() -> str:
+    """4-arm KW oracle: the a46 construction widened to md5 % 4, with
+    the ODD-df (df=3) chi-square survival mirrored literally —
+    Q(x;3) = erfc(√(x/2)) + e^{−x/2}·√(x/2)/Γ(3/2) — the branch
+    operators.stats._kw_h_and_p filled in round 13 (previously a
+    documented NULL: "neither engine has erf")."""
+    import math as _math
+
+    from finporter_spark.operators.stats import erfc_poly_sql
+
+    nd = "CAST((((n0 + n1) + n2) + n3) AS DOUBLE)"
+    terms = [
+        f"(CAST(r{i} AS DOUBLE) * CAST(r{i} AS DOUBLE))"
+        f" / (4.0 * CAST(n{i} AS DOUBLE))"
+        for i in range(4)
+    ]
+    ssum = f"((({terms[0]} + {terms[1]}) + {terms[2]}) + {terms[3]})"
+    hx = (
+        f"((12.0 * {ssum}) / ({nd} * ({nd} + 1.0))"
+        f" - 3.0 * ({nd} + 1.0))"
+        f" / (1.0 - CAST(tie3 AS DOUBLE)"
+        f" / ({nd} * {nd} * {nd} - {nd}))"
+    )
+    c1 = 1.0 / _math.gamma(1.5)
+    y = "sqrt((hx / 2.0))"
+    p = (
+        f"round(LEAST(1.0, {erfc_poly_sql(y)}"
+        f" + exp(-(hx / 2.0)) * ({y} * {c1!r})), 6)"
+    )
+    arm_cols = ",\n             ".join(
+        f"SUM(CASE WHEN arm = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(4)
+    )
+    agg_cols = ",\n             ".join(
+        [f"SUM(c{i}) AS n{i}" for i in range(4)]
+        + [f"SUM(c{i} * (2 * f + c + 1)) AS r{i}" for i in range(4)]
+    )
+    return f"""
+    WITH m AS (
+      SELECT user_id,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS iv,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 4 AS arm
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT iv,
+             {arm_cols},
+             COUNT(*) AS c
+      FROM m GROUP BY iv
+    ), cum AS (
+      SELECT iv, c0, c1, c2, c3, c,
+             COALESCE(SUM(c) OVER (ORDER BY iv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f
+      FROM g
+    ), agg AS (
+      SELECT {agg_cols},
+             SUM(c * c * c - c) AS tie3
+      FROM cum
+    ), hh AS (
+      SELECT n0, n1, n2, n3, {hx} AS hx FROM agg
+    )
+    SELECT n0, n1, n2, n3,
+           round(hx, 6) AS h,
+           {p} AS p_approx
+    FROM hh
+    """
+
+
+@query("a48_kw_4arm", _a48_oracle())
+def a48_kw_4arm(spark, sf_dir):
+    """A48: Kruskal–Wallis over FOUR declared arms (md5 % 4 over
+    per-user cent totals) — the odd-degrees-of-freedom case (df = 3)
+    the k-arm family could not price until round 13: a46/a46b ship
+    k = 3 (df = 2, even) where the chi-square survival is a finite
+    Poisson sum, and ``_kw_h_and_p`` documented odd df as NULL
+    ("neither engine has erf as a builtin"). The erfc polynomial that
+    gave the z-family real p-values closes it: Q(x; 3) = erfc(√(x/2))
+    + e^{−x/2}·√(x/2)/Γ(3/2), anchored at Q(x;1) = erfc(√(x/2)) by
+    the upward recurrence — fixed literals, fixed association,
+    mirrored LITERALLY in the DuckDB oracle, so the full value hash
+    covers n0..n3, the tie-corrected H, AND the odd-df p-value.
+
+    Same machinery and scale shape as a46 (one corpus scan to the
+    pinned quantized domain, one domain-sized window, one scalar
+    aggregate; exact-decimal rank sums); 4-way md5 split is the a28
+    engine-portable arm draw widened once more. The df=1 identity
+    (KW at k=2 == squared MWU z, so p_approx == the MWU two-sided
+    normal p) is pinned in tests/test_r13_ops.py, plus a
+    4-arm pure-Python reference under hypothesis."""
+    from finporter_spark.operators.stats import kruskal_wallis
+
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("iv")
+    ).select(
+        "iv",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("arm"),
+    )
+    return kruskal_wallis(m, "iv", "arm", [0, 1, 2, 3])

@@ -446,3 +446,91 @@ def test_zipf_hot_cell_frozen_quantizer_and_split(spark):
     assert mean1 <= mean0 + 0.005, (mean0, mean1)  # mean scan not worse
     assert max1 <= max0, (max0, max1)  # the tail (hot) query improved
     assert rec1 >= 0.8, rec1
+
+
+# ---------------------------------------------------------------------
+# Odd-df chi-square survival for Kruskal-Wallis (a48)
+# ---------------------------------------------------------------------
+
+
+def _kw_ref(arms):
+    """Pure-Python tie-corrected H over a joint midranking (any k)."""
+    allv = sorted(v for arm in arms for v in arm)
+    n = len(allv)
+    ranks, tie3, i = {}, 0, 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        t = j - i
+        ranks[allv[i]] = (i + 1 + j) / 2.0
+        tie3 += t * t * t - t
+        i = j
+    ssum = sum(
+        (sum(ranks[v] for v in arm)) ** 2 / len(arm) for arm in arms
+    )
+    h = 12.0 * ssum / (n * (n + 1)) - 3 * (n + 1)
+    corr = 1.0 - tie3 / (n**3 - n)
+    return h / corr if corr > 0 else None
+
+
+def _chi2_sf_ref(x, df):
+    """Reference chi-square survival via math.erfc / finite sums."""
+    if df % 2 == 0:
+        s, pw = 1.0, 1.0
+        for j in range(1, df // 2):
+            pw = pw * (x / 2) / j
+            s += pw
+        return min(1.0, math.exp(-x / 2) * s)
+    q = math.erfc(math.sqrt(x / 2))
+    for j in range(1, df // 2 + 1):
+        q += (
+            (x / 2) ** (j - 0.5)
+            * math.exp(-x / 2)
+            / math.gamma(j + 0.5)
+        )
+    return min(1.0, q)
+
+
+def test_kw_k2_p_equals_mwu_two_sided_p(spark):
+    """df = 1 identity: Kruskal-Wallis at k=2 is the square of the
+    tie-corrected MWU z, and chi-square(1) survival of z^2 IS the
+    two-sided normal p — so the new odd-df p_approx must equal
+    mann_whitney_u's p_value on the same data (both ride the same
+    erfc polynomial; fp association differs, so 6dp-level agreement)."""
+    from finporter_spark.operators.stats import (
+        kruskal_wallis,
+        mann_whitney_u,
+    )
+
+    rows = (
+        [(v, 1) for v in [3, 5, 5, 8, 12, 12, 12, 20]]
+        + [(v, 0) for v in [4, 5, 9, 15, 15, 21, 30]]
+    )
+    df = spark.createDataFrame(rows, "iv bigint, a int")
+    kw = kruskal_wallis(df, "iv", "a", [0, 1]).collect()[0]
+    mw = mann_whitney_u(df, "iv", "a").collect()[0]
+    assert kw.h == pytest.approx(mw.z * mw.z, abs=2e-5)
+    assert kw.p_approx == pytest.approx(mw.p_value, abs=2e-5)
+
+
+def test_kw_4arm_p_matches_reference(spark):
+    """Odd df (k=4, df=3): H and p_approx equal the pure-Python
+    reference (joint midrank H + math.erfc-based chi2(3) survival) on
+    tied, skewed and separated arm sets."""
+    from finporter_spark.operators.stats import kruskal_wallis
+
+    cases = [
+        [[1, 2, 2, 3], [2, 2, 4], [5, 6, 6, 7, 8], [1, 9]],
+        [[10, 20, 30], [11, 21, 31], [12, 22, 32], [13, 23, 33]],
+        [list(range(20)), list(range(15, 40)), [50] * 6, [2, 2, 2]],
+    ]
+    for arms in cases:
+        rows = [(int(v), g) for g, arm in enumerate(arms) for v in arm]
+        df = spark.createDataFrame(rows, "iv bigint, arm int")
+        r = kruskal_wallis(df, "iv", "arm", [0, 1, 2, 3]).collect()[0]
+        h_ref = _kw_ref(arms)
+        assert r.h == pytest.approx(round(h_ref, 6), abs=2e-6)
+        assert r.p_approx == pytest.approx(
+            round(_chi2_sf_ref(h_ref, 3), 6), abs=2e-6
+        ), arms

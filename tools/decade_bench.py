@@ -54,6 +54,7 @@ QUERIES = [
     "a2_count_distinct",
     "a4_cube",
     "a7_percentiles",
+    "a16_event_value_percentiles",
     "w1_ranking",
     "w3_running_sum",
     "w4_range_frame",
@@ -201,6 +202,7 @@ QUERIES = [
     "o20_time_travel_read",
     "l47_ivfadc_zipf",
     "l48_repeated_span_coverage",
+    "a48_kw_4arm",
 ]
 
 
@@ -253,7 +255,14 @@ def main() -> None:
                         "l46b_ivfadc_residual",
                         "l46c_ivfadc_m8",
                         "x20_stream_ann_ingest",
-                        "l47_ivfadc_zipf"):
+                        "l47_ivfadc_zipf",
+                        # not staging: the rank-select ladder's plan
+                        # compile dominates a cold first run (measured
+                        # 5.0 s first vs 2.0 s steady at sf0.1 — the
+                        # round-12 "a7/a16 slowdown" was this + load,
+                        # not a plan change); time the steady state
+                        "a7_percentiles",
+                        "a16_event_value_percentiles"):
                 qs[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
