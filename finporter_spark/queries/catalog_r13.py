@@ -174,7 +174,10 @@ def l47_ivfadc_zipf(spark, sf_dir):
       The cost is RECALL at the fixed budget — 0.81 vs 0.855 at
       sf0.1, 0.76 vs 0.858 at sf1, 0.656 vs 0.798 at struct-sf10
       (rare-cluster starvation: the tail clusters get fewer centroids
-      and coarser effective codes).
+      and coarser effective codes). Measured mitigation: RESIDUAL
+      codes at the identical dial read 0.842 at zipf-sf10
+      (IVFADC_DECADE zipf_10_res; pinned in tests) — residuals
+      concentrate around 0 regardless of cluster population.
     - Quantizer FROZEN from a different distribution (the x20
       train-once-then-drift deployment): the hot planted cluster
       lands in ONE cell holding 20% of the corpus (measured 0.202) —

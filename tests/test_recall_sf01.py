@@ -737,3 +737,97 @@ def test_sized_dial_recall_struct_decade(spark, sfdir, floor):
     ).collect()
     rec = _mean_recall(rows, _structured_truth(spark, sfdir))
     assert rec >= floor, (sfdir, prm, rec)
+
+
+def test_zipf_sf10_residual_recovers_skew_recall(spark):
+    """The measured mitigation for the trained-on-skew RECALL loss
+    (round 13): at the zipf-sf10 density the rule-sized plain dial
+    reads 0.656 (vs 0.798 balanced) because rare planted clusters pay
+    a codebook-starvation tax; RESIDUAL codes (l46b machinery) at the
+    IDENTICAL dial read 0.842 — residuals concentrate around 0
+    regardless of cluster population, so the rare-cluster tax
+    disappears. Pins: residual ≥ 0.8 and ≥ plain + 0.1."""
+    sfdir = "/tmp/finporter_testdata/sf10"
+    if not os.path.isdir(sfdir):
+        pytest.skip("sf10 generated corpus absent (tools/gen_testdata)")
+    import numpy as np
+
+    from finporter_spark.operators.similarity import (
+        ivfadc_params,
+        ivfadc_residual_topk,
+        ivfadc_topk,
+        load_or_build_ivfadc_codes,
+        load_or_train_centroids_det,
+        load_or_train_pq_books,
+        residual_vectors,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r13 import (
+        _staged_zipf_embeddings,
+        _zipf_fingerprint,
+    )
+
+    emb = _staged_zipf_embeddings(spark, sfdir)
+    prm = ivfadc_params(emb.count(), 64)
+    k, m = prm["k_coarse"], prm["m"]
+    fp = _zipf_fingerprint(sfdir)
+    cents = load_or_train_centroids_det(
+        emb, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
+        cache_path=_io_dir(sfdir, f"l47_coarse_k{k}_i3"), fingerprint=fp,
+    )
+    queries = emb.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
+    )
+    # exact ground truth over the zipf corpus
+    pdf = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, M = ids[order], np.stack(pdf["v"].to_numpy())[order]
+    qids = [int(i) for i in ids if i % 101 == 0 and i < 101 * 50]
+    truth = {}
+    for q in qids:
+        qi = int(np.searchsorted(ids, q))
+        dq = ((M - M[qi]) ** 2).sum(axis=1)
+        truth[q] = set(ids[np.lexsort((ids, dq))][:10].tolist())
+
+    books = load_or_train_pq_books(
+        emb, "vec_id", "embedding", m=m, k=16, iters=2,
+        cache_path=_io_dir(sfdir, f"l47_books_m{m}_k16"), fingerprint=fp,
+    )
+    codes = load_or_build_ivfadc_codes(
+        emb, "vec_id", "embedding", cents, books,
+        cache_path=_io_dir(sfdir, f"l47dec_k{k}_m{m}_codes"),
+        fingerprint=fp,
+    )
+    plain = _mean_recall(
+        ivfadc_topk(
+            emb, queries, "vec_id", "embedding", cents, books,
+            n_probe=prm["n_probe"], shortlist=prm["shortlist"], k=10,
+            codes=codes,
+        ).collect(),
+        truth,
+    )
+    rv = residual_vectors(emb, "vec_id", "embedding", cents)
+    rbooks = load_or_train_pq_books(
+        rv, "vec_id", "_rv", m=m, k=16, iters=2,
+        cache_path=_io_dir(sfdir, f"l47_res_books_m{m}_k16"),
+        fingerprint=fp,
+    )
+    rcodes = load_or_build_ivfadc_codes(
+        emb, "vec_id", "embedding", cents, rbooks,
+        cache_path=_io_dir(sfdir, f"l47dec_res_k{k}_m{m}_codes"),
+        residual=True, fingerprint=fp,
+    )
+    res = _mean_recall(
+        ivfadc_residual_topk(
+            emb, queries, "vec_id", "embedding", cents, rbooks,
+            n_probe=prm["n_probe"], shortlist=prm["shortlist"], k=10,
+            codes=rcodes,
+        ).collect(),
+        truth,
+    )
+    assert res >= 0.8, (plain, res)
+    assert res >= plain + 0.1, (plain, res)

@@ -60,10 +60,12 @@ def main() -> None:
 
     from finporter_spark.operators.similarity import (
         ivfadc_params,
+        ivfadc_residual_topk,
         ivfadc_topk,
         load_or_build_ivfadc_codes,
         load_or_train_centroids_det,
         load_or_train_pq_books,
+        residual_vectors,
         split_hot_cells,
     )
     from finporter_spark.queries.catalog import _t
@@ -101,11 +103,18 @@ def main() -> None:
         ("zipf_1", "/tmp/finporter_testdata/sf1", None),
         ("zipf_10", "/tmp/finporter_testdata/sf10", None),
         ("zipf_0.1_split", "/root/testdata/sf0.1", None),
+        # the measured mitigation for the trained-on-skew RECALL loss:
+        # residual codes (l46b machinery) at the same sized dial read
+        # 0.842 where plain codes read 0.656 — residuals concentrate
+        # around 0 regardless of cluster population, so rare clusters
+        # stop paying the codebook-starvation tax
+        ("zipf_10_res", "/tmp/finporter_testdata/sf10", None),
     ]
     for sf, d, k in SFS + struct_rows + zipf_rows:
         structured = sf.startswith("struct_")
         zipf = sf.startswith("zipf_")
         split = sf.endswith("_split")
+        resid = sf.endswith("_res")
         if structured or zipf:
             if zipf:
                 emb = _staged_zipf_embeddings(spark, d)
@@ -120,22 +129,13 @@ def main() -> None:
             prm = ivfadc_params(emb.count(), 64)
             k, m = prm["k_coarse"], prm["m"]
             n_probe, shortlist = prm["n_probe"], prm["shortlist"]
-            tag = f"{fam}dec_k{k}_m{m}"
+            tag = f"{fam}dec{'_res' if resid else ''}_k{k}_m{m}"
         else:
             emb = _t(spark, d, "embeddings")
             m, n_probe, shortlist = 4, N_PROBE, SHORTLIST
             tag = f"l45dec_k{k}"
             fp = _src_fp(d, "embeddings")
             fam = "l45"
-        books = load_or_train_pq_books(
-            emb, "vec_id", "embedding", m=m, k=16, iters=2,
-            cache_path=_io_dir(
-                d,
-                f"{fam}_books_m{m}_k16" if structured or zipf
-                else "l45_pq_books_m4_k16_i2",
-            ),
-            fingerprint=fp,
-        )
         cents = load_or_train_centroids_det(
             emb, "vec_id", "embedding", dim=64, n_centroids=k, iters=3,
             cache_path=_io_dir(
@@ -153,6 +153,25 @@ def main() -> None:
             )
             split_s = round(time.time() - t0, 3)
             tag += f"_split{len(cents)}"
+        # books train AFTER any split (plain PQ books are
+        # quantizer-independent; residual books depend on cents)
+        if resid:
+            rv = residual_vectors(emb, "vec_id", "embedding", cents)
+            books = load_or_train_pq_books(
+                rv, "vec_id", "_rv", m=m, k=16, iters=2,
+                cache_path=_io_dir(d, f"{fam}_res_books_m{m}_k16"),
+                fingerprint=fp,
+            )
+        else:
+            books = load_or_train_pq_books(
+                emb, "vec_id", "embedding", m=m, k=16, iters=2,
+                cache_path=_io_dir(
+                    d,
+                    f"{fam}_books_m{m}_k16" if structured or zipf
+                    else "l45_pq_books_m4_k16_i2",
+                ),
+                fingerprint=fp,
+            )
         # ingest-time index build: timed ONLY when the cache is cold —
         # cold includes a fingerprint-stale cache (the loader rebuilds
         # on marker mismatch, so the time is a real build)
@@ -166,7 +185,7 @@ def main() -> None:
         t0 = time.time()
         codes = load_or_build_ivfadc_codes(
             emb, "vec_id", "embedding", cents, books,
-            cache_path=codes_path, fingerprint=fp,
+            cache_path=codes_path, residual=resid, fingerprint=fp,
         )
         codes_build = round(time.time() - t0, 3) if cold else None
         queries = emb.where(
@@ -174,7 +193,8 @@ def main() -> None:
         )
 
         def run():
-            return ivfadc_topk(
+            fn = ivfadc_residual_topk if resid else ivfadc_topk
+            return fn(
                 emb, queries, "vec_id", "embedding", cents, books,
                 n_probe=n_probe, shortlist=shortlist, k=TOPK,
                 codes=codes,
