@@ -1497,7 +1497,16 @@ def ivfadc_params(n: int, dim: int, pq_k: int = 16) -> dict:
     Returns {k_coarse, m, n_probe, shortlist, pq_k, points_per_cell,
     level}. Callers: the l46 catalog family pins its import-time
     constants to this rule at declared reference densities, and
-    tools/ivfadc_decade.py sizes every struct row with it."""
+    tools/ivfadc_decade.py sizes every struct/zipf row with it.
+
+    Code TYPE is outside this rule's inputs (it sees only n and dim):
+    on corpora with SKEWED cluster populations, RESIDUAL codes at the
+    same sized dial are the measured default — 0.842 vs plain 0.656
+    at zipf-sf10 (IVFADC_DECADE ``zipf_10_res``; rare clusters stop
+    paying the codebook-starvation tax because residuals concentrate
+    around 0 regardless of cluster population). Detecting skew needs
+    a corpus statistic (e.g. coarse-cell population entropy), not a
+    row count — callers that know their data chooses for them."""
     import math
 
     if n < 1:

@@ -241,6 +241,22 @@ SHOWCASE = {
         "domain-sized cumulative window, one scalar aggregate - H is "
         "computed in a single projection over the final row."
     ),
+    "l48_repeated_span_coverage": (
+        "Arbitrary-length repeated-span dedup (Lee et al. shape): one "
+        "corpus-token explode to positional 16-byte md5 anchors, ONE "
+        "gram-keyed window for first-doc, then the interval-union "
+        "merge is two doc-partitioned windows + a groupBy (per-task "
+        "state = one document's duplicated anchors) and a doc-keyed "
+        "left join back to the token table - linear in corpus tokens, "
+        "no driver state, no suffix array."
+    ),
+    "a48_kw_4arm": (
+        "Odd-df Kruskal-Wallis (4 arms): same two keyed aggs + one "
+        "domain window + one scalar agg as a46; the erfc-anchored "
+        "chi-square(3) survival is a fixed literal expression in the "
+        "final one-row projection - zero extra distributed work for "
+        "the p-value."
+    ),
 }
 
 
