@@ -13,6 +13,13 @@
   The hot-cell mitigation (``operators.similarity.split_hot_cells``)
   is measured in tests/test_r13_ops.py and the ``zipf_*`` rows of
   IVFADC_DECADE.json.
+- ``l48_repeated_span_coverage``: ARBITRARY-length repeated-span
+  dedup (the Lee et al. 2022 exact-substring shape) — 8-gram anchors
+  as the detector, per-document interval union recovering each
+  maximal repeated span's true token length.
+- ``a48_kw_4arm``: Kruskal–Wallis over four arms — the odd-df
+  chi-square survival (erfc-anchored upward recurrence) the k-arm
+  family documented as NULL until the round-13 erfc polynomial.
 """
 
 from __future__ import annotations
