@@ -257,6 +257,7 @@ HEADLINE = [
     "l47_ivfadc_zipf",
     "l48_repeated_span_coverage",
     "a48_kw_4arm",
+    "x21_stream_minhash_dedup",
 ]
 
 
@@ -349,6 +350,7 @@ def main() -> None:
         # round-13: zipf corpus + quantizer/books/codes staging is
         # ingest-time dataset state
         "l47_ivfadc_zipf",
+        "x21_stream_minhash_dedup",
     ]
     for name in STAGED:
         if name in HEADLINE:

@@ -20,6 +20,10 @@
 - ``a48_kw_4arm``: Kruskal–Wallis over four arms — the odd-df
   chi-square survival (erfc-anchored upward recurrence) the k-arm
   family documented as NULL until the round-13 erfc polynomial.
+- ``x21_stream_minhash_dedup``: streaming near-dup dedup at ingest —
+  per-batch md5 MinHash banding merged into the versioned keep-first
+  sink keyed by band bucket; drained first-seen state == the one-shot
+  batch banding (full hash oracle).
 """
 
 from __future__ import annotations
@@ -533,3 +537,176 @@ def a48_kw_4arm(spark, sf_dir):
         ).alias("arm"),
     )
     return kruskal_wallis(m, "iv", "arm", [0, 1, 2, 3])
+
+
+# =====================================================================
+# X21 — streaming MinHash-LSH dedup at ingest (band-bucket first-seen)
+# =====================================================================
+
+
+def _x21_oracle() -> str:
+    """Batch mirror: the l2 md5 signature/banding CTEs, then per
+    bucket the FIRST (lowest) doc_id, then per doc the count of its 8
+    band buckets first claimed by an earlier doc."""
+    from finporter_spark.queries.catalog import (
+        _l2_band_union,
+        _l2_sig_ctes,
+    )
+
+    return f"""
+    WITH {_l2_sig_ctes(32, 3)}, band AS (
+      {_l2_band_union(32, 8)}
+    ), fs AS (
+      SELECT band_id, bh, MIN(doc_id) AS first_doc
+      FROM band GROUP BY band_id, bh
+    )
+    SELECT b.doc_id,
+           CAST(SUM(CASE WHEN fs.first_doc < b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_bands,
+           SUM(CASE WHEN fs.first_doc < b.doc_id THEN 1 ELSE 0 END) > 0
+             AS is_dup
+    FROM band b
+    JOIN fs ON fs.band_id = b.band_id AND fs.bh = b.bh
+    GROUP BY b.doc_id
+    """
+
+
+@query("x21_stream_minhash_dedup", _x21_oracle())
+def x21_stream_minhash_dedup(spark, sf_dir):
+    """X21: STREAMING near-dup dedup at ingest — the LLM-pipeline op
+    the batch dedup family (l2) and the streaming maintenance family
+    (x9/o19/o20) jointly imply: a 100 TB corpus ACCRUES, and each
+    arriving document must be flagged against everything already
+    ingested without re-signaturing history. Documents arrive as a
+    JSON-lines file stream (2 forced micro-batches); each batch
+    computes the l2 deterministic md5 MinHash signatures (32 hashes,
+    batch-local keyed agg) and its 8 band buckets, and merges
+    (bucket → lowest doc_id) into a ``versioned_keep_first_sink`` —
+    the SAME idempotent snapshot sink o19 vacuums and o20 time-travels,
+    keyed by band bucket instead of user: crash-replayed batches
+    re-merge onto the right parent, and the drained state is the
+    GLOBAL first-seen bucket owner regardless of how files batched.
+    After the drain, each document's verdict is one equi-join of its
+    buckets against the final state: ``is_dup`` iff ANY of its bands
+    was first claimed by a lower doc_id (the LSH candidate criterion —
+    the same banding l2 then verifies pairwise; at the ingest gate the
+    band collision IS the flag, the precision/recall dials being bands
+    × rows, the published banding trade).
+
+    Full value-hash oracle: signatures, banding, bucket first-seen and
+    the per-doc flag all unrolled in DuckDB over the same corpus (the
+    md5 signature family is bit-identical cross-engine — the l2
+    contract), certifying drained streaming state == the one-shot
+    batch computation.
+
+    Scale: per batch — one keyed signature agg over the BATCH's docs
+    (map-combinable mins, ~docs × 32 longs), a map-only band explode,
+    and the keep-first merge whose state is one row per DISTINCT
+    bucket (≪ corpus text; the snapshot-per-batch layout is what o19's
+    vacuum reclaims). No driver state, no all-pairs anything. COST
+    CLASS: the md5 signature work (32 hashes × shingles) is paid per
+    arriving document exactly once — the same total work as l2's
+    one-time signature STAGING, amortized over the stream instead of
+    one batch job; the verdict side reads l2's staged signature table
+    (shared dataset state), never re-signaturing the corpus. Decade
+    row is ingest-class (linear in arriving tokens), not query-class."""
+    import shutil
+
+    from finporter_spark.operators.dedup import (
+        band_hash,
+        minhash_signatures,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+    from finporter_spark.streaming.pipeline import (
+        run_stream_foreach_batch,
+        versioned_keep_first_sink,
+    )
+
+    def _bands(sig):
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            band_hash(b, 4, "md5").alias("bh"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("s"),
+        ).select(
+            F.concat_ws(
+                ":", F.col("s.band_id").cast("string"), F.col("s.bh")
+            ).alias("bkey"),
+            F.col("s.band_id").alias("band_id"),
+            F.col("s.bh").alias("bh"),
+            "doc_id",
+        )
+
+    def _write(p):
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(8)
+            .write.mode("overwrite")
+            .json(p)
+        )
+
+    path = _stage_once(
+        sf_dir, "x21", _write, "documents", extra_fingerprint="json-v1"
+    )
+    root = _io_dir(sf_dir, "x21_state")
+    ckpt = _io_dir(sf_dir, "x21_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="bkey", order_col="doc_id"
+    )
+    sdf = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 4)
+        .json(path)
+    )
+
+    def sink(bdf, batch_id):
+        sig = minhash_signatures(bdf, hash_family="md5")
+        merge(_bands(sig).select("bkey", "doc_id"), batch_id)
+
+    run_stream_foreach_batch(sdf, sink, checkpoint=ckpt)
+    first = read_final(spark).select(
+        "bkey", F.col("doc_id").alias("first_doc")
+    )
+    # verdict side: the full-corpus signatures are the SAME dataset
+    # state l2 stages (identical md5 family/params/cache key) — read
+    # the staged table instead of re-signaturing the corpus (at sf10
+    # the recompute was ~1/3 of the row's wall)
+    import os as _os
+
+    from finporter_spark.operators.dedup import load_or_build_signatures
+    from finporter_spark.operators.scale import source_fingerprint
+
+    sigs = load_or_build_signatures(
+        _t(spark, sf_dir, "documents"),
+        cache_path=_io_dir(sf_dir, "l2_sigs_md5_n3_k32"),
+        fingerprint=source_fingerprint(
+            _os.path.join(sf_dir, "documents.parquet")
+        ),
+        text_col="text", id_col="doc_id", shingle_n=3, num_hashes=32,
+        hash_family="md5",
+    )
+    all_bands = _bands(sigs)
+    n_dup = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        all_bands.join(first, "bkey")
+        .groupBy("doc_id")
+        .agg(n_dup.cast("bigint").alias("n_dup_bands"))
+        .select(
+            "doc_id",
+            "n_dup_bands",
+            (F.col("n_dup_bands") > 0).alias("is_dup"),
+        )
+    )

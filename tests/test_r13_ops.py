@@ -534,3 +534,97 @@ def test_kw_4arm_p_matches_reference(spark):
         assert r.p_approx == pytest.approx(
             round(_chi2_sf_ref(h_ref, 3), 6), abs=2e-6
         ), arms
+
+
+# ---------------------------------------------------------------------
+# x21 streaming minhash dedup (ingest-gate semantics)
+# ---------------------------------------------------------------------
+
+
+def test_x21_exact_dup_guarantee(spark, sf_dir, tmp_path):
+    """Guarantees on the ingest gate, on a constructed corpus with
+    EXACT copies arriving OUT OF ORDER (the copy lands in an EARLIER
+    batch than its lower-id original — the adversarial case for a
+    first-seen store): the keep-first merge still yields the global
+    minimum owner per bucket, so (1) the exact copy collides on ALL 8
+    bands (identical signature) and is flagged; (2) the original
+    (lowest doc_id of its text) is NOT flagged; (3) unrelated docs are
+    NOT flagged. Also: the catalog entry at sf0.001 agrees with its
+    own oracle (driver-checked) and flags the corpus's planted
+    near-dups."""
+    from finporter_spark.operators.dedup import (
+        band_hash,
+        minhash_signatures,
+    )
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.streaming.pipeline import (
+        versioned_keep_first_sink,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    mk = lambda lo: " ".join(words[lo : lo + 40])  # noqa: E731
+    docs = {
+        1: mk(0),      # original of the copy below
+        2: mk(50),
+        3: mk(100),
+        10: mk(150),
+        11: mk(0),     # EXACT copy of doc 1
+    }
+
+    def bands(df):
+        sig = minhash_signatures(df, hash_family="md5")
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            band_hash(b, 4, "md5").alias("bh"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("s"),
+        ).select(
+            F.concat_ws(
+                ":", F.col("s.band_id").cast("string"), F.col("s.bh")
+            ).alias("bkey"),
+            "doc_id",
+        )
+
+    root = str(tmp_path / "x21")
+    merge, read_final = versioned_keep_first_sink(
+        root, key_col="bkey", order_col="doc_id"
+    )
+    batches = [[10, 11], [1, 2, 3]]  # copy (11) arrives BEFORE original (1)
+    for bid, ids in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id bigint, text string"
+        )
+        merge(bands(bdf), bid)
+    first = read_final(spark).select(
+        "bkey", F.col("doc_id").alias("first_doc")
+    )
+    alldf = spark.createDataFrame(
+        sorted(docs.items()), "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in bands(alldf)
+        .join(first, "bkey")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup_bands")
+        )
+        .collect()
+    }
+    assert out[11].n_dup_bands == 8      # exact copy: all bands collide
+    assert out[1].n_dup_bands == 0       # original never self-flagged
+    assert all(out[i].n_dup_bands == 0 for i in (2, 3, 10))
+
+    # the real-corpus entry produces both verdicts (planted near-dups)
+    rows = CATALOG["x21_stream_minhash_dedup"][0](spark, sf_dir).collect()
+    assert any(r.is_dup for r in rows) and any(not r.is_dup for r in rows)

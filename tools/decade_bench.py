@@ -203,6 +203,7 @@ QUERIES = [
     "l47_ivfadc_zipf",
     "l48_repeated_span_coverage",
     "a48_kw_4arm",
+    "x21_stream_minhash_dedup",
 ]
 
 
@@ -261,6 +262,7 @@ def main() -> None:
                         # 5.0 s first vs 2.0 s steady at sf0.1 — the
                         # round-12 "a7/a16 slowdown" was this + load,
                         # not a plan change); time the steady state
+                        "x21_stream_minhash_dedup",
                         "a7_percentiles",
                         "a16_event_value_percentiles"):
                 qs[name](spark, d).write.format("noop").mode(
