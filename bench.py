@@ -258,6 +258,7 @@ HEADLINE = [
     "l48_repeated_span_coverage",
     "a48_kw_4arm",
     "x21_stream_minhash_dedup",
+    "pipe9_stream_ingest_curation",
 ]
 
 
@@ -351,6 +352,7 @@ def main() -> None:
         # ingest-time dataset state
         "l47_ivfadc_zipf",
         "x21_stream_minhash_dedup",
+        "pipe9_stream_ingest_curation",
     ]
     for name in STAGED:
         if name in HEADLINE:

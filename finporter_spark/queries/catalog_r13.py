@@ -710,3 +710,107 @@ def x21_stream_minhash_dedup(spark, sf_dir):
             (F.col("n_dup_bands") > 0).alias("is_dup"),
         )
     )
+
+
+# =====================================================================
+# PIPE9 — streaming-ingest curation funnel (x21 gate -> length floor)
+# =====================================================================
+
+
+def _pipe9_oracle() -> str:
+    """The x21 banding/first-seen chain as a CTE, left-joined onto the
+    corpus (docs too short to shingle carry no flag -> not dup), then
+    the per-source funnel with a 30-token length floor."""
+    from finporter_spark.queries.catalog import (
+        _l2_band_union,
+        _l2_sig_ctes,
+        _TOKS,
+    )
+
+    return f"""
+    WITH {_l2_sig_ctes(32, 3)}, band AS (
+      {_l2_band_union(32, 8)}
+    ), fs AS (
+      SELECT band_id, bh, MIN(doc_id) AS first_doc
+      FROM band GROUP BY band_id, bh
+    ), flags AS (
+      SELECT b.doc_id,
+             SUM(CASE WHEN fs.first_doc < b.doc_id THEN 1 ELSE 0 END) > 0
+               AS is_dup
+      FROM band b
+      JOIN fs ON fs.band_id = b.band_id AND fs.bh = b.bh
+      GROUP BY b.doc_id
+    ), d AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ), j AS (
+      SELECT d.source, d.n_tokens,
+             COALESCE(f.is_dup, FALSE) AS dup
+      FROM d LEFT JOIN flags f USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens < 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens >= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens >= 30
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM j GROUP BY source
+    """
+
+
+@query("pipe9_stream_ingest_curation", _pipe9_oracle())
+def pipe9_stream_ingest_curation(spark, sf_dir):
+    """PIPE9: the streaming-ingest CURATION funnel — what a training
+    corpus actually runs at the door: documents arrive as a stream,
+    the x21 ingest gate flags near-dups against everything already
+    ingested (per-batch md5 MinHash banding merged into the versioned
+    first-seen store — the drained flags are batching/arrival-order
+    independent), survivors pass a 30-token length floor, and the
+    dashboard readout is the per-source funnel (arrived → dropped-dup
+    → dropped-short → kept, plus KEPT TOKENS, the number the training
+    run actually consumes). Composes three certified families in one
+    hash-gated pipeline: streaming ingest (x21's drain), dedup (l2's
+    signature machinery), and corpus prep gates (l33's length-floor
+    discipline) — the PIPE contract: stage-chained CTE oracles certify
+    COMPOSITION, not just parts.
+
+    Documents too short to shingle (<3 tokens) carry no flag and pass
+    the dedup gate by definition on BOTH engines (left join +
+    coalesce(false)). Scale: x21's ingest-class drain + one corpus
+    scan for token counts + one source-keyed agg; nothing new
+    materializes beyond x21's bucket store."""
+    from finporter_spark.operators.text import tokens
+
+    flags = x21_stream_minhash_dedup(spark, sf_dir).select(
+        "doc_id", "is_dup"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    j = d.join(flags, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("dup"),
+    )
+    kept = (~F.col("dup")) & (F.col("n_tokens") >= 30)
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.sum(
+            F.when((~F.col("dup")) & (F.col("n_tokens") < 30), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_short"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

@@ -204,6 +204,7 @@ QUERIES = [
     "l48_repeated_span_coverage",
     "a48_kw_4arm",
     "x21_stream_minhash_dedup",
+    "pipe9_stream_ingest_curation",
 ]
 
 
@@ -263,6 +264,7 @@ def main() -> None:
                         # round-12 "a7/a16 slowdown" was this + load,
                         # not a plan change); time the steady state
                         "x21_stream_minhash_dedup",
+                        "pipe9_stream_ingest_curation",
                         "a7_percentiles",
                         "a16_event_value_percentiles"):
                 qs[name](spark, d).write.format("noop").mode(
