@@ -628,3 +628,74 @@ def test_x21_exact_dup_guarantee(spark, sf_dir, tmp_path):
     # the real-corpus entry produces both verdicts (planted near-dups)
     rows = CATALOG["x21_stream_minhash_dedup"][0](spark, sf_dir).collect()
     assert any(r.is_dup for r in rows) and any(not r.is_dup for r in rows)
+
+
+# ---------------------------------------------------------------------
+# l48 property test (hypothesis): operator == position-marking ref
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+# tiny vocabulary + short docs force heavy shingle collisions, copies
+# and boundary overlaps — the regimes where interval-union bookkeeping
+# can silently drift from position marking
+_DOCS = st.lists(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(6)]),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _l48_ref(doc_toks, n=4):
+    first = {}
+    for did, tk in enumerate(doc_toks):
+        for i in range(len(tk) - n + 1):
+            g = tuple(tk[i : i + n])
+            if g not in first:
+                first[g] = did
+    out = {}
+    for did, tk in enumerate(doc_toks):
+        if len(tk) < n:
+            continue
+        marked = set()
+        for i in range(len(tk) - n + 1):
+            if first[tuple(tk[i : i + n])] < did:
+                marked.update(range(i, i + n))
+        spans, run = [], 0
+        for p in range(len(tk) + 1):
+            if p in marked:
+                run += 1
+            elif run:
+                spans.append(run)
+                run = 0
+        out[did] = (
+            len(tk),
+            len(marked),
+            len(spans),
+            max(spans, default=0),
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_DOCS)
+def test_l48_property_vs_position_marking(spark, docs):
+    from finporter_spark.operators.prep import repeated_span_coverage
+
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens, r.n_spans, r.max_span)
+        for r in repeated_span_coverage(df, ngram_n=4).collect()
+    }
+    assert got == _l48_ref(docs, n=4)
