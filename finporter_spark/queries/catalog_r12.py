@@ -619,11 +619,21 @@ def _res_pq_sub_ctes(i: int) -> str:
     {dist(f'rc2_{i}', f'rd3_{i}', f'ra3_{i}')}"""
 
 
-def _l46b_oracle() -> str:
+def _l46b_oracle(
+    corpus_cte: str | None = None,
+    k_sql: str | None = None,
+    shortlist: int | None = None,
+) -> str:
     """Residual IVFADC: coarse Lloyd (k=64), residual table
     r = e − centroid[cell], per-subspace PQ Lloyd unrolls ON r,
     per-(query, probed cell) residual LUTs, ADC over residual codes,
-    exact rerank on the structured vectors."""
+    exact rerank on the structured vectors.
+
+    Parameterized for reuse (the _l46_oracle contract): ``corpus_cte``
+    swaps the corpus (catalog_r14's l49 passes the Zipf CTE + a
+    corpus-sized ``kk`` dial CTE), ``k_sql`` the coarse seeding bound
+    (a literal or a scalar subquery over ``kk``), ``shortlist`` the
+    re-rank budget. Defaults reproduce the l46b text exactly."""
     from finporter_spark.queries.catalog_ext import (
         _ivf_dist_cte,
         _ivf_mean_cte,
@@ -635,6 +645,12 @@ def _l46b_oracle() -> str:
         _PQ_TOPK,
     )
 
+    if corpus_cte is None:
+        corpus_cte = _STRUCT_E
+    if k_sql is None:
+        k_sql = str(_L46_K)
+    if shortlist is None:
+        shortlist = _L46B_SHORT
     ivf_rounds = []
     prev = "c0"
     for rr in range(1, _L46_ITERS + 1):
@@ -672,10 +688,10 @@ def _l46b_oracle() -> str:
     )
     ad = " + ".join(f"l{i}.d" for i in range(_PQ_M))
     return f"""
-    WITH {_STRUCT_E},
+    WITH {corpus_cte},
     c0 AS (SELECT CAST(vec_id AS INT) AS cid,
                   list_transform(emb, x -> ROUND(x, 6)) AS cen
-           FROM e WHERE vec_id < {_L46_K}),
+           FROM e WHERE vec_id < {k_sql}),
     {ivf},
     {_ivf_dist_cte(prev, 'df', 'af')},
     afm AS MATERIALIZED (SELECT * FROM af),
@@ -704,7 +720,7 @@ def _l46b_oracle() -> str:
       SELECT query_id, cand_id,
              row_number() OVER (
                PARTITION BY query_id ORDER BY adist, cand_id) AS rk
-      FROM score) WHERE rk <= {_L46B_SHORT}),
+      FROM score) WHERE rk <= {shortlist}),
     exact AS (SELECT s.query_id, s.cand_id,
                 ROUND(list_sum(list_transform(list_zip(eq.emb, ec.emb),
                       z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS dist2

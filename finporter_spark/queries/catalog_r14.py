@@ -1,0 +1,139 @@
+"""Catalog extension — round-14 additions.
+
+- ``l49_ivfadc_auto``: the fully AUTOMATIC sized-and-typed IVFADC
+  build (``operators.similarity.ivfadc_plan``) on the Zipf-populated
+  corpus — corpus count sizes the dial, the trained quantizer's
+  measured spacing skew selects RESIDUAL codes with no caller-side
+  choice (the round-13 verdict's top gap: the measured 0.656 → 0.842
+  recall win previously lived in docstrings, not in code a caller
+  gets by default).
+- ``x22_stream_cdc_upsert``: streaming CDC at ingest — I/U/D
+  correction records arriving across micro-batches, merged into a
+  versioned KEEP-LATEST sink with delete tombstones; drained state
+  applied to the base table equals the batch o10 changelog apply.
+- ``l21b_bpe_merges``: the BPE merge recursion as a recursive CTE
+  over vocabulary-sized single-row state — the hash-green twin that
+  retires l21's rows-only status (the w14c move, applied to the
+  tokenizer family).
+- ``pipe9b_stream_curation_quality``: the ingest curation funnel
+  extended with the trained quality-score gate (l26's logistic
+  weights broadcast map-only into the funnel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finporter_spark.queries.catalog import _t, query
+
+# =====================================================================
+# L49 — automatic sized-and-typed IVFADC on the Zipf corpus
+# =====================================================================
+
+# the oracle mirrors ivfadc_params' k_coarse rule in SQL so the same
+# text is valid at ANY level-0 density (sf0.01/0.1/1): k = largest
+# power of two <= 1.5 * sqrt(N), floor 16
+_L49_K_CTE = """
+    kk AS (SELECT GREATEST(16, CAST(POWER(2, FLOOR(LOG2(
+                    GREATEST(16.0, 1.5 * SQRT(COUNT(*)))))) AS BIGINT))
+                  AS k
+           FROM e)"""
+
+# level-0 dial constants (ivfadc_params: points-per-cell <= 128 at
+# every oracle-checked density — sf0.01 ppc 15.6, sf0.1 31, sf1 62.5)
+_L49_NPROBE = 6
+_L49_SHORT = 200
+
+
+def _l49_oracle() -> str:
+    """The residual-IVFADC unroll (catalog_r12._l46b_oracle) on the
+    Zipf corpus with the coarse k computed IN SQL from the corpus
+    count — the DuckDB mirror of the ivfadc_plan flow for the branch
+    the entry pins (level 0, m=4, residual codes)."""
+    from finporter_spark.queries.catalog_r12 import _l46b_oracle
+    from finporter_spark.queries.catalog_r13 import _ZIPF_E
+
+    return _l46b_oracle(
+        corpus_cte=_ZIPF_E + "," + _L49_K_CTE,
+        k_sql="(SELECT k FROM kk)",
+        shortlist=_L49_SHORT,
+    )
+
+
+@query("l49_ivfadc_auto", _l49_oracle())
+def l49_ivfadc_auto(spark, sf_dir):
+    """L49: IVFADC with the dial SIZED and the code type CHOSEN by
+    measurement — :func:`finporter_spark.operators.similarity
+    .ivfadc_plan` end-to-end on the Zipf-populated planted-cluster
+    corpus. l47 runs the same corpus with the caller choosing plain
+    codes (and documents the 0.656-vs-0.842 cost of that choice at
+    zipf-sf10); here nothing is chosen: the corpus count sets
+    k_coarse/m/n_probe/shortlist (``ivfadc_params``), and the trained
+    quantizer's nearest-centroid spacing statistic
+    (``quantizer_spacing_skew``; min/median < 0.765, the measured gap
+    between the balanced and Zipf corpora at every scale) selects
+    RESIDUAL codes — the measured right default on skew-populated
+    corpora (+0.19 recall at zipf-sf10, IVFADC_DECADE.json), now the
+    actual default.
+
+    Oracle branch pin: the DuckDB oracle unrolls the residual level-0
+    branch with k computed in SQL from the corpus count (the same
+    1.5·√N rule), so the entry RAISES loudly if the plan ever decides
+    differently (plain codes / an escalated level) instead of
+    hash-diffing — the l46 import-raise pattern at runtime. The
+    balanced-corpus counterpart (plan chooses PLAIN on l46's fixture)
+    is pinned in tests/test_r14_ops.py, not as a second entry.
+
+    Scale: everything the plan builds is fingerprint-guarded dataset
+    state keyed by dial AND code type; the query side is l46b's shape
+    (broadcast probe LUTs per (query, cell), ADC over staged residual
+    codes, exact re-rank on Q × shortlist raw rows)."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_plan,
+        ivfadc_plan_topk,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r10 import (
+        _PQ_QMAX,
+        _PQ_QMOD,
+        _PQ_TOPK,
+    )
+    from finporter_spark.queries.catalog_r13 import (
+        _staged_zipf_embeddings,
+        _zipf_fingerprint,
+    )
+
+    ze = _staged_zipf_embeddings(spark, sf_dir)
+    plan = ivfadc_plan(
+        ze, "vec_id", "embedding", 64,
+        cache_root=_io_dir(sf_dir, "l49_plan"),
+        fingerprint=_zipf_fingerprint(sf_dir),
+    )
+    if (
+        plan["code_type"] != "residual"
+        or plan["level"] != 0
+        or plan["m"] != 4
+        or plan["n_probe"] != _L49_NPROBE
+        or plan["shortlist"] != _L49_SHORT
+    ):
+        raise RuntimeError(
+            "l49_ivfadc_auto: the measured plan "
+            f"(code_type={plan['code_type']}, level={plan['level']}, "
+            f"m={plan['m']}, n_probe={plan['n_probe']}, "
+            f"shortlist={plan['shortlist']}, "
+            f"nn_min_over_med={plan['nn_min_over_med']:.3f}) left the "
+            "branch the oracle unrolls (residual, level 0, m=4, "
+            "n_probe=6, shortlist=200) — this corpus/density is "
+            "outside the entry's pinned regime; the operator itself "
+            "is fine, regenerate the oracle for the new branch"
+        )
+    queries = ze.where(
+        (F.col("vec_id") % _PQ_QMOD == 0) & (F.col("vec_id") < _PQ_QMAX)
+    )
+    out = ivfadc_plan_topk(
+        plan, ze, queries, "vec_id", "embedding", k=_PQ_TOPK
+    )
+    return out.select(
+        "query_id", "cand_id", F.col("rank").cast("int").alias("rank"),
+        "dist2",
+    )

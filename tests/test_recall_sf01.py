@@ -831,3 +831,55 @@ def test_zipf_sf10_residual_recovers_skew_recall(spark):
     )
     assert res >= 0.8, (plain, res)
     assert res >= plain + 0.1, (plain, res)
+
+
+def test_ivfadc_plan_auto_zipf_recall(spark):
+    """The round-13 verdict's done-bar: the zipf recall target met by
+    the SIZED AND TYPED dial with NO caller-side choice —
+    ivfadc_plan alone (corpus count -> dial; trained-quantizer spacing
+    skew -> residual codes) must reproduce the measured 0.842-class
+    recall at the zipf-sf10 density where the manual plain default
+    read 0.656. Falls back to sf0.1 (decision + recall >= the plain
+    catalog dial) when the generated sf10 corpus is absent."""
+    from finporter_spark.operators.similarity import (
+        ivfadc_plan,
+        ivfadc_plan_topk,
+    )
+    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.catalog_r13 import (
+        _staged_zipf_embeddings,
+        _zipf_fingerprint,
+    )
+
+    sfdir = "/tmp/finporter_testdata/sf10"
+    if not os.path.isdir(sfdir):
+        sfdir = SF01
+    import numpy as np
+
+    emb = _staged_zipf_embeddings(spark, sfdir)
+    plan = ivfadc_plan(
+        emb, "vec_id", "embedding", 64,
+        cache_root=_io_dir(sfdir, "l49_plan"),
+        fingerprint=_zipf_fingerprint(sfdir),
+    )
+    assert plan["code_type"] == "residual", plan["reason"]
+    queries = emb.where(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 101 * 50)
+    )
+    rows = ivfadc_plan_topk(
+        plan, emb, queries, "vec_id", "embedding", k=10
+    ).collect()
+    pdf = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, M = ids[order], np.stack(pdf["v"].to_numpy())[order]
+    truth = {}
+    for q in [int(i) for i in ids if i % 101 == 0 and i < 101 * 50]:
+        qi = int(np.searchsorted(ids, q))
+        dq = ((M - M[qi]) ** 2).sum(axis=1)
+        truth[q] = set(ids[np.lexsort((ids, dq))][:10].tolist())
+    rec = _mean_recall(rows, truth)
+    assert rec >= 0.8, (sfdir, plan["reason"], rec)

@@ -59,6 +59,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from finporter_spark.operators.similarity import (
+        choose_code_type,
         ivfadc_params,
         ivfadc_residual_topk,
         ivfadc_topk,
@@ -98,23 +99,28 @@ def main() -> None:
     # mitigation (split_hot_cells, cap 0.1) at the density where one
     # quantizer cell ≈ one planted cluster, and measures the scanned
     # fraction the split buys back at held recall.
+    # Round 14: struct/zipf rows are sized AND TYPED by the plan rule
+    # (choose_code_type on the trained quantizer's spacing skew) — no
+    # caller-side residual choice. The statistic fires on every zipf
+    # density (measured nn_min/med <= 0.718 vs balanced >= 0.816), so
+    # zipf_10 IS the auto-residual row (~0.842 where the old plain
+    # default read 0.656); zipf_10_plain keeps the forced-plain A/B.
     zipf_rows = [
         ("zipf_0.1", "/root/testdata/sf0.1", None),
         ("zipf_1", "/tmp/finporter_testdata/sf1", None),
         ("zipf_10", "/tmp/finporter_testdata/sf10", None),
         ("zipf_0.1_split", "/root/testdata/sf0.1", None),
-        # the measured mitigation for the trained-on-skew RECALL loss:
-        # residual codes (l46b machinery) at the same sized dial read
-        # 0.842 where plain codes read 0.656 — residuals concentrate
-        # around 0 regardless of cluster population, so rare clusters
-        # stop paying the codebook-starvation tax
-        ("zipf_10_res", "/tmp/finporter_testdata/sf10", None),
+        # the documented cost of overriding the auto choice: plain
+        # codes at the identical sized dial (the pre-round-14 default)
+        ("zipf_10_plain", "/tmp/finporter_testdata/sf10", None),
     ]
     for sf, d, k in SFS + struct_rows + zipf_rows:
         structured = sf.startswith("struct_")
         zipf = sf.startswith("zipf_")
         split = sf.endswith("_split")
-        resid = sf.endswith("_res")
+        forced_res = sf.endswith("_res")
+        forced_plain = sf.endswith("_plain")
+        auto = None
         if structured or zipf:
             if zipf:
                 emb = _staged_zipf_embeddings(spark, d)
@@ -129,7 +135,6 @@ def main() -> None:
             prm = ivfadc_params(emb.count(), 64)
             k, m = prm["k_coarse"], prm["m"]
             n_probe, shortlist = prm["n_probe"], prm["shortlist"]
-            tag = f"{fam}dec{'_res' if resid else ''}_k{k}_m{m}"
         else:
             emb = _t(spark, d, "embeddings")
             m, n_probe, shortlist = 4, N_PROBE, SHORTLIST
@@ -145,6 +150,30 @@ def main() -> None:
             ),
             fingerprint=fp,
         )
+        # code-type decision: forced by the row suffix for the A/B
+        # rows, otherwise MEASURED from the trained quantizer (the
+        # ivfadc_plan default a scale caller now gets)
+        if structured or zipf:
+            auto = choose_code_type(cents)
+            resid = (
+                True
+                if forced_res
+                else False
+                if forced_plain
+                else auto["code_type"] == "residual"
+            )
+        else:
+            resid = forced_res
+        if split:
+            # the *_split row measures quantizer BALANCE (scanned
+            # fraction under the cap), not code quality — force plain
+            # codes so this tool's flat res-book cache paths are never
+            # written against a split quantizer (the production
+            # composition with split-keyed caches is
+            # operators.similarity.split_and_rebuild_codes)
+            resid = False
+        if structured or zipf:
+            tag = f"{fam}dec{'_res' if resid else ''}_k{k}_m{m}"
         split_s = None
         if split:
             t0 = time.time()
@@ -249,6 +278,12 @@ def main() -> None:
             "wall_s": wall,
             "codes_build_s": codes_build,
         }
+        if auto is not None:
+            results[sf]["code_type"] = "residual" if resid else "plain"
+            results[sf]["auto_code_type"] = auto["code_type"]
+            results[sf]["nn_min_over_med"] = round(
+                auto["nn_min_over_med"], 3
+            )
         if split_s is not None:
             results[sf]["split_s"] = split_s
         print(f"sf{sf}: {results[sf]}", flush=True)
