@@ -343,6 +343,92 @@ def versioned_keep_first_sink(root: str, key_col: str, order_col: str):
     return merge, read_final
 
 
+def versioned_keep_latest_sink(
+    root: str,
+    key_col: str,
+    order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+):
+    """The CDC/correction twin of :func:`versioned_keep_first_sink`
+    (round-13 verdict #5 — the versioned sinks were insert-only): each
+    batch unions the parent snapshot and keeps the LATEST row per
+    ``key_col`` by ``order_cols`` (descending, left-to-right tie
+    order), so upserts/corrections arriving in ANY micro-batch —
+    including an older record arriving AFTER a newer one — converge to
+    the same state as a one-shot batch keep-latest over the whole
+    changelog. With ``op_col``, rows whose final op is ``delete_op``
+    are retained in the snapshot as TOMBSTONES (never dropped at merge
+    time: dropping them would let an out-of-order older update in a
+    later batch silently resurrect the key — the classic CDC bug) and
+    filtered only at read time; ``read_final`` returns the live state,
+    ``read_final(..., with_tombstones=True)`` the raw snapshot.
+
+    Same layout and guarantees as the keep-first sink: one full
+    ``state_v{batch_id}`` snapshot per committed batch (crash-replayed
+    batches re-merge onto the right parent — replay idempotence),
+    state size O(distinct keys incl. tombstones),
+    :func:`finporter_spark.operators.scale.vacuum_versions` reclaims
+    old versions, :func:`read_version` time-travels. Ordering must be
+    total per key (e.g. (ts, event_id)) or the kept row is
+    engine-dependent.
+
+    Returns ``(merge_fn, read_final)``."""
+    from pyspark.sql import Window
+
+    order_cols = list(order_cols)
+
+    def latest_version(before: int) -> int:
+        versions = []
+        for d in os.listdir(root) if os.path.isdir(root) else []:
+            suffix = d[len("state_v"):]
+            if (
+                d.startswith("state_v")
+                and suffix.isdigit()
+                and int(suffix) < before
+            ):
+                versions.append(int(suffix))
+        return max(versions, default=-1)
+
+    def merge(bdf, batch_id):
+        cur = bdf
+        parent = latest_version(batch_id)
+        if parent >= 0:
+            prev = bdf.sparkSession.read.parquet(
+                os.path.join(root, f"state_v{parent}")
+            )
+            cur = prev.unionByName(cur)
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        survivors = (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(root, f"state_v{batch_id}")
+        )
+
+    def read_final(
+        spark: SparkSession, with_tombstones: bool = False
+    ) -> DataFrame:
+        final = latest_version(1 << 62)
+        if final < 0:
+            raise FileNotFoundError(
+                f"versioned_keep_latest_sink: no state versions under "
+                f"{root!r} — the stream produced zero batches"
+            )
+        state = spark.read.parquet(
+            os.path.join(root, f"state_v{final}")
+        )
+        if op_col is not None and not with_tombstones:
+            state = state.filter(F.col(op_col) != delete_op)
+        return state
+
+    return merge, read_final
+
+
 def list_versions(root: str, prefix: str = "state_v") -> list[int]:
     """Committed versions of a versioned merge sink
     (:func:`versioned_keep_first_sink` / x9's ``state_v{batch_id}``

@@ -273,3 +273,90 @@ def test_split_and_rebuild_codes_frozen_quantizer(spark):
     )
     assert codes2.exceptAll(codes).count() == 0
     assert codes.exceptAll(codes2).count() == 0
+
+
+# ---------------------------------------------------------------------
+# versioned_keep_latest_sink: CDC semantics (verdict #5)
+# ---------------------------------------------------------------------
+
+
+def _mk_sink(tmp_path):
+    from finporter_spark.streaming.pipeline import (
+        versioned_keep_latest_sink,
+    )
+
+    return versioned_keep_latest_sink(
+        str(tmp_path / "state"),
+        key_col="k",
+        order_cols=["ts", "seq"],
+        op_col="op",
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.k, r.ts, r.seq, r.op, r.v) for r in df.collect()
+    )
+
+
+def test_keep_latest_sink_out_of_order_and_tombstones(spark, tmp_path):
+    """The CDC invariants a keep-first sink cannot give:
+    - an UPDATE arriving in a LATER batch with an OLDER (ts, seq) must
+      NOT override the newer state (late replay of history);
+    - a delete tombstone survives in the snapshot so that late older
+      update cannot resurrect the key;
+    - a genuinely NEWER update after a delete DOES resurrect."""
+    merge, read_final = _mk_sink(tmp_path)
+    schema = "k bigint, ts bigint, seq bigint, op string, v double"
+    # batch 0: k1 updated at ts=10; k2 deleted at ts=20; k3 inserted
+    merge(
+        spark.createDataFrame(
+            [(1, 10, 1, "U", 1.0), (2, 20, 2, "D", None),
+             (3, 5, 3, "I", 3.0)],
+            schema,
+        ),
+        0,
+    )
+    # batch 1 (late arrivals, all OLDER than existing state):
+    # k1 ts=5 must lose; k2 ts=15 must stay deleted (tombstone wins)
+    merge(
+        spark.createDataFrame(
+            [(1, 5, 4, "U", 99.0), (2, 15, 5, "U", 98.0)], schema
+        ),
+        1,
+    )
+    live = read_final(spark)
+    assert _rows(live) == [(1, 10, 1, "U", 1.0), (3, 5, 3, "I", 3.0)]
+    raw = read_final(spark, with_tombstones=True)
+    assert (2, 20, 2, "D", None) in _rows(raw)
+    # batch 2: k2 NEWER update resurrects; k3 newer delete removes
+    merge(
+        spark.createDataFrame(
+            [(2, 30, 6, "U", 7.0), (3, 99, 7, "D", None)], schema
+        ),
+        2,
+    )
+    assert _rows(read_final(spark)) == [
+        (1, 10, 1, "U", 1.0),
+        (2, 30, 6, "U", 7.0),
+    ]
+
+
+def test_keep_latest_sink_replay_idempotent(spark, tmp_path):
+    """Crash-replay: re-merging the SAME batch_id re-merges onto the
+    same parent and produces a byte-identical snapshot — and the final
+    state equals a one-shot batch keep-latest over the full changelog
+    regardless of how rows were batched."""
+    merge, read_final = _mk_sink(tmp_path)
+    schema = "k bigint, ts bigint, seq bigint, op string, v double"
+    b0 = [(1, 10, 1, "U", 1.0), (2, 20, 2, "U", 2.0)]
+    b1 = [(1, 30, 3, "U", 1.5), (2, 10, 4, "D", None)]
+    merge(spark.createDataFrame(b0, schema), 0)
+    merge(spark.createDataFrame(b1, schema), 1)
+    final1 = _rows(read_final(spark))
+    # replay batch 1 (same id, same rows) — state unchanged
+    merge(spark.createDataFrame(b1, schema), 1)
+    assert _rows(read_final(spark)) == final1
+    # == one-shot keep-latest over b0 + b1 (k2's delete is OLDER than
+    # its update, so k2 stays live)
+    assert final1 == [(1, 30, 3, "U", 1.5), (2, 20, 2, "U", 2.0)]
