@@ -259,6 +259,11 @@ HEADLINE = [
     "a48_kw_4arm",
     "x21_stream_minhash_dedup",
     "pipe9_stream_ingest_curation",
+    # round-14 additions
+    "l49_ivfadc_auto",
+    "x22_stream_cdc_upsert",
+    "l21b_bpe_merges",
+    "pipe9b_stream_curation_quality",
 ]
 
 
@@ -353,6 +358,9 @@ def main() -> None:
         "l47_ivfadc_zipf",
         "x21_stream_minhash_dedup",
         "pipe9_stream_ingest_curation",
+        "l49_ivfadc_auto",
+        "x22_stream_cdc_upsert",
+        "pipe9b_stream_curation_quality",
     ]
     for name in STAGED:
         if name in HEADLINE:
@@ -463,6 +471,40 @@ def main() -> None:
             probe_ladder.append(rung(i + 1))
     probe_ladder.append(rung(len(HEADLINE)))
     probe_runs = [r["t"] for r in probe_ladder]
+
+    # ACT on the ladder (round-13 verdict #3: the r13 ladder diagnosed
+    # probe spread 155% under machine load and the bench shipped the
+    # contaminated numbers anyway). Any rung whose probe exceeds
+    # HOT_FACTOR x the run's quiet floor marks the query span between
+    # its neighboring rungs as load-contaminated; those queries get ONE
+    # extra min-merged rep after the suite (by then the transient load
+    # has usually passed — and if it hasn't, the post-rerun probe
+    # recorded below says so). Off via SPARK_GRAFT_BENCH_RERUN_HOT=0.
+    hot_factor = float(
+        os.environ.get("SPARK_GRAFT_BENCH_HOT_FACTOR", "1.5")
+    )
+    rerun_hot = os.environ.get("SPARK_GRAFT_BENCH_RERUN_HOT", "1") != "0"
+    quiet = min(probe_runs)
+    hot_spans: list[tuple[int, int]] = []
+    for j, r in enumerate(probe_ladder):
+        if r["t"] > hot_factor * quiet:
+            lo = probe_ladder[j - 1]["after"] if j > 0 else 0
+            hi = r["after"] if j < len(probe_ladder) - 1 else len(HEADLINE)
+            hot_spans.append((lo, hi))
+    reran: list[str] = []
+    post_rerun_probe = None
+    if rerun_hot and hot_spans:
+        for lo, hi in hot_spans:
+            for name in HEADLINE[lo:hi]:
+                if name in reran:
+                    continue
+                dt = run_once(name)
+                rep_times[name].append(round(dt, 3))
+                if dt < timings[name]:
+                    total += dt - timings[name]
+                    timings[name] = round(dt, 3)
+                reran.append(name)
+        post_rerun_probe = round(measure_probe(), 3)
     spread_pct = round(
         100.0 * (max(probe_runs) - min(probe_runs)) / min(probe_runs), 1
     )
@@ -472,12 +514,26 @@ def main() -> None:
     median = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
     p90 = vals[min(n - 1, int(0.9 * n))]
     # the full ladder (with load stamps) goes in the committed artifact;
-    # stdout keeps the compact summary (log capture clips long lines)
-    noise = {"probe": probe, "runs": probe_runs, "spread_pct": spread_pct}
+    # stdout keeps the compact summary (log capture clips long lines).
+    # NOTE: spread_pct is max-vs-min over ALL ladder rungs (~12), not
+    # the pre-round-13 3-point probe — "rungs" records the sample count
+    # so cross-round comparers don't mix the two definitions (more
+    # samples catch wider extremes by construction).
+    noise = {
+        "probe": probe,
+        "runs": probe_runs,
+        "spread_pct": spread_pct,
+        "rungs": len(probe_runs),
+        "hot_rungs": len(hot_spans),
+        "reran_queries": len(reran),
+    }
     noise_full = {
         **noise,
         "ladder": probe_ladder,
         "ladder_every": ladder_every,
+        "hot_factor": hot_factor,
+        "reran": reran,
+        "post_rerun_probe": post_rerun_probe,
     }
 
     # full per-query map -> committed artifact (too big for one stdout
@@ -485,7 +541,7 @@ def main() -> None:
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r13.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r14.json"
         ),
     )
     with open(full_path, "w") as fh:

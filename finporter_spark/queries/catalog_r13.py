@@ -609,7 +609,21 @@ def x21_stream_minhash_dedup(spark, sf_dir):
     one-time signature STAGING, amortized over the stream instead of
     one batch job; the verdict side reads l2's staged signature table
     (shared dataset state), never re-signaturing the corpus. Decade
-    row is ingest-class (linear in arriving tokens), not query-class."""
+    row is ingest-class (linear in arriving tokens), not query-class.
+
+    Consumers that need the FLAGS, not the drain (pipe9/pipe9b),
+    read :func:`_x21_flags_staged` — the drained verdict staged once
+    per corpus version under its own state dirs, so the funnel
+    entries neither re-run the ingest nor clobber this entry's
+    directories (round-13 ADVICE)."""
+    return _x21_dedup_flags(spark, sf_dir, "x21")
+
+
+def _x21_dedup_flags(spark, sf_dir, tag):
+    """The full x21 computation (stage JSON corpus -> streaming drain
+    through the band-bucket keep-first sink -> per-doc dup flags) with
+    state/checkpoint dirs keyed by ``tag`` so independent consumers
+    never clobber each other's drains."""
     import shutil
 
     from finporter_spark.operators.dedup import (
@@ -657,8 +671,8 @@ def x21_stream_minhash_dedup(spark, sf_dir):
     path = _stage_once(
         sf_dir, "x21", _write, "documents", extra_fingerprint="json-v1"
     )
-    root = _io_dir(sf_dir, "x21_state")
-    ckpt = _io_dir(sf_dir, "x21_ckpt")
+    root = _io_dir(sf_dir, f"{tag}_state")
+    ckpt = _io_dir(sf_dir, f"{tag}_ckpt")
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     merge, read_final = versioned_keep_first_sink(
@@ -710,6 +724,33 @@ def x21_stream_minhash_dedup(spark, sf_dir):
             (F.col("n_dup_bands") > 0).alias("is_dup"),
         )
     )
+
+
+def _x21_flags_staged(spark, sf_dir):
+    """The drained x21 verdict (doc_id, n_dup_bands, is_dup) as STAGED
+    dataset state, once per corpus version — what funnel consumers
+    (pipe9/pipe9b) read instead of re-running the whole streaming
+    ingest per call (round-13 ADVICE: pipe9 calling x21 directly
+    re-drained the stream inside pipe9's own timing and the two
+    entries clobbered each other's state dirs). The stager performs
+    the identical drain under private ``x21p_*`` dirs; the flags are
+    batching/arrival-order independent by x21's construction, so the
+    staged table equals what any fresh drain would produce (certified
+    by pipe9's own stage-chained oracle)."""
+    from finporter_spark.queries.catalog_ext import _stage_once
+
+    def _write(p):
+        (
+            _x21_dedup_flags(spark, sf_dir, "x21p")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    path = _stage_once(
+        sf_dir, "x21_flags", _write, "documents", extra_fingerprint="v1"
+    )
+    return spark.read.parquet(path)
 
 
 # =====================================================================
@@ -780,12 +821,14 @@ def pipe9_stream_ingest_curation(spark, sf_dir):
 
     Documents too short to shingle (<3 tokens) carry no flag and pass
     the dedup gate by definition on BOTH engines (left join +
-    coalesce(false)). Scale: x21's ingest-class drain + one corpus
-    scan for token counts + one source-keyed agg; nothing new
-    materializes beyond x21's bucket store."""
+    coalesce(false)). Scale: the STAGED x21 verdict
+    (:func:`_x21_flags_staged` — the drain runs once per corpus
+    version under private dirs; this entry's timing measures the
+    funnel, not a re-ingest) + one corpus scan for token counts + one
+    source-keyed agg."""
     from finporter_spark.operators.text import tokens
 
-    flags = x21_stream_minhash_dedup(spark, sf_dir).select(
+    flags = _x21_flags_staged(spark, sf_dir).select(
         "doc_id", "is_dup"
     )
     d = _t(spark, sf_dir, "documents").select(

@@ -267,3 +267,372 @@ def x22_stream_cdc_upsert(spark, sf_dir):
         F.coalesce("value", "c_acctbal").alias("balance"),
         F.col("key").isNotNull().alias("changed"),
     )
+
+# =====================================================================
+# L21b — BPE merge training as a recursive CTE (l21's hash-green twin)
+# =====================================================================
+
+_L21B_MERGES = 60
+
+_L21B_ORACLE = """
+    WITH RECURSIVE wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (
+        SELECT unnest(string_split(regexp_replace(trim(lower(text)),
+                     '\\s+', ' ', 'g'), ' ')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ), w0 AS (
+      SELECT list(struct_pack(
+               w := regexp_replace(word, '(.)',
+                      chr(9) || '\\1' || chr(9), 'g')
+                    || chr(9) || '</w>' || chr(9),
+               f := f) ORDER BY word) AS ws
+      FROM wf
+    ), rec AS (
+      SELECT 0 AS step, CAST(NULL AS VARCHAR) AS pair, ws FROM w0
+      UNION ALL
+      SELECT step + 1, best,
+             list_transform(ws, w -> struct_pack(
+               w := replace(w.w,
+                      chr(9) || string_split(best, chr(9))[1] || chr(9)
+                      || chr(9) || string_split(best, chr(9))[2] || chr(9),
+                      chr(9) || string_split(best, chr(9))[1]
+                      || string_split(best, chr(9))[2] || chr(9)),
+               f := w.f))
+      FROM (
+        SELECT step, ws,
+               list_min(
+                 list_transform(
+                   list_filter(cnts, c -> c.cnt =
+                     list_max(list_transform(cnts, x -> x.cnt))),
+                   c -> c.p)) AS best
+        FROM (
+          SELECT step, ws,
+                 list_transform(
+                   list_distinct(list_transform(pa,
+                     q -> q.l || chr(9) || q.r)),
+                   p -> struct_pack(p := p,
+                          cnt := list_sum(list_transform(
+                            list_filter(pa,
+                              q -> q.l || chr(9) || q.r = p),
+                            q -> q.f)))) AS cnts
+          FROM (
+            SELECT step, ws,
+                   flatten(list_transform(ws, w ->
+                     list_transform(
+                       generate_series(1,
+                         len(string_split(substr(w.w, 2, length(w.w) - 2),
+                             chr(9) || chr(9))) - 1),
+                       i -> struct_pack(
+                         l := string_split(substr(w.w, 2, length(w.w) - 2),
+                                chr(9) || chr(9))[i],
+                         r := string_split(substr(w.w, 2, length(w.w) - 2),
+                                chr(9) || chr(9))[i + 1],
+                         f := w.f)))) AS pa
+            FROM rec WHERE step < {N}
+          )
+        )
+      ) WHERE best IS NOT NULL
+    )
+    SELECT CAST(step - 1 AS INT) AS rank,
+           string_split(pair, chr(9))[1] AS left_sym,
+           string_split(pair, chr(9))[2] AS right_sym
+    FROM rec WHERE step >= 1
+    """.replace("{N}", str(_L21B_MERGES))
+
+
+@query("l21b_bpe_merges", _L21B_ORACLE)
+def l21b_bpe_merges(spark, sf_dir):
+    """L21b: BPE merge TRAINING as a recursive CTE — the hash-green
+    twin that retires l21's rows-only status (the last LLM-family
+    ≈-operator; the w14c move — "recurrences aren't SQL-expressible"
+    retired via Spark 4 ``WITH RECURSIVE`` — applied to the tokenizer).
+    The merge loop's state is the word-frequency table with each
+    word's current SYMBOL SEQUENCE — vocabulary-sized, so it rides the
+    recursion as ONE ROW holding an array of (encoded word, freq)
+    structs. Encoding: every symbol wrapped in its own tab pair
+    (``\\ta\\t\\tb\\t…``; tokens are whitespace-split so tabs cannot
+    occur inside a symbol) — which makes the merge application ONE
+    string ``replace()``: left-to-right non-overlapping replacement is
+    EXACTLY greedy BPE merge order, and the per-symbol wrappers make
+    boundary-sharing false matches impossible. Each step counts
+    adjacent pairs (flatten + distinct + per-pair sum, all list
+    expressions over the single row), takes the deterministic argmax
+    (max count, then lexicographically smallest pair — the tab-joined
+    pair string's order equals tuple order for text symbols since tab
+    sorts below every printable char), and rewrites the vocabulary.
+
+    The one corpus-sized pass is the word-frequency aggregate
+    (l21/l7's shape), localCheckpoint-PINNED so the recursion re-reads
+    one row, never the corpus; iteration count is the declared merge
+    budget (60), not corpus size. The argmax is ONE LINEAR fold: sort
+    the pair multiset, then a 4-field struct accumulator walks the
+    runs keeping (best pair, best count, current pair, current count)
+    — ascending order makes "strictly greater replaces" exactly the
+    max-count/lexicographically-smallest tie rule. (The first cut
+    computed counts as distinct-pairs × filter-sum — quadratic in the
+    pair multiset and ~2 s/level interpreted; the fold is 33× faster,
+    3.3 s warm for all 60 levels, measured.) The DuckDB oracle states
+    the same recursion with the quadratic formulation (its list ops
+    are vectorized — both argmax rules are provably the same
+    function); pytest additionally pins BOTH engines == the
+    pure-Python reference trainer (operators.tokenizer.train_bpe) for
+    the same corpus and budget — the tokenizer family is now
+    hash-gated end-to-end (l21 remains the production operator: its
+    driver-side loop over the collected counter costs one pass where
+    this costs a job per merge; this entry is the ENGINE-SURFACE
+    twin, the x6/x6b split).
+
+    Scale: the recursion state is |vocabulary| structs in one row —
+    independent of corpus size; per-step cost is one sort + one
+    linear fold over the pair multiset on one executor. A 100 TB
+    corpus changes only the word-frequency aggregate
+    (map-combinable); a vocabulary too large for one row belongs to
+    l21's driver loop, exactly like w14c routes long calendars to
+    w14b."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w0 = wf.agg(
+        F.sort_array(
+            F.collect_list(
+                F.named_struct(
+                    F.lit("w"),
+                    F.concat(
+                        F.expr(
+                            "regexp_replace(word, '(.)', "
+                            "concat(chr(9), '$1', chr(9)))"
+                        ),
+                        F.expr("chr(9)"),
+                        F.lit("</w>"),
+                        F.expr("chr(9)"),
+                    ),
+                    F.lit("f"),
+                    F.col("f"),
+                )
+            )
+        ).alias("ws")
+    )
+    # pin: one corpus scan; the 60-step recursion re-reads one row
+    w0.localCheckpoint().createOrReplaceTempView("l21b_w0")
+    return spark.sql(
+        """
+        WITH RECURSIVE rec AS (
+          SELECT 0 AS step, CAST(NULL AS STRING) AS pair, ws
+          FROM l21b_w0
+          UNION ALL
+          SELECT step + 1, best,
+                 transform(ws, w -> named_struct(
+                   'w', replace(w.w,
+                          concat(chr(9), bl, chr(9), chr(9), br, chr(9)),
+                          concat(chr(9), bl, br, chr(9))),
+                   'f', w.f))
+          FROM (
+            SELECT step, ws, best,
+                   element_at(split(best, chr(9)), 1) AS bl,
+                   element_at(split(best, chr(9)), 2) AS br
+            FROM (
+              -- deterministic argmax as ONE linear fold over the
+              -- sorted pair multiset: ascending order + strictly-
+              -- greater-replaces == max count, lexicographically
+              -- smallest pair on ties (the train_bpe rule)
+              SELECT step, ws,
+                     nullif(aggregate(
+                       array_sort(pa),
+                       named_struct('bp', '', 'bc', 0L,
+                                    'cp', '', 'cc', 0L),
+                       (a, e) -> CASE WHEN e.p = a.cp
+                         THEN named_struct('bp', a.bp, 'bc', a.bc,
+                                           'cp', a.cp, 'cc', a.cc + e.f)
+                         ELSE named_struct(
+                           'bp', IF(a.cc > a.bc, a.cp, a.bp),
+                           'bc', IF(a.cc > a.bc, a.cc, a.bc),
+                           'cp', e.p, 'cc', e.f) END,
+                       a -> IF(a.cc > a.bc, a.cp, a.bp)), '') AS best
+              FROM (
+                SELECT step, ws,
+                       flatten(transform(ws, w ->
+                         transform(
+                           CASE WHEN size(split(
+                                  substring(w.w, 2, length(w.w) - 2),
+                                  chr(9) || chr(9))) >= 2
+                                THEN sequence(1, size(split(
+                                  substring(w.w, 2, length(w.w) - 2),
+                                  chr(9) || chr(9))) - 1)
+                                ELSE array() END,
+                           i -> named_struct(
+                             'p', concat(
+                                    element_at(split(
+                                      substring(w.w, 2, length(w.w) - 2),
+                                      chr(9) || chr(9)), CAST(i AS INT)),
+                                    chr(9),
+                                    element_at(split(
+                                      substring(w.w, 2, length(w.w) - 2),
+                                      chr(9) || chr(9)),
+                                      CAST(i AS INT) + 1)),
+                             'f', w.f)))) AS pa
+                FROM rec WHERE step < {N}
+              )
+            )
+          ) WHERE best IS NOT NULL
+        )
+        SELECT CAST(step - 1 AS INT) AS rank,
+               element_at(split(pair, chr(9)), 1) AS left_sym,
+               element_at(split(pair, chr(9)), 2) AS right_sym
+        FROM rec WHERE step >= 1
+        """.replace("{N}", str(_L21B_MERGES))
+    )
+
+# =====================================================================
+# PIPE9b — ingest curation funnel + trained quality gate (verdict #7)
+# =====================================================================
+
+
+def _pipe9b_oracle() -> str:
+    """pipe9's stage-chained CTE funnel extended with the l26 quality
+    gate: the same 3-iteration GD unroll (catalog_prep's feat/w CTEs)
+    scores every document, and survivors of the dup + length gates
+    must also clear p_en >= 0.5."""
+    from finporter_spark.queries.catalog import (
+        _l2_band_union,
+        _l2_sig_ctes,
+        _TOKS,
+    )
+    from finporter_spark.queries.catalog_prep import _L26_FEAT, _l26_iter
+
+    l26 = (
+        _L26_FEAT.replace("{toks}", _TOKS).strip()
+        + ",\n    w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, "
+        "0.0 AS c3),"
+        + ",".join(_l26_iter(i) for i in (1, 2, 3))
+    )
+    return f"""
+    WITH {_l2_sig_ctes(32, 3)}, band AS (
+      {_l2_band_union(32, 8)}
+    ), fs AS (
+      SELECT band_id, bh, MIN(doc_id) AS first_doc
+      FROM band GROUP BY band_id, bh
+    ), flags AS (
+      SELECT b.doc_id,
+             SUM(CASE WHEN fs.first_doc < b.doc_id THEN 1 ELSE 0 END) > 0
+               AS is_dup
+      FROM band b
+      JOIN fs ON fs.band_id = b.band_id AND fs.bh = b.bh
+      GROUP BY b.doc_id
+    ), {l26},
+    score AS (
+      SELECT doc_id,
+             round(1.0/(1.0 + exp(-(w.b*x0 + w.c1*x1 + w.c2*x2
+                                    + w.c3*x3))), 6) AS p_en
+      FROM feat CROSS JOIN w3 w
+    ), d AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+    ), j AS (
+      SELECT d.source, d.n_tokens,
+             COALESCE(f.is_dup, FALSE) AS dup,
+             s.p_en
+      FROM d
+      LEFT JOIN flags f USING (doc_id)
+      LEFT JOIN score s USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens < 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens >= 30
+                         AND p_en < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lowq,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens >= 30
+                         AND p_en >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN NOT dup AND n_tokens >= 30
+                         AND p_en >= 0.5 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM j GROUP BY source
+    """
+
+
+@query("pipe9b_stream_curation_quality", _pipe9b_oracle())
+def pipe9b_stream_curation_quality(spark, sf_dir):
+    """PIPE9b: the ingest curation funnel with the TRAINED quality
+    gate (round-13 verdict #7): pipe9 gated only dedup + length while
+    the batch side already had trained scoring — here survivors of the
+    near-dup gate (the staged x21 drain verdict) and the 30-token
+    floor must also clear the l26 classifier (3-iteration batch-GD
+    logistic regression on cheap text features, trained IN the engine;
+    scoring is map-only with literal weights — at ingest this is a
+    stream-static broadcast, no shuffle added to the funnel). The
+    per-source readout gains ``n_lowq``: arrived → dup → short → lowq
+    → kept (+ kept tokens).
+
+    Composes FOUR certified families in one hash-gated pipeline —
+    streaming ingest (x21's drain, staged once per corpus version),
+    dedup (l2 banding), corpus gates (length floor), and in-engine ML
+    (l26's GD unroll) — with the stage-chained CTE oracle restating
+    every stage including the 6 dp-rounded gradient descent, so the
+    hash certifies the COMPOSITION. Gate order matters and is pinned:
+    a document counts against the FIRST gate it fails, so the lowq
+    column prices what the classifier removes from otherwise-kept
+    text (docs with zero tokens are short first — the classifier's
+    toks>0 domain guard never bites).
+
+    Scale: pipe9's shape + one broadcast-scored corpus scan (the l26
+    feature projection) and 3 mean-gradient aggregates for training —
+    all map-combinable; nothing new materializes."""
+    from finporter_spark.operators.text import tokens
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.queries.catalog_r13 import _x21_flags_staged
+
+    flags = _x21_flags_staged(spark, sf_dir).select("doc_id", "is_dup")
+    score = CATALOG["l26_quality_classifier"][0](spark, sf_dir).select(
+        "doc_id", "p_en"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    j = (
+        d.join(flags, "doc_id", "left")
+        .join(score, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("dup"),
+            "p_en",
+        )
+    )
+    passed = (~F.col("dup")) & (F.col("n_tokens") >= 30)
+    lowq = passed & (F.col("p_en") < 0.5)
+    kept = passed & (F.col("p_en") >= 0.5)
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.sum(
+            F.when((~F.col("dup")) & (F.col("n_tokens") < 30), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_short"),
+        F.sum(F.when(lowq, 1).otherwise(0)).cast("bigint").alias("n_lowq"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

@@ -360,3 +360,43 @@ def test_keep_latest_sink_replay_idempotent(spark, tmp_path):
     # == one-shot keep-latest over b0 + b1 (k2's delete is OLDER than
     # its update, so k2 stays live)
     assert final1 == [(1, 30, 3, "U", 1.5), (2, 20, 2, "U", 2.0)]
+
+
+# ---------------------------------------------------------------------
+# l21b: the recursive-CTE BPE twin == the pure-Python reference trainer
+# ---------------------------------------------------------------------
+
+
+def test_l21b_equals_reference_trainer(spark, sf_dir):
+    """The catalog recursion (Spark WITH RECURSIVE over single-row
+    vocabulary state) must reproduce operators.tokenizer.train_bpe
+    merge-for-merge for the same corpus and budget — the DuckDB side
+    is certified by the oracle hash; this pins the third leg so the
+    tokenizer family is reference-anchored end-to-end."""
+    from finporter_spark.operators.tokenizer import train_bpe
+    from finporter_spark.queries.catalog import CATALOG
+    from finporter_spark.queries.catalog_r14 import _L21B_MERGES
+
+    rows = CATALOG["l21b_bpe_merges"][0](spark, sf_dir).collect()
+    got = [
+        (r.left_sym, r.right_sym)
+        for r in sorted(rows, key=lambda r: r.rank)
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = sorted(
+        (r.word, r.cnt)
+        for r in docs.selectExpr(
+            "explode(split(trim(regexp_replace(lower(text), "
+            "'\\\\s+', ' ')), ' ')) AS word"
+        )
+        .where("word <> ''")
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    ref = train_bpe(wf, _L21B_MERGES)
+    assert got == ref
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(len(got))
+    )
