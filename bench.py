@@ -303,7 +303,7 @@ def main() -> None:
         load_or_train_centroids_det,
     )
     from finporter_spark.queries.catalog import _t
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     load_or_train_centroids_det(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",

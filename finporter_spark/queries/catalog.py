@@ -1335,7 +1335,7 @@ def l2_minhash_near_dup(spark, sf_dir):
     remains pytest's concern (tests/test_recall_sf01.py)."""
     from finporter_spark.operators.dedup import load_or_build_signatures
     from finporter_spark.operators.scale import source_fingerprint
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     d = _t(spark, sf_dir, "documents")
     sigs = load_or_build_signatures(

@@ -51,56 +51,15 @@ from finporter_spark.streaming.pipeline import (
 )
 from finporter_spark.udf import flatten_map, grouped_transform
 
-IO_ROOT = "/tmp/finporter_spark_io"
-
-
-def _io_dir(sf_dir: str, name: str) -> str:
-    """Deterministic scratch dir per (query, scale factor)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(IO_ROOT, f"{name}_{tag}")
-
-
-def _src_fp(sf_dir, *tables):
-    """Source-corpus stamp for corpus-DERIVED dataset-state caches
-    (quantizers, codebooks, codes): a testdata regeneration must
-    retrain/rebuild them, not serve the old corpus's state."""
-    from finporter_spark.operators.scale import source_fingerprint
-
-    return source_fingerprint(
-        *[os.path.join(sf_dir, f"{t}.parquet") for t in tables]
-    )
-
-
-def _stage_once(sf_dir, name, write_fn, *source_tables, extra_fingerprint=""):
-    """Write a staging dataset once per (query, sf, source mtimes).
-
-    Staging drops (the CSV backlog a stream drains, the partitioned or
-    bucketed layout a query reads) are INPUT fixtures, not the operator
-    under test — rewriting them per call just re-times the ingest. A
-    stat-based fingerprint of the source parquet files is recorded after
-    the write; a mismatch (regenerated testdata, or a changed
-    ``extra_fingerprint`` — e.g. the staged layout) forces a restage, so
-    reuse can never serve stale data. Returns the staged path.
-    """
-    from finporter_spark.operators.scale import source_fingerprint
-
-    path = _io_dir(sf_dir, name)
-    fp = source_fingerprint(
-        *[os.path.join(sf_dir, f"{t}.parquet") for t in source_tables]
-    )
-    if extra_fingerprint:
-        fp = f"{fp}|{extra_fingerprint}"
-    marker = os.path.join(path, "_staged_fingerprint")
-    try:
-        with open(marker) as fh:
-            if fh.read() == fp:
-                return path
-    except OSError:
-        pass
-    write_fn(path)
-    with open(marker, "w") as fh:
-        fh.write(fp)
-    return path
+# the staging layer lives in queries/staging.py (round-14 verdict #8:
+# catalog files depend on the shared module, not on this file's
+# privates); the old names stay importable here for compatibility
+from finporter_spark.queries.staging import (  # noqa: F401
+    IO_ROOT,
+    io_dir as _io_dir,
+    src_fp as _src_fp,
+    stage_once as _stage_once,
+)
 
 
 # =====================================================================
@@ -418,34 +377,9 @@ def p17_url_extract(spark, sf_dir):
 # be identical because availableNow drains the full input.
 # =====================================================================
 
-def _stage_media(spark, sf_dir, name, make_fn, n_files: int = 32):
-    """Stage a generated media fixture (doc_id, content binary) as
-    parquet once per dataset. The synthetic encode (pure-Python codecs
-    over every document) is fixture GENERATION, not the operator under
-    test — regenerating it every gate run just re-times the encoder.
-    Same fingerprint rule as every other staged input.
-
-    The stage writes ``n_files`` part files: media blobs are tiny at
-    test SFs, so a single-file layout would collapse the downstream
-    Python decode (the actual operator under test) onto ONE read
-    partition — measured 35 s -> 4 s for m9 at sf1. In production the
-    media table is many multi-hundred-MB files and the splitter does
-    this for free; the explicit repartition makes small fixtures
-    behave like the real layout. Layout is part of the fingerprint so
-    pre-existing single-file stages rebuild."""
-    path = _stage_once(
-        sf_dir,
-        name,
-        lambda p: _t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(n_files, "doc_id")
-        .mapInPandas(make_fn, "doc_id bigint, content binary")
-        .write.mode("overwrite")
-        .parquet(p),
-        "documents",
-        extra_fingerprint=f"files={n_files}",
-    )
-    return spark.read.parquet(path)
+from finporter_spark.queries.staging import (  # noqa: F401,E402
+    stage_media as _stage_media,
+)
 
 
 def _stage_events_csv(spark, sf_dir):
@@ -1166,34 +1100,10 @@ def a4_cube(spark, sf_dir):
     )
 
 
-def _ivf_dist_cte(src_c: str, d_name: str, a_name: str) -> str:
-    """One unrolled Lloyd assignment round (the l22 oracle pattern):
-    6 dp-rounded squared distances + lowest-index-tie argmin, mirroring
-    operators.similarity.kmeans_assign."""
-    return f"""
-    {d_name} AS (SELECT e.vec_id, c.cid,
-              ROUND(list_sum(list_transform(list_zip(e.emb, c.cen),
-                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
-       FROM e CROSS JOIN {src_c} c),
-    {a_name} AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
-                  AS rk
-         FROM {d_name}) WHERE rk = 1)"""
-
-
-def _ivf_mean_cte(a_name: str, prev_c: str, m_name: str, c_name: str) -> str:
-    """One centroid-update round: per-(cluster, dim) mean rounded to
-    6 dp (matching kmeans_fit); empty clusters keep their previous
-    centroid."""
-    return f"""
-    {m_name} AS (SELECT {a_name}.cid, g.i, ROUND(AVG(e.emb[g.i]), 6) AS v
-       FROM {a_name} JOIN e USING (vec_id)
-            CROSS JOIN generate_series(1, 64) AS g(i)
-       GROUP BY {a_name}.cid, g.i),
-    {c_name} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
-       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
-                          FROM {m_name} GROUP BY cid) mm USING (cid))"""
+from finporter_spark.queries.ann_fixtures import (  # noqa: F401,E402
+    _ivf_dist_cte,
+    _ivf_mean_cte,
+)
 
 
 def _l3_ivf_oracle(
@@ -1432,24 +1342,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
-def _stage_x6_drop(spark, sf_dir):
-    """Stage the 8-way CSV drop x6 AND x6b drain (one writer, one
-    staging key — a layout change edits exactly one place, so the two
-    consumers can never silently diverge on a shared fixture)."""
-    return _stage_once(
-        sf_dir,
-        "x6",
-        lambda p: _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-            "value",
-        )
-        .repartition(8)
-        .write.mode("overwrite")
-        .csv(p, header=True),
-        "events",
-    )
+from finporter_spark.queries.staging import (  # noqa: F401,E402
+    stage_x6_drop as _stage_x6_drop,
+)
 
 
 @query(
@@ -1570,63 +1465,9 @@ def x7_stream_stream_join(spark, sf_dir):
     )
 
 
-def _x15_staged_drop(spark, sf_dir):
-    """Two mtime-ordered CSV drop dirs (left=views, right=purchases)
-    for the outer stream-stream join harness (x15/x16): one real-data
-    file per side (earliest mtime — all real events land in batch 1,
-    before any watermark applies), then two sentinel files per side
-    dated 2099/2100 whose batches advance and then APPLY the watermark,
-    flushing null-side rows. Sentinels carry negative ids so consumers
-    filter them. Staged once per (sf, events mtimes)."""
-    import shutil
-
-    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")  # noqa: E731
-
-    def _write(p):
-        e = _t(spark, sf_dir, "events").select(
-            "event_id", fmt(F.col("ts")).alias("ts"), "user_id", "event_type"
-        )
-        for side, kind, s1_ts, s2_ts in (
-            ("left", "view", "2099-01-01 00:00:00", "2100-01-01 00:00:00"),
-            ("right", "purchase", "2099-06-01 00:00:00", "2100-06-01 00:00:00"),
-        ):
-            d = os.path.join(p, side)
-            os.makedirs(d, exist_ok=True)
-            real = e.filter(F.col("event_type") == kind)
-            for name, df, mtime in (
-                ("real.csv", real, 1_000_000_000),
-                (
-                    "s1.csv",
-                    spark.createDataFrame(
-                        [(-1, s1_ts, -1, kind)],
-                        "event_id bigint, ts string, user_id bigint, "
-                        "event_type string",
-                    ),
-                    1_000_001_000,
-                ),
-                (
-                    "s2.csv",
-                    spark.createDataFrame(
-                        [(-2, s2_ts, -2, kind)],
-                        "event_id bigint, ts string, user_id bigint, "
-                        "event_type string",
-                    ),
-                    1_000_002_000,
-                ),
-            ):
-                tmp = os.path.join(d, "_tmp")
-                df.repartition(1).write.mode("overwrite").csv(
-                    tmp, header=True
-                )
-                part = next(
-                    f for f in os.listdir(tmp) if f.startswith("part-")
-                )
-                dst = os.path.join(d, name)
-                os.replace(os.path.join(tmp, part), dst)
-                shutil.rmtree(tmp)
-                os.utime(dst, (mtime, mtime))
-
-    return _stage_once(sf_dir, "x15", _write, "events")
+from finporter_spark.queries.staging import (  # noqa: F401,E402
+    stage_x15_drop as _x15_staged_drop,
+)
 
 
 @query(

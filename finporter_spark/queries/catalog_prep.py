@@ -26,7 +26,7 @@ from finporter_spark.operators.prep import (
     stratified_sample,
 )
 from finporter_spark.queries.catalog import _t, _TOKS, query
-from finporter_spark.queries.catalog_ext import _io_dir
+from finporter_spark.queries.staging import io_dir as _io_dir
 
 
 @query(
@@ -197,7 +197,7 @@ def l20_fuzzy_decontaminate(spark, sf_dir):
     from finporter_spark.operators.dedup import load_or_build_signatures
     from finporter_spark.operators.prep import fuzzy_decontaminate
     from finporter_spark.operators.scale import source_fingerprint
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     docs = _t(spark, sf_dir, "documents")
     sigs = load_or_build_signatures(
@@ -1090,3 +1090,8 @@ def l26_quality_classifier(spark, sf_dir):
     return logreg_score(
         feat, w, ["x0", "x1", "x2", "x3"], out_col="p_en"
     ).select("doc_id", F.col("y").alias("label"), "p_en")
+
+
+# public fixture surface (round-14)
+L26_FEAT = _L26_FEAT
+l26_iter = _l26_iter

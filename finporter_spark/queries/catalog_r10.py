@@ -499,7 +499,7 @@ def x17_transform_with_state_top2(spark, sf_dir):
     k-sized state, model state)."""
     import pandas as pd  # noqa: F401 — imported for the closure below
 
-    from finporter_spark.queries.catalog_ext import _stage_x6_drop
+    from finporter_spark.queries.staging import stage_x6_drop as _stage_x6_drop
     from finporter_spark.streaming.pipeline import (
         ensure_worker_protobuf,
         run_stream_to_memory,
@@ -618,63 +618,16 @@ def x17_transform_with_state_top2(spark, sf_dir):
 # L45 — product-quantization ANN (compressed-domain top-k)
 # =====================================================================
 
-_PQ_M = 4       # subspaces
-_PQ_K = 16      # centroids per subspace
-_PQ_SUB = 16    # dims per subspace (4 x 16 = the 64-dim space)
-_PQ_TOPK = 10
-_PQ_QMOD = 101
-# The query WORKLOAD is fixed-size by contract (the ANN-benchmark
-# shape): vec_id % 101 == 0 AND vec_id < 101*50 — at most 50 queries at
-# ANY corpus size. Round-10 decade sweep caught the unbounded form
-# (every 101st vector) going 21x super-linear at sf10: Q scaled with N
-# and the ADC scan became QxN quadratic (2.5e9 pairs, 220 s). A
-# corpus-scaled query set is a batch self-join workload, not ANN.
-_PQ_QMAX = _PQ_QMOD * 50
-
-
-def _pq_sub_ctes(i: int) -> str:
-    """Unrolled deterministic k-means for subspace ``i`` (the l22 CTE
-    pattern, applied to the slice): init = slices of the k smallest
-    vec_ids, two assign/update rounds, final assignment = the code."""
-    lo = i * _PQ_SUB
-
-    def dist(src_c: str, d: str, a: str) -> str:
-        return f"""
-    {d} AS (SELECT s.vec_id, c.cid,
-              ROUND(list_sum(list_transform(list_zip(s.s, c.cen),
-                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
-       FROM s{i} s CROSS JOIN {src_c} c),
-    {a} AS (SELECT vec_id, cid, d FROM (
-         SELECT vec_id, cid, d,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-         FROM {d}) WHERE rk = 1)"""
-
-    def mean(a: str, prev_c: str, mname: str, cname: str) -> str:
-        return f"""
-    {mname} AS (SELECT {a}.cid, g.i, ROUND(AVG(s.s[g.i]), 6) AS v
-       FROM {a} JOIN s{i} s USING (vec_id)
-            CROSS JOIN generate_series(1, {_PQ_SUB}) AS g(i)
-       GROUP BY {a}.cid, g.i),
-    {cname} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
-       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
-                          FROM {mname} GROUP BY cid) mm USING (cid))"""
-
-    return f"""
-    s{i} AS (SELECT vec_id, emb[{lo + 1}:{lo + _PQ_SUB}] AS s FROM e),
-    c0_{i} AS (SELECT CAST(vec_id AS INT) AS cid,
-                  list_transform(s, x -> ROUND(x, 6)) AS cen
-           FROM s{i} WHERE vec_id < {_PQ_K}),
-    {dist(f'c0_{i}', f'd1_{i}', f'a1_{i}')},
-    {mean(f'a1_{i}', f'c0_{i}', f'm1_{i}', f'c1_{i}')},
-    {dist(f'c1_{i}', f'd2_{i}', f'a2_{i}')},
-    {mean(f'a2_{i}', f'c1_{i}', f'm2_{i}', f'c2_{i}')},
-    {dist(f'c2_{i}', f'd3_{i}', f'a3_{i}')},
-    lut_{i} AS (SELECT q.vec_id AS query_id, c.cid,
-              ROUND(list_sum(list_transform(
-                    list_zip(q.emb[{lo + 1}:{lo + _PQ_SUB}], c.cen),
-                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
-       FROM e q CROSS JOIN c2_{i} c
-       WHERE q.vec_id % {_PQ_QMOD} = 0 AND q.vec_id < {_PQ_QMAX})"""
+from finporter_spark.queries.ann_fixtures import (  # noqa: F401,E402
+    _PQ_K,
+    _PQ_M,
+    _PQ_QMAX,
+    _PQ_QMOD,
+    _PQ_SUB,
+    _PQ_TOPK,
+    _pq_books,
+    _pq_sub_ctes,
+)
 
 
 def _l45_core() -> str:
@@ -738,21 +691,6 @@ def _l45b_oracle() -> str:
                AS rank
       FROM exact) WHERE rank <= {_PQ_TOPK}
     """
-
-
-def _pq_books(spark, sf_dir, emb):
-    """Codebooks as cached dataset state (ingest-time cost, the IVF
-    centroid contract) — trained once per corpus, shared by l45/l45b."""
-    from finporter_spark.operators.similarity import load_or_train_pq_books
-    from finporter_spark.queries.catalog_ext import _io_dir, _src_fp
-
-    return load_or_train_pq_books(
-        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=2,
-        cache_path=_io_dir(
-            sf_dir, f"l45_pq_books_m{_PQ_M}_k{_PQ_K}_i2"
-        ),
-        fingerprint=_src_fp(sf_dir, "embeddings"),
-    )
 
 
 @query("l45_pq_ann_topk", _l45_oracle())
@@ -1697,7 +1635,7 @@ def x18_stream_psi_monitor(spark, sf_dir):
     Scale: the static side (9 edges + 10 p_ref rows per type) is a
     broadcast; streaming state is #types × 10 counters — bounded
     regardless of stream length."""
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.staging import stage_once as _stage_once
     from finporter_spark.streaming.pipeline import run_stream_to_memory
 
     s, el, rb, n = _x18_reference(spark, sf_dir)
@@ -1901,3 +1839,8 @@ def a41_two_proportion_ztest(spark, sf_dir):
     return out.withColumn(
         "p_value", F.round(normal_sf_two_sided(F.col("z")), 6)
     )
+
+
+# public fixture surface (round-14: cross-catalog consumers import
+# these, not the underscore privates)
+x18_reference = _x18_reference

@@ -26,19 +26,21 @@ from pyspark.sql import Window, functions as F
 
 from finporter_spark.operators.stats import normal_sf_two_sided_sql
 from finporter_spark.queries.catalog import _t, query
-from finporter_spark.queries.catalog_ext import (
-    _io_dir,
+from finporter_spark.queries.staging import io_dir as _io_dir
+from finporter_spark.queries.ann_fixtures import (
     _ivf_dist_cte,
     _ivf_mean_cte,
 )
-from finporter_spark.queries.catalog_r10 import (
+from finporter_spark.queries.ann_fixtures import (
     _PQ_M,
     _PQ_QMAX,
     _PQ_QMOD,
     _PQ_TOPK,
     _pq_books,
     _pq_sub_ctes,
-    _x18_reference,
+)
+from finporter_spark.queries.catalog_r10 import (
+    x18_reference as _x18_reference,
 )
 
 # =====================================================================
@@ -165,7 +167,7 @@ def l45c_ivfadc_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir, emb)
-    from finporter_spark.queries.catalog_ext import _src_fp
+    from finporter_spark.queries.staging import src_fp as _src_fp
 
     cents = load_or_train_centroids_det(
         emb, "vec_id", "embedding", dim=64,
@@ -389,7 +391,7 @@ def _stage_x19_slices(spark, sf_dir):
     fire. Round 13 drains at maxFilesPerTrigger=4 — (0..3)(4..6,s1)(s2),
     3 batches instead of 5: the same two-sentinel watermark proof and
     >= 2 data batches, at 3/5 of the per-batch harness cost."""
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.staging import stage_once as _stage_once
 
     def _write(p):
         # clean first: a restage after a LAYOUT change must not leave
@@ -722,7 +724,7 @@ def x18b_stream_psi_weekly(spark, sf_dir):
     wall-clock, so a production deployment ages out closed weeks with
     a watermark on the week column; here the window is the fixed
     current period."""
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.staging import stage_once as _stage_once
     from finporter_spark.streaming.pipeline import run_stream_to_memory
 
     s, el, rb, n = _x18_reference(spark, sf_dir)
@@ -982,7 +984,7 @@ def s15_orc_pushdown(spark, sf_dir):
             .orc(p)
         )
 
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.staging import stage_once as _stage_once
 
     _stage_once(sf_dir, "s15", _write, "supplier",
                 extra_fingerprint="orc-zlib-v2")
@@ -1068,3 +1070,7 @@ def p18_variant_extract(spark, sf_dir):
         F.variant_get("v", "$.nested.cents", "bigint").alias("cents"),
         F.variant_get("v", "$.nested.tag", "string").alias("tag"),
     )
+
+
+# public fixture surface (round-14)
+p18_json_expr = _p18_json_expr

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
 )
 
 from finporter_spark.queries.catalog import _t, query
-from finporter_spark.queries.catalog_ext import _io_dir
+from finporter_spark.queries.staging import io_dir as _io_dir
 
 # =====================================================================
 # S16 — XML roundtrip (Spark 4 built-in XML source)

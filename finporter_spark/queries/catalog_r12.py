@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from finporter_spark.operators.similarity import ivfadc_params
 from finporter_spark.operators.stats import normal_sf_two_sided_sql
 from finporter_spark.queries.catalog import _t, query
 
@@ -182,8 +183,10 @@ def s17_variant_roundtrip(spark, sf_dir):
     enters). Staged once per corpus fingerprint (the _stage_once
     contract); scale shape is a map-only parse at ingest plus an
     ordinary keyed agg at read."""
-    from finporter_spark.queries.catalog_ext import _stage_once
-    from finporter_spark.queries.catalog_r11 import _p18_json_expr
+    from finporter_spark.queries.staging import stage_once as _stage_once
+    from finporter_spark.queries.catalog_r11 import (
+        p18_json_expr as _p18_json_expr,
+    )
 
     def _write(p):
         (
@@ -259,7 +262,7 @@ def o19_vacuum_versions(spark, sf_dir):
     import shutil
 
     from finporter_spark.operators.scale import vacuum_versions
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.streaming.pipeline import (
         versioned_keep_first_sink,
     )
@@ -307,206 +310,25 @@ def o19_vacuum_versions(spark, sf_dir):
 # struct-sf0.1 reference density (N=2000); the SAME rule sizes every
 # other density live (tools/ivfadc_decade.py struct rows, the decade
 # recall pins in tests/test_recall_sf01.py).
-from finporter_spark.operators.similarity import ivfadc_params
-
-_L46_REF_N = 2000    # struct-sf0.1 corpus rows (the pinned density)
-_L46_DIAL = ivfadc_params(_L46_REF_N, 64)
-_L46_K = _L46_DIAL["k_coarse"]       # 64 (== planted-cluster count)
-_L46_ITERS = 3
-_L46_NPROBE = _L46_DIAL["n_probe"]   # 6
-_L46_SHORT = _L46_DIAL["shortlist"]  # 200 (recall 0.855 at sf0.1)
-_L46B_SHORT = 50     # residual-PQ budget (recall 0.785 vs plain 0.615)
-_L46_CLUSTERS = 64
-_L46_SCALE = 150     # center amplitude, per-mille
-# the l46/l46b oracles unroll catalog_r10's _PQ_M (=4) subspace
-# trainings — fail LOUDLY at import if the rule ever disagrees with
-# the oracle construction instead of hash-diffing later
-if _L46_DIAL["m"] != 4:
-    raise RuntimeError(
-        f"l46 oracle unrolls m=4 subspaces but ivfadc_params sizes "
-        f"m={_L46_DIAL['m']} at the reference density — regenerate "
-        "the oracle CTEs to match the rule"
-    )
-
-# the planted-center table CTE, shared by the struct AND zipf corpus
-# oracles (catalog_r13 reuses it with a skewed cluster draw)
-_CL_CTE = f"""
-    cl AS (SELECT c.c AS cid,
-                  list((CAST('0x' || substr(md5('cl' || CAST(c.c AS VARCHAR)
-                         || '_' || CAST(d.d AS VARCHAR)), 1, 8) AS BIGINT)
-                        % {2 * _L46_SCALE + 1} - {_L46_SCALE}) / 1000.0
-                       ORDER BY d.d) AS cen
-           FROM generate_series(0, {_L46_CLUSTERS - 1}) c(c)
-           CROSS JOIN generate_series(0, 63) d(d)
-           GROUP BY c.c)"""
-
-# center table + structured-embedding CTEs, shared by both l46 oracles
-# (DuckDB mirror of _staged_structured_embeddings)
-_STRUCT_E = f"""{_CL_CTE},
-    e AS MATERIALIZED (SELECT r.vec_id,
-                 list_transform(list_zip(CAST(r.embedding AS DOUBLE[]),
-                                         cl.cen),
-                                z -> ROUND(z[1] + z[2], 6)) AS emb
-          FROM embeddings r
-          JOIN cl ON cl.cid = CAST(r.vec_id % {_L46_CLUSTERS} AS INT))"""
-
-
-def _struct_centroid_rows():
-    """Driver-side mirror of the oracle's ``cl`` CTE: hashlib md5 ==
-    SQL md5, so both engines derive the identical center table."""
-    import hashlib
-
-    return [
-        (
-            c,
-            [
-                (
-                    int(
-                        hashlib.md5(f"cl{c}_{d}".encode()).hexdigest()[:8],
-                        16,
-                    )
-                    % (2 * _L46_SCALE + 1)
-                    - _L46_SCALE
-                )
-                / 1000.0
-                for d in range(64)
-            ],
-        )
-        for c in range(_L46_CLUSTERS)
-    ]
-
-
-def _emb_fingerprint(sf_dir):
-    """Source stamp for the l46 quantizer/codebook/codes caches. Those
-    caches are derived from the STAGED structured corpus, whose
-    identity is (embeddings parquet) × (planted-cluster recipe) — so
-    the stamp folds the recipe tag in: a testdata regeneration AND a
-    recipe bump (_L46_CLUSTERS/_L46_SCALE/version) each invalidate the
-    derived caches, not just the staged parquet they feed from."""
-    import os
-
-    from finporter_spark.operators.scale import source_fingerprint
-
-    return (
-        source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-        + f"|planted{_L46_CLUSTERS}-s{_L46_SCALE}-v1"
-    )
-
-
-def _staged_structured_embeddings(spark, sf_dir):
-    """The planted-cluster corpus as staged dataset state (vec_id,
-    embedding array<double>), once per testdata version."""
-    from finporter_spark.queries.catalog_ext import _stage_once
-
-    def _write(p):
-        cdf = spark.createDataFrame(
-            _struct_centroid_rows(), "cid int, cen array<double>"
-        )
-        emb = _t(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "_e"
-            ),
-            (F.col("vec_id") % _L46_CLUSTERS).cast("int").alias("cid"),
-        )
-        (
-            emb.join(F.broadcast(cdf), "cid")
-            .select(
-                "vec_id",
-                F.zip_with(
-                    "_e", "cen", lambda x, c: F.round(x + c, 6)
-                ).alias("embedding"),
-            )
-            .repartition(8)
-            .write.mode("overwrite")
-            .parquet(p)
-        )
-
-    path = _stage_once(
-        sf_dir, "struct_emb", _write, "embeddings",
-        extra_fingerprint=f"planted{_L46_CLUSTERS}-s{_L46_SCALE}-v1",
-    )
-    return spark.read.parquet(path)
-
-
-def _l46_oracle(corpus_cte: str | None = None) -> str:
-    """Plain IVFADC on a planted-cluster corpus: the l45c composition
-    (coarse Lloyd unroll + per-subspace PQ unrolls + probe/ADC/rerank)
-    with the given corpus CTE as ``e`` (default: the balanced
-    structured corpus; catalog_r13's l47 passes the Zipf-skewed one)
-    and k_coarse=64."""
-    from finporter_spark.queries.catalog_ext import (
-        _ivf_dist_cte,
-        _ivf_mean_cte,
-    )
-    from finporter_spark.queries.catalog_r10 import (
-        _PQ_M,
-        _PQ_QMAX,
-        _PQ_QMOD,
-        _PQ_TOPK,
-        _pq_sub_ctes,
-    )
-
-    if corpus_cte is None:
-        corpus_cte = _STRUCT_E
-    ivf_rounds = []
-    prev = "c0"
-    for r in range(1, _L46_ITERS + 1):
-        ivf_rounds.append(_ivf_dist_cte(prev, f"d{r}", f"a{r}"))
-        ivf_rounds.append(_ivf_mean_cte(f"a{r}", prev, f"m{r}", f"c{r}"))
-        prev = f"c{r}"
-    ivf = ",".join(ivf_rounds)
-    subs = ",".join(_pq_sub_ctes(i) for i in range(_PQ_M))
-    code_joins = " ".join(
-        f"JOIN a3_{i} USING (vec_id)" if i else "FROM a3_0"
-        for i in range(_PQ_M)
-    )
-    code_cols = ", ".join(f"a3_{i}.cid AS c{i}" for i in range(_PQ_M))
-    lut_joins = " ".join(
-        f"JOIN lut_{i} l{i} ON l{i}.cid = codes.c{i}"
-        f" AND l{i}.query_id = qp.query_id"
-        for i in range(_PQ_M)
-    )
-    ad = " + ".join(f"l{i}.d" for i in range(_PQ_M))
-    return f"""
-    WITH {corpus_cte},
-    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
-                  list_transform(emb, x -> ROUND(x, 6)) AS cen
-           FROM e WHERE vec_id < {_L46_K}),
-    {ivf},
-    {_ivf_dist_cte(prev, 'df', 'af')},
-    qp AS (SELECT vec_id AS query_id, cid FROM (
-         SELECT vec_id, cid,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
-                  AS rk
-         FROM df WHERE vec_id % {_PQ_QMOD} = 0 AND vec_id < {_PQ_QMAX})
-       WHERE rk <= {_L46_NPROBE}),
-    {subs},
-    codes AS (SELECT a3_0.vec_id, {code_cols} {code_joins}),
-    score AS (SELECT qp.query_id, codes.vec_id AS cand_id,
-                     ROUND({ad}, 6) AS adist
-              FROM codes
-              JOIN af ON af.vec_id = codes.vec_id
-              JOIN qp ON qp.cid = af.cid
-              {lut_joins}),
-    short AS (SELECT query_id, cand_id FROM (
-      SELECT query_id, cand_id,
-             row_number() OVER (
-               PARTITION BY query_id ORDER BY adist, cand_id) AS rk
-      FROM score) WHERE rk <= {_L46_SHORT}),
-    exact AS (SELECT s.query_id, s.cand_id,
-                ROUND(list_sum(list_transform(list_zip(eq.emb, ec.emb),
-                      z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS dist2
-              FROM short s
-              JOIN e eq ON eq.vec_id = s.query_id
-              JOIN e ec ON ec.vec_id = s.cand_id)
-    SELECT query_id, cand_id, rank, dist2 FROM (
-      SELECT query_id, cand_id, dist2,
-             CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY dist2, cand_id) AS INT)
-               AS rank
-      FROM exact) WHERE rank <= {_PQ_TOPK}
-    """
+from finporter_spark.queries.ann_fixtures import (  # noqa: F401,E402
+    _CL_CTE,
+    _L46B_SHORT,
+    _L46_CLUSTERS,
+    _L46_DIAL,
+    _L46_ITERS,
+    _L46_K,
+    _L46_NPROBE,
+    _L46_REF_N,
+    _L46_SCALE,
+    _L46_SHORT,
+    _STRUCT_E,
+    _emb_fingerprint,
+    _l46_oracle,
+    _l46b_oracle,
+    _res_pq_sub_ctes,
+    _staged_structured_embeddings,
+    _struct_centroid_rows,
+)
 
 
 @query("l46_ivfadc_structured", _l46_oracle())
@@ -539,8 +361,8 @@ def l46_ivfadc_structured(spark, sf_dir):
         load_or_train_centroids_det,
         load_or_train_pq_books,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
-    from finporter_spark.queries.catalog_r10 import (
+    from finporter_spark.queries.staging import io_dir as _io_dir
+    from finporter_spark.queries.ann_fixtures import (
         _PQ_M,
         _PQ_QMAX,
         _PQ_QMOD,
@@ -578,164 +400,6 @@ def l46_ivfadc_structured(spark, sf_dir):
     )
 
 
-def _res_pq_sub_ctes(i: int) -> str:
-    """Per-subspace PQ Lloyd unroll over the RESIDUAL table ``r``
-    (catalog_r10's ``_pq_sub_ctes`` with r as the training corpus and
-    NO per-query lut — residual LUTs are per-(query, cell), generated
-    separately)."""
-    sub = 16
-    lo = i * sub
-
-    def dist(src_c: str, d: str, a: str) -> str:
-        return f"""
-    {d} AS (SELECT s.vec_id, c.cid,
-              ROUND(list_sum(list_transform(list_zip(s.s, c.cen),
-                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
-       FROM rs{i} s CROSS JOIN {src_c} c),
-    {a} AS (SELECT vec_id, cid, d FROM (
-         SELECT vec_id, cid, d,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-         FROM {d}) WHERE rk = 1)"""
-
-    def mean(a: str, prev_c: str, mname: str, cname: str) -> str:
-        return f"""
-    {mname} AS (SELECT {a}.cid, g.i, ROUND(AVG(s.s[g.i]), 6) AS v
-       FROM {a} JOIN rs{i} s USING (vec_id)
-            CROSS JOIN generate_series(1, {sub}) AS g(i)
-       GROUP BY {a}.cid, g.i),
-    {cname} AS (SELECT {prev_c}.cid, COALESCE(mm.cen, {prev_c}.cen) AS cen
-       FROM {prev_c} LEFT JOIN (SELECT cid, array_agg(v ORDER BY i) AS cen
-                          FROM {mname} GROUP BY cid) mm USING (cid))"""
-
-    return f"""
-    rs{i} AS (SELECT vec_id, emb[{lo + 1}:{lo + sub}] AS s FROM r),
-    rc0_{i} AS (SELECT CAST(vec_id AS INT) AS cid,
-                  list_transform(s, x -> ROUND(x, 6)) AS cen
-           FROM rs{i} WHERE vec_id < 16),
-    {dist(f'rc0_{i}', f'rd1_{i}', f'ra1_{i}')},
-    {mean(f'ra1_{i}', f'rc0_{i}', f'rm1_{i}', f'rc1_{i}')},
-    {dist(f'rc1_{i}', f'rd2_{i}', f'ra2_{i}')},
-    {mean(f'ra2_{i}', f'rc1_{i}', f'rm2_{i}', f'rc2_{i}')},
-    {dist(f'rc2_{i}', f'rd3_{i}', f'ra3_{i}')}"""
-
-
-def _l46b_oracle(
-    corpus_cte: str | None = None,
-    k_sql: str | None = None,
-    shortlist: int | None = None,
-) -> str:
-    """Residual IVFADC: coarse Lloyd (k=64), residual table
-    r = e − centroid[cell], per-subspace PQ Lloyd unrolls ON r,
-    per-(query, probed cell) residual LUTs, ADC over residual codes,
-    exact rerank on the structured vectors.
-
-    Parameterized for reuse (the _l46_oracle contract): ``corpus_cte``
-    swaps the corpus (catalog_r14's l49 passes the Zipf CTE + a
-    corpus-sized ``kk`` dial CTE), ``k_sql`` the coarse seeding bound
-    (a literal or a scalar subquery over ``kk``), ``shortlist`` the
-    re-rank budget. Defaults reproduce the l46b text exactly."""
-    from finporter_spark.queries.catalog_ext import (
-        _ivf_dist_cte,
-        _ivf_mean_cte,
-    )
-    from finporter_spark.queries.catalog_r10 import (
-        _PQ_M,
-        _PQ_QMAX,
-        _PQ_QMOD,
-        _PQ_TOPK,
-    )
-
-    if corpus_cte is None:
-        corpus_cte = _STRUCT_E
-    if k_sql is None:
-        k_sql = str(_L46_K)
-    if shortlist is None:
-        shortlist = _L46B_SHORT
-    ivf_rounds = []
-    prev = "c0"
-    for rr in range(1, _L46_ITERS + 1):
-        ivf_rounds.append(_ivf_dist_cte(prev, f"d{rr}", f"a{rr}"))
-        ivf_rounds.append(_ivf_mean_cte(f"a{rr}", prev, f"m{rr}", f"c{rr}"))
-        prev = f"c{rr}"
-    ivf = ",".join(ivf_rounds)
-    subs = ",".join(_res_pq_sub_ctes(i) for i in range(_PQ_M))
-    sub = 16
-    rluts = ",".join(
-        f"""
-    rlut_{i} AS (SELECT qp.query_id, qp.cid AS cell, b.cid AS code,
-              ROUND(list_sum(list_transform(list_zip(
-                    list_transform(list_zip(
-                        q.emb[{i * sub + 1}:{i * sub + sub}],
-                        cc.cen[{i * sub + 1}:{i * sub + sub}]),
-                      z -> z[1] - z[2]),
-                    b.cen),
-                    z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS d
-       FROM qp
-       JOIN e q ON q.vec_id = qp.query_id
-       JOIN cfm cc ON cc.cid = qp.cid
-       CROSS JOIN rc2_{i} b)"""
-        for i in range(_PQ_M)
-    )
-    code_joins = " ".join(
-        f"JOIN ra3_{i} USING (vec_id)" if i else "FROM ra3_0"
-        for i in range(_PQ_M)
-    )
-    code_cols = ", ".join(f"ra3_{i}.cid AS c{i}" for i in range(_PQ_M))
-    lut_joins = " ".join(
-        f"JOIN rlut_{i} l{i} ON l{i}.code = codes.c{i}"
-        f" AND l{i}.query_id = qp.query_id AND l{i}.cell = qp.cid"
-        for i in range(_PQ_M)
-    )
-    ad = " + ".join(f"l{i}.d" for i in range(_PQ_M))
-    return f"""
-    WITH {corpus_cte},
-    c0 AS (SELECT CAST(vec_id AS INT) AS cid,
-                  list_transform(emb, x -> ROUND(x, 6)) AS cen
-           FROM e WHERE vec_id < {k_sql}),
-    {ivf},
-    {_ivf_dist_cte(prev, 'df', 'af')},
-    afm AS MATERIALIZED (SELECT * FROM af),
-    cfm AS MATERIALIZED (SELECT * FROM {prev}),
-    r AS MATERIALIZED (SELECT e.vec_id,
-                 list_transform(list_zip(e.emb, cc.cen),
-                                z -> z[1] - z[2]) AS emb
-          FROM e JOIN afm ON afm.vec_id = e.vec_id
-          JOIN cfm cc ON cc.cid = afm.cid),
-    qp AS MATERIALIZED (SELECT vec_id AS query_id, cid FROM (
-         SELECT vec_id, cid,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
-                  AS rk
-         FROM df WHERE vec_id % {_PQ_QMOD} = 0 AND vec_id < {_PQ_QMAX})
-       WHERE rk <= {_L46_NPROBE}),
-    {subs},
-    {rluts},
-    codes AS (SELECT ra3_0.vec_id, {code_cols} {code_joins}),
-    score AS (SELECT qp.query_id, codes.vec_id AS cand_id,
-                     ROUND({ad}, 6) AS adist
-              FROM codes
-              JOIN afm ON afm.vec_id = codes.vec_id
-              JOIN qp ON qp.cid = afm.cid
-              {lut_joins}),
-    short AS (SELECT query_id, cand_id FROM (
-      SELECT query_id, cand_id,
-             row_number() OVER (
-               PARTITION BY query_id ORDER BY adist, cand_id) AS rk
-      FROM score) WHERE rk <= {shortlist}),
-    exact AS (SELECT s.query_id, s.cand_id,
-                ROUND(list_sum(list_transform(list_zip(eq.emb, ec.emb),
-                      z -> (z[1] - z[2])*(z[1] - z[2]))), 6) AS dist2
-              FROM short s
-              JOIN e eq ON eq.vec_id = s.query_id
-              JOIN e ec ON ec.vec_id = s.cand_id)
-    SELECT query_id, cand_id, rank, dist2 FROM (
-      SELECT query_id, cand_id, dist2,
-             CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY dist2, cand_id) AS INT)
-               AS rank
-      FROM exact) WHERE rank <= {_PQ_TOPK}
-    """
-
-
 @query("l46b_ivfadc_residual", _l46b_oracle())
 def l46b_ivfadc_residual(spark, sf_dir):
     """L46b: IVFADC with RESIDUAL REFINEMENT (Jégou TPAMI 2011 §III.C
@@ -765,8 +429,8 @@ def l46b_ivfadc_residual(spark, sf_dir):
         load_or_train_pq_books,
         residual_vectors,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
-    from finporter_spark.queries.catalog_r10 import (
+    from finporter_spark.queries.staging import io_dir as _io_dir
+    from finporter_spark.queries.ann_fixtures import (
         _PQ_M,
         _PQ_QMAX,
         _PQ_QMOD,
@@ -815,11 +479,14 @@ def _x20_oracle() -> str:
     """Batch derivation of the full codes table: coarse Lloyd unroll
     (l3_ivf's k=16 CTEs) for the cell + l45's per-subspace PQ unrolls
     for the codes, joined per vector."""
-    from finporter_spark.queries.catalog_ext import (
+    from finporter_spark.queries.ann_fixtures import (
         _ivf_dist_cte,
         _ivf_mean_cte,
     )
-    from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_sub_ctes
+    from finporter_spark.queries.ann_fixtures import (
+        _PQ_M,
+        _pq_sub_ctes,
+    )
 
     ivf_rounds = []
     prev = "c0"
@@ -880,12 +547,15 @@ def x20_stream_ann_ingest(spark, sf_dir):
         build_ivfadc_codes,
         load_or_train_centroids_det,
     )
-    from finporter_spark.queries.catalog_ext import (
-        _io_dir,
-        _src_fp,
-        _stage_once,
+    from finporter_spark.queries.staging import (
+        io_dir as _io_dir,
+        src_fp as _src_fp,
+        stage_once as _stage_once,
     )
-    from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_books
+    from finporter_spark.queries.ann_fixtures import (
+        _PQ_M,
+        _pq_books,
+    )
     from finporter_spark.streaming.pipeline import run_stream_to_memory
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -953,7 +623,10 @@ def _m8_pq_sub_ctes(i: int) -> str:
     """catalog_r10's ``_pq_sub_ctes`` parameterized to the m=8 split
     (8-dim subspaces): init = slices of the 16 smallest vec_ids, two
     Lloyd rounds, final assignment = the code, per-query LUT."""
-    from finporter_spark.queries.catalog_r10 import _PQ_QMAX, _PQ_QMOD
+    from finporter_spark.queries.ann_fixtures import (
+        _PQ_QMAX,
+        _PQ_QMOD,
+    )
 
     lo = i * _L46C_SUB
 
@@ -997,11 +670,11 @@ def _m8_pq_sub_ctes(i: int) -> str:
 
 
 def _l46c_oracle() -> str:
-    from finporter_spark.queries.catalog_ext import (
+    from finporter_spark.queries.ann_fixtures import (
         _ivf_dist_cte,
         _ivf_mean_cte,
     )
-    from finporter_spark.queries.catalog_r10 import (
+    from finporter_spark.queries.ann_fixtures import (
         _PQ_QMAX,
         _PQ_QMOD,
         _PQ_TOPK,
@@ -1100,8 +773,8 @@ def l46c_ivfadc_m8(spark, sf_dir):
         load_or_train_centroids_det,
         load_or_train_pq_books,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
-    from finporter_spark.queries.catalog_r10 import (
+    from finporter_spark.queries.staging import io_dir as _io_dir
+    from finporter_spark.queries.ann_fixtures import (
         _PQ_QMAX,
         _PQ_QMOD,
         _PQ_TOPK,

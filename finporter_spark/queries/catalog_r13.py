@@ -33,7 +33,7 @@ import math
 from pyspark.sql import functions as F
 
 from finporter_spark.queries.catalog import _t, _TOKS, query
-from finporter_spark.queries.catalog_r12 import (
+from finporter_spark.queries.ann_fixtures import (
     _CL_CTE,
     _L46_CLUSTERS,
     _L46_SCALE,
@@ -45,123 +45,14 @@ from finporter_spark.queries.catalog_r12 import (
 # The Zipf-populated planted-cluster corpus (shared fixture)
 # =====================================================================
 
-_ZIPF_RES = 1_000_000  # draw resolution (md5 % RES against int bounds)
-
-
-def _zipf_bounds() -> list[tuple[int, int, int]]:
-    """Integer threshold table [(cid, lo, hi)): cluster c owns the
-    draws u ∈ [lo, hi) with width ∝ 1/(c+1) (Zipf s=1 — hottest
-    cluster ≈ 21% of the corpus at 64 clusters, a real hot cell).
-    Computed ONCE here in Python and inlined as integer LITERALS into
-    both engines' assignment, so no cross-engine float arithmetic
-    exists anywhere in the draw."""
-    w = [1.0 / (c + 1) for c in range(_L46_CLUSTERS)]
-    tot = sum(w)
-    bounds, acc, lo = [], 0.0, 0
-    for c in range(_L46_CLUSTERS):
-        acc += w[c]
-        hi = (
-            _ZIPF_RES
-            if c == _L46_CLUSTERS - 1
-            else int(math.floor(_ZIPF_RES * acc / tot))
-        )
-        bounds.append((c, lo, hi))
-        lo = hi
-    return bounds
-
-
-# md5-deterministic draw, identical text both engines mirror:
-# u = int(md5('zc' || vec_id)[:8], 16) % RES, cluster = the bounds row
-_ZIPF_U_SQL = (
-    "(CAST('0x' || substr(md5('zc' || CAST(r.vec_id AS VARCHAR)), 1, 8)"
-    f" AS BIGINT) % {_ZIPF_RES})"
+from finporter_spark.queries.ann_fixtures import (  # noqa: F401,E402
+    _ZIPF_E,
+    _ZIPF_RES,
+    _ZIPF_U_SQL,
+    _staged_zipf_embeddings,
+    _zipf_bounds,
+    _zipf_fingerprint,
 )
-
-_ZIPF_E = f"""{_CL_CTE},
-    zt(zcid, lo, hi) AS (VALUES {", ".join(f"({c}, {lo}, {hi})" for c, lo, hi in _zipf_bounds())}),
-    e AS MATERIALIZED (SELECT r.vec_id,
-                 list_transform(list_zip(CAST(r.embedding AS DOUBLE[]),
-                                         cl.cen),
-                                z -> ROUND(z[1] + z[2], 6)) AS emb
-          FROM embeddings r
-          JOIN zt ON {_ZIPF_U_SQL} >= zt.lo AND {_ZIPF_U_SQL} < zt.hi
-          JOIN cl ON cl.cid = zt.zcid)"""
-
-
-def _zipf_fingerprint(sf_dir):
-    """Source stamp for the l47 caches: embeddings parquet identity ×
-    the Zipf recipe (clusters, amplitude, thresholds version)."""
-    import os
-
-    from finporter_spark.operators.scale import source_fingerprint
-
-    return (
-        source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-        + f"|zipf{_L46_CLUSTERS}-s{_L46_SCALE}-r{_ZIPF_RES}-v1"
-    )
-
-
-def _staged_zipf_embeddings(spark, sf_dir):
-    """The Zipf-populated planted-cluster corpus as staged dataset
-    state (vec_id, embedding array<double>) — same centers as the
-    balanced struct fixture, cluster membership drawn against the
-    Zipf(1) thresholds."""
-    from finporter_spark.queries.catalog_ext import _stage_once
-
-    def _write(p):
-        cdf = spark.createDataFrame(
-            _struct_centroid_rows(), "cid int, cen array<double>"
-        )
-        bdf = spark.createDataFrame(
-            _zipf_bounds(), "zcid int, lo bigint, hi bigint"
-        )
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("zc"), F.col("vec_id").cast("string")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _ZIPF_RES
-        )
-        emb = _t(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "_e"
-            ),
-            u.alias("_u"),
-        )
-        (
-            emb.join(
-                F.broadcast(bdf),
-                (F.col("_u") >= F.col("lo")) & (F.col("_u") < F.col("hi")),
-            )
-            .join(F.broadcast(cdf), F.col("cid") == F.col("zcid"))
-            .select(
-                "vec_id",
-                F.zip_with(
-                    "_e", "cen", lambda x, c: F.round(x + c, 6)
-                ).alias("embedding"),
-            )
-            .repartition(8)
-            .write.mode("overwrite")
-            .parquet(p)
-        )
-
-    path = _stage_once(
-        sf_dir, "zipf_emb", _write, "embeddings",
-        extra_fingerprint=(
-            f"zipf{_L46_CLUSTERS}-s{_L46_SCALE}-r{_ZIPF_RES}-v1"
-        ),
-    )
-    return spark.read.parquet(path)
 
 
 @query("l47_ivfadc_zipf", _l46_oracle(corpus_cte=_ZIPF_E))
@@ -212,14 +103,14 @@ def l47_ivfadc_zipf(spark, sf_dir):
         load_or_train_centroids_det,
         load_or_train_pq_books,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
-    from finporter_spark.queries.catalog_r10 import (
+    from finporter_spark.queries.staging import io_dir as _io_dir
+    from finporter_spark.queries.ann_fixtures import (
         _PQ_M,
         _PQ_QMAX,
         _PQ_QMOD,
         _PQ_TOPK,
     )
-    from finporter_spark.queries.catalog_r12 import (
+    from finporter_spark.queries.ann_fixtures import (
         _L46_ITERS,
         _L46_K,
         _L46_NPROBE,
@@ -301,7 +192,7 @@ def o20_time_travel_read(spark, sf_dir):
     import shutil
 
     from finporter_spark.operators.scale import vacuum_versions
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.streaming.pipeline import (
         list_versions,
         read_version,
@@ -630,7 +521,10 @@ def _x21_dedup_flags(spark, sf_dir, tag):
         band_hash,
         minhash_signatures,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+    from finporter_spark.queries.staging import (
+        io_dir as _io_dir,
+        stage_once as _stage_once,
+    )
     from finporter_spark.streaming.pipeline import (
         run_stream_foreach_batch,
         versioned_keep_first_sink,
@@ -737,7 +631,7 @@ def _x21_flags_staged(spark, sf_dir):
     batching/arrival-order independent by x21's construction, so the
     staged table equals what any fresh drain would produce (certified
     by pipe9's own stage-chained oracle)."""
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.staging import stage_once as _stage_once
 
     def _write(p):
         (
@@ -857,3 +751,7 @@ def pipe9_stream_ingest_curation(spark, sf_dir):
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+# public fixture surface (round-14)
+x21_flags_staged = _x21_flags_staged

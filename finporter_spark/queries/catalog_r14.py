@@ -50,8 +50,8 @@ def _l49_oracle() -> str:
     Zipf corpus with the coarse k computed IN SQL from the corpus
     count — the DuckDB mirror of the ivfadc_plan flow for the branch
     the entry pins (level 0, m=4, residual codes)."""
-    from finporter_spark.queries.catalog_r12 import _l46b_oracle
-    from finporter_spark.queries.catalog_r13 import _ZIPF_E
+    from finporter_spark.queries.ann_fixtures import _l46b_oracle
+    from finporter_spark.queries.ann_fixtures import _ZIPF_E
 
     return _l46b_oracle(
         corpus_cte=_ZIPF_E + "," + _L49_K_CTE,
@@ -92,13 +92,13 @@ def l49_ivfadc_auto(spark, sf_dir):
         ivfadc_plan,
         ivfadc_plan_topk,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
-    from finporter_spark.queries.catalog_r10 import (
+    from finporter_spark.queries.staging import io_dir as _io_dir
+    from finporter_spark.queries.ann_fixtures import (
         _PQ_QMAX,
         _PQ_QMOD,
         _PQ_TOPK,
     )
-    from finporter_spark.queries.catalog_r13 import (
+    from finporter_spark.queries.ann_fixtures import (
         _staged_zipf_embeddings,
         _zipf_fingerprint,
     )
@@ -204,7 +204,10 @@ def x22_stream_cdc_upsert(spark, sf_dir):
     import shutil
 
     from finporter_spark.operators.dedup import apply_changelog
-    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+    from finporter_spark.queries.staging import (
+        io_dir as _io_dir,
+        stage_once as _stage_once,
+    )
     from finporter_spark.streaming.pipeline import (
         run_stream_foreach_batch,
         versioned_keep_latest_sink,
@@ -510,7 +513,10 @@ def _pipe9b_oracle() -> str:
         _l2_sig_ctes,
         _TOKS,
     )
-    from finporter_spark.queries.catalog_prep import _L26_FEAT, _l26_iter
+    from finporter_spark.queries.catalog_prep import (
+        L26_FEAT as _L26_FEAT,
+        l26_iter as _l26_iter,
+    )
 
     l26 = (
         _L26_FEAT.replace("{toks}", _TOKS).strip()
@@ -595,7 +601,9 @@ def pipe9b_stream_curation_quality(spark, sf_dir):
     all map-combinable; nothing new materializes."""
     from finporter_spark.operators.text import tokens
     from finporter_spark.queries.catalog import CATALOG
-    from finporter_spark.queries.catalog_r13 import _x21_flags_staged
+    from finporter_spark.queries.catalog_r13 import (
+        x21_flags_staged as _x21_flags_staged,
+    )
 
     flags = _x21_flags_staged(spark, sf_dir).select("doc_id", "is_dup")
     score = CATALOG["l26_quality_classifier"][0](spark, sf_dir).select(

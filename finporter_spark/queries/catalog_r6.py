@@ -550,7 +550,10 @@ def s14_dynamic_partition_overwrite(spark, sf_dir):
     fingerprint-staged initial load + re-execution in the test). Read
     back through the partitioned reader; partition pruning on the
     overwritten day is preserved (day stays a partition column)."""
-    from finporter_spark.queries.catalog_ext import _io_dir, _stage_once
+    from finporter_spark.queries.staging import (
+        io_dir as _io_dir,
+        stage_once as _stage_once,
+    )
 
     e = _t(spark, sf_dir, "events").select(
         "event_id",

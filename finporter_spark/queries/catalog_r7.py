@@ -155,7 +155,7 @@ def m13_spectral_peak(spark, sf_dir):
                 {"doc_id": pdf["doc_id"], "content": content}
             )
 
-    from finporter_spark.queries.catalog_ext import _stage_media
+    from finporter_spark.queries.staging import stage_media as _stage_media
 
     media = _stage_media(spark, sf_dir, "m13_media", _make)
 

@@ -329,7 +329,7 @@ def x13_stream_semi_join(spark, sf_dir):
     output is exactly the batch EXISTS the oracle runs. Outer
     stream-stream joins are deliberately not drained this way — see
     stream_interval_join's docstring."""
-    from finporter_spark.queries.catalog_ext import _stage_once
+    from finporter_spark.queries.staging import stage_once as _stage_once
     from finporter_spark.streaming.pipeline import (
         run_stream_to_memory,
         stream_interval_join,
@@ -671,7 +671,7 @@ def x6b_builtin_running_totals(spark, sf_dir):
     express (conditional resets, multi-counter transitions, custom
     eviction); otherwise the built-in agg is the scale path.
     """
-    from finporter_spark.queries.catalog_ext import _stage_x6_drop
+    from finporter_spark.queries.staging import stage_x6_drop as _stage_x6_drop
     from finporter_spark.streaming.pipeline import run_stream_to_memory
 
     path = _stage_x6_drop(spark, sf_dir)  # same drop as x6, one writer
@@ -2107,7 +2107,7 @@ def x14_datasource_stream_parallel(spark, sf_dir):
     oracle under any micro-batch split; DECADE_BENCH carries the
     x12-vs-x14 throughput comparison."""
     from finporter_spark.queries.catalog import CATALOG
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.sources.finport_datasource import (
         FinportParallelDataSource,
     )

@@ -806,7 +806,7 @@ def m14_rms_loudness(spark, sf_dir):
                 {"doc_id": pdf["doc_id"], "content": content}
             )
 
-    from finporter_spark.queries.catalog_ext import _stage_media
+    from finporter_spark.queries.staging import stage_media as _stage_media
 
     media = _stage_media(spark, sf_dir, "m14_media", _make)
 
@@ -1513,7 +1513,7 @@ def m15_image_histogram(spark, sf_dir):
                 {"doc_id": pdf["doc_id"], "content": content}
             )
 
-    from finporter_spark.queries.catalog_ext import _stage_media
+    from finporter_spark.queries.staging import stage_media as _stage_media
 
     media = _stage_media(spark, sf_dir, "m15_media", _make)
 
@@ -2086,7 +2086,7 @@ def m16_silence_bounds(spark, sf_dir):
                 {"doc_id": pdf["doc_id"], "content": content}
             )
 
-    from finporter_spark.queries.catalog_ext import _stage_media
+    from finporter_spark.queries.staging import stage_media as _stage_media
 
     media = _stage_media(spark, sf_dir, "m16_media", _make)
 

@@ -156,7 +156,7 @@ def x16_stream_full_outer_interval_join(spark, sf_dir):
     Sentinels (negative ids) are filtered; the drained result equals
     the batch FULL JOIN exactly (the oracle). Shares x15's staged drop
     (same fingerprint key) — one staging serves both queries."""
-    from finporter_spark.queries.catalog_ext import _x15_staged_drop
+    from finporter_spark.queries.staging import stage_x15_drop as _x15_staged_drop
     from finporter_spark.streaming.pipeline import (
         run_stream_to_memory,
         stream_interval_join,

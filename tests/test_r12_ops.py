@@ -252,7 +252,7 @@ def test_x20_streaming_codes_equal_batch_build(spark, sf_dir):
         load_or_train_centroids_det,
     )
     from finporter_spark.queries.catalog import _t
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r10 import _PQ_M, _pq_books
 
     streamed = sorted(
@@ -455,7 +455,7 @@ def test_codes_cache_fingerprint_invalidates(spark, sf_dir):
         load_or_train_centroids_det,
     )
     from finporter_spark.queries.catalog import _t
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r10 import _pq_books
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -336,7 +336,7 @@ def test_zipf_hot_cell_frozen_quantizer_and_split(spark):
         load_or_train_pq_books,
         split_hot_cells,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r12 import (
         _emb_fingerprint,
         _staged_structured_embeddings,

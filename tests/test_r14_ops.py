@@ -57,7 +57,7 @@ def _trained_cents(spark, sf_dir, kind):
         ivfadc_params,
         load_or_train_centroids_det,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     if kind == "zipf":
         from finporter_spark.queries.catalog_r13 import (
@@ -135,7 +135,7 @@ def test_ivfadc_plan_auto_types_both_corpora(spark):
         ivfadc_plan,
         ivfadc_plan_topk,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r12 import (
         _emb_fingerprint,
         _staged_structured_embeddings,
@@ -220,7 +220,7 @@ def test_split_and_rebuild_codes_frozen_quantizer(spark):
         load_or_train_pq_books,
         split_and_rebuild_codes,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r12 import (
         _emb_fingerprint,
         _staged_structured_embeddings,

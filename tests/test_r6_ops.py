@@ -230,7 +230,7 @@ def test_s14_dynamic_overwrite_touches_only_target_partition(spark):
     q = CATALOG["s14_dynamic_partition_overwrite"][0]
     first = sorted(map(tuple, q(spark, sf).collect()))
 
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     path = _io_dir(sf, "s14")
     others = [

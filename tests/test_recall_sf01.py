@@ -514,7 +514,7 @@ def test_l46b_residual_beats_plain_at_same_budget_sf01(spark):
         load_or_train_pq_books,
     )
     from finporter_spark.queries.catalog import CATALOG
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r12 import (
         _L46_ITERS,
         _L46_K,
@@ -567,13 +567,13 @@ def test_ivfadc_staged_codes_identical_to_inline(spark, emb01):
     )
     from finporter_spark.queries.catalog import CATALOG
     from finporter_spark.queries.catalog_r10 import _pq_books
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     staged = sorted(
         (r.query_id, r.cand_id, r.rank, r.dist2)
         for r in CATALOG["l45c_ivfadc_topk"][0](spark, SF01).collect()
     )
-    from finporter_spark.queries.catalog_ext import _src_fp
+    from finporter_spark.queries.staging import src_fp as _src_fp
 
     books = _pq_books(spark, SF01, emb01)
     cents = load_or_train_centroids_det(
@@ -704,7 +704,7 @@ def test_sized_dial_recall_struct_decade(spark, sfdir, floor):
         load_or_train_centroids_det,
         load_or_train_pq_books,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r12 import (
         _emb_fingerprint,
         _staged_structured_embeddings,
@@ -761,7 +761,7 @@ def test_zipf_sf10_residual_recovers_skew_recall(spark):
         load_or_train_pq_books,
         residual_vectors,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r13 import (
         _staged_zipf_embeddings,
         _zipf_fingerprint,
@@ -845,7 +845,7 @@ def test_ivfadc_plan_auto_zipf_recall(spark):
         ivfadc_plan,
         ivfadc_plan_topk,
     )
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
     from finporter_spark.queries.catalog_r13 import (
         _staged_zipf_embeddings,
         _zipf_fingerprint,

@@ -467,7 +467,7 @@ def test_x9_incremental_mv_actually_incremental(spark, sf_dir):
     import os
 
     from finporter_spark.queries.catalog import CATALOG
-    from finporter_spark.queries.catalog_ext import _io_dir
+    from finporter_spark.queries.staging import io_dir as _io_dir
 
     out = CATALOG["x9_incremental_mv"][0](spark, sf_dir)
     n_types = out.count()

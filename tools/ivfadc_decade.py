@@ -70,7 +70,10 @@ def main() -> None:
         split_hot_cells,
     )
     from finporter_spark.queries.catalog import _t
-    from finporter_spark.queries.catalog_ext import _io_dir, _src_fp
+    from finporter_spark.queries.staging import (
+        io_dir as _io_dir,
+        src_fp as _src_fp,
+    )
     from finporter_spark.queries.catalog_r12 import (
         _emb_fingerprint,
         _staged_structured_embeddings,
