@@ -205,6 +205,11 @@ QUERIES = [
     "a48_kw_4arm",
     "x21_stream_minhash_dedup",
     "pipe9_stream_ingest_curation",
+    # round-14 additions
+    "l49_ivfadc_auto",
+    "x22_stream_cdc_upsert",
+    "l21b_bpe_merges",
+    "pipe9b_stream_curation_quality",
 ]
 
 
@@ -228,6 +233,12 @@ def main() -> None:
     if "--resume" in sys.argv and os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
+    # (query, sf) pairs outside an entry's declared oracle regime:
+    # l49's catalog entry pins the level-0 residual branch its DuckDB
+    # oracle unrolls and RAISES at densities that escalate the dial
+    # (sf10 -> level 1, m=8); the operator's own sf10 scaling is
+    # measured in IVFADC_DECADE.json (zipf_10 auto-residual row)
+    skip = {("l49_ivfadc_auto", "10")}
     spark = get_session("decade-bench")
     qs = catalog_queries()
     qs["q1_pricing_summary"](spark, SFS[0][1]).write.format("noop").mode(
@@ -238,6 +249,8 @@ def main() -> None:
             continue
         results[name] = {}
         for sf, d in SFS:
+            if (name, sf) in skip:
+                continue
             # first call may stage fixtures; run twice, time the second
             if name in ("z1_bucketed_join", "l2_minhash_near_dup",
                         "l21_bpe_tokenize", "l13_decontaminate",
@@ -265,6 +278,10 @@ def main() -> None:
                         # not a plan change); time the steady state
                         "x21_stream_minhash_dedup",
                         "pipe9_stream_ingest_curation",
+                        "l49_ivfadc_auto",
+                        "x22_stream_cdc_upsert",
+                        "l21b_bpe_merges",
+                        "pipe9b_stream_curation_quality",
                         "a7_percentiles",
                         "a16_event_value_percentiles"):
                 qs[name](spark, d).write.format("noop").mode(
@@ -275,8 +292,8 @@ def main() -> None:
             results[name][sf] = round(time.time() - t0, 3)
         r = results[name]
         print(
-            f"{name:32} {r['0.1']:>8} {r['1']:>8} {r['10']:>8} "
-            f"{r['1']/max(r['0.1'],0.001):>5.1f}x {r['10']/max(r['1'],0.001):>5.1f}x",
+            f"{name:32} {r.get('0.1', '-'):>8} {r.get('1', '-'):>8} "
+            f"{r.get('10', '-'):>8}",
             flush=True,
         )
         # incremental write: a killed run resumes with --resume

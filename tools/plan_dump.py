@@ -257,6 +257,31 @@ SHOWCASE = {
         "final one-row projection - zero extra distributed work for "
         "the p-value."
     ),
+    "l49_ivfadc_auto": (
+        "The auto-typed IVFADC plan (round 14): identical shape to the "
+        "l46b residual path - staged residual codes scanned (never raw "
+        "vectors on the ADC side), per-(query, probed-cell) LUT table "
+        "broadcast into one BroadcastHashJoin on cell id, exact re-rank "
+        "touches Q x shortlist raw rows - but every dial and the "
+        "residual choice itself came from ivfadc_plan (corpus count + "
+        "measured quantizer spacing skew), no caller constants."
+    ),
+    "x22_stream_cdc_upsert": (
+        "Streaming CDC apply (after drain): the keep-latest state with "
+        "tombstones is one parquet scan, collapsed by one keyed window "
+        "(state-sized, not corpus-sized), then ONE outer join against "
+        "the base table - the base is never re-sorted and never joined "
+        "per micro-batch; per-batch work during the drain is one window "
+        "over (parent snapshot UNION batch)."
+    ),
+    "l21b_bpe_merges": (
+        "Recursive-CTE BPE training: ONE corpus scan partial-aggregates "
+        "word frequencies, collapsed (localCheckpoint-pinned) to a "
+        "single row carrying the vocabulary; the UnionLoop's per-merge "
+        "step is pure expression evaluation over that row (sort + one "
+        "linear fold for the argmax) - no corpus re-scan, no shuffle, "
+        "no Python worker anywhere in the 60 iterations."
+    ),
 }
 
 
