@@ -108,12 +108,22 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least(F.col("mn"), F.col("u")).alias("m")
         )
+        # NOTE (optimization round 1): no .distinct() here — it cost a
+        # full (u, v) shuffle per round and is redundant: duplicate
+        # (v, m) emissions (several neighbors u of v sharing one m)
+        # cannot change small-star's min aggregate, and the duplicate
+        # join fan-out they cause is removed by small's own .distinct()
+        # below. Output set per round is IDENTICAL (pinned by the
+        # chain/lattice tests + the l30/pipe7 value-hash oracles).
+        # Effect: one corpus-sized Exchange fewer per round — the win
+        # that matters at scale; locally ~3% (l30) / ~10% (pipe7)
+        # because the local wall is stage-launch constants (profiled
+        # round 14, NOTES #2), not shuffle bytes.
         large = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star over the high->low directed edges large-star emits
         smins = large.groupBy("u").agg(F.min("v").alias("m"))

@@ -593,8 +593,16 @@ def x17_transform_with_state_top2(spark, sf_dir):
             outputMode="Update",
             timeMode="None",
         )
+        # state partitions 8, not x6's 32: transformWithStateInPandas
+        # dispatches Arrow batches per PARTITION (not one Python call
+        # per key like applyInPandasWithState), so the per-batch
+        # RocksDB instance load+commit × partitions dominates at drain
+        # backlogs — A/B measured in optimization round 1: 32 → 8 is
+        # 6.0 → 3.8 s (sp=4 regresses to 4.3 s, Python-side
+        # parallelism lost). On a cluster this is the executors×cores
+        # sizing rule as ever.
         out = run_stream_to_memory(
-            tws, "x17_mem", output_mode="update", state_partitions=32
+            tws, "x17_mem", output_mode="update", state_partitions=8
         )
     finally:
         if prev is not None:

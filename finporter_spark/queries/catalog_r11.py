@@ -613,8 +613,15 @@ def _x19_drained(spark, sf_dir):
             outputMode="Append",
             timeMode="EventTime",
         )
+        # 8 state partitions, not 32 — same transformWithStateInPandas
+        # A/B as x17 (per-partition RocksDB load+commit dominates the
+        # drain; Arrow-batch dispatch, not per-key): 32 → 8 measured
+        # 8.2 → 6.1 s, sp=4 regresses (7.2 s). RocksDB changelog
+        # checkpointing was also A/B'd and does NOT help at drain
+        # backlogs (8.4 s — the snapshot is tiny, the changelog
+        # machinery pure overhead).
         return run_stream_to_memory(
-            tws, "x19_mem", output_mode="append", state_partitions=32
+            tws, "x19_mem", output_mode="append", state_partitions=8
         )
     finally:
         if prev is not None:

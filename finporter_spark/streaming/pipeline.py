@@ -181,7 +181,7 @@ def stream_dedup(
     )
 
 
-STATE_PARTITIONS = 8
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 """State-store partition count for stateful streaming drains.
 
 ``spark.sql.shuffle.partitions`` at a streaming query's FIRST start fixes
@@ -190,11 +190,14 @@ re-applies it on restart, overriding the session conf — so the setting is
 per-query-lifetime, not per-run). Every micro-batch pays one state-store
 load+commit per partition per stateful operator, a fixed cost that
 dwarfs the data work at test backlogs: the x7 interval join drains in
-~4 s with 8 state partitions vs ~10 s with 32. On a real cluster this
-knob is sized to executors × cores like any shuffle; the drain helpers
-below set it explicitly (and restore the session value) so streaming
-state layout is a deliberate choice rather than inherited from whatever
-batch shuffle width the session happens to use.
+~4 s with 8 state partitions vs ~10 s with 32 (round 10), and the
+round-14 optimization A/B moved the default 8 → 4 (x15 5.0 → 4.2 s,
+x7 3.5 → 3.1 s; 2 is NOT better — the per-partition work then
+serializes). Overridable via $SPARK_GRAFT_STATE_PARTITIONS; on a real
+cluster this knob is sized to executors × cores like any shuffle; the
+drain helpers below set it explicitly (and restore the session value)
+so streaming state layout is a deliberate choice rather than inherited
+from whatever batch shuffle width the session happens to use.
 """
 
 
