@@ -123,6 +123,17 @@ def _proj_sql(name: str, plane: list[float]) -> str:
     )
 
 
+def _sign_lsh_bucket_sql(name: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`sign_lsh_bucket` (see there)."""
+    parts = []
+    for i, p in enumerate(planes):
+        proj = _proj_sql(name, p)
+        parts.append(
+            f"(CASE WHEN {proj} > 0.0D THEN {1 << i}L ELSE 0L END)"
+        )
+    return "(" + " | ".join(parts) + ")"
+
+
 def sign_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Bucket id = bit-pattern of sign(vec · plane) over all planes.
 
@@ -130,13 +141,7 @@ def sign_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     string — see :func:`_sql_double_array`); a Column is accepted for
     back-compat only if it is a plain attribute."""
     name = vec if isinstance(vec, str) else vec._jc.toString()
-    parts = []
-    for i, p in enumerate(planes):
-        proj = _proj_sql(name, p)
-        parts.append(
-            f"(CASE WHEN {proj} > 0.0D THEN {1 << i}L ELSE 0L END)"
-        )
-    return F.expr("(" + " | ".join(parts) + ")")
+    return F.expr(_sign_lsh_bucket_sql(name, planes))
 
 
 def _margin_probe_udf(table_planes: list[list[list[float]]], n_probes: int):
@@ -336,33 +341,35 @@ def lsh_bucket_knn_exact_probe(
         for t in range(n_tables)
     ]
     # ---- candidate side: (table, bucket) per vector, pure JVM --------
-    c_parts = [
-        candidates.select(
-            F.col(c_id),
-            F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
-            F.lit(t).cast("int").alias("table"),
-            sign_lsh_bucket(c_vec, planes).alias("bucket"),
-        ).withColumn("_cn", _norm(F.col("_cv")))
+    # ONE select with inline(array(struct(table, bucket)...)) instead of
+    # an L-branch union: the union form scanned the candidate parquet
+    # once PER TABLE (7 corpus scans at the l3_lsh dial — the cost that
+    # matters at 100 TB) and paid L expression-parse + py4j rounds of
+    # driver time (~half the local wall). Same rows, same values: the
+    # per-table bucket expressions are the identical SQL text, inline
+    # emits one row per table per vector exactly as the union did.
+    c_tables = ", ".join(
+        f"struct(CAST({t} AS INT) AS table,"
+        f" {_sign_lsh_bucket_sql(c_vec, planes)} AS bucket)"
         for t, planes in enumerate(table_planes)
-    ]
-    cb = c_parts[0]
-    for part in c_parts[1:]:
-        cb = cb.unionByName(part)
+    )
+    cb = candidates.select(
+        F.col(c_id),
+        F.transform(c_vec, lambda x: x.cast("double")).alias("_cv"),
+        F.expr(f"inline(array({c_tables}))"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
     # ---- query side: base code + margin array per table --------------
-    q_parts = []
-    for t, planes in enumerate(table_planes):
-        projs = ", ".join(_proj_sql(q_vec, p) for p in planes)
-        q_parts.append(
-            queries.select(
-                F.col(q_id),
-                F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
-                F.lit(t).cast("int").alias("table"),
-                F.expr(f"array({projs})").alias("_pr"),
-            )
+    q_tables = ", ".join(
+        "struct(CAST({t} AS INT) AS table, array({projs}) AS _pr)".format(
+            t=t, projs=", ".join(_proj_sql(q_vec, p) for p in planes)
         )
-    qb = q_parts[0]
-    for part in q_parts[1:]:
-        qb = qb.unionByName(part)
+        for t, planes in enumerate(table_planes)
+    )
+    qb = queries.select(
+        F.col(q_id),
+        F.transform(q_vec, lambda x: x.cast("double")).alias("_qv"),
+        F.expr(f"inline(array({q_tables}))"),
+    )
     code_terms = " | ".join(
         f"(CASE WHEN element_at(_pr, {i + 1}) > 0.0D THEN {1 << i}L"
         " ELSE 0L END)"

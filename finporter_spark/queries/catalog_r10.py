@@ -1674,7 +1674,7 @@ def x18_stream_psi_monitor(spark, sf_dir):
         .count()
     )
     out = run_stream_to_memory(
-        sdf, "x18_mem", output_mode="update", state_partitions=8
+        sdf, "x18_mem", output_mode="update", state_partitions=4
     )
     # final count per cell = the last (max) update-mode emission
     fin = out.groupBy("event_type", "bkt").agg(

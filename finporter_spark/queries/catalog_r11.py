@@ -776,7 +776,7 @@ def x18b_stream_psi_weekly(spark, sf_dir):
         .count()
     )
     out = run_stream_to_memory(
-        sdf, "x18b_mem", output_mode="update", state_partitions=8
+        sdf, "x18b_mem", output_mode="update", state_partitions=4
     )
     # final count per cell = the last (max) update-mode emission; the
     # shared finishing stage pins it (dual consumption + memory-sink

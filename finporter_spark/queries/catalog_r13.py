@@ -519,7 +519,7 @@ def _x21_dedup_flags(spark, sf_dir, tag):
 
     from finporter_spark.operators.dedup import (
         band_hash,
-        minhash_signatures,
+        minhash_signatures_fn,
     )
     from finporter_spark.queries.staging import (
         io_dir as _io_dir,
@@ -530,40 +530,54 @@ def _x21_dedup_flags(spark, sf_dir, tag):
         versioned_keep_first_sink,
     )
 
-    def _bands(sig):
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            band_hash(b, 4, "md5").alias("bh"),
-                        )
-                        for b in range(8)
-                    ]
+    # expressions built ONCE and reused per micro-batch: Column objects
+    # are unbound trees, and rebuilding the 32 signature members + 8
+    # band structs per batch cost ~0.85 s/batch of pure driver py4j
+    # time (measured — more than the batch's actual Spark work)
+    _sig_fn = minhash_signatures_fn(hash_family="md5")
+    _band_expr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    band_hash(b, 4, "md5").alias("bh"),
                 )
-            ).alias("s"),
-        ).select(
-            F.concat_ws(
-                ":", F.col("s.band_id").cast("string"), F.col("s.bh")
-            ).alias("bkey"),
-            F.col("s.band_id").alias("band_id"),
-            F.col("s.bh").alias("bh"),
-            "doc_id",
+                for b in range(8)
+            ]
+        )
+    ).alias("s")
+    _band_cols = (
+        F.concat_ws(
+            ":", F.col("s.band_id").cast("string"), F.col("s.bh")
+        ).alias("bkey"),
+        F.col("s.band_id").alias("band_id"),
+        F.col("s.bh").alias("bh"),
+    )
+
+    def _bands(sig):
+        return sig.select("doc_id", _band_expr).select(
+            *_band_cols, "doc_id"
         )
 
     def _write(p):
+        # 32 files so each of the 2 micro-batches (maxFilesPerTrigger=16)
+        # scans with 16 tasks: the per-batch md5 signature work (33
+        # md5s/shingle, the oracle-pinned l2 family) is the drain's
+        # dominant cost and file-source batches parallelize exactly by
+        # file count — at 8 files/4-per-trigger the scan+explode+partial
+        # agg ran in 4 tasks on 32 cores (guide §2.6 stragglers/idle
+        # capacity). Same docs, same signatures, same merge result:
+        # flags are batching/arrival-order independent by construction.
         (
             _t(spark, sf_dir, "documents")
             .select("doc_id", "text")
-            .repartition(8)
+            .repartition(32)
             .write.mode("overwrite")
             .json(p)
         )
 
     path = _stage_once(
-        sf_dir, "x21", _write, "documents", extra_fingerprint="json-v1"
+        sf_dir, "x21", _write, "documents", extra_fingerprint="json-v2"
     )
     root = _io_dir(sf_dir, f"{tag}_state")
     ckpt = _io_dir(sf_dir, f"{tag}_ckpt")
@@ -574,12 +588,12 @@ def _x21_dedup_flags(spark, sf_dir, tag):
     )
     sdf = (
         spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", 16)
         .json(path)
     )
 
     def sink(bdf, batch_id):
-        sig = minhash_signatures(bdf, hash_family="md5")
+        sig = _sig_fn(bdf)
         merge(_bands(sig).select("bkey", "doc_id"), batch_id)
 
     run_stream_foreach_batch(sdf, sink, checkpoint=ckpt)

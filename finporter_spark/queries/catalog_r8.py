@@ -1290,6 +1290,17 @@ def _jaccard_threshold_pairs(g, tau):
     hints that prevent the measured sf10 driver-broadcast OOM live
     HERE and nowhere else). Returns (da, db, size_a, size_b, n_shared)
     for every pair meeting the threshold."""
+    # Materialize the (doc_id, g) shingle table ONCE: it feeds sz,
+    # df_counts, both self-join branches of `ranked`, and both
+    # verification sides — six subtree copies in the unmaterialized
+    # plan (0 ReusedExchange: Spark does not dedup self-join/multi-ref
+    # subtrees), so the explode+distinct shuffle ran six times per
+    # query (guide §2.4 — remove shuffles outright by reusing a
+    # computed intermediate). Per-call localCheckpoint: fresh each
+    # invocation, no cross-run state; size is the compressed shingle
+    # table (~doc_tokens × 40 B), which is what the verification step
+    # already shuffles anyway.
+    g = g.localCheckpoint(eager=False)
     sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
     df_counts = g.groupBy("g").agg(F.count("*").alias("df"))
     ranked = (
@@ -1307,6 +1318,9 @@ def _jaccard_threshold_pairs(g, tau):
             <= F.col("n") - F.ceil(F.col("n") * F.lit(tau)) + 1
         )
         .select("doc_id", "g", "n")
+        # both sides of the candidate self-join read this — one
+        # window+join pipeline instead of two
+        .localCheckpoint(eager=False)
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (

@@ -1188,10 +1188,21 @@ def pipe7_master_data_dedup(spark, sf_dir):
     )
     edges = _ed1_cc_edges(n)
     comp = connected_components_star(edges, "name_a", "name_b")
-    labeled = n.join(comp, n.c_name == comp.node, "left").select(
-        "c_name",
-        "n_rows",
-        F.coalesce(F.col("component"), F.col("c_name")).alias("component"),
+    # pin the vocabulary-sized labeled table: it feeds m, surv AND the
+    # final join — unpinned, each reference re-ran the corpus name-agg
+    # and the component-forest joins (8 parquet scans of customer in
+    # the round-14 before-plan; guide §2.4). Per-call checkpoint, size
+    # = |distinct names|.
+    labeled = (
+        n.join(comp, n.c_name == comp.node, "left")
+        .select(
+            "c_name",
+            "n_rows",
+            F.coalesce(F.col("component"), F.col("c_name")).alias(
+                "component"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     m = labeled.groupBy("component").agg(
         F.count("*").cast("bigint").alias("cluster_size"),
