@@ -66,13 +66,19 @@ def count_exceeding(
 
     Returns the left rows (``left_keys``) + ``n_greater`` (long ≥ 0).
     """
+    # pinned: each side feeds the bounds agg (referenced from BOTH
+    # banded projections) plus its own banded stream(s) — unpinned,
+    # the inputs were re-scanned ~3-4x per call (j9's two calls showed
+    # 36 parquet scans in the round-14 before-plan; guide §2.4)
     lv = (
         left.select(*left_keys, F.col(left_val).alias("_bal"))
         .where(F.col("_bal").isNotNull())
+        .localCheckpoint(eager=False)
     )
     rv = (
         right.select(F.col(right_val).alias("_bal"))
         .where(F.col("_bal").isNotNull())
+        .localCheckpoint(eager=False)
     )
     bounds = (
         lv.select("_bal")

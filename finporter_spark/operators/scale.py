@@ -429,9 +429,18 @@ def exact_percentiles(
     from pyspark.sql import Window
 
     g = list(group_cols)
-    d0 = df.select(
-        *g, F.col(value_col).cast("double").alias("_v")
-    ).where(F.col("_v").isNotNull())
+    d0 = (
+        df.select(*g, F.col(value_col).cast("double").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        # pinned: the projection feeds the stats pass, the bucketing
+        # pass and the rank-pick — unpinned, every caller re-scanned
+        # (and for derived inputs, re-computed) it three times per
+        # percentile call (a7/a16/a29/a40 showed 28-30 parquet scans
+        # in their round-14 before-plans; guide §2.4). One
+        # materialization of the 2-column projection replaces three
+        # reads — strictly less I/O at any scale.
+        .localCheckpoint(eager=False)
+    )
     stats = d0.groupBy(*g).agg(
         F.min("_v").alias("_mn"),
         F.max("_v").alias("_mx"),

@@ -149,9 +149,12 @@ def bm25_scores(
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
+    # dl/tf pinned: dl feeds the corpus stats AND the score join; tf
+    # feeds the df counts AND the scoring — unpinned, the tokenize +
+    # posting agg each ran twice per call (guide §2.4)
     dl = toks.select(
         id_col, F.size("_toks").cast("double").alias("_dl")
-    )
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
@@ -166,6 +169,7 @@ def bm25_scores(
         )
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("double").alias("_tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
     scored = (

@@ -1162,8 +1162,13 @@ def pipe8_crawl_curation(spark, sf_dir):
     surv = canon.groupBy("canonical_url").agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    sd = d.join(surv, "doc_id").select(
-        "doc_id", "source", "n_chars", "text"
+    sd = (
+        d.join(surv, "doc_id")
+        .select("doc_id", "source", "n_chars", "text")
+        # pinned: feeds the repetition profile, the gate join AND the
+        # per-source URL-unique count — unpinned, the regex-heavy URL
+        # canonicalization + survivor agg ran three times (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     rep = repetition_profile(sd, "text", "doc_id", ngram_n=3)
     gated = (
@@ -1530,7 +1535,10 @@ def _x18_reference(spark, sf_dir):
         # a40/x18 ignore it
         F.date_trunc("week", F.col("ts")).alias("wk"),
         "mm",
-    )
+        # pinned: s feeds the quantized-count agg, the reference bucket
+        # counts AND each caller's current-period pass — unpinned, every
+        # reference re-ran the corpus scan + split agg (guide §2.4)
+    ).localCheckpoint(eager=False)
     g = s.groupBy("event_type", "iv").agg(
         F.sum("is_ref").alias("cr"),
         F.sum(1 - F.col("is_ref")).alias("cc"),
@@ -1559,7 +1567,9 @@ def _x18_reference(spark, sf_dir):
     ).select(
         "event_type",
         F.transform("ke", lambda x: x["edge"]).alias("es"),
-    )
+        # pinned (domain-sized): broadcast-joined by rb here and by
+        # every caller's bucketing pass — one edge derivation total
+    ).localCheckpoint(eager=False)
     # reference bucket probabilities (batch-side, tiny)
     rb = (
         s.where(F.col("is_ref") == 1)

@@ -241,6 +241,12 @@ def l42_label_propagation(spark, sf_dir):
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        # pinned: joined against the frontier once per LPA round —
+        # unpinned, each round re-derived the whole edge build (72
+        # parquet scans / 122 Exchanges in the round-14 before-plan;
+        # guide §2.4). The l18/l30 graph entries already pin their
+        # edge sets; this brings LPA in line.
+        .localCheckpoint(eager=False)
     )
     labels = d.select(
         F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl")
@@ -259,8 +265,13 @@ def l42_label_propagation(spark, sf_dir):
             .where(F.col("rk") == 1)
             .select("id", F.col("lbl").alias("new_lbl"))
         )
-        labels = labels.join(picked, "id", "left").select(
-            "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+        labels = (
+            labels.join(picked, "id", "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            # per-round pin: flat lineage (the l18 cache-rotation
+            # pattern) — each round reads the previous round's n-row
+            # frontier, not the whole unrolled history
+            .localCheckpoint(eager=False)
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("size")

@@ -1105,6 +1105,10 @@ def f1_rebalance_drift(spark, sf_dir):
         holdings.join(securities, "securityID")
         .groupBy("accountID", "assetID")
         .agg(dsum(F.col("shares") * F.col("sharePrice")).alias("value"))
+        # pinned: feeds the account-total agg AND the target universe
+        # join — unpinned, the mark-to-market rollup ran twice
+        # (guide §2.4); (account × asset)-sized
+        .localCheckpoint(eager=False)
     )
     tot = pos.groupBy("accountID").agg(
         dsum(F.col("value")).alias("total")

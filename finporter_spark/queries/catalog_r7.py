@@ -239,14 +239,18 @@ def a17_funnel_conversion(spark, sf_dir):
             .agg(F.min("ts").alias(f"{etype}_ts"))
         )
 
+    # stage frames pinned: each feeds the NEXT stage's join and its own
+    # funnel count — unpinned, stage N's corpus agg re-ran once per
+    # downstream reference (guide §2.4); user-sized
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
     )
     c = first_after("click", v, "v_ts").withColumnRenamed(
         "click_ts", "c_ts"
-    )
+    ).localCheckpoint(eager=False)
     p = first_after("purchase", c, "c_ts")
 
     def stage(df, name):

@@ -177,6 +177,11 @@ def l31_triangle_count(spark, sf_dir):
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
+        # pin the supported edge set: the lineitem self-join + pair agg
+        # is the expensive stage and the unpinned plan recomputed it for
+        # n_edges, the degree count (both union sides), and the edge-key
+        # join — six subtree copies, 166 Exchanges (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(_count_triangles(e))
@@ -205,7 +210,9 @@ def _count_triangles(e):
         F.when(F.col("uk") < F.col("vk"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("uk") < F.col("vk"), F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(F.col("uk") < F.col("vk"), F.col("vk")).otherwise(F.col("uk")).alias("dk"),
-    )
+        # pinned: feeds both wedge sides and the closing-edge probe —
+        # three references, one materialization (edge-list sized)
+    ).localCheckpoint(eager=False)
     w1 = oriented.select("src", F.col("dst").alias("b"), F.col("dk").alias("bk"))
     w2 = oriented.select("src", F.col("dst").alias("c"), F.col("dk").alias("ck"))
     wedges = w1.join(w2, "src").where(F.col("bk") < F.col("ck")).select("b", "c")
@@ -475,6 +482,10 @@ def a19_kmv_intersection(spark, sf_dir):
         hs.withColumn("rn", F.row_number().over(wt))
         .where(F.col("rn") <= k)
         .select("t", "h")
+        # pinned: the k·|types|-row sketch feeds the type-pair spine
+        # and BOTH union sides — unpinned, the corpus distinct + top-k
+        # window ran three times (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     ts_ = sk.select("t").distinct()
     tp = (
@@ -1776,7 +1787,12 @@ def pipe6_corpus_curation(spark, sf_dir):
         )
         .select("s.doc_id", "s.lang", "s.n_tokens")
     )
-    gated = surv.filter(F.col("n_tokens").between(16, 127))
+    # pin the survivor set: it feeds the shingle side AND the final
+    # keep-join — unpinned, the corpus-sized keep-best agg ran twice
+    # (guide §2.4); size is one row per surviving doc
+    gated = surv.filter(
+        F.col("n_tokens").between(16, 127)
+    ).localCheckpoint(eager=False)
     # exact near-dup sweep over survivors (l34 machinery, n=5 shingles)
     n = 5
     dt = d.join(gated.select("doc_id"), "doc_id").select(
@@ -2058,6 +2074,9 @@ def a25_conversion_latency(spark, sf_dir):
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        # pinned: feeds the qualifying-purchase join AND the latency
+        # join (guide §2.4); user-sized
+        .localCheckpoint(eager=False)
     )
     fp = (
         e.filter(F.col("event_type") == "purchase")
@@ -2083,6 +2102,11 @@ def a25_conversion_latency(spark, sf_dir):
             .alias("latency_s"),
         )
     )
+    # pinned: exact_percentiles reads its input three times (stats,
+    # bucket, rank-pick — the w17 pattern); unpinned, the whole
+    # fv⋈fp latency build ran three times (194 Exchanges in the
+    # round-14 before-plan)
+    lat = lat.localCheckpoint(eager=False)
     out = exact_percentiles(lat, ["variant"], "latency_s", [0.5, 0.9, 0.99])
     return out.select(
         "variant", "fraction", F.col("value").alias("latency_s")

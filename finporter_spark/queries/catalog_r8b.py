@@ -429,6 +429,10 @@ def a27_basket_affinity(spark, sf_dir):
         li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # pinned: feeds brand totals, the global order count and BOTH
+        # pair-join sides — four references re-ran the lineitem⋈part
+        # distinct unpinned (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     tot = ob.groupBy("p_brand").agg(
         F.count("*").cast("bigint").alias("n_orders")
@@ -1347,10 +1351,13 @@ def a30_constrained_funnel(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
+    # stage frames pinned: each feeds the next stage AND its own count
+    # (the a17 pattern; guide §2.4); user-sized
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -1361,6 +1368,7 @@ def a30_constrained_funnel(spark, sf_dir):
         )
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
