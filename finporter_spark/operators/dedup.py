@@ -663,6 +663,13 @@ def connected_components(
     round — each analysis re-walks the whole join-on-join history, and
     past ~20 rounds the ANALYZER itself OOMs the driver even on a
     300-node graph (observed; the same reason pagerank checkpoints).
+    localCheckpoint truncates the logical plan at CALL time even when
+    lazy (the plan becomes an RDD scan immediately; only the job is
+    deferred), so the checkpoints here are LAZY (optimization
+    round 1): the per-round changed-count job is the materializing
+    action — one driver action per round instead of the two the eager
+    version paid, with the round count and the convergence criterion
+    unchanged.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -674,24 +681,28 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+
+    def _round(lab):
         neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(lab, edges.src == lab.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+        return (
+            lab.join(neighbor_min, lab.id == neighbor_min.dst, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+
+    for _ in range(max_iter):
+        new_labels = _round(labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

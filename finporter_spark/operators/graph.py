@@ -59,9 +59,11 @@ def connected_components_star(
     same pattern as pagerank's dangling-mass scalar); state is
     localCheckpointed per round so lineage stays flat. The checkpoint
     is LAZY: the signature aggregate is the materializing action, so
-    each round costs exactly one job — on local mode the round cost is
-    fixed job overhead, and halving the job count halved the measured
-    wall time (8.3 s → ~4 s at sf0.1 for l30).
+    each round costs exactly one driver action — on local mode the
+    round cost is fixed job overhead, and halving the job count halved
+    the measured wall time (8.3 s → ~4 s at sf0.1 for l30). Running
+    MORE rounds to save actions is a measured loss (see the loop
+    note).
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without the
     signature stabilizing (wrong labels must never come back silently);
@@ -96,14 +98,10 @@ def connected_components_star(
         ).first()
         return r["n"], r["h"]
 
-    sig = _sig(e)
-    converged = False
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
+    def _round(cur):
         # large-star over the symmetrized neighborhood
-        sym = e.unionAll(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = cur.unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least(F.col("mn"), F.col("u")).alias("m")
@@ -127,7 +125,7 @@ def connected_components_star(
         )
         # small-star over the high->low directed edges large-star emits
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        return (
             large.join(smins, "u")
             .select(F.col("v").alias("x"), "m")
             .unionAll(smins.select(F.col("u").alias("x"), "m"))
@@ -136,6 +134,21 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
+
+    # One signature job per round (the lazy checkpoint's materializing
+    # action). An A/B in optimization round 1 also tried TWO rounds per
+    # signature job to halve driver actions: under AQE every exchange
+    # stage is already its own job, so the saved actions were nearly
+    # free while convergence detection slipped to pair boundaries and
+    # executed up to two extra (no-op, but stage-cost-bearing) rounds —
+    # l30 measured 180 → 222 stages, 75 → 85 jobs. Kept at one round
+    # per check: fewest rounds executed wins.
+    sig = _sig(e)
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        small = _round(e)
         new_sig = _sig(small)
         e = small
         if new_sig == sig:
@@ -204,9 +217,11 @@ def pagerank(
     edges_deg = edges.join(
         out_deg.withColumnRenamed("id", src), src
     ).select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "deg").cache()
-    ranks = verts.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = verts.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(
+        eager=False
+    )
     try:
-        for _ in range(n_iter):
+        for it in range(n_iter):
             # rank mass leaving each node, split across its out-edges
             contribs = (
                 edges_deg.join(ranks, edges_deg.e_src == ranks.id)
@@ -241,7 +256,17 @@ def pagerank(
             # ~n rows of (long, double), trivially small next to edges.
             # (local = executor-disk; a production run on a real cluster
             # would point spark.checkpoint.dir at the DFS instead.)
-            ranks = new_ranks.localCheckpoint(eager=True)
+            # LAZY (optimization round 1): localCheckpoint truncates
+            # the logical plan at call time either way; lazy defers the
+            # job, so with dangling=False all n_iter rounds execute
+            # inside one job (zero per-round driver barriers), and
+            # with dangling=True the per-round d_mass scalar is the
+            # materializing action — one job per round instead of two.
+            # The LAST round stays eager so the whole chain executes
+            # while the edges_deg cache is still persisted (the
+            # finally-unpersist below runs before any caller action
+            # would); same expressions, same results.
+            ranks = new_ranks.localCheckpoint(eager=(it == n_iter - 1))
         return ranks
     finally:
         edges_deg.unpersist()

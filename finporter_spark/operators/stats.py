@@ -14,8 +14,9 @@ pure-Python references under hypothesis):
 - all-tied data yields D = 0 / U at its null mean with zero variance —
   the z statistic is NULL rather than a division by zero.
 
-Both operators pin the domain-sized per-value aggregate with an eager
-``localCheckpoint`` (the z6 pattern): the corpus is scanned ONCE into
+Both operators pin the domain-sized per-value aggregate with a
+``localCheckpoint`` (the z6 pattern; lazy — the guard count or the
+first consumer materializes it): the corpus is scanned ONCE into
 the bounded distinct-value table, and every downstream branch (the
 CDF window, the max-D search, the argmin join) reads the pinned copy —
 previously a37's committed plan showed FOUR parquet scans because the
@@ -40,12 +41,13 @@ def _pin_domain(g: DataFrame, max_domain: int, op: str) -> DataFrame:
     materializes — a wide-domain input pays one distributed (keyed,
     never single-task) agg before the ValueError; the guard exists to
     stop the SINGLE-PARTITION CDF window that would follow, which is
-    the part that cannot be distributed. (2) construction is now
-    eager: callers that build but never execute the result still run
-    the pin + count jobs — acceptable for statistics whose whole
-    output is one row."""
-    g = g.localCheckpoint()
-    n = g.count()  # cheap: counts the pinned blocks, not the corpus
+    the part that cannot be distributed. (2) construction still runs
+    the guard: callers that build but never execute the result pay the
+    count job — acceptable for statistics whose whole output is one
+    row. The checkpoint is LAZY and the count is its materializing
+    action (one job, not a pin job plus a count job)."""
+    g = g.localCheckpoint(eager=False)
+    n = g.count()  # materializes the pin; later reads hit the blocks
     if n > max_domain:
         raise ValueError(
             f"{op}: distinct-value domain has {n} cells, above the "
@@ -213,7 +215,8 @@ def ks_2sample_by(
     )
     g = s.groupBy(*keys, "iv").agg(
         F.sum("a").alias("c1"), F.sum(1 - F.col("a")).alias("c2")
-    ).localCheckpoint()  # one corpus scan feeds cum/best/at (a37 pin)
+    ).localCheckpoint(eager=False)  # one corpus scan feeds cum/best/at
+    # (the a37 pin; lazy — the consumer's job materializes it)
     w = (
         Window.partitionBy(*keys)
         .orderBy("iv")
@@ -277,7 +280,7 @@ def mann_whitney_u_by(
         F.sum("a").alias("c1"),
         F.sum(1 - F.col("a")).alias("c2"),
         F.count("*").alias("c"),
-    ).localCheckpoint()  # one corpus scan (the a37 pin)
+    ).localCheckpoint(eager=False)  # one corpus scan (the a37 pin; lazy)
     w = (
         Window.partitionBy(*keys)
         .orderBy("iv")
@@ -442,7 +445,7 @@ def _kw_rank_agg(
         F.count("*").alias("c"),
     )
     if keycols:
-        g = g.localCheckpoint()  # one corpus scan (the a37 pin)
+        g = g.localCheckpoint(eager=False)  # one corpus scan (a37 pin)
     else:
         g = _pin_domain(g, max_domain, op)
     w = (

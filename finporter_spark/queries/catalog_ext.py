@@ -1927,8 +1927,11 @@ def p16_fuzzy_join(spark, sf_dir):
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
     )
     # parallelize the row sides: the source is 1-2 parquet partitions at
-    # test SFs, which would serialize the expansion onto a couple of cores
-    a = p.repartition(32, "p_partkey").select(
+    # test SFs, which would serialize the expansion onto a couple of
+    # cores (width follows the session's core count, not a constant)
+    a = p.repartition(
+        spark.sparkContext.defaultParallelism, "p_partkey"
+    ).select(
         F.col("p_partkey").alias("key_l"),
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_l"),

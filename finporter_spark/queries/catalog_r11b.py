@@ -352,8 +352,9 @@ def w14c_holt_recursive(spark, sf_dir):
         .alias("rn"),
     )
     # pin: one corpus scan; the 30-iteration loop re-reads 150 rows,
-    # never the events table
-    o = o.localCheckpoint()
+    # never the events table (lazy: the sizing action below
+    # materializes it)
+    o = o.localCheckpoint(eager=False)
     # the recursion must cover the longest per-type calendar: a series
     # longer than spark.sql.cteRecursionLevelLimit (default 100) would
     # abort MID-recursion with an opaque engine error — size the limit

@@ -429,7 +429,7 @@ def l21b_bpe_merges(spark, sf_dir):
         ).alias("ws")
     )
     # pin: one corpus scan; the 60-step recursion re-reads one row
-    w0.localCheckpoint().createOrReplaceTempView("l21b_w0")
+    w0.localCheckpoint(eager=False).createOrReplaceTempView("l21b_w0")
     return spark.sql(
         """
         WITH RECURSIVE rec AS (

@@ -98,10 +98,17 @@ def p16b_er_clusters(spark, sf_dir):
         "p_partkey",
         F.concat_ws(SEP, "p_brand", "p_name").alias("node"),
     )
-    # singleton names never enter the edge set: label themselves
-    labeled = rows.join(comp, rows.node == comp.id, "left").select(
-        "p_partkey",
-        F.coalesce(F.col("cluster"), F.col("node")).alias("component"),
+    # singleton names never enter the edge set: label themselves.
+    # Pinned: labeled feeds the canonical-key agg AND the final join —
+    # unpinned, the corpus join through the whole CC ran twice
+    # (guide §2.4); one row per part row
+    labeled = (
+        rows.join(comp, rows.node == comp.id, "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("cluster"), F.col("node")).alias("component"),
+        )
+        .localCheckpoint(eager=False)
     )
     canon = labeled.groupBy("component").agg(
         F.min("p_partkey").alias("canonical_key")
@@ -1981,11 +1988,11 @@ def w17_mad_anomaly(spark, sf_dir):
     from finporter_spark.operators.scale import exact_percentiles
 
     e = _t(spark, sf_dir, "events")
-    ev = e.select("event_type", "value").localCheckpoint()
+    ev = e.select("event_type", "value").localCheckpoint(eager=False)
     med = (
         exact_percentiles(ev, ["event_type"], "value", [0.5])
         .select("event_type", F.col("value").alias("med"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -1996,7 +2003,7 @@ def w17_mad_anomaly(spark, sf_dir):
     mad = (
         exact_percentiles(dev, ["event_type"], "adev", [0.5])
         .select("event_type", F.col("value").alias("mad"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     flagged = dev.join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(

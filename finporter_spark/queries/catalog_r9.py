@@ -105,7 +105,7 @@ def a14b_rolling_kmv_rollup(spark, sf_dir):
         hs.withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") <= _KMV_K)
         .select("day", "h")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     anchors = sk.select(F.col("day").alias("anchor")).distinct()
     win = (
