@@ -441,10 +441,20 @@ def exact_percentiles(
         # reads — strictly less I/O at any scale.
         .localCheckpoint(eager=False)
     )
-    stats = d0.groupBy(*g).agg(
-        F.min("_v").alias("_mn"),
-        F.max("_v").alias("_mx"),
-        F.count("_v").alias("_n"),
+    stats = (
+        d0.groupBy(*g)
+        .agg(
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+            F.count("_v").alias("_n"),
+        )
+        # pinned: group-level stats (G rows) feed the rank targets, the
+        # bucketing join AND (via the ladder) the rank-pick — unpinned,
+        # each consumer re-ran the full d0 aggregation pass (a7's
+        # round-15 before-plan repeats the stats HashAggregate+Exchange
+        # subtree 9x; guide §2.4). G rows materialized once replace
+        # 3+ corpus passes at any scale.
+        .localCheckpoint(eager=False)
     )
     # target ranks per (group, fraction) — stats-sized
     t = (
@@ -507,7 +517,13 @@ def exact_percentiles(
             ),
             F.lit(0),
         ),
-    )
+    # pinned: the ladder (≤ buckets rows per group) feeds `need`, which
+    # fans out to `direct`, the rank-pick bucket list AND the pick join
+    # — unpinned, each consumer re-ran the corpus-sized bucket
+    # aggregation from db (the dominant repeated subtree in the
+    # round-15 before-plans: a7 855 plan lines / 56 Exchanges, a29
+    # 906 / 60). One bucket-agg pass replaces three.
+    ).localCheckpoint(eager=False)
     need = ranks.join(ladder, g).where(
         (F.col("_r") > F.col("_cum"))
         & (F.col("_r") <= F.col("_cum") + F.col("_cnt"))
