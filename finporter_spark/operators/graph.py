@@ -54,21 +54,26 @@ def connected_components_star(
     Each phase is one keyed aggregation (min per node, map-combinable)
     plus one equi-join back onto the edges — corpus-sized but bounded
     fan-in, no task ever holds more than one node's neighbor minimum.
-    Convergence when the edge multiset stops changing, checked by a
-    (count, xxhash64-sum) scalar pair per round (two tiny aggregates,
-    same pattern as pagerank's dangling-mass scalar); state is
-    localCheckpointed per round so lineage stays flat. The checkpoint
-    is LAZY: the signature aggregate is the materializing action, so
+    Each round additionally PATH-HALVES the emitted pointers through
+    the round's own min-forest (target m -> parent(m), one functional
+    join — see the inline note), so the effective diameter shrinks
+    faster than the star alternation alone. Convergence when the edge
+    set is a union of disjoint stars (no node both source and target —
+    a semi-join count per round; components are round-invariant, so
+    that state is necessarily final and detected the round it is
+    reached); state is localCheckpointed per round so lineage stays
+    flat. The checkpoint
+    is LAZY: the convergence count is the materializing action, so
     each round costs exactly one driver action — on local mode the
     round cost is fixed job overhead, and halving the job count halved
     the measured wall time (8.3 s → ~4 s at sf0.1 for l30). Running
     MORE rounds to save actions is a measured loss (see the loop
     note).
 
-    Raises ``RuntimeError`` if ``max_iter`` rounds pass without the
-    signature stabilizing (wrong labels must never come back silently);
-    at the default 50 that needs an effective diameter beyond 2^50 —
-    unreachable. ``stats['converged']``/``stats['rounds']`` record the
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the disjoint-star state (wrong labels must never come
+    back silently); at the default 50 that needs an effective diameter
+    beyond 2^50 — unreachable. ``stats['converged']``/``stats['rounds']`` record the
     outcome for callers that pass a stats dict.
 
     Returns (node, component) for every node incident to an edge, with
@@ -87,16 +92,25 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
-    def _sig(df):
-        # decimal(38,0) sum: a plain long sum of 2^63-range hashes
-        # overflows under ANSI mode on graphs of any real size
-        # (this aggregate is also the action that materializes the
-        # round's lazy localCheckpoint — one job per round)
-        r = df.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return r["n"], r["h"]
+    def _n_mid(df):
+        # Convergence = the edge set is a union of disjoint stars, i.e.
+        # NO node appears on both the source and the target side. This
+        # detects the fixed point the round it is REACHED instead of
+        # one round later (the previous signature-stability check had
+        # to run one extra full contraction round to observe "nothing
+        # changed"): components of the working edge set are invariant
+        # across rounds, so a disjoint-star state is necessarily final,
+        # and the high->low edge invariant makes each star's center its
+        # component minimum — exactly the returned labels. This count
+        # is also the action that materializes the round's lazy
+        # localCheckpoint — still one job per round.
+        return (
+            df.join(
+                df.select(F.col("u").alias("v")),
+                "v",
+                "leftsemi",
+            ).count()
+        )
 
     def _round(cur):
         # large-star over the symmetrized neighborhood
@@ -125,10 +139,29 @@ def connected_components_star(
         )
         # small-star over the high->low directed edges large-star emits
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        # path-halving (optimization round 2): compose every emitted
+        # target ONE step through the round's own min-forest p = smins
+        # (u -> m, m < u). p is functional (one row per key — a min
+        # aggregate), so the left join below cannot fan out. Each
+        # smins edge (u -> p(u)) becomes (u -> p(p(u))) — classic
+        # pointer halving on a forest, which keeps every tree one
+        # component (all pointers stay root-ward within the tree) —
+        # and each neighbor edge (v -> m) becomes (v -> p(m)), i.e. v
+        # re-attaches to an ancestor in m's own tree. Components are
+        # exactly preserved, edges stay high->low (p(m) < m), and the
+        # effective diameter shrinks by ~2x on top of the star
+        # contraction's halving, so fewer rounds run (l30: 8 -> 5
+        # measured; each round is ~6 stage launches locally and 4
+        # corpus-sized exchanges at scale).
+        p2 = smins.select(
+            F.col("u").alias("_pu"), F.col("m").alias("_pm")
+        )
         return (
             large.join(smins, "u")
             .select(F.col("v").alias("x"), "m")
             .unionAll(smins.select(F.col("u").alias("x"), "m"))
+            .join(p2, F.col("m") == F.col("_pu"), "left")
+            .select("x", F.coalesce("_pm", "m").alias("m"))
             .where(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -143,24 +176,22 @@ def connected_components_star(
     # executed up to two extra (no-op, but stage-cost-bearing) rounds —
     # l30 measured 180 → 222 stages, 75 → 85 jobs. Kept at one round
     # per check: fewest rounds executed wins.
-    sig = _sig(e)
     converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         small = _round(e)
-        new_sig = _sig(small)
+        mid = _n_mid(small)
         e = small
-        if new_sig == sig:
+        if mid == 0:
             converged = True
             break
-        sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
     if not converged:
         raise RuntimeError(
-            f"connected_components_star: edge signature not stable after "
+            f"connected_components_star: no disjoint-star state after "
             f"max_iter={max_iter} rounds — labels would be wrong"
         )
     # converged: e is a star forest (node -> component min); roots
