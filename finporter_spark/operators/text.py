@@ -146,27 +146,28 @@ def bm25_scores(
     score). Callers wanting top-k order by (score desc, id) — ties are
     real when documents share term statistics.
     """
-    toks = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    )
-    # dl/tf pinned: dl feeds the corpus stats AND the score join; tf
-    # feeds the df counts AND the scoring — unpinned, the tokenize +
-    # posting agg each ran twice per call (guide §2.4)
-    dl = toks.select(
-        id_col, F.size("_toks").cast("double").alias("_dl")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks_col = tokens(F.col(text_col))
+    # ONE tokenize pass (optimization round 2): dl and tf previously
+    # each re-ran the tokenize regex over the corpus (2x the hottest
+    # CPU kernel at scale — guide §1.2 per-task work). This base pins
+    # (id, doc length, query-matched tokens) from a single pass; the
+    # matched array is the inverted-index slice (usually empty), so
+    # the materialized bytes are barely more than the old dl pin.
+    base = df.select(
+        F.col(id_col),
+        F.size(toks_col).cast("double").alias("_dl"),
+        F.filter(toks_col, lambda t: F.array_contains(terms, t)).alias(
+            "_mt"
+        ),
     ).localCheckpoint(eager=False)
+    dl = base.select(id_col, "_dl")
     stats = dl.agg(
         F.count("*").cast("double").alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
     )
-    terms = F.array(*[F.lit(t) for t in query_terms])
     tf = (
-        toks.select(
-            id_col,
-            F.explode(
-                F.filter("_toks", lambda t: F.array_contains(terms, t))
-            ).alias("term"),
-        )
+        base.select(id_col, F.explode("_mt").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("double").alias("_tf"))
         .localCheckpoint(eager=False)
