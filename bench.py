@@ -509,6 +509,26 @@ def main() -> None:
         100.0 * (max(probe_runs) - min(probe_runs)) / min(probe_runs), 1
     )
 
+    # LOAD-NORMALIZED per-query times (round-15, additions-only — the
+    # round-14 verdict #5: the ladder + load stamps existed but nothing
+    # consumed them). Each query's raw wall divides by its NEAREST
+    # rung's probe ratio against the run's quiet floor, so a cross-run
+    # comparer can diff `queries_norm` instead of raw walls from
+    # 56-155%-spread windows. Queries re-measured by the hot-rung rerun
+    # carry a post-load min already; their rung ratio then
+    # over-corrects slightly toward faster — the comparer should treat
+    # norm values as load-adjusted estimates, raw values as ground
+    # truth.
+    def _nearest_rung_ratio(pos: int) -> float:
+        best = min(probe_ladder, key=lambda r: abs(r["after"] - pos))
+        return (best["t"] / quiet) if quiet > 0 else 1.0
+
+    timings_norm = {
+        name: round(timings[name] / _nearest_rung_ratio(i + 1), 3)
+        for i, name in enumerate(HEADLINE)
+        if name in timings
+    }
+
     vals = sorted(timings.values())
     n = len(vals)
     median = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
@@ -541,7 +561,7 @@ def main() -> None:
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r14.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_r15.json"
         ),
     )
     with open(full_path, "w") as fh:
@@ -551,6 +571,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_norm": timings_norm,
+                "norm_quiet_probe_s": round(quiet, 3),
                 "query_reps": rep_times,
                 "sf": sf,
                 "reps": reps,

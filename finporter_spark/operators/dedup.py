@@ -712,5 +712,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if max_iter < 1:
+        # zero-round path: no changed-count job ran, so the lazily
+        # checkpointed labels are not yet materialized — force them
+        # while the edge cache is still alive, or the caller's first
+        # action re-scans edges uncached
+        labels.count()
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster"))

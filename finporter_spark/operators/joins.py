@@ -84,6 +84,10 @@ def count_exceeding(
         lv.select("_bal")
         .unionAll(rv.select("_bal"))
         .agg(F.min("_bal").alias("_lo"), F.max("_bal").alias("_hi"))
+        # pinned: the 1-row bounds feed BOTH banded projections via
+        # crossJoin — unpinned, each reference re-ran the min/max pass
+        # over both pinned inputs (guide §2.4)
+        .localCheckpoint(eager=False)
     )
 
     def _band(col: Column) -> Column:

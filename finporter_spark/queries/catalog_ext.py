@@ -1930,7 +1930,11 @@ def p16_fuzzy_join(spark, sf_dir):
     # test SFs, which would serialize the expansion onto a couple of
     # cores (width follows the session's core count, not a constant)
     a = p.repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+        # floor of 32 and a 2x over-partitioning factor: on a low-core
+        # session a bare defaultParallelism leaves no headroom for
+        # key-hash skew in the heavy expansion (stragglers idle the
+        # other cores); 2x keeps the load balanced at any core count
+        max(32, 2 * spark.sparkContext.defaultParallelism), "p_partkey"
     ).select(
         F.col("p_partkey").alias("key_l"),
         F.col("p_brand").alias("brand"),

@@ -52,7 +52,11 @@ def main() -> None:
             print(f"!! unknown query {name}")
             continue
         walls: list[float] = []
-        jobs = stages = None
+        # per-rep counts (not just the last rep's): rep 1 can include
+        # extra warm-up/cache jobs, and the deterministic-evidence
+        # claim needs the cross-rep variance visible
+        jobs_per_rep: list[int] = []
+        stages_per_rep: list[int] = []
         for r in range(args.reps):
             gc.collect()
             group = f"js-{name}-{r}"
@@ -66,12 +70,16 @@ def main() -> None:
             tracker = sc.statusTracker()
             ids = tracker.getJobIdsForGroup(group)
             infos = [tracker.getJobInfo(i) for i in ids]
-            jobs = len(ids)
-            stages = sum(len(i.stageIds) for i in infos if i is not None)
+            jobs_per_rep.append(len(ids))
+            stages_per_rep.append(
+                sum(len(i.stageIds) for i in infos if i is not None)
+            )
         print(
-            f"{name}: jobs={jobs} stages={stages} "
+            f"{name}: jobs={jobs_per_rep[-1]} stages={stages_per_rep[-1]} "
             f"min={min(walls):.3f}s runs="
             + ",".join(f"{w:.3f}" for w in walls)
+            + f" jobs_per_rep={jobs_per_rep}"
+            + f" stages_per_rep={stages_per_rep}"
         )
 
 
