@@ -3186,11 +3186,27 @@ def pipe2_llm_corpus(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    surv = exact_dedup(d, "text", "doc_id").select("doc_id").join(d, "doc_id")
-    prof = repetition_profile(surv, "text", "doc_id", ngram_n=3)
-    kept = surv.join(
-        prof.filter(F.col("dup_frac") <= 0.02).select("doc_id"), "doc_id"
+    # pin the ID-ONLY stage outputs (guide §2.4, the narrow-subtree
+    # variant): unpinned, the dedup agg + survivor join subtree was
+    # re-derived per consumer (8 repeated document scans in the
+    # round-15 plan sweep). Each pin is one long per surviving doc;
+    # the fat text column rides only the final kept join.
+    surv_ids = (
+        exact_dedup(d, "text", "doc_id")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
+    surv = surv_ids.join(d, "doc_id")
+    prof = repetition_profile(surv, "text", "doc_id", ngram_n=3)
+    # prof covers survivors only, and doc_id is unique in documents, so
+    # joining the gate-passing ids straight back to d equals the old
+    # surv-side join
+    kept_ids = (
+        prof.filter(F.col("dup_frac") <= 0.02)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    kept = kept_ids.join(d, "doc_id")
     return pack_sequences(kept, "text", "doc_id", seq_tokens=256, shards=16)
 
 
