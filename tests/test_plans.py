@@ -64,6 +64,7 @@ def test_asof_join_single_window_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+@pytest.mark.slow  # ~6 min: explains all 265 relational catalog plans
 def test_catalog_queries_avoid_python_udfs(spark, sf_dir):
     """Every relational catalog query stays JVM-side (UDF-free hot path)."""
     skip = set()  # all current queries must pass

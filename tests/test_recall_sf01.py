@@ -669,7 +669,11 @@ def test_catalog_dial_is_rule_derived():
 _STRUCT_DECADE = [
     (SF01, 0.80),                           # measured 0.855 (level 0)
     ("/tmp/finporter_testdata/sf1", 0.80),  # measured 0.858 (level 0)
-    ("/tmp/finporter_testdata/sf10", 0.75),  # ~0.8 with the level-1 dial
+    pytest.param(
+        "/tmp/finporter_testdata/sf10",
+        0.75,
+        marks=pytest.mark.slow,  # ~8 min: generates + encodes the sf10 corpus
+    ),  # ~0.8 with the level-1 dial
 ]
 
 
@@ -739,6 +743,7 @@ def test_sized_dial_recall_struct_decade(spark, sfdir, floor):
     assert rec >= floor, (sfdir, prm, rec)
 
 
+@pytest.mark.slow  # ~19 min: sf10 zipf corpus, two full IVFADC builds
 def test_zipf_sf10_residual_recovers_skew_recall(spark):
     """The measured mitigation for the trained-on-skew RECALL loss
     (round 13): at the zipf-sf10 density the rule-sized plain dial
@@ -833,6 +838,7 @@ def test_zipf_sf10_residual_recovers_skew_recall(spark):
     assert res >= plain + 0.1, (plain, res)
 
 
+@pytest.mark.slow  # ~18 min: sf10 zipf corpus end-to-end through the auto plan
 def test_ivfadc_plan_auto_zipf_recall(spark):
     """The round-13 verdict's done-bar: the zipf recall target met by
     the SIZED AND TYPED dial with NO caller-side choice —
