@@ -70,7 +70,10 @@ SUBSET = [
     "l27_frequency_spectrum",
     "a15_grouping_sets",
     # round-11 additions
-    "l45c_ivfadc_topk",
+    pytest.param(
+        "l45c_ivfadc_topk",
+        marks=pytest.mark.slow,  # ~63 s: full IVFADC build; the driver's own oracle gate and the committed full sweep cover it
+    ),
     "a42_psi_weekly",
     "a43_ks_weekly",
     "a44_mwu_weekly",

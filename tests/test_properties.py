@@ -257,6 +257,7 @@ def test_mp3_metadata_property(brs, sr, id3v2, id3v1):
         HealthCheck.function_scoped_fixture,
     ],
 )
+@pytest.mark.slow  # ~23 s hypothesis brute-force sweep; the r8b fixed-case twin stays in the default run
 @given(
     left=st.lists(
         st.one_of(

@@ -668,7 +668,11 @@ def test_catalog_dial_is_rule_derived():
 
 _STRUCT_DECADE = [
     (SF01, 0.80),                           # measured 0.855 (level 0)
-    ("/tmp/finporter_testdata/sf1", 0.80),  # measured 0.858 (level 0)
+    pytest.param(
+        "/tmp/finporter_testdata/sf1",
+        0.80,
+        marks=pytest.mark.slow,  # regenerates the sf1 corpus in a fresh sandbox
+    ),  # measured 0.858 (level 0)
     pytest.param(
         "/tmp/finporter_testdata/sf10",
         0.75,

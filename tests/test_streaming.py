@@ -647,6 +647,7 @@ def test_keep_first_sink_empty_stream_and_stray_entries(spark, tmp_path):
     assert got == {("a", 1)}
 
 
+@pytest.mark.slow  # ~19 s worker-env stream drain; the list/map-state and cross-batch TWS drains stay in the default run
 def test_transform_with_state_env_blocker(spark, tmp_path):
     """Spark 4's transformWithStateInPandas (StatefulProcessor API) needs
     google.protobuf in the Python worker; this container has no protobuf
