@@ -642,7 +642,32 @@ def test_star_cc_chain_converges_in_log_rounds(spark):
     rows = out.collect()
     assert len(rows) == n
     assert {r.component for r in rows} == {0}
-    assert stats["rounds"] <= 16, stats  # log2(4096)=12 alternations max
+    # path halving (round 15) composes targets through the round's own
+    # min-forest, so depth shrinks faster than the pure alternation's
+    # halving: measured 6 rounds on this chain (was 12). The bound
+    # locks the optimization in — pure alternation cannot meet it.
+    assert stats["rounds"] <= 8, stats
+
+
+def test_star_cc_fixed_point_detected_immediately(spark):
+    """A graph that is ALREADY a min-rooted star forest must converge
+    in exactly one round: the disjoint-star convergence test (round 15)
+    detects the fixed point the round it is observed, not one
+    signature-repeat round later."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from finporter_spark.operators.graph import connected_components_star
+
+    stars = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (11, 10), (12, 10)], "src long, dst long"
+    )
+    stats: dict = {}
+    out = connected_components_star(stars, "src", "dst", stats=stats)
+    got = {(r.node, r.component) for r in out.collect()}
+    assert got == {
+        (0, 0), (1, 0), (2, 0), (3, 0), (10, 10), (11, 10), (12, 10)
+    }
+    assert stats["converged"] and stats["rounds"] == 1, stats
 
 
 def test_count_exceeding_ties_nulls_sparse_bands(spark):
